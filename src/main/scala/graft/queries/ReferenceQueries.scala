@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference-parity query inventory (SURVEY.md §2.6 Q1-Q12).
+  *
+  * Each query exercises an operator of the reference
+  * (thanminh24/Flink-Stream) on the driver's parquet testdata, and each
+  * carries a DuckDB-dialect oracle in [[oracleSql]] producing identical
+  * rows / column names / ordering.
+  *
+  * Determinism rules (SURVEY.md §2.6): total ORDER BY everywhere; event
+  * timestamps ordered via epoch microseconds on both engines (the
+  * testdata `events.ts` is ns-precision, Spark truncates to µs — so the
+  * DuckDB side orders by `epoch_ns(ts)` to agree on ties); doubles that
+  * result from arithmetic are rounded to 6 dp; no wall-clock values.
+  */
+object ReferenceQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  /** JSON_VALUE semantics of the reference ingest job
+    * (flink_json_to_iceberg.py:113,140): extract `$.k`, NULL on
+    * missing/invalid; cast with NULL-on-error (Flink CAST, ANSI off) —
+    * Spark 4 defaults ANSI on, so `try_cast` gives the parity behavior.
+    */
+  private def jsonK = expr("try_cast(get_json_object(props, '$.k') AS INT)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 — scan + project + sort (S7/Q-a, P1, Q-b)
+    "q1_scan_project" -> ((s, d) =>
+      events(s, d)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")),
+
+    // Q2 — JSON_VALUE + CAST (P2, P3; flink_json_to_iceberg.py:113)
+    "q2_json_extract_cast" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), jsonK.as("k"))
+        .orderBy("event_id")),
+
+    // Q3 — NULL-on-missing JSON path (P2)
+    "q3_json_missing_null" -> ((s, d) =>
+      events(s, d)
+        .where(get_json_object(col("props"), "$.missing").isNull)
+        .select("event_id")
+        .orderBy("event_id")),
+
+    // Q4 — IS NOT NULL filter as in py:117 + numeric predicate (P6)
+    "q4_filter_not_null" -> ((s, d) =>
+      events(s, d)
+        .where(jsonK.isNotNull && col("value") > 100)
+        .select("event_id", "value")
+        .orderBy("event_id")),
+
+    // Q5 — upsert materialization: last-row-per-key (C1 changelog-normalize;
+    // PRIMARY KEY NOT ENFORCED + write.upsert.enabled, py:66-69)
+    "q5_upsert_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+
+    // Q6 — CDC apply with deletes: event_type='error' ≙ op 'd' (C2)
+    "q6_cdc_apply" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("event_type") =!= "error")
+        .select("user_id", "event_id")
+        .orderBy("user_id")
+    }),
+
+    // Q7 — ORDER BY ts DESC LIMIT 10 (Q-b/Q-c; README.md:177 Trino query)
+    "q7_topk_recent" -> ((s, d) =>
+      events(s, d)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .select("event_id", "user_id")
+        .limit(10)),
+
+    // Q8 — full scan of a fixed-schema dimension (Q-a)
+    "q8_region_scan" -> ((s, d) =>
+      Tables.load(s, d, "region").orderBy("r_regionkey")),
+
+    // Q9 — the composed ingest shape of py:110-118 batch-replayed
+    // (S1 + P1-P3 + P6)
+    "q9_ingest_pipeline" -> ((s, d) =>
+      events(s, d)
+        .where(get_json_object(col("props"), "$.k").isNotNull)
+        .select(jsonK.as("user_id_like"), col("event_type").as("email_like"),
+          col("event_id"))
+        .orderBy("event_id")
+        .drop("event_id")),
+
+    // Q10 — equality predicate (P7)
+    "q10_status_filter" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .where(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // Q11 — query-layer join (Trino surface, §2.4)
+    "q11_join" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .select(c("c_custkey"), o("o_orderkey"))
+        .orderBy("c_custkey", "o_orderkey")
+    }),
+
+    // Q12 — query-layer hash aggregate (§2.4)
+    "q12_agg" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
+        .orderBy("event_type"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_scan_project" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "q2_json_extract_cast" ->
+      ("SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k " +
+        "FROM events ORDER BY event_id"),
+    "q3_json_missing_null" ->
+      ("SELECT event_id FROM events " +
+        "WHERE json_extract_string(props, '$.missing') IS NULL ORDER BY event_id"),
+    "q4_filter_not_null" ->
+      ("SELECT event_id, value FROM events " +
+        "WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL " +
+        "AND value > 100 ORDER BY event_id"),
+    "q5_upsert_latest" ->
+      ("SELECT user_id, event_id, event_type FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id"),
+    "q6_cdc_apply" ->
+      ("SELECT user_id, event_id FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
+    "q7_topk_recent" ->
+      ("SELECT event_id, user_id FROM events " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC LIMIT 10"),
+    "q8_region_scan" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "q9_ingest_pipeline" ->
+      ("SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS user_id_like, " +
+        "event_type AS email_like FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL ORDER BY event_id"),
+    "q10_status_filter" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderstatus = 'O' ORDER BY o_orderkey"),
+    "q11_join" ->
+      ("SELECT c.c_custkey, o.o_orderkey FROM customer c " +
+        "JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "ORDER BY c.c_custkey, o.o_orderkey"),
+    "q12_agg" ->
+      ("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
+  )
+}
