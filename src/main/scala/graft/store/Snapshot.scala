@@ -1,0 +1,86 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** One committed version of an [[UpsertTable]] — the analog of an
+  * Iceberg v2 snapshot (reference: flink_json_to_iceberg.py:68-69
+  * `'format-version'='2'`, `'write.upsert.enabled'='true'`).
+  *
+  * @param version     monotonically increasing snapshot id
+  * @param schemaJson  Spark StructType JSON of the table schema
+  * @param keyCols     primary-key columns (PRIMARY KEY NOT ENFORCED ≙
+  *                    reference py:66,82; connect-iceberg-sink.json:28-29)
+  * @param numBuckets  key-hash bucket count — merge locality unit; only
+  *                    buckets containing batch keys are rewritten, the
+  *                    analog of Iceberg equality-delete locality
+  * @param files       data files (paths relative to table root) + bucket
+  * @param committed   streamId -> last applied batchId, for exactly-once
+  *                    replay no-ops (SURVEY.md §2.3 C4)
+  * @param timestampMs wall-clock commit time (drives expiry, C6)
+  */
+case class Snapshot(
+    version: Long,
+    schemaJson: String,
+    keyCols: Seq[String],
+    numBuckets: Int,
+    files: Seq[FileEntry],
+    committed: Map[String, Long],
+    timestampMs: Long)
+
+case class FileEntry(path: String, bucket: Int)
+
+/** Manifest-log IO: `_snapshots/v{N}.json`, crash-safe via
+  * write-temp-then-atomic-rename; current = max N. Single-writer, like
+  * the reference's single sink task (connect-iceberg-sink.json:5
+  * `tasks.max=1`); readers see a complete manifest or none.
+  */
+object SnapshotLog {
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  def snapshotsDir(tableRoot: String): Path = Paths.get(tableRoot, "_snapshots")
+
+  def listVersions(tableRoot: String): Seq[Long] = {
+    val dir = snapshotsDir(tableRoot)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
+  def read(tableRoot: String, version: Long): Snapshot = {
+    val bytes = Files.readAllBytes(snapshotsDir(tableRoot).resolve(f"v$version%08d.json"))
+    val s = mapper.readValue(bytes, classOf[Snapshot])
+    // Long erases to Object in the Map's generic signature, so Jackson
+    // materializes small values as Integer — normalize.
+    s.copy(committed = (s.committed: Map[String, Any]).map { case (k, v) =>
+      k -> v.asInstanceOf[Number].longValue() })
+  }
+
+  def current(tableRoot: String): Option[Snapshot] =
+    listVersions(tableRoot).lastOption.map(read(tableRoot, _))
+
+  def commit(tableRoot: String, s: Snapshot): Unit = {
+    val dir = snapshotsDir(tableRoot)
+    Files.createDirectories(dir)
+    val target = dir.resolve(f"v${s.version}%08d.json")
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"concurrent commit: ${target} already exists (single-writer store)")
+    val tmp = Files.createTempFile(dir, s".v${s.version}", ".tmp")
+    Files.write(tmp, mapper.writeValueAsString(s).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def delete(tableRoot: String, version: Long): Unit =
+    Files.deleteIfExists(snapshotsDir(tableRoot).resolve(f"v$version%08d.json"))
+}

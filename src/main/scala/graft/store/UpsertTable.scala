@@ -1,0 +1,272 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native keyed upsert table — the Spark-first re-implementation of the
+  * reference's Iceberg v2 upsert sink semantics
+  * (flink_json_to_iceberg.py:61-91: `PRIMARY KEY … NOT ENFORCED`,
+  * `'write.upsert.enabled'='true'`; connect-iceberg-sink.json:12-14,28-29:
+  * auto-create, schema-evolve, upsert/delete by id-columns).
+  *
+  * Layout under `location`:
+  * {{{
+  *   data/v{N}/__bucket={b}/part-*.parquet   (files written by commit N)
+  *   _snapshots/v{N}.json                    (manifest; current = max N)
+  * }}}
+  *
+  * Scale design: rows are hash-bucketed by key. A merge only reads and
+  * rewrites the buckets that contain batch keys — at 100 TB with e.g.
+  * 4096 buckets, a small CDC batch touches a handful of buckets instead
+  * of rewriting the table (the analog of Iceberg equality-delete
+  * locality). Reads are plain vectorized parquet scans over the current
+  * snapshot's file list, so Catalyst pushdown/pruning apply untouched.
+  */
+class UpsertTable(spark: SparkSession, val location: String) {
+  import UpsertTable._
+
+  private def root: Path = Paths.get(location)
+
+  def exists: Boolean = SnapshotLog.current(location).isDefined
+
+  def currentSnapshot: Option[Snapshot] = SnapshotLog.current(location)
+
+  def schema: StructType =
+    DataType.fromJson(snapshotOrFail.schemaJson).asInstanceOf[StructType]
+
+  def keyCols: Seq[String] = snapshotOrFail.keyCols
+
+  private def snapshotOrFail: Snapshot =
+    currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"table does not exist: $location"))
+
+  /** Explicit create (reference `CREATE TABLE IF NOT EXISTS`, py:61-75). */
+  def create(schema: StructType, keys: Seq[String],
+      numBuckets: Int = DefaultBuckets): Unit = {
+    require(keys.nonEmpty, "upsert table needs key columns")
+    keys.foreach(k => require(schema.fieldNames.contains(k), s"missing key col $k"))
+    if (exists) return
+    Files.createDirectories(root)
+    SnapshotLog.commit(location, Snapshot(
+      version = 1L,
+      schemaJson = allNullable(schema).json,
+      keyCols = keys,
+      numBuckets = numBuckets,
+      files = Seq.empty,
+      committed = Map.empty,
+      timestampMs = System.currentTimeMillis()))
+  }
+
+  /** Current-state read (merge-on-write store: every key appears once). */
+  def read(): DataFrame = readSnapshot(snapshotOrFail)
+
+  /** Time travel: read a specific committed version (Iceberg snapshot
+    * read analog; enables the expiry semantics of snapshot_mgmt.py).
+    */
+  def readVersion(version: Long): DataFrame =
+    readSnapshot(SnapshotLog.read(location, version))
+
+  private def readSnapshot(s: Snapshot): DataFrame = {
+    val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    readFiles(s.files, schema)
+  }
+
+  private def readFiles(files: Seq[FileEntry], schema: StructType): DataFrame =
+    if (files.isEmpty) {
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    } else {
+      // explicit schema: older files lacking newly-added columns yield
+      // nulls — additive evolution without rewrites
+      spark.read.schema(schema).parquet(files.map(f => s"$location/${f.path}"): _*)
+    }
+
+  /** CDC/upsert merge of one micro-batch (SURVEY.md §2.3 C1/C2/C4).
+    *
+    * @param batch    rows holding the table's data columns (+ opCol/orderCol)
+    * @param opCol    optional column with Debezium ops `r|c|u|d`; `d`
+    *                 removes the key, anything else upserts. None = all upserts.
+    * @param orderCol optional column giving arrival order inside the
+    *                 batch (offset/LSN); highest wins per key. None =
+    *                 dataframe order via monotonically_increasing_id.
+    * @param streamId/batchId exactly-once replay guard: a (streamId,
+    *                 batchId) at or below the recorded watermark is a
+    *                 no-op (reference checkpoint/commit cycle, C4).
+    * @param autoCreateKeys create the table from the batch schema with
+    *                 these keys if absent (sink auto-create, S6).
+    */
+  def merge(
+      batch: DataFrame,
+      opCol: Option[String] = None,
+      orderCol: Option[String] = None,
+      streamId: Option[String] = None,
+      batchId: Option[Long] = None,
+      autoCreateKeys: Seq[String] = Seq.empty): Unit = synchronized {
+    val metaCols = opCol.toSeq ++ orderCol.toSeq
+    val batchDataSchema = StructType(
+      batch.schema.fields.filterNot(f => metaCols.contains(f.name)))
+
+    if (!exists) {
+      require(autoCreateKeys.nonEmpty,
+        s"table $location does not exist and no autoCreateKeys given")
+      create(batchDataSchema, autoCreateKeys)
+    }
+    val snap = snapshotOrFail
+
+    // exactly-once: replayed micro-batches are no-ops (C4)
+    val replayed = for {
+      sid <- streamId; bid <- batchId; last <- snap.committed.get(sid)
+    } yield bid <= last
+    if (replayed.contains(true)) return
+
+    // schema evolution (S6): additive columns; int→long / float→double
+    // widening; anything else incompatible is rejected
+    val oldSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val (newSchema, widened) = evolve(oldSchema, batchDataSchema)
+    val dataCols = newSchema.fieldNames.toSeq
+
+    // align batch to evolved schema (missing cols → null, widen casts)
+    val aligned0 = newSchema.fields.foldLeft(batch) { (df, f) =>
+      if (!df.columns.contains(f.name)) df.withColumn(f.name, lit(null).cast(f.dataType))
+      else if (df.schema(f.name).dataType != f.dataType)
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df
+    }
+    // in-batch changelog-normalize: last row per key wins (C1) —
+    // row_number over key ordered by arrival desc, like the reference's
+    // upsert materialization
+    val ord = orderCol.map(col).getOrElse(monotonically_increasing_id())
+    val aligned = aligned0.withColumn("__ord", ord)
+    val w = Window.partitionBy(snap.keyCols.map(col): _*).orderBy(col("__ord").desc)
+    val normalized = aligned
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .withColumn("__op", opCol.map(col).getOrElse(lit("u")))
+      .select((dataCols.map(col) :+ col("__op")): _*)
+      .cache()
+
+    try {
+      val bucketOf = bucketExpr(snap.keyCols, snap.numBuckets)
+
+      // buckets touched by this batch — bounded by numBuckets, safe to collect
+      val affected: Set[Int] =
+        if (widened) (0 until snap.numBuckets).toSet
+        else normalized.select(bucketOf.as("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+
+      val (oldAffected, untouched) = snap.files.partition(f => affected(f.bucket))
+      val oldDf = readFiles(oldAffected, newSchema)
+
+      // keys present in the batch replace (or delete) stored rows
+      val batchKeys = normalized.select(snap.keyCols.map(col): _*)
+      val survivors = oldDf.join(batchKeys, snap.keyCols, "left_anti")
+      val upserts = normalized.where(col("__op") =!= "d").select(dataCols.map(col): _*)
+
+      val version = snap.version + 1
+      val outDir = s"$location/data/v$version"
+      val out = survivors.unionByName(upserts)
+        .withColumn("__bucket", bucketOf)
+      out.repartition(math.max(affected.size, 1), col("__bucket"))
+        .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
+
+      val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
+        FileEntry(s"data/v$version/$rel", b) }
+
+      SnapshotLog.commit(location, snap.copy(
+        version = version,
+        schemaJson = newSchema.json,
+        files = untouched ++ newFiles,
+        committed = snap.committed ++
+          (for { s <- streamId; b <- batchId } yield s -> b),
+        timestampMs = System.currentTimeMillis()))
+    } finally normalized.unpersist()
+  }
+
+  /** Snapshot expiry (C6; reference snapshot_mgmt.py:17-18
+    * `expire_snapshots(retention_threshold => '6h')`): drop manifests
+    * older than the retention (never the current one) and delete data
+    * files no remaining manifest references.
+    */
+  def expireSnapshots(retentionMs: Long): Unit = synchronized {
+    val versions = SnapshotLog.listVersions(location)
+    if (versions.size <= 1) return
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val (latest, older) = (versions.last, versions.init)
+    val expired = older.filter(v => SnapshotLog.read(location, v).timestampMs < cutoff)
+    if (expired.isEmpty) return
+    val live = (versions.diff(expired)).map(SnapshotLog.read(location, _))
+    val liveFiles = live.flatMap(_.files.map(_.path)).toSet
+    expired.foreach { v =>
+      SnapshotLog.read(location, v).files
+        .filterNot(f => liveFiles(f.path))
+        .foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+      SnapshotLog.delete(location, v)
+    }
+  }
+
+  private def listBucketFiles(outDir: String): Seq[(String, Int)] = {
+    val dir = Paths.get(outDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("__bucket="))
+      .flatMap { bdir =>
+        val b = bdir.getFileName.toString.stripPrefix("__bucket=").toInt
+        Files.list(bdir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => (s"${bdir.getFileName}/${f.getFileName}", b))
+      }.toSeq
+  }
+}
+
+object UpsertTable {
+  /** Default key-space partitioning. Local tests stay small; a 100 TB
+    * deployment raises this (manifest records it per table).
+    */
+  val DefaultBuckets = 16
+
+  def bucketExpr(keys: Seq[String], numBuckets: Int): Column =
+    pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Stored columns are always nullable (additive evolution fills nulls). */
+  def allNullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Schema evolution à la the Iceberg sink's evolve mode
+    * (connect-iceberg-sink.json:14): additive columns plus int→long /
+    * float→double widening; everything else incompatible is rejected.
+    * Returns the evolved schema and whether stored files need a type
+    * rewrite (an existing column widened).
+    */
+  def evolve(old: StructType, incoming: StructType): (StructType, Boolean) = {
+    var widened = false
+    val existing = old.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case Some(in) if in.dataType == f.dataType => f
+        case Some(in) =>
+          val t = widerOf(f.dataType, in.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"incompatible evolution of ${f.name}: ${f.dataType} vs ${in.dataType}"))
+          if (t != f.dataType) widened = true
+          f.copy(dataType = t)
+        case None => f
+      }
+    }
+    val added = incoming.fields.filterNot(f => old.fieldNames.contains(f.name))
+    (allNullable(StructType(existing ++ added)), widened)
+  }
+
+  private def widerOf(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case _ if a == b => Some(a)
+    case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    case _ => None
+  }
+
+  def apply(spark: SparkSession, location: String): UpsertTable =
+    new UpsertTable(spark, location)
+}

@@ -1,0 +1,139 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class UpsertTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpTable(): UpsertTable =
+    UpsertTable(spark, Files.createTempDirectory("graft-ut").toString)
+
+  private val accountSchema = StructType(Seq(
+    StructField("user_id", IntegerType),
+    StructField("email", StringType)))
+
+  test("create + empty read") {
+    val t = tmpTable()
+    t.create(accountSchema, Seq("user_id"))
+    assert(t.exists)
+    assert(t.read().count() === 0)
+    assert(t.read().schema.fieldNames.toSeq === Seq("user_id", "email"))
+  }
+
+  test("merge upserts: last row per key wins within a batch") {
+    val t = tmpTable()
+    val batch = Seq(
+      (1, "a@x.com", 1L), (2, "b@x.com", 2L), (1, "a2@x.com", 3L)
+    ).toDF("user_id", "email", "off")
+    t.merge(batch, orderCol = Some("off"), autoCreateKeys = Seq("user_id"))
+    val got = t.read().orderBy("user_id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((1, "a2@x.com"), (2, "b@x.com")))
+  }
+
+  test("cross-batch upsert replaces, unrelated keys untouched") {
+    val t = tmpTable()
+    t.merge(Seq((1, "a"), (2, "b")).toDF("user_id", "email"),
+      autoCreateKeys = Seq("user_id"))
+    t.merge(Seq((2, "b2"), (3, "c")).toDF("user_id", "email"),
+      autoCreateKeys = Seq("user_id"))
+    val got = t.read().orderBy("user_id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((1, "a"), (2, "b2"), (3, "c")))
+  }
+
+  test("golden CDC sequence from FIXTURES.md §4 (seed + manual/001-003)") {
+    val t = tmpTable()
+    def batch(rows: Seq[(Int, String, String)], ids: Range) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.zip(ids).map { case ((id, e, op), off) =>
+          Row(id, e, op, off.toLong) }),
+        StructType(Seq(
+          StructField("user_id", IntegerType), StructField("email", StringType),
+          StructField("op", StringType), StructField("off", LongType))))
+
+    // 1. snapshot r ×3
+    t.merge(batch(Seq((1, "alice@example.com", "r"), (2, "bob@example.com", "r"),
+      (3, "carol@example.com", "r")), 0 until 3),
+      opCol = Some("op"), orderCol = Some("off"), autoCreateKeys = Seq("user_id"))
+    assert(t.read().count() === 3)
+
+    // 2. inserts derek + emily (manual/001)
+    t.merge(batch(Seq((4, "derek@example.com", "c"), (5, "emily@example.com", "c")),
+      3 until 5), opCol = Some("op"), orderCol = Some("off"))
+    assert(t.read().count() === 5)
+
+    // 3. update emily -> emma (manual/002)
+    t.merge(batch(Seq((5, "emma@example.com", "u")), 5 until 6),
+      opCol = Some("op"), orderCol = Some("off"))
+    assert(t.read().count() === 5)
+    assert(t.read().where($"user_id" === 5).head().getString(1) === "emma@example.com")
+
+    // 4. delete all (manual/003)
+    t.merge(batch((1 to 5).map(i => (i, s"x$i", "d")), 6 until 11),
+      opCol = Some("op"), orderCol = Some("off"))
+    assert(t.read().count() === 0)
+  }
+
+  test("exactly-once: replayed batchId is a no-op (C4)") {
+    val t = tmpTable()
+    val b = Seq((1, "a")).toDF("user_id", "email")
+    t.merge(b, streamId = Some("q"), batchId = Some(7L), autoCreateKeys = Seq("user_id"))
+    val v = t.currentSnapshot.get.version
+    t.merge(Seq((1, "CLOBBER")).toDF("user_id", "email"),
+      streamId = Some("q"), batchId = Some(7L))
+    assert(t.currentSnapshot.get.version === v)
+    assert(t.read().head().getString(1) === "a")
+    // later batch applies
+    t.merge(Seq((1, "a2")).toDF("user_id", "email"),
+      streamId = Some("q"), batchId = Some(8L))
+    assert(t.read().head().getString(1) === "a2")
+  }
+
+  test("schema evolution: additive column + int widening (S6)") {
+    val t = tmpTable()
+    t.merge(Seq((1, "a")).toDF("user_id", "email"), autoCreateKeys = Seq("user_id"))
+    // additive: new column `age`; old rows read as null
+    t.merge(Seq((2, "b", 30)).toDF("user_id", "email", "age"))
+    val got = t.read().orderBy("user_id").collect()
+    assert(t.read().schema.fieldNames.toSeq === Seq("user_id", "email", "age"))
+    assert(got(0).isNullAt(2) && got(1).getInt(2) === 30)
+    // widening: age int -> long
+    t.merge(Seq((3, "c", 9999999999L)).toDF("user_id", "email", "age"))
+    assert(t.read().schema("age").dataType === LongType)
+    assert(t.read().where($"user_id" === 3).head().getLong(2) === 9999999999L)
+    // incompatible evolution rejected
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((4, "d", "not-a-number")).toDF("user_id", "email", "age"))
+    }
+  }
+
+  test("only affected buckets are rewritten") {
+    val t = tmpTable()
+    t.merge((1 to 100).map(i => (i, s"u$i")).toDF("user_id", "email"),
+      autoCreateKeys = Seq("user_id"))
+    val before = t.currentSnapshot.get.files.map(_.path).toSet
+    t.merge(Seq((1, "u1-updated")).toDF("user_id", "email"))
+    val after = t.currentSnapshot.get.files.map(_.path).toSet
+    // most v2 files survive into v3 untouched; only key-1's bucket moved
+    assert((before intersect after).nonEmpty)
+    assert(t.read().count() === 100)
+  }
+
+  test("time travel + snapshot expiry (C6)") {
+    val t = tmpTable()
+    t.merge(Seq((1, "a")).toDF("user_id", "email"), autoCreateKeys = Seq("user_id"))
+    t.merge(Seq((1, "b")).toDF("user_id", "email"))
+    val versions = SnapshotLog.listVersions(t.location)
+    assert(t.readVersion(versions.init.last).head().getString(1) === "a")
+    t.expireSnapshots(retentionMs = 0L)
+    assert(SnapshotLog.listVersions(t.location) === Seq(versions.last))
+    assert(t.read().head().getString(1) === "b")  // current still readable
+    intercept[Exception] { t.readVersion(versions.head).count() }
+  }
+}
