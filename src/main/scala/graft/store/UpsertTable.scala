@@ -46,9 +46,17 @@ class UpsertTable(spark: SparkSession, val location: String) {
     currentSnapshot.getOrElse(
       throw new IllegalStateException(s"table does not exist: $location"))
 
-  /** Explicit create (reference `CREATE TABLE IF NOT EXISTS`, py:61-75). */
+  /** Explicit create (reference `CREATE TABLE IF NOT EXISTS`, py:61-75).
+    * `numBuckets <= 0` (the default) resolves to the session conf
+    * `graft.store.numBuckets`, falling back to [[UpsertTable.DefaultBuckets]] —
+    * a 100 TB deployment sets the conf to 4096+ so a CDC batch rewrites
+    * only a tiny fraction of the table.
+    */
   def create(schema: StructType, keys: Seq[String],
-      numBuckets: Int = DefaultBuckets): Unit = {
+      numBuckets: Int = 0): Unit = {
+    val buckets =
+      if (numBuckets > 0) numBuckets
+      else spark.conf.getOption(BucketsConf).map(_.toInt).getOrElse(DefaultBuckets)
     require(keys.nonEmpty, "upsert table needs key columns")
     keys.foreach(k => require(schema.fieldNames.contains(k), s"missing key col $k"))
     if (exists) return
@@ -57,7 +65,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
       version = 1L,
       schemaJson = allNullable(schema).json,
       keyCols = keys,
-      numBuckets = numBuckets,
+      numBuckets = buckets,
       files = Seq.empty,
       committed = Map.empty,
       timestampMs = System.currentTimeMillis()))
@@ -92,8 +100,11 @@ class UpsertTable(spark: SparkSession, val location: String) {
     * @param opCol    optional column with Debezium ops `r|c|u|d`; `d`
     *                 removes the key, anything else upserts. None = all upserts.
     * @param orderCol optional column giving arrival order inside the
-    *                 batch (offset/LSN); highest wins per key. None =
-    *                 dataframe order via monotonically_increasing_id.
+    *                 batch (offset/LSN); highest wins per key. None is
+    *                 only valid when every key appears at most once in
+    *                 the batch (validated) — with duplicate keys and no
+    *                 order, "last wins" would be partition-order
+    *                 dependent and silently nondeterministic at scale.
     * @param streamId/batchId exactly-once replay guard: a (streamId,
     *                 batchId) at or below the recorded watermark is a
     *                 no-op (reference checkpoint/commit cycle, C4).
@@ -106,7 +117,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
       orderCol: Option[String] = None,
       streamId: Option[String] = None,
       batchId: Option[Long] = None,
-      autoCreateKeys: Seq[String] = Seq.empty): Unit = synchronized {
+      autoCreateKeys: Seq[String] = Seq.empty,
+      autoCreateBuckets: Int = 0): Unit = synchronized {
     val metaCols = opCol.toSeq ++ orderCol.toSeq
     val batchDataSchema = StructType(
       batch.schema.fields.filterNot(f => metaCols.contains(f.name)))
@@ -114,7 +126,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
     if (!exists) {
       require(autoCreateKeys.nonEmpty,
         s"table $location does not exist and no autoCreateKeys given")
-      create(batchDataSchema, autoCreateKeys)
+      create(batchDataSchema, autoCreateKeys, autoCreateBuckets)
     }
     val snap = snapshotOrFail
 
@@ -139,8 +151,17 @@ class UpsertTable(spark: SparkSession, val location: String) {
     }
     // in-batch changelog-normalize: last row per key wins (C1) —
     // row_number over key ordered by arrival desc, like the reference's
-    // upsert materialization
-    val ord = orderCol.map(col).getOrElse(monotonically_increasing_id())
+    // upsert materialization. Without an order column there is no
+    // defined arrival order, so duplicate keys in the batch are an
+    // error rather than a partition-order-dependent coin flip.
+    if (orderCol.isEmpty) {
+      val dups = aligned0.groupBy(snap.keyCols.map(col): _*)
+        .count().where(col("count") > 1).limit(1).count()
+      require(dups == 0L,
+        s"batch has duplicate keys for $location but no orderCol; " +
+          "pass orderCol so last-wins is deterministic")
+    }
+    val ord = orderCol.map(col).getOrElse(lit(0L))
     val aligned = aligned0.withColumn("__ord", ord)
     val w = Window.partitionBy(snap.keyCols.map(col): _*).orderBy(col("__ord").desc)
     val normalized = aligned
@@ -224,8 +245,14 @@ class UpsertTable(spark: SparkSession, val location: String) {
 }
 
 object UpsertTable {
+  /** Session conf key overriding the default bucket count for newly
+    * created tables (the manifest records it per table thereafter).
+    */
+  val BucketsConf = "graft.store.numBuckets"
+
   /** Default key-space partitioning. Local tests stay small; a 100 TB
-    * deployment raises this (manifest records it per table).
+    * deployment sets [[BucketsConf]] to 4096+ or passes numBuckets
+    * explicitly so each merge touches only a sliver of the table.
     */
   val DefaultBuckets = 16
 

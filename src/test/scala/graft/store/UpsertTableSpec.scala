@@ -125,6 +125,58 @@ class UpsertTableSpec extends AnyFunSuite {
     assert(t.read().count() === 100)
   }
 
+  test("duplicate keys without orderCol are rejected (determinism guard)") {
+    val t = tmpTable()
+    val dup = Seq((1, "first"), (1, "second")).toDF("user_id", "email")
+      .repartition(4) // multi-partition: "last" would be partition-order luck
+    intercept[IllegalArgumentException] {
+      t.merge(dup, autoCreateKeys = Seq("user_id"))
+    }
+  }
+
+  test("merge with orderCol is order-independent across shuffled partitions") {
+    import org.apache.spark.sql.functions.rand
+    val rows = (1 to 50).flatMap(k => Seq((k, s"old$k", k.toLong),
+      (k, s"new$k", (1000 + k).toLong)))
+    val expected = (1 to 50).map(k => (k, s"new$k"))
+    // same logical batch, three different physical orders/partitionings
+    val layouts = Seq(
+      rows.toDF("user_id", "email", "off"),
+      rows.reverse.toDF("user_id", "email", "off").repartition(7),
+      rows.toDF("user_id", "email", "off").orderBy(rand(seed = 5)).repartition(3))
+    layouts.foreach { batch =>
+      val t = tmpTable()
+      t.merge(batch, orderCol = Some("off"), autoCreateKeys = Seq("user_id"))
+      val got = t.read().orderBy("user_id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(got === expected)
+    }
+  }
+
+  test("bucket locality: single-key merge touches few files at 256 buckets") {
+    val t = tmpTable()
+    t.merge((1 to 2000).map(i => (i, s"u$i")).toDF("user_id", "email"),
+      autoCreateKeys = Seq("user_id"), autoCreateBuckets = 256)
+    val before = t.currentSnapshot.get.files.map(_.path).toSet
+    assert(before.size > 100) // data spread over many buckets
+    t.merge(Seq((42, "u42-updated")).toDF("user_id", "email"))
+    val after = t.currentSnapshot.get.files.map(_.path).toSet
+    val untouched = before intersect after
+    // only key-42's bucket was rewritten; everything else carried over
+    assert((before -- untouched).size <= 2)
+    assert(t.read().count() === 2000)
+    assert(t.read().where($"user_id" === 42).head().getString(1) === "u42-updated")
+  }
+
+  test("numBuckets session conf drives auto-create") {
+    spark.conf.set(UpsertTable.BucketsConf, "8")
+    try {
+      val t = tmpTable()
+      t.merge(Seq((1, "a")).toDF("user_id", "email"), autoCreateKeys = Seq("user_id"))
+      assert(t.currentSnapshot.get.numBuckets === 8)
+    } finally spark.conf.unset(UpsertTable.BucketsConf)
+  }
+
   test("time travel + snapshot expiry (C6)") {
     val t = tmpTable()
     t.merge(Seq((1, "a")).toDF("user_id", "email"), autoCreateKeys = Seq("user_id"))
