@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.pipeline.PipelineQueries
 import graft.queries.ReferenceQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,12 +21,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ReferenceQueries.queries("q5_upsert_latest")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-training-data pipeline surface (dedup/similarity/text). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries
+    ReferenceQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql
+    ReferenceQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-training-data pipeline queries over the `documents` and
+  * `embeddings` testdata tables, with DuckDB oracles (driver t2 gate).
+  *
+  * The reference pipeline feeds a lakehouse; these are the operations
+  * a 100 TB training-data curation run needs on top of it: dedup,
+  * similarity search, text analysis. Oracle portability rules: only
+  * engine-agnostic primitives (md5, arithmetic, regex, CASE), doubles
+  * rounded to 6 dp, every query totally ordered.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** documents ∪ (documents with shifted ids): the testdata has no
+    * natural duplicates, so dedup queries run on a corpus where every
+    * text provably appears twice — the dedup must remove exactly half.
+    */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  // duckdb fragment mirroring docsWithDups
+  private val dupCte =
+    "SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 100000, text FROM documents"
+  // duckdb fragment mirroring TextOps.norm
+  private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q13 — exact dedup: keep smallest doc_id per normalized-text md5
+    // (single hash-shuffle with partial agg; no window, no all-pairs)
+    "q13_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docsWithDups(s, d), "doc_id", "text")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")),
+
+    // q14 — per-document text statistics (token count, average token
+    // length, stopword ratio) — all codegen'd scan-side expressions
+    "q14_text_stats" -> ((s, d) => {
+      val ntext = TextOps.norm(col("text"))
+      docs(s, d)
+        .withColumn("ntext", ntext)
+        .withColumn("n_tokens", size(split(col("ntext"), " ")))
+        .withColumn("avg_tok_len",
+          round((length(col("ntext")) - col("n_tokens") + 1)
+            / col("n_tokens").cast("double"), 6))
+        .withColumn("stop_ratio",
+          round(TextOps.markerScore(split(col("ntext"), " "), Seq("the", "a"))
+            / col("n_tokens").cast("double"), 6))
+        .select("doc_id", "n_tokens", "avg_tok_len", "stop_ratio")
+        .orderBy("doc_id")
+    }),
+
+    // q15 — marker-word language ID: score each candidate language,
+    // argmax with fixed tie-break order en > de > es > fr
+    "q15_lang_id" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val scored = TextOps.langMarkers.foldLeft(docs(s, d)) {
+        case (df, (lang, markers)) =>
+          df.withColumn(s"s_$lang", TextOps.markerScore(toks, markers))
+      }
+      val pred =
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"))
+          && col("s_en") > 0, "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr"))
+            && col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und")
+      scored
+        .withColumn("lang_pred", pred)
+        .select("doc_id", "lang_pred", "s_en", "s_de", "s_es", "s_fr")
+        .orderBy("doc_id")
+    }),
+
+    // q16 — similarity search: brute-force cosine top-10 for query
+    // vectors vec_id < 5; query side broadcast, corpus never shuffled
+    "q16_cosine_topk" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 10)
+        .orderBy("qid", "vec_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q13_dedup_exact" ->
+      (s"WITH all_docs AS ($dupCte), " +
+        s"f AS (SELECT doc_id, md5($duckNorm) AS fp FROM all_docs) " +
+        "SELECT min(doc_id) AS doc_id, fp FROM f GROUP BY fp ORDER BY doc_id"),
+    "q14_text_stats" ->
+      (s"WITH n AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
+        "t AS (SELECT doc_id, ntext, len(string_split(ntext, ' ')) AS n_tokens, " +
+        "len(list_filter(string_split(ntext, ' '), " +
+        "t -> list_contains(['the','a'], t))) AS n_stop FROM n) " +
+        "SELECT doc_id, n_tokens, " +
+        "round((length(ntext) - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 6) " +
+        "AS avg_tok_len, " +
+        "round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio " +
+        "FROM t ORDER BY doc_id"),
+    "q15_lang_id" ->
+      (s"WITH t AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, " +
+        "len(list_filter(toks, t -> list_contains(['the','a','and','of'], t))) AS s_en, " +
+        "len(list_filter(toks, t -> list_contains(['der','die','das','und'], t))) AS s_de, " +
+        "len(list_filter(toks, t -> list_contains(['el','los','las','y'], t))) AS s_es, " +
+        "len(list_filter(toks, t -> list_contains(['le','les','et','du'], t))) AS s_fr " +
+        "FROM t) " +
+        "SELECT doc_id, CASE " +
+        "WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en' " +
+        "WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de' " +
+        "WHEN s_es >= s_fr AND s_es > 0 THEN 'es' " +
+        "WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred, " +
+        "s_en, s_de, s_es, s_fr FROM sc ORDER BY doc_id"),
+    "q16_cosine_topk" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5), " +
+        "sims AS (SELECT q.qid, e.vec_id, " +
+        "round(list_dot_product(e.emb, q.qemb) / " +
+        "(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS sim " +
+        "FROM e, q WHERE e.vec_id <> q.qid), " +
+        "ranked AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM sims) " +
+        "SELECT qid, vec_id, sim FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id")
+  )
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup removes the doubled half of a self-unioned corpus") {
+    val base = Seq((1L, "Hello  World"), (2L, "other doc"), (3L, "hello world "))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(base, "doc_id", "text").collect()
+    // 1 and 3 normalize to the same text -> survivor is doc 1
+    assert(out.length === 2)
+    assert(out.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("exactRows keeps full rows and the smallest id per fingerprint") {
+    val base = Seq((5L, "a b", "x"), (2L, "A  B", "y"), (9L, "c", "z"))
+      .toDF("doc_id", "text", "meta")
+    val out = Dedup.exactRows(base, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 9L))
+    assert(out.map(_.getString(2)).toSeq === Seq("y", "z"))
+  }
+
+  test("shingles produce n-grams and degrade to whole text when short") {
+    val df = Seq(("a b c d", 1)).toDF("text", "id")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    assert(df.head().getSeq[String](0) === Seq("a b c", "b c d"))
+    val short = Seq(("a b", 1)).toDF("text", "id")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    assert(short.head().getSeq[String](0) === Seq("a b"))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1d, 0d), Seq(1d, 0d), Seq(0d, 1d)))
+      .toDF("a", "b", "c")
+    val row = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).head()
+    assert(math.abs(row.getDouble(0) - 1d) < 1e-12)
+    assert(math.abs(row.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k rows per query, self excluded, broadcast plan") {
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val topk = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 3), k = 5)
+    val rows = topk.collect()
+    assert(rows.length === 15)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$plan")
+  }
+
+  test("lang-id scores are consistent with token content") {
+    val df = Seq((1L, "the cat and the hat"), (2L, "der die das und"),
+      (3L, "xyz qqq")).toDF("doc_id", "text")
+    val toks = TextOps.tokens(col("text"))
+    val out = df.select(col("doc_id"),
+      TextOps.markerScore(toks, TextOps.langMarkers.toMap.apply("en")).as("s_en"),
+      TextOps.markerScore(toks, TextOps.langMarkers.toMap.apply("de")).as("s_de"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) === 3 && out(0).getInt(2) === 0)
+    assert(out(1).getInt(1) === 0 && out(1).getInt(2) === 4)
+    assert(out(2).getInt(1) === 0 && out(2).getInt(2) === 0)
+  }
+}
