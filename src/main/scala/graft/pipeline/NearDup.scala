@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection: MinHash + banded LSH candidate
+  * generation, exact n-gram Jaccard verification, and SimHash
+  * fingerprints.
+  *
+  * Scale design (the whole point): candidates come from a self-join on
+  * (band, bandKey) — a hash shuffle whose volume is O(corpus × bands),
+  * never an all-pairs product. Verification touches only candidate
+  * pairs. Signatures are per-row lambda expressions (codegen'd, no
+  * explode, no UDF) computed in the scan stage.
+  *
+  * Hashes are md5-based on purpose: engine-portable, so the DuckDB
+  * oracle reproduces every signature byte-for-byte (a seeded xxhash
+  * would be faster but unverifiable; swapping it in is a one-line
+  * change at deployment).
+  */
+object NearDup {
+
+  /** Number of MinHash functions in a signature. */
+  val NumHashes = 8
+
+  /** Rows per LSH band (NumHashes/BandSize bands). */
+  val BandSize = 2
+
+  val NumBands: Int = NumHashes / BandSize
+
+  /** MinHash_i of a shingle array: min over shingles of md5("i:"+s).
+    * String-min over hex digests ≡ min over 128-bit hash values.
+    */
+  def minhash(sh: Column, i: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+
+  /** id + m0..m{n-1} signature columns from (idCol, textCol) docs. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen)
+    docs.select(
+      col(idCol) +:
+        (0 until NumHashes).map(i => minhash(sh, i).as(s"m$i")): _*)
+  }
+
+  /** (id, band, key) — one row per band; docs sharing (band, key) are
+    * LSH candidates.
+    */
+  def bands(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val sig = signatures(docs, idCol, textCol, shingleLen)
+    val bandStructs = (0 until NumBands).map { b =>
+      val key = md5(concat_ws("|",
+        (0 until BandSize).map(r => col(s"m${b * BandSize + r}")): _*))
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.key").as("key"))
+  }
+
+  /** Distinct candidate pairs (idCol_a < idCol_b) from banded LSH —
+    * the bucketed self-join; no cartesian product anywhere.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val bs = bands(docs, idCol, textCol, shingleLen)
+    val l = bs.toDF("doc_a", "band", "key")
+    val r = bs.toDF("doc_b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** LSH candidates verified by exact shingle-set Jaccard >= threshold.
+    * Joining candidates back to shingle arrays is two hash joins on
+    * doc id — cost O(candidates), not O(corpus²).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleLen: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col(idCol),
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
+    val cand = candidatePairs(docs, idCol, textCol, shingleLen)
+    val jacc = round(
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(array_union(col("sh_a"), col("sh_b"))), 6)
+    cand
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("jacc", jacc)
+      .where(col("jacc") >= threshold)
+      .select("doc_a", "doc_b", "jacc")
+  }
+
+  /** 32-bit SimHash fingerprint of the token multiset, as one per-row
+    * codegen'd expression: token hash = first 8 md5 hex chars; bit b of
+    * the fingerprint is the sign of sum over tokens of ±1 by bit b of
+    * the token hash. Equal fingerprints (or small Hamming distance via
+    * `bit_count(a ^ b)`) flag near-dups.
+    */
+  def simhash(textColSql: String): Column = {
+    // expr-string form: the SQL shift functions accept a lambda-bound
+    // bit index, which the Scala functions API (literal-only shift
+    // amounts) cannot express
+    val t = textColSql
+    expr(
+      "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + IF(" +
+        s"aggregate(transform(split(regexp_replace(lower(trim($t)), '\\\\s+', ' '), ' '), " +
+        "tk -> cast(conv(substring(md5(tk), 1, 8), 16, 10) as bigint)), " +
+        "0, (a2, h) -> a2 + IF((h div shiftleft(1L, b)) % 2 = 1, 1, -1)) > 0, " +
+        "shiftleft(1L, b), 0L))")
+  }
+}

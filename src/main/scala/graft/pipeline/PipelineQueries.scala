@@ -89,8 +89,49 @@ object PipelineQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 10)
         .orderBy("qid", "vec_id")
-    })
+    }),
+
+    // q17 — MinHash + banded LSH near-dup candidates: bucketed
+    // self-join on (band, bandKey), never all-pairs
+    "q17_minhash_neardup" -> ((s, d) =>
+      NearDup.candidatePairs(docsWithDups(s, d), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
+    // q18 — LSH candidates verified by exact shingle-set Jaccard
+    "q18_jaccard_neardup" -> ((s, d) =>
+      NearDup.jaccardPairs(docsWithDups(s, d), "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // q19 — SimHash document fingerprints (one codegen'd expression)
+    "q19_simhash" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), NearDup.simhash("text").as("simhash"))
+        .orderBy("doc_id"))
   )
+
+  // shared DuckDB CTE chain: normalize -> tokenize -> 3-gram shingles ->
+  // 8 md5 minhashes -> 4 banded keys (mirrors NearDup exactly)
+  private def duckShingleCtes(source: String): String =
+    s"n AS (SELECT doc_id, $duckNorm AS ntext FROM $source), " +
+      "tk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM n), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 " +
+      "THEN [array_to_string(toks, ' ')] " +
+      "ELSE list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh FROM tk)"
+
+  private val duckSigBands: String =
+    "sig AS (SELECT doc_id, " +
+      (0 until NearDup.NumHashes).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS m$i")
+        .mkString(", ") +
+      " FROM sh), " +
+      "bands AS (" +
+      (0 until NearDup.NumBands).map(b =>
+        s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM sig")
+        .mkString(" UNION ALL ") + "), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+      "AND a.doc_id < b.doc_id)"
 
   val oracleSql: Map[String, String] = Map(
     "q13_dedup_exact" ->
@@ -131,6 +172,29 @@ object PipelineQueries {
         "FROM e, q WHERE e.vec_id <> q.qid), " +
         "ranked AS (SELECT *, row_number() OVER " +
         "(PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM sims) " +
-        "SELECT qid, vec_id, sim FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id")
+        "SELECT qid, vec_id, sim FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id"),
+    "q17_minhash_neardup" ->
+      (s"WITH all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
+        s"$duckSigBands " +
+        "SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+    "q18_jaccard_neardup" ->
+      (s"WITH all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
+        s"$duckSigBands " +
+        "SELECT * FROM (SELECT c.doc_a, c.doc_b, " +
+        "round(len(list_intersect(sa.sh, sb.sh)) / " +
+        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
+        "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
+        "JOIN sh sb ON sb.doc_id = c.doc_b) " +
+        "WHERE jacc >= 0.8 ORDER BY doc_a, doc_b"),
+    "q19_simhash" ->
+      (s"WITH n AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(string_split(ntext, ' ')) AS tk FROM n), " +
+        "h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hv FROM tok), " +
+        "bits AS (SELECT doc_id, b, CASE WHEN " +
+        "sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        "THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bitval " +
+        "FROM h, (SELECT unnest(range(0, 32)) AS b) bs GROUP BY doc_id, b) " +
+        "SELECT doc_id, sum(bitval)::BIGINT AS simhash FROM bits " +
+        "GROUP BY doc_id ORDER BY doc_id")
   )
 }

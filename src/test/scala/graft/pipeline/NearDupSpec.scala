@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class NearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+    (3L, "completely different text with no overlap whatsoever here"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again")
+  ).toDF("doc_id", "text")
+
+  test("identical docs share full signatures; near-dups share some band") {
+    val pairs = NearDup.candidatePairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair must always be a candidate")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not collide")
+  }
+
+  test("jaccardPairs verifies candidates with exact shingle Jaccard") {
+    val verified = NearDup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = verified.find(t => t._1 == 1L && t._2 == 4L)
+    assert(exact.exists(_._3 == 1.0), s"exact dup must verify at 1.0: ${verified.toSeq}")
+    assert(verified.forall(_._3 >= 0.8))
+  }
+
+  test("simhash: equal for identical text, differing for unrelated text") {
+    val fp = corpus.select(col("doc_id"), NearDup.simhash("text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(4L))
+    assert(fp(1L) !== fp(3L))
+    // near-dup (one extra token) should be within small Hamming distance
+    val ham = java.lang.Long.bitCount(fp(1L) ^ fp(2L))
+    assert(ham <= 8, s"hamming distance of near-dup too large: $ham")
+  }
+
+  test("signatures are per-row expressions: no shuffle before banding") {
+    val sig = NearDup.signatures(corpus, "doc_id", "text")
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature computation must not shuffle:\n$plan")
+  }
+}
