@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** File-backed topic: the native stand-in for a Kafka topic (SURVEY.md
+  * §2.1 S1/S4 — no Kafka connector ships locally, so the transport
+  * semantics are reproduced over append-only JSONL part files).
+  *
+  * A topic is a directory; each append creates new part files named
+  * with a monotonically increasing sequence prefix, so lexicographic
+  * file order ≙ broker arrival order (the offset analog; reference
+  * `startingOffsets=earliest` ≙ Spark's file source processing
+  * existing files first). Files are immutable once visible — writers
+  * stage to a temp dir and atomically move in, exactly the contract
+  * Spark's file streaming source requires.
+  */
+object Topic {
+
+  val valueSchema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** Streaming read of a topic (reference Kafka source DDL,
+    * flink_json_to_iceberg.py:95-108): unbounded `value STRING` rows
+    * plus `__file` (the offset-carrying provenance column).
+    */
+  def stream(spark: SparkSession, topicDir: String): DataFrame =
+    spark.readStream
+      .schema(valueSchema)
+      .text(topicDir)
+      .select(col("value"), col("_metadata.file_path").as("__file"))
+
+  /** Batch read of the whole topic (replay/verification path). */
+  def readAll(spark: SparkSession, topicDir: String): DataFrame =
+    spark.read
+      .schema(valueSchema)
+      .text(topicDir)
+      .select(col("value"), col("_metadata.file_path").as("__file"))
+
+  /** Producer sink (S4/P8, reference test_cdc.py:99-121): serialize
+    * every column of `df` to one JSON object per row (`to_json(struct)`)
+    * and append to the topic. Distributed write: Spark writes part
+    * files to a staging dir, then they move into the topic under the
+    * next sequence prefix.
+    */
+  def produce(df: DataFrame, topicDir: String): Unit = {
+    val json = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    val tmp = Files.createTempDirectory("graft-topic-stage")
+    json.write.mode("overwrite").text(tmp.toString)
+    publish(tmp, Paths.get(topicDir))
+  }
+
+  /** Driver-side harness append (the test_cdc.py role): raw JSON lines
+    * straight into one new part file.
+    */
+  def appendLines(topicDir: String, lines: Seq[String]): Unit = {
+    val dir = Paths.get(topicDir)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile("graft-topic", ".jsonl")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val target = dir.resolve(f"${nextSeq(dir)}%08d-00000.jsonl")
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def publish(staging: Path, dir: Path): Unit = {
+    Files.createDirectories(dir)
+    val seq = nextSeq(dir)
+    val parts = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, dir.resolve(f"$seq%08d-$i%05d.jsonl"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  private def nextSeq(dir: Path): Long =
+    if (!Files.isDirectory(dir)) 0L
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".jsonl"))
+      .map(_.takeWhile(_ != '-').toLong)
+      .maxOption.map(_ + 1).getOrElse(0L)
+}
