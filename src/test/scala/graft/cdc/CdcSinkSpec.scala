@@ -1,0 +1,139 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.store.UpsertTable
+import graft.streaming.Topic
+
+/** Golden CDC replay (FIXTURES.md §4): the SERIALIZED Debezium JSON
+  * envelopes of seed + manual/001-003 — not pre-parsed tuples — pushed
+  * through the one streaming entry point, landing BOTH tables with
+  * routing, auto-create, micro-timestamp conversion and the delete
+  * pass. Expected states: {3} → {5} → {5, emily→emma} → {0}.
+  */
+class CdcSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private var lsn = 22446616L // observed base LSN from connect.offsets
+
+  private def env(table: String, op: String, before: String, after: String): String = {
+    lsn += 8
+    val keyCol = if (table == "account") "user_id" else "product_id"
+    s"""{"before":$before,"after":$after,""" +
+      s""""source":{"version":"3.2.1.Final","connector":"postgresql","name":"cdc",""" +
+      s""""ts_ms":1757389556000,"snapshot":"false","db":"postgres","sequence":"[]",""" +
+      s""""ts_us":1757389556000000,"ts_ns":1757389556000000000,""" +
+      s""""schema":"commerce","table":"$table","txId":748,"lsn":$lsn,"xmin":null},""" +
+      s""""transaction":null,"op":"$op","ts_ms":1757389556100,""" +
+      s""""ts_us":1757389556100000,"ts_ns":1757389556100000000}"""
+  }
+
+  private def account(id: Int, email: String): String =
+    s"""{"user_id":$id,"email":"$email","created_at":1757389556032031}"""
+
+  private def product(id: Int, name: String): String =
+    s"""{"product_id":$id,"product_name":"$name","created_at":1757389556032031}"""
+
+  private val keyFor: String => Seq[String] = {
+    case "account" => Seq("user_id")
+    case "product" => Seq("product_id")
+  }
+
+  test("golden envelope replay: seed + manual/001-003 through one entry point") {
+    val base = Files.createTempDirectory("graft-cdc")
+    val topic = s"$base/topic"
+    val job = CdcJob(
+      topicDir = topic,
+      warehouseDir = s"$base/warehouse",
+      checkpointDir = s"$base/checkpoint",
+      keyColsFor = keyFor,
+      microTsCols = Map(
+        "account" -> Seq("created_at"), "product" -> Seq("created_at")),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+
+    def accounts: Map[Int, String] = {
+      val t = UpsertTable(spark, CdcSink.targetPath(job.warehouseDir, "account"))
+      if (!t.exists) Map.empty
+      else t.read().select("user_id", "email").collect()
+        .map(r => r.getLong(0).toInt -> r.getString(1)).toMap
+    }
+
+    // batch 1: snapshot — r ×3 accounts, r ×2 products (seed/000+001)
+    Topic.appendLines(topic, Seq(
+      env("account", "r", "null", account(1, "alice@example.com")),
+      env("account", "r", "null", account(2, "bob@example.com")),
+      env("account", "r", "null", account(3, "carol@example.com")),
+      env("product", "r", "null", product(1, "Live Edge Dining Table")),
+      env("product", "r", "null", product(2, "Simple Teak Dining Chair"))))
+    val q = job.start(spark)
+    q.processAllAvailable()
+    assert(accounts === Map(1 -> "alice@example.com", 2 -> "bob@example.com",
+      3 -> "carol@example.com"))
+
+    val productTable = UpsertTable(spark, CdcSink.targetPath(job.warehouseDir, "product"))
+    assert(productTable.read().count() === 2)
+    assert(productTable.keyCols === Seq("product_id"))
+    // MicroTimestamp materialized as a real timestamp (FIXTURES.md §3)
+    assert(productTable.schema("created_at").dataType === TimestampType)
+
+    // batch 2: manual/001 — insert derek + emily
+    Topic.appendLines(topic, Seq(
+      env("account", "c", "null", account(4, "derek@example.com")),
+      env("account", "c", "null", account(5, "emily@example.com"))))
+    q.processAllAvailable()
+    assert(accounts.keySet === Set(1, 2, 3, 4, 5))
+
+    // batch 3: manual/002 — update emily -> emma (before + after images)
+    Topic.appendLines(topic, Seq(
+      env("account", "u", account(5, "emily@example.com"),
+        account(5, "emma@example.com"))))
+    q.processAllAvailable()
+    assert(accounts(5) === "emma@example.com" && accounts.size === 5)
+
+    // batch 4: manual/003 — delete every account (before=row, after=null)
+    Topic.appendLines(topic, (1 to 5).map(i =>
+      env("account", "d", account(i, s"x$i@example.com"), "null")))
+    q.processAllAvailable()
+    q.stop()
+    assert(accounts === Map.empty)
+    // products untouched by the account deletes (per-record routing)
+    assert(productTable.read().count() === 2)
+  }
+
+  test("malformed and foreign-payload envelopes are dropped, not fatal") {
+    val base = Files.createTempDirectory("graft-cdc2")
+    import spark.implicits._
+    val batch = Seq(
+      env("account", "c", "null", account(9, "ok@example.com")),
+      """this is not json""",
+      """{"op":"c"}""" // no table/payload — dropped by the meta filter
+    ).toDF("value")
+    CdcSink.applyBatch(spark, batch, s"$base/wh", keyFor)
+    val t = UpsertTable(spark, CdcSink.targetPath(s"$base/wh", "account"))
+    assert(t.read().count() === 1)
+  }
+
+  test("typed envelope parse via Envelope.schema round-trips op and images") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val payload = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("email",
+        org.apache.spark.sql.types.StringType)))
+    val df = Seq(env("account", "u", account(5, "old@x.com"), account(5, "new@x.com")))
+      .toDF("value")
+      .select(from_json(col("value"), Envelope.schema(payload)).as("e"))
+    val row = df.select("e.op", "e.before.email", "e.after.email",
+      "e.source.table", "e.source.lsn").head()
+    assert(row.getString(0) === "u")
+    assert(row.getString(1) === "old@x.com")
+    assert(row.getString(2) === "new@x.com")
+    assert(row.getString(3) === "account")
+    assert(!row.isNullAt(4))
+  }
+}
