@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.pipeline.PipelineQueries
-import graft.queries.ReferenceQueries
+import graft.queries.{ReferenceQueries, StoreQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,10 +24,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * LLM-training-data pipeline surface (dedup/similarity/text). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ PipelineQueries.queries
+    ReferenceQueries.queries ++ PipelineQueries.queries ++ StoreQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql ++ PipelineQueries.oracleSql
+    ReferenceQueries.oracleSql ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql
 }

@@ -1,0 +1,209 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.store.UpsertTable
+
+/** SQL addressability for the upsert store (SURVEY.md §2.1 S7, §2.4
+  * Q-d/Q-f): a `TableCatalog` + `SupportsNamespaces` over a warehouse
+  * directory of [[UpsertTable]]s, so the reference's Trino-role
+  * queries run verbatim in Spark SQL:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  *   SELECT * FROM graft.cdc.account_json ORDER BY ts DESC LIMIT 10
+  *   SHOW TABLES IN graft.cdc
+  *   CREATE TABLE graft.cdc.t (...) TBLPROPERTIES('keys'='user_id')
+  * }}}
+  *
+  * Layout: `{warehouse}/{namespace...}/{table}` — each table dir is an
+  * UpsertTable (data + `_snapshots`). Reads go through a V1Scan
+  * relation with column pruning; writes go through the store's `merge`
+  * API (the reference's query layer is likewise read-only — its writes
+  * arrive via connectors).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+    warehouse = Paths.get(wh)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def tablePath(ident: Identifier): Path =
+    ident.namespace().foldLeft(warehouse)(_.resolve(_)).resolve(ident.name())
+
+  private def isTableDir(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_snapshots"))
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(ident, UpsertTable(spark, p.toString))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val keys = Option(properties.get("keys")).map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE requires TBLPROPERTIES('keys'='k1,k2') — the " +
+          "PRIMARY KEY NOT ENFORCED analog (flink_json_to_iceberg.py:66)"))
+    val buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(0)
+    val t = UpsertTable(spark, tablePath(ident).toString)
+    t.create(schema, keys, buckets)
+    new GraftSqlTable(ident, t)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolution happens through UpsertTable.merge (S6)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) false
+    else {
+      deleteRecursively(p)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    Files.createDirectories(tablePath(newIdent).getParent)
+    Files.move(tablePath(oldIdent), tablePath(newIdent))
+  }
+
+  // ---- SupportsNamespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION ->
+      namespace.foldLeft(warehouse)(_.resolve(_)).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_)))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata is immutable")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) false
+    else {
+      val empty = !Files.list(dir).iterator().hasNext
+      if (!empty && !cascade)
+        throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
+      deleteRecursively(dir)
+      true
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
+
+/** DSv2 table over one [[UpsertTable]]: batch-readable via a V1Scan
+  * relation (column-pruned; residual filters applied by Spark above
+  * the scan). Time travel and maintenance stay on the store API.
+  */
+private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = store.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def properties(): util.Map[String, String] =
+    Map("keys" -> store.keyCols.mkString(",")).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = store.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftRelation(context, store, required).asInstanceOf[T]
+      }
+    }
+}
+
+private[catalog] class GraftRelation(
+    context: SQLContext, store: UpsertTable, required: StructType)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+  override def buildScan(): RDD[Row] = {
+    val df = store.read()
+    val pruned =
+      if (required.isEmpty) df.select() // e.g. COUNT(*): zero columns
+      else df.select(required.fieldNames.map(col).toSeq: _*)
+    pruned.rdd
+  }
+}

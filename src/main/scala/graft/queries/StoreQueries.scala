@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.catalog.GraftCatalog
+import graft.store.UpsertTable
+
+/** Store + catalog queries under the correctness gate (VERDICT r1 #4):
+  * materialize the events changelog into an [[UpsertTable]] through
+  * the CDC-merge path, then read it back **through `spark.sql` over
+  * the [[GraftCatalog]]** — putting C1/C2 store semantics and S7/Q-f
+  * SQL addressability under the DuckDB oracle, not just unit tests.
+  */
+object StoreQueries {
+
+  val CatalogName = "graft_sql"
+
+  private def warehouse: String = {
+    val wh = Paths.get(sys.props("java.io.tmpdir"), "graft-sql-warehouse")
+    Files.createDirectories(wh)
+    wh.toString
+  }
+
+  private def ensureCatalog(s: SparkSession): Unit = {
+    s.conf.set(s"spark.sql.catalog.$CatalogName", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$CatalogName.warehouse", warehouse)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.iterator().forEachRemaining(deleteRecursively)
+      finally children.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q20 — events changelog CDC-merged into the store (event_type
+    // 'error' ≙ op 'd', latest-by-(ts, event_id) wins), read back by
+    // 3-part name through Spark SQL over the TableCatalog
+    "q20_store_sql_roundtrip" -> ((s, d) => {
+      ensureCatalog(s)
+      val tableName = "events_latest_" + math.abs(d.hashCode).toString
+      val location = Paths.get(warehouse, "cdc", tableName)
+      deleteRecursively(location) // idempotent per run
+      val changelog = Tables.load(s, d, "events")
+        .withColumn("__op",
+          when(col("event_type") === "error", "d").otherwise("u"))
+        .withColumn("__ord", struct(col("ts"), col("event_id")))
+      UpsertTable(s, location.toString).merge(
+        changelog,
+        opCol = Some("__op"),
+        orderCol = Some("__ord"),
+        autoCreateKeys = Seq("user_id"))
+      s.sql(s"SELECT user_id, event_id FROM $CatalogName.cdc.$tableName " +
+        "ORDER BY user_id")
+    })
+  )
+
+  /** Same answer as the q6 CDC-apply oracle: the store materialization
+    * must agree with the declarative changelog-normalize SQL.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q20_store_sql_roundtrip" ->
+      ("SELECT user_id, event_id FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id")
+  )
+}

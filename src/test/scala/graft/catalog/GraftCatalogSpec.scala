@@ -1,0 +1,100 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.store.UpsertTable
+
+/** SQL surface over the store (S7/Q-d/Q-f): the reference's Trino-role
+  * queries (README.md:176-178 `SELECT … ORDER BY ts DESC LIMIT 10`,
+  * snapshot_mgmt.py:13 catalog introspection) resolved by name through
+  * the GraftCatalog.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val wh = Files.createTempDirectory("graft-cat-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_t", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_t.warehouse", wh)
+    wh
+  }
+
+  test("DDL + store merge + 3-part-name query (the README.md:177 shape)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE graft_t.cdc.account_json " +
+      "(user_id INT, email STRING, ts TIMESTAMP) " +
+      "TBLPROPERTIES('keys'='user_id')")
+
+    val t = UpsertTable(spark, s"$warehouse/cdc/account_json")
+    assert(t.exists && t.keyCols === Seq("user_id"))
+
+    val now = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    t.merge(Seq((1, "alice@example.com", now), (2, "bob@example.com", now))
+      .toDF("user_id", "email", "ts"))
+
+    val rows = spark.sql(
+      "SELECT * FROM graft_t.cdc.account_json ORDER BY ts DESC LIMIT 10")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(1)).toSet ===
+      Set("alice@example.com", "bob@example.com"))
+
+    // updates through the store are visible to SQL immediately
+    t.merge(Seq((1, "alice+2@example.com", now)).toDF("user_id", "email", "ts"))
+    val updated = spark.sql(
+      "SELECT email FROM graft_t.cdc.account_json WHERE user_id = 1").collect()
+    assert(updated.map(_.getString(0)).toSeq === Seq("alice+2@example.com"))
+  }
+
+  test("catalog introspection: SHOW NAMESPACES / SHOW TABLES (Q-d)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_intro (k INT, v STRING) " +
+      "TBLPROPERTIES('keys'='k')")
+    val namespaces = spark.sql("SHOW NAMESPACES IN graft_t")
+      .collect().map(_.getString(0))
+    assert(namespaces.contains("cdc"))
+    // the snapshot_mgmt.py:13 filtered-introspection shape
+    val tables = spark.sql("SHOW TABLES IN graft_t.cdc")
+      .where("tableName LIKE 't_%'").collect().map(_.getString(1))
+    assert(tables.contains("t_intro"))
+  }
+
+  test("aggregates and zero-column scans work through the V1 relation") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_agg (k INT, v DOUBLE) " +
+      "TBLPROPERTIES('keys'='k')")
+    UpsertTable(spark, s"$warehouse/cdc/t_agg")
+      .merge((1 to 20).map(i => (i, i * 1.5)).toDF("k", "v"))
+    val n = spark.sql("SELECT COUNT(*) FROM graft_t.cdc.t_agg").head().getLong(0)
+    assert(n === 20L)
+    val s = spark.sql("SELECT SUM(v) FROM graft_t.cdc.t_agg").head().getDouble(0)
+    assert(math.abs(s - (1 to 20).map(_ * 1.5).sum) < 1e-9)
+  }
+
+  test("DROP TABLE and missing-table errors") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.tmp")
+    spark.sql("CREATE TABLE graft_t.tmp.gone (k INT) TBLPROPERTIES('keys'='k')")
+    spark.sql("DROP TABLE graft_t.tmp.gone")
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_t.tmp.gone").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("CREATE TABLE without keys property is rejected") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.tmp")
+    val err = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_t.tmp.nokeys (k INT)")
+    }
+    assert(err.getMessage.contains("keys"))
+  }
+}
