@@ -106,7 +106,18 @@ object PipelineQueries {
     "q19_simhash" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), NearDup.simhash("text").as("simhash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
+    // sketch merge across partitions, no exact-distinct shuffle).
+    // No DuckDB oracle on purpose — sketch estimates are
+    // implementation-specific; the driver records a rows-only check
+    // and ApproxDistinctSpec bounds the error vs the exact count.
+    "q21_approx_distinct" -> ((s, d) =>
+      graft.Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"))
   )
 
   // shared DuckDB CTE chain: normalize -> tokenize -> 3-gram shingles ->
