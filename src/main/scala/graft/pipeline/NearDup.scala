@@ -30,12 +30,33 @@ object NearDup {
 
   /** MinHash_i of a shingle array: min over shingles of md5("i:"+s).
     * String-min over hex digests ≡ min over 128-bit hash values.
+    * Declarative reference formulation — [[signatures]] runs the
+    * compiled [[graft.functions.MinHashSig]] with identical semantics
+    * (equivalence is unit-tested).
     */
   def minhash(sh: Column, i: Int): Column =
     array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
 
-  /** id + m0..m{n-1} signature columns from (idCol, textCol) docs. */
+  /** id + m0..m{n-1} signature columns from (idCol, textCol) docs,
+    * via the native minhash_sig expression (one compiled call per row
+    * instead of NumHashes × |shingles| interpreted lambda steps).
+    * Requires `spark.sql.extensions=graft.GraftExtensions`.
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val sig = expr(s"minhash_sig($textCol, $NumHashes, $shingleLen)")
+    docs
+      .select(col(idCol), sig.as("sig"))
+      .select(
+        col(idCol) +:
+          (0 until NumHashes).map(i => col("sig").getItem(i).as(s"m$i")): _*)
+  }
+
+  /** Declarative-only signature path (no session extension needed);
+    * kept for environments without GraftExtensions and as the
+    * semantic reference for [[signatures]].
+    */
+  def signaturesDeclarative(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3): DataFrame = {
     val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen)
     docs.select(
@@ -58,17 +79,26 @@ object NearDup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.key").as("key"))
   }
 
-  /** Distinct candidate pairs (idCol_a < idCol_b) from banded LSH —
-    * the bucketed self-join; no cartesian product anywhere.
+  /** Distinct candidate pairs (doc_a < doc_b) from banded LSH.
+    *
+    * One signature pass, one shuffle: group band rows by (band, key),
+    * collect the (sorted, bounded-by-bucket) id list, and expand pairs
+    * inside each bucket with array lambdas — computing signatures once
+    * and shuffling only ids, where a self-join would recompute the
+    * whole md5 pipeline for both sides. Still never an all-pairs
+    * product: work is Σ bucket², the LSH contract.
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3): DataFrame = {
     val bs = bands(docs, idCol, textCol, shingleLen)
-    val l = bs.toDF("doc_a", "band", "key")
-    val r = bs.toDF("doc_b", "band", "key")
-    l.join(r, Seq("band", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    val buckets = bs.groupBy("band", "key")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 

@@ -16,7 +16,13 @@ import graft.Tables
   */
 object PipelineQueries {
 
-  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  // The documents table arrives as one parquet file at test scale —
+  // a single input split. Rebalance before the md5/signature-heavy
+  // per-row work so it uses every core; at warehouse scale the corpus
+  // arrives in thousands of splits and this repartition is a cheap
+  // guard against small/skewed file layouts.
+  private def docs(s: SparkSession, d: String) =
+    Tables.load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
   private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
   /** documents ∪ (documents with shifted ids): the testdata has no

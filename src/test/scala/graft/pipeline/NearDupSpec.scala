@@ -42,6 +42,19 @@ class NearDupSpec extends AnyFunSuite {
     assert(ham <= 8, s"hamming distance of near-dup too large: $ham")
   }
 
+  test("native minhash_sig expression ≡ declarative lambda formulation") {
+    val tricky = corpus.union(Seq(
+      (10L, ""), (11L, "   "), (12L, "one"), (13L, "two words"),
+      (14L, "  MIXED   Case\tand\nodd   whitespace  "),
+      (15L, "a b c d e f g")
+    ).toDF("doc_id", "text"))
+    val fast = NearDup.signatures(tricky, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val slow = NearDup.signaturesDeclarative(tricky, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(fast === slow)
+  }
+
   test("signatures are per-row expressions: no shuffle before banding") {
     val sig = NearDup.signatures(corpus, "doc_id", "text")
     val plan = sig.queryExecution.executedPlan.toString
