@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor: the 100 TB scale path for
+  * similarity search ([[Similarity.bruteForceTopK]] is the baseline).
+  *
+  * Index: every corpus vector is assigned to its nearest centroid
+  * (the inverted-file bucket). Search: a query probes only the
+  * `nprobe` nearest buckets, so scanned volume drops by
+  * ~nprobe/numCentroids versus brute force.
+  *
+  * Scale design: centroids are always broadcast (tiny side), bucket
+  * assignment is a map-side fanout of |corpus| × K rows partially
+  * aggregated before any exchange, and the probed search shuffles on
+  * bucket id — no corpus-sized cross join anywhere. At warehouse scale
+  * the assignment is computed once and persisted with the table
+  * (`partitionBy(bucket)`), making probes partition-pruned scans.
+  */
+object AnnIvf {
+
+  private def sim(a: String, b: String) =
+    round(Similarity.cosine(col(a), col(b)), 6)
+
+  /** Nearest-centroid bucket per corpus vector (ties: lowest centroid
+    * id — same rule as the DuckDB oracle).
+    */
+  def assignBuckets(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "emb"): DataFrame = {
+    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cemb"))
+    corpus
+      .crossJoin(broadcast(c))
+      .withColumn("s", sim(vecCol, "cemb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("s").desc, col("cid"))))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("bucket"))
+  }
+
+  /** Top-k per query, searching only the `nprobe` buckets nearest to
+    * each query vector.
+    */
+  def topKProbed(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "emb"): DataFrame = {
+    val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
+    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cemb"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qemb"))
+      .crossJoin(broadcast(c))
+      .withColumn("s", sim("qemb", "cemb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("s").desc, col("cid"))))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("cid").as("bucket"))
+    assigned
+      .join(broadcast(probes), "bucket")
+      .where(col(idCol) =!= col("qid"))
+      .withColumn("sim", sim(vecCol, "qemb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))))
+      .where(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
+  }
+}

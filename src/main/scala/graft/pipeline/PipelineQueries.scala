@@ -114,6 +114,20 @@ object PipelineQueries {
         .select(col("doc_id"), NearDup.simhash("text").as("simhash"))
         .orderBy("doc_id")),
 
+    // q22 — IVF-bucketed ANN: centroids = vec_id < 16, probe the 4
+    // nearest buckets per query — the scale path next to q16's
+    // brute-force baseline; deterministic, so fully oracle-checked
+    "q22_ann_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      AnnIvf.topKProbed(
+        corpus = e,
+        centroids = e.where(col("vec_id") < 16),
+        queries = e.where(col("vec_id") < 5),
+        k = 10, nprobe = 4)
+        .orderBy("qid", "vec_id")
+    }),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -203,6 +217,25 @@ object PipelineQueries {
         "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
         "JOIN sh sb ON sb.doc_id = c.doc_b) " +
         "WHERE jacc >= 0.8 ORDER BY doc_a, doc_b"),
+    "q22_ann_ivf" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16), " +
+        "assign AS (SELECT vec_id, emb, cid AS bucket FROM (" +
+        s"SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn FROM e, c) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5), " +
+        "probes AS (SELECT qid, qemb, cid AS bucket FROM (" +
+        s"SELECT q.qid, q.qemb, c.cid, row_number() OVER (PARTITION BY q.qid " +
+        s"ORDER BY ${cos("q.qemb", "c.cemb")} DESC, c.cid) AS rn FROM q, c) WHERE rn <= 4), " +
+        s"cand AS (SELECT p.qid, a.vec_id, ${cos("a.emb", "p.qemb")} AS sim " +
+        "FROM assign a JOIN probes p ON a.bucket = p.bucket WHERE a.vec_id <> p.qid), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, vec_id) AS rn FROM cand) " +
+        "SELECT qid, vec_id, sim FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id"
+    },
     "q19_simhash" ->
       (s"WITH n AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
         "tok AS (SELECT doc_id, unnest(string_split(ntext, ' ')) AS tk FROM n), " +

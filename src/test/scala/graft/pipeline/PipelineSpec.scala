@@ -59,6 +59,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$plan")
   }
 
+  test("IVF probed ANN recalls most of the brute-force top-k") {
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = e.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnIvf.topKProbed(e, e.where(col("vec_id") < 16), queries,
+      k = 10, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.size === 30) // k results per query even when probing
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"probed recall suspiciously low: $recall")
+    // and the probe plan broadcasts the small sides
+    val plan = AnnIvf.topKProbed(e, e.where(col("vec_id") < 16), queries,
+      k = 10, nprobe = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast in:\n$plan")
+  }
+
   test("lang-id scores are consistent with token content") {
     val df = Seq((1L, "the cat and the hat"), (2L, "der die das und"),
       (3L, "xyz qqq")).toDF("doc_id", "text")
