@@ -80,6 +80,18 @@ object ReferenceQueries {
         .orderBy("user_id")
     }),
 
+    // Q23 — C1 again as the scale-safe plan: max_by aggregation with
+    // map-side partial agg instead of the q5 window (skew-prone at
+    // 100 TB); same answer, hash-checked against the same oracle shape
+    "q23_upsert_latest_agg" -> ((s, d) => {
+      val withOrd = events(s, d)
+        .withColumn("__ord", struct(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "event_type", "__ord")
+      graft.store.ChangelogNormalize
+        .latestByKey(withOrd, Seq("user_id"), "__ord")
+        .orderBy("user_id")
+    }),
+
     // Q7 — ORDER BY ts DESC LIMIT 10 (Q-b/Q-c; README.md:177 Trino query)
     "q7_topk_recent" -> ((s, d) =>
       events(s, d)
@@ -148,6 +160,11 @@ object ReferenceQueries {
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
         "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
+    "q23_upsert_latest_agg" ->
+      ("SELECT user_id, event_id, event_type FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id"),
     "q7_topk_recent" ->
       ("SELECT event_id, user_id FROM events " +
         "ORDER BY epoch_ns(ts) DESC, event_id DESC LIMIT 10"),

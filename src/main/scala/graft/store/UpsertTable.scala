@@ -161,15 +161,15 @@ class UpsertTable(spark: SparkSession, val location: String) {
         s"batch has duplicate keys for $location but no orderCol; " +
           "pass orderCol so last-wins is deterministic")
     }
-    val ord = orderCol.map(col).getOrElse(lit(0L))
-    val aligned = aligned0.withColumn("__ord", ord)
-    val w = Window.partitionBy(snap.keyCols.map(col): _*).orderBy(col("__ord").desc)
-    val normalized = aligned
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
+    // max_by aggregation, not a row_number window: partial aggregation
+    // bounds the shuffle by distinct keys and keeps skewed keys
+    // parallel (see ChangelogNormalize)
+    val pre = aligned0
+      .withColumn("__ord", orderCol.map(col).getOrElse(lit(0L)))
       .withColumn("__op", opCol.map(col).getOrElse(lit("u")))
-      .select((dataCols.map(col) :+ col("__op")): _*)
-      .cache()
+      .select((dataCols.map(col) :+ col("__op") :+ col("__ord")): _*)
+    val normalized =
+      ChangelogNormalize.latestByKey(pre, snap.keyCols, "__ord").cache()
 
     try {
       val bucketOf = bucketExpr(snap.keyCols, snap.numBuckets)
