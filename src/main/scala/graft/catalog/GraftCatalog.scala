@@ -11,8 +11,9 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -168,15 +169,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 /** DSv2 table over one [[UpsertTable]]: batch-readable via a V1Scan
   * relation (column-pruned; residual filters applied by Spark above
-  * the scan). Time travel and maintenance stay on the store API.
+  * the scan), batch-writable via `INSERT INTO` (each insert is an
+  * upsert merge — the store's only write semantic, matching the
+  * reference's `write.upsert.enabled` tables where INSERT replaces
+  * rows with equal keys). Time travel and maintenance stay on the
+  * store API.
   */
 private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = ident.toString
   override def schema(): StructType = store.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE)
   override def properties(): util.Map[String, String] =
     Map("keys" -> store.keyCols.mkString(",")).asJava
 
@@ -190,6 +196,24 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable)
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new GraftRelation(context, store, required).asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              // INSERT ≙ upsert merge by the table's keys (the store's
+              // write semantic); INSERT OVERWRITE is not supported —
+              // truncation would need a distinct store op
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE is not supported; INSERT merges by key")
+              store.merge(data)
+            }
+          }
       }
     }
 }

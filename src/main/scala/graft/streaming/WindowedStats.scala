@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming aggregation (beyond-reference extension: the
+  * reference job is processing-time only, SURVEY.md §2.5, but any
+  * production stream over the same topics needs these).
+  *
+  * Watermarks bound state: a window's state is evicted once the
+  * watermark passes its end, and later-than-watermark data is dropped —
+  * the Structured-Streaming analog of the reference's
+  * `table.exec.state.ttl` (SURVEY.md §2.3 C3).
+  */
+object WindowedStats {
+
+  /** Tumbling-window counts per key with a watermark. Append mode
+    * emits each window exactly once, when the watermark closes it.
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      timeCol: String,
+      windowDur: String,
+      watermarkDelay: String,
+      keyCols: Seq[String] = Seq.empty): DataFrame =
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("window_start") +:
+          col("window.end").as("window_end") +:
+          keyCols.map(col) :+ col("n"): _*)
+}
+
+case class SessionEvent(user_id: Long, ts: Timestamp)
+
+case class UserSession(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp, events: Int)
+
+/** Internal per-key session state (top level: the state encoder
+  * codegen needs a publicly constructible case class).
+  */
+case class SessionAcc(startMs: Long, endMs: Long, n: Int)
+
+/** Session windows over a keyed event stream via
+  * `flatMapGroupsWithState` — the custom-state operator surface
+  * (KeyValueGroupedDataset) with event-time timeouts: a session closes
+  * `gap` after its last event, enforced by the watermark.
+  */
+object Sessionize {
+
+  def sessions(
+      events: Dataset[SessionEvent],
+      gapMs: Long,
+      watermarkDelay: String): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionAcc]): Iterator[UserSession] = {
+      val out = scala.collection.mutable.ListBuffer.empty[UserSession]
+      if (state.hasTimedOut) {
+        // watermark passed end+gap: close and evict (state TTL)
+        state.getOption.foreach { s =>
+          out += UserSession(userId, new Timestamp(s.startMs),
+            new Timestamp(s.endMs), s.n)
+        }
+        state.remove()
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var acc = state.getOption.orNull
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          acc match {
+            case null => acc = SessionAcc(t, t, 1)
+            case s if t - s.endMs <= gapMs =>
+              acc = s.copy(endMs = math.max(s.endMs, t), n = s.n + 1)
+            case s => // gap exceeded inside the batch: emit, start anew
+              out += UserSession(userId, new Timestamp(s.startMs),
+                new Timestamp(s.endMs), s.n)
+              acc = SessionAcc(t, t, 1)
+          }
+        }
+        if (acc != null) {
+          state.update(acc)
+          state.setTimeoutTimestamp(acc.endMs + gapMs)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -78,6 +78,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(math.abs(s - (1 to 20).map(_ * 1.5).sum) < 1e-9)
   }
 
+  test("INSERT INTO merges by key (upsert semantics, Q-f DML)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_ins (k INT, v STRING) " +
+      "TBLPROPERTIES('keys'='k')")
+    spark.sql("INSERT INTO graft_t.cdc.t_ins VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_t.cdc.t_ins VALUES (2, 'b2'), (3, 'c')")
+    val got = spark.sql("SELECT k, v FROM graft_t.cdc.t_ins ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((1, "a"), (2, "b2"), (3, "c")))
+  }
+
   test("DROP TABLE and missing-table errors") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.tmp")
