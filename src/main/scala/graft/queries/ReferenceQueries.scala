@@ -129,6 +129,27 @@ object ReferenceQueries {
         .orderBy("c_custkey", "o_orderkey")
     }),
 
+    // Q24 — query-layer multi-join aggregate (TPC-H Q3 shape): two
+    // joins, selective dimension filter, hash agg, top-k. Exercises
+    // Catalyst join planning (broadcast for customer, shuffle for
+    // lineitem⋈orders) + AQE on the testdata star schema.
+    "q24_multijoin_topk" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, d, "orders")
+        .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = Tables.load(s, d, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+        .select(col("o_orderkey"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // Q12 — query-layer hash aggregate (§2.4)
     "q12_agg" -> ((s, d) =>
       events(s, d)
@@ -183,6 +204,15 @@ object ReferenceQueries {
         "ORDER BY c.c_custkey, o.o_orderkey"),
     "q12_agg" ->
       ("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
-        "FROM events GROUP BY event_type ORDER BY event_type")
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q24_multijoin_topk" ->
+      ("SELECT o.o_orderkey, " +
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "WHERE c.c_mktsegment = 'BUILDING' " +
+        "AND o.o_orderdate < TIMESTAMP '1999-01-01' " +
+        "AND l.l_shipdate > TIMESTAMP '1998-01-01' " +
+        "GROUP BY o.o_orderkey ORDER BY revenue DESC, o.o_orderkey LIMIT 10")
   )
 }
