@@ -39,6 +39,24 @@ object AnnIvf {
       .select(col(idCol), col(vecCol), col("cid").as("bucket"))
   }
 
+  /** Embedding near-duplicate pairs: cosine >= threshold, searched
+    * only WITHIN each vector's IVF bucket — near-identical vectors
+    * share a nearest centroid, so work is Σ bucket² instead of an
+    * all-pairs product (cross-bucket borderline pairs are the accepted
+    * recall trade, identical in the oracle).
+    */
+  def nearDupPairs(corpus: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "emb"): DataFrame = {
+    val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
+    val l = assigned.toDF("id_a", "emb_a", "bucket")
+    val r = assigned.toDF("id_b", "emb_b", "bucket")
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("emb_a"), col("emb_b")), 6))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Top-k per query, searching only the `nprobe` buckets nearest to
     * each query vector.
     */

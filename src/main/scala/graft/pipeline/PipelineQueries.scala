@@ -128,6 +128,19 @@ object PipelineQueries {
         .orderBy("qid", "vec_id")
     }),
 
+    // q25 — embedding-cosine near-dup: corpus ∪ planted exact copies
+    // (the embeddings have no natural near-dups), pairs found only
+    // within IVF buckets — never all-pairs
+    "q25_embedding_neardup" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val withDups = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("emb")))
+      AnnIvf.nearDupPairs(withDups, e.where(col("vec_id") < 16),
+        threshold = 0.999)
+        .orderBy("id_a", "id_b")
+    }),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -235,6 +248,21 @@ object PipelineQueries {
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid " +
         "ORDER BY sim DESC, vec_id) AS rn FROM cand) " +
         "SELECT qid, vec_id, sim FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id"
+    },
+    "q25_embedding_neardup" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "e AS (SELECT * FROM e0 UNION ALL SELECT vec_id + 100000, emb FROM e0), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e0 WHERE vec_id < 16), " +
+        "assign AS (SELECT vec_id, emb, cid AS bucket FROM (" +
+        s"SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn FROM e, c) WHERE rn = 1) " +
+        "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cos("a.emb", "b.emb")} AS sim " +
+        "FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "WHERE sim >= 0.999 ORDER BY id_a, id_b"
     },
     "q19_simhash" ->
       (s"WITH n AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
