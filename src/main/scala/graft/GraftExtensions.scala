@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.functions.MinHashSig
+import graft.functions.{DotProduct, MinHashSig, SimHash32, TextStats, WordShingles}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extensions: native functions the built-in operator set
   * can't express efficiently (SURVEY.md §7.4). Enable with
@@ -12,6 +15,8 @@ import graft.functions.MinHashSig
   *
   * - `minhash_sig(text, numHashes, shingleLen)` — compiled MinHash
   *   signature (see [[graft.functions.MinHashSig]]).
+  * - `dot_f64(a, b)` — compiled sequential dot product of two
+  *   `array<double>` columns (see [[graft.functions.DotProduct]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -24,6 +29,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MinHashSig(text, n, len)
         case _ => throw new IllegalArgumentException(
           "usage: minhash_sig(text, numHashes int literal, shingleLen int literal)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_f64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("usage: dot_f64(a, b)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, IntegerLiteral(len)) => WordShingles(text, len)
+        case _ => throw new IllegalArgumentException(
+          "usage: word_shingles(text, shingleLen int literal)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => SimHash32(text)
+        case _ => throw new IllegalArgumentException("usage: simhash32(text)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (args: Seq[Expression]) => args match {
+        case text +: stops if stops.nonEmpty && stops.forall {
+          case Literal(_: UTF8String, StringType) => true
+          case _ => false
+        } =>
+          TextStats(text, stops.map(
+            _.asInstanceOf[Literal].value.asInstanceOf[UTF8String].toString))
+        case _ => throw new IllegalArgumentException(
+          "usage: text_stats(text, stopword literals...)")
       }))
   }
 }

@@ -110,7 +110,7 @@ object NearDup {
       threshold: Double, shingleLen: Int = 3): DataFrame = {
     val sh = docs.select(
       col(idCol),
-      TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
+      expr(s"word_shingles($textCol, $shingleLen)").as("sh"))
     val cand = candidatePairs(docs, idCol, textCol, shingleLen)
     val jacc = round(
       size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -123,13 +123,16 @@ object NearDup {
       .select("doc_a", "doc_b", "jacc")
   }
 
-  /** 32-bit SimHash fingerprint of the token multiset, as one per-row
-    * codegen'd expression: token hash = first 8 md5 hex chars; bit b of
-    * the fingerprint is the sign of sum over tokens of ±1 by bit b of
-    * the token hash. Equal fingerprints (or small Hamming distance via
-    * `bit_count(a ^ b)`) flag near-dups.
+  /** 32-bit SimHash fingerprint of the token multiset: token hash =
+    * first 8 md5 hex chars; bit b of the fingerprint is the sign of
+    * the Σ±1 vote by bit b of each token hash. Equal fingerprints (or
+    * small Hamming distance via `bit_count(a ^ b)`) flag near-dups.
+    * Runs the compiled `simhash32` expression (GraftExtensions);
+    * [[simhashDeclarative]] is the built-ins-only reference.
     */
-  def simhash(textColSql: String): Column = {
+  def simhash(textColSql: String): Column = expr(s"simhash32($textColSql)")
+
+  def simhashDeclarative(textColSql: String): Column = {
     // expr-string form: the SQL shift functions accept a lambda-bound
     // bit index, which the Scala functions API (literal-only shift
     // amounts) cannot express

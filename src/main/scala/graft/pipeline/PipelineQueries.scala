@@ -50,21 +50,15 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     // q14 — per-document text statistics (token count, average token
-    // length, stopword ratio) — all codegen'd scan-side expressions
-    "q14_text_stats" -> ((s, d) => {
-      val ntext = TextOps.norm(col("text"))
+    // length, stopword ratio) — ONE compiled struct expression per row
+    // (graft.functions.TextStats; declarative formulation covered by
+    // the equivalence unit test)
+    "q14_text_stats" -> ((s, d) =>
       docs(s, d)
-        .withColumn("ntext", ntext)
-        .withColumn("n_tokens", size(split(col("ntext"), " ")))
-        .withColumn("avg_tok_len",
-          round((length(col("ntext")) - col("n_tokens") + 1)
-            / col("n_tokens").cast("double"), 6))
-        .withColumn("stop_ratio",
-          round(TextOps.markerScore(split(col("ntext"), " "), Seq("the", "a"))
-            / col("n_tokens").cast("double"), 6))
-        .select("doc_id", "n_tokens", "avg_tok_len", "stop_ratio")
-        .orderBy("doc_id")
-    }),
+        .select(col("doc_id"), expr("text_stats(text, 'the', 'a')").as("st"))
+        .select(col("doc_id"), col("st.n_tokens"), col("st.avg_tok_len"),
+          col("st.stop_ratio"))
+        .orderBy("doc_id")),
 
     // q15 — marker-word language ID: score each candidate language,
     // argmax with fixed tie-break order en > de > es > fr

@@ -15,9 +15,13 @@ object Similarity {
 
   /** Sequential-order dot product of two double arrays — same
     * accumulation order as the DuckDB oracle's `list_dot_product`, so
-    * results agree bit-for-bit before rounding.
+    * results agree bit-for-bit before rounding. Runs the compiled
+    * `dot_f64` expression (GraftExtensions); [[dotDeclarative]] is the
+    * built-ins-only reference formulation (unit-tested equal).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("dot_f64", a, b)
+
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
 
   def l2(a: Column): Column = sqrt(dot(a, a))

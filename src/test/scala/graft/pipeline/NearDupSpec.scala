@@ -42,6 +42,32 @@ class NearDupSpec extends AnyFunSuite {
     assert(ham <= 8, s"hamming distance of near-dup too large: $ham")
   }
 
+  test("native word_shingles ≡ declarative shingles on edge cases") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val tricky = corpus.union(Seq(
+      (20L, ""), (21L, "   "), (22L, "one"), (23L, "two words"),
+      (24L, "  Tabs\tand\nnewlines   in   HERE  ")
+    ).toDF("doc_id", "text"))
+    val fast = tricky.select(col("doc_id"), expr("word_shingles(text, 3)"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val slow = tricky.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast === slow)
+  }
+
+  test("native simhash32 ≡ declarative expr formulation") {
+    import org.apache.spark.sql.functions.col
+    val tricky = corpus.union(Seq(
+      (30L, ""), (31L, "one"), (32L, "  Mixed\tWS\nagain  ")
+    ).toDF("doc_id", "text"))
+    val fast = tricky.select(col("doc_id"), NearDup.simhash("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = tricky.select(col("doc_id"), NearDup.simhashDeclarative("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
+  }
+
   test("native minhash_sig expression ≡ declarative lambda formulation") {
     val tricky = corpus.union(Seq(
       (10L, ""), (11L, "   "), (12L, "one"), (13L, "two words"),

@@ -48,6 +48,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1)) < 1e-12)
   }
 
+  test("native dot_f64 ≡ declarative zip_with/aggregate, bit-for-bit") {
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val pairs = e.limit(50).crossJoin(
+      e.limit(50).select(col("emb").as("emb2")))
+    val rows = pairs.select(
+      Similarity.dot(col("emb"), col("emb2")).as("fast"),
+      Similarity.dotDeclarative(col("emb"), col("emb2")).as("slow")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("bruteForceTopK returns k rows per query, self excluded, broadcast plan") {
     val e = graft.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -57,6 +69,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
     val plan = topk.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$plan")
+  }
+
+  test("native text_stats ≡ declarative formulation") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+      .union(Seq((900L, "the a the"), (901L, "x"), (902L, "  odd   WS\t here "))
+        .toDF("doc_id", "text"))
+    val fast = docs
+      .select(col("doc_id"), expr("text_stats(text, 'the', 'a')").as("st"))
+      .select(col("doc_id"), col("st.n_tokens"), col("st.avg_tok_len"),
+        col("st.stop_ratio"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val ntext = TextOps.norm(col("text"))
+    val slow = docs
+      .withColumn("ntext", ntext)
+      .withColumn("n_tokens", size(split(col("ntext"), " ")))
+      .withColumn("avg_tok_len",
+        round((length(col("ntext")) - col("n_tokens") + 1)
+          / col("n_tokens").cast("double"), 6))
+      .withColumn("stop_ratio",
+        round(TextOps.markerScore(split(col("ntext"), " "), Seq("the", "a"))
+          / col("n_tokens").cast("double"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("avg_tok_len"), col("stop_ratio"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(fast === slow)
   }
 
   test("IVF probed ANN recalls most of the brute-force top-k") {
