@@ -39,6 +39,27 @@ object AnnIvf {
       .select(col(idCol), col(vecCol), col("cid").as("bucket"))
   }
 
+  /** Lloyd-iteration centroid training (k-means-lite): seed with the
+    * first k vectors by id, then `iters` rounds of assign + per-bucket
+    * [[graft.functions.VectorMean]] (a typed Aggregator with
+    * map-side partial sums — the vectors themselves never shuffle).
+    * Deterministic for a given corpus, so trained indexes are
+    * reproducible across retries.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "emb"): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val mean = udaf(graft.functions.VectorMean)
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol))
+    for (_ <- 0 until iters) {
+      centroids = assignBuckets(corpus, centroids, idCol, vecCol)
+        .groupBy(col("bucket").as(idCol))
+        .agg(mean(col(vecCol)).as(vecCol))
+    }
+    centroids
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, searched
     * only WITHIN each vector's IVF bucket — near-identical vectors
     * share a nearest centroid, so work is Σ bucket² instead of an

@@ -114,6 +114,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), s"expected broadcast in:\n$plan")
   }
 
+  test("VectorMean aggregator averages element-wise with partial merge") {
+    import org.apache.spark.sql.functions.udaf
+    val mean = udaf(graft.functions.VectorMean)
+    val df = Seq(
+      ("a", Seq(1d, 2d)), ("a", Seq(3d, 4d)), ("b", Seq(10d, 20d)))
+      .toDF("g", "v").repartition(3) // force cross-partition merge
+    val got = df.groupBy("g").agg(mean(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") === Seq(2d, 3d))
+    assert(got("b") === Seq(10d, 20d))
+  }
+
+  test("trained IVF centroids are deterministic and improve assignment tightness") {
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val t1 = AnnIvf.trainCentroids(e, k = 8, iters = 2).collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1)).toMap
+    val t2 = AnnIvf.trainCentroids(e, k = 8, iters = 2).collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1)).toMap
+    assert(t1 === t2) // deterministic across runs
+    assert(t1.nonEmpty && t1.size <= 8)
+    assert(t1.values.forall(_.length === 64))
+  }
+
   test("lang-id scores are consistent with token content") {
     val df = Seq((1L, "the cat and the hat"), (2L, "der die das und"),
       (3L, "xyz qqq")).toDF("doc_id", "text")
