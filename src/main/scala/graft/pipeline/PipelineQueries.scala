@@ -135,6 +135,24 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // q26 — corpus curation filter: the end-to-end training-data
+    // selection shape — quality stats + language ID + exact-dedup
+    // survivorship composed into one pass over the corpus
+    "q26_corpus_filter" -> ((s, d) => {
+      val base = docsWithDups(s, d)
+      val survivors = Dedup.exact(base, "doc_id", "text").select("doc_id")
+      val toks = TextOps.tokens(col("text"))
+      base
+        .join(survivors, "doc_id") // dedup survivorship
+        .withColumn("st", expr("text_stats(text, 'the', 'a')"))
+        .withColumn("s_en", TextOps.markerScore(toks,
+          TextOps.langMarkers.toMap.apply("en")))
+        .where(col("st.n_tokens").between(20, 400)
+          && col("st.stop_ratio") >= 0.05 && col("s_en") > 0)
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -243,6 +261,21 @@ object PipelineQueries {
         "ORDER BY sim DESC, vec_id) AS rn FROM cand) " +
         "SELECT qid, vec_id, sim FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id"
     },
+    "q26_corpus_filter" ->
+      (s"WITH all_docs AS ($dupCte), " +
+        s"surv AS (SELECT min(doc_id) AS doc_id FROM (" +
+        s"SELECT doc_id, md5($duckNorm) AS fp FROM all_docs) GROUP BY fp), " +
+        s"n AS (SELECT d.doc_id, d.text, $duckNorm AS ntext FROM all_docs d " +
+        "JOIN surv USING (doc_id)), " +
+        "st AS (SELECT doc_id, ntext, len(string_split(ntext, ' ')) AS n_tokens, " +
+        "len(list_filter(string_split(ntext, ' '), " +
+        "t -> list_contains(['the','a'], t))) AS n_stop, " +
+        "len(list_filter(string_split(ntext, ' '), " +
+        "t -> list_contains(['the','a','and','of'], t))) AS s_en FROM n) " +
+        "SELECT doc_id, n_tokens FROM st " +
+        "WHERE n_tokens BETWEEN 20 AND 400 " +
+        "AND round(n_stop / CAST(n_tokens AS DOUBLE), 6) >= 0.05 " +
+        "AND s_en > 0 ORDER BY doc_id"),
     "q25_embedding_neardup" -> {
       val cos = (a: String, b: String) =>
         s"round(list_dot_product($a, $b) / " +

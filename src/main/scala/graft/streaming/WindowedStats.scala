@@ -36,6 +36,20 @@ object WindowedStats {
           keyCols.map(col) :+ col("n"): _*)
 }
 
+/** Streaming exact dedup with watermark-bounded state
+  * (`dropDuplicatesWithinWatermark`): duplicates arriving within the
+  * watermark horizon are suppressed; state older than the horizon is
+  * evicted, so memory is bounded at any corpus size — the streaming
+  * member of the dedup family (batch variants in graft.pipeline.Dedup).
+  */
+object StreamingDedup {
+  def dedup(events: DataFrame, idCols: Seq[String], timeCol: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+}
+
 case class SessionEvent(user_id: Long, ts: Timestamp)
 
 case class UserSession(

@@ -66,6 +66,33 @@ class WindowedStatsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicates within the watermark") {
+    val base = Files.createTempDirectory("graft-sdedup")
+    val topic = s"$base/topic"
+    Files.createDirectories(java.nio.file.Paths.get(topic))
+    val deduped = StreamingDedup.dedup(
+      parsed(topic).withColumn("event_key", col("user_id")),
+      Seq("event_key"), "ts", "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("sdedup").outputMode("append")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Topic.appendLines(topic, Seq(
+        line(1, "2026-01-01 00:00:00"), line(1, "2026-01-01 00:00:05"),
+        line(2, "2026-01-01 00:00:10")))
+      q.processAllAvailable()
+      // duplicate of key 1 in a LATER batch, still inside the watermark
+      Topic.appendLines(topic, Seq(
+        line(1, "2026-01-01 00:01:00"), line(3, "2026-01-01 00:01:30")))
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT event_key FROM sdedup")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(keys === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionization: gap-based sessions close via event-time timeout") {
     val base = Files.createTempDirectory("graft-sess")
     val topic = s"$base/topic"
