@@ -82,6 +82,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(ident, UpsertTable(spark, p.toString))
   }
 
+  /** Time travel (`VERSION AS OF n`) — the Iceberg snapshot-read
+    * analog over the store's manifest log (SURVEY.md §2.3 C6).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(ident, UpsertTable(spark, p.toString),
+      version = Some(version.toLong))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val keys = Option(properties.get("keys")).map(_.split(",").map(_.trim).toSeq)
@@ -175,11 +185,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * rows with equal keys). Time travel and maintenance stay on the
   * store API.
   */
-private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable)
+private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
+    version: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = ident.toString
-  override def schema(): StructType = store.schema
+  override def schema(): StructType = version match {
+    case Some(v) => store.schemaAt(v)
+    case None => store.schema
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE)
@@ -195,7 +209,7 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable)
         override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new GraftRelation(context, store, required).asInstanceOf[T]
+          new GraftRelation(context, store, required, version).asInstanceOf[T]
       }
     }
 
@@ -219,12 +233,13 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable)
 }
 
 private[catalog] class GraftRelation(
-    context: SQLContext, store: UpsertTable, required: StructType)
+    context: SQLContext, store: UpsertTable, required: StructType,
+    version: Option[Long] = None)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
   override def buildScan(): RDD[Row] = {
-    val df = store.read()
+    val df = version.map(store.readVersion).getOrElse(store.read())
     val pruned =
       if (required.isEmpty) df.select() // e.g. COUNT(*): zero columns
       else df.select(required.fieldNames.map(col).toSeq: _*)

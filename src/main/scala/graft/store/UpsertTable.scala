@@ -80,6 +80,11 @@ class UpsertTable(spark: SparkSession, val location: String) {
   def readVersion(version: Long): DataFrame =
     readSnapshot(SnapshotLog.read(location, version))
 
+  /** Schema as of a committed version (time-travel reads). */
+  def schemaAt(version: Long): StructType =
+    DataType.fromJson(SnapshotLog.read(location, version).schemaJson)
+      .asInstanceOf[StructType]
+
   private def readSnapshot(s: Snapshot): DataFrame = {
     val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     readFiles(s.files, schema)

@@ -90,6 +90,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got === Seq((1, "a"), (2, "b2"), (3, "c")))
   }
 
+  test("VERSION AS OF time travel reads an older snapshot") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_tt (k INT, v STRING) " +
+      "TBLPROPERTIES('keys'='k')")
+    val t = UpsertTable(spark, s"$warehouse/cdc/t_tt")
+    t.merge(Seq((1, "old")).toDF("k", "v"))
+    val v1 = t.currentSnapshot.get.version
+    t.merge(Seq((1, "new")).toDF("k", "v"))
+    val now = spark.sql("SELECT v FROM graft_t.cdc.t_tt").head().getString(0)
+    val past = spark.sql(s"SELECT v FROM graft_t.cdc.t_tt VERSION AS OF $v1")
+      .head().getString(0)
+    assert(now === "new" && past === "old")
+  }
+
   test("DROP TABLE and missing-table errors") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.tmp")
