@@ -73,12 +73,19 @@ object SnapshotLog {
     val dir = snapshotsDir(tableRoot)
     Files.createDirectories(dir)
     val target = dir.resolve(f"v${s.version}%08d.json")
-    if (Files.exists(target))
-      throw new IllegalStateException(
-        s"concurrent commit: ${target} already exists (single-writer store)")
     val tmp = Files.createTempFile(dir, s".v${s.version}", ".tmp")
     Files.write(tmp, mapper.writeValueAsString(s).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // optimistic concurrency: hard-link creation is atomic-exclusive
+    // (fails if the version already exists), so two writers racing to
+    // commit the same base version cannot clobber each other — the
+    // loser gets a conflict instead (Iceberg's optimistic commit)
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit: $target already exists — another writer " +
+            "committed this version first; re-read and retry the merge")
+    } finally Files.deleteIfExists(tmp)
   }
 
   def delete(tableRoot: String, version: Long): Unit =

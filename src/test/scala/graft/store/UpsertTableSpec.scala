@@ -177,6 +177,20 @@ class UpsertTableSpec extends AnyFunSuite {
     } finally spark.conf.unset(UpsertTable.BucketsConf)
   }
 
+  test("optimistic commit: racing writers conflict instead of clobbering") {
+    val t = tmpTable()
+    t.create(accountSchema, Seq("user_id"))
+    val base = t.currentSnapshot.get
+    val next = base.copy(version = base.version + 1)
+    SnapshotLog.commit(t.location, next)
+    val e = intercept[IllegalStateException] {
+      SnapshotLog.commit(t.location, next.copy(timestampMs = 1L))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the first commit's content is intact
+    assert(SnapshotLog.read(t.location, next.version).timestampMs === next.timestampMs)
+  }
+
   test("time travel + snapshot expiry (C6)") {
     val t = tmpTable()
     t.merge(Seq((1, "a")).toDF("user_id", "email"), autoCreateKeys = Seq("user_id"))
