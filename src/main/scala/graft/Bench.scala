@@ -13,6 +13,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup at the smallest SF: JIT + codegen + reader init
+    // land here instead of inflating whichever query runs first
+    val warmupDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: fully executes the physical plan (sorts, projections,
