@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.functions.{DotProduct, MinHashSig, SimHash32, TextStats, WordShingles}
+import graft.functions.{DotProduct, MinHashSig, ShingleJaccard, SimHash32, TextStats, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text) => SimHash32(text)
         case _ => throw new IllegalArgumentException("usage: simhash32(text)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("shingle_jaccard"),
+      new ExpressionInfo(classOf[ShingleJaccard].getName, "shingle_jaccard"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b, IntegerLiteral(len)) => ShingleJaccard(a, b, len)
+        case _ => throw new IllegalArgumentException(
+          "usage: shingle_jaccard(text_a, text_b, shingleLen int literal)")
       }))
     extensions.injectFunction((
       new FunctionIdentifier("text_stats"),

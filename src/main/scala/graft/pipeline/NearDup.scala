@@ -108,9 +108,25 @@ object NearDup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleLen: Int = 3): DataFrame = {
+    val texts = docs.select(col(idCol), col(textCol))
+    val cand = candidatePairs(docs, idCol, textCol, shingleLen)
+    cand
+      .join(texts.toDF("doc_a", "text_a"), "doc_a")
+      .join(texts.toDF("doc_b", "text_b"), "doc_b")
+      .withColumn("jacc",
+        round(expr(s"shingle_jaccard(text_a, text_b, $shingleLen)"), 6))
+      .where(col("jacc") >= threshold)
+      .select("doc_a", "doc_b", "jacc")
+  }
+
+  /** Jaccard verify with built-ins only (the semantic reference for
+    * the fused `shingle_jaccard` expression used by [[jaccardPairs]]).
+    */
+  def jaccardPairsDeclarative(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleLen: Int = 3): DataFrame = {
     val sh = docs.select(
       col(idCol),
-      expr(s"word_shingles($textCol, $shingleLen)").as("sh"))
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
     val cand = candidatePairs(docs, idCol, textCol, shingleLen)
     val jacc = round(
       size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -121,6 +137,34 @@ object NearDup {
       .withColumn("jacc", jacc)
       .where(col("jacc") >= threshold)
       .select("doc_a", "doc_b", "jacc")
+  }
+
+  /** SimHash-banded near-dup pairs: candidates share one of four
+    * 8-bit bands of the 32-bit fingerprint (classic simhash blocking —
+    * any pair within Hamming distance 3 shares at least one exact
+    * band by pigeonhole), verified by `bit_count(fp_a ^ fp_b)`.
+    * Bucketed like MinHash LSH: never all-pairs.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = docs.select(col(idCol), expr(s"simhash32($textCol)").as("fp"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(fp >> ${8 * b}) & 255").as("key"))
+    }
+    val bands = fps
+      .select(col(idCol), col("fp"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("fp"), col("bs.band").as("band"),
+        col("bs.key").as("key"))
+    val l = bands.toDF("doc_a", "fp_a", "band", "key")
+    val r = bands.toDF("doc_b", "fp_b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fp_a", "fp_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** 32-bit SimHash fingerprint of the token multiset: token hash =

@@ -108,6 +108,12 @@ object PipelineQueries {
         .select(col("doc_id"), NearDup.simhash("text").as("simhash"))
         .orderBy("doc_id")),
 
+    // q27 — SimHash-banded near-dup pairs: 8-bit band blocking
+    // (pigeonhole-complete for Hamming <= 3), bit_count verify
+    "q27_simhash_neardup" -> ((s, d) =>
+      NearDup.simhashPairs(docsWithDups(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
     // q22 — IVF-bucketed ANN: centroids = vec_id < 16, probe the 4
     // nearest buckets per query — the scale path next to q16's
     // brute-force baseline; deterministic, so fully oracle-checked
@@ -300,6 +306,25 @@ object PipelineQueries {
         "THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bitval " +
         "FROM h, (SELECT unnest(range(0, 32)) AS b) bs GROUP BY doc_id, b) " +
         "SELECT doc_id, sum(bitval)::BIGINT AS simhash FROM bits " +
-        "GROUP BY doc_id ORDER BY doc_id")
+        "GROUP BY doc_id ORDER BY doc_id"),
+    "q27_simhash_neardup" ->
+      (s"WITH all_docs AS ($dupCte), " +
+        s"n AS (SELECT doc_id, $duckNorm AS ntext FROM all_docs), " +
+        "tok AS (SELECT doc_id, unnest(string_split(ntext, ' ')) AS tk FROM n), " +
+        "h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hv FROM tok), " +
+        "bits AS (SELECT doc_id, b, CASE WHEN " +
+        "sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        "THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bitval " +
+        "FROM h, (SELECT unnest(range(0, 32)) AS b) bs GROUP BY doc_id, b), " +
+        "fp AS (SELECT doc_id, sum(bitval)::BIGINT AS fp FROM bits GROUP BY doc_id), " +
+        "bands AS (" +
+        (0 until 4).map(b =>
+          s"SELECT doc_id, fp, $b AS band, (fp >> ${8 * b}) & 255 AS bkey FROM fp")
+          .mkString(" UNION ALL ") + "), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.fp AS fp_a, b.fp AS fp_b FROM bands a JOIN bands b " +
+        "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::INT AS hamming " +
+        "FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY doc_a, doc_b")
   )
 }

@@ -42,6 +42,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(ham <= 8, s"hamming distance of near-dup too large: $ham")
   }
 
+  test("fused shingle_jaccard ≡ declarative array-ops jaccard") {
+    val fast = NearDup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val slow = NearDup.jaccardPairsDeclarative(corpus, "doc_id", "text",
+      threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast === slow && fast.nonEmpty)
+  }
+
+  test("simhash-banded pairs find exact dups at hamming 0, skip unrelated") {
+    val pairs = NearDup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 4L)).contains(0)) // exact dup: identical fp
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("native word_shingles ≡ declarative shingles on edge cases") {
     import org.apache.spark.sql.functions.{col, expr}
     val tricky = corpus.union(Seq(
