@@ -191,6 +191,27 @@ class UpsertTableSpec extends AnyFunSuite {
     assert(SnapshotLog.read(t.location, next.version).timestampMs === next.timestampMs)
   }
 
+  test("expiry keeps data files still referenced by live snapshots") {
+    val t = tmpTable()
+    // v2: two keys spread across buckets
+    t.merge((1 to 50).map(i => (i, s"u$i")).toDF("user_id", "email"),
+      autoCreateKeys = Seq("user_id"))
+    // v3: touch only key-1's bucket; every other v2 file is SHARED
+    t.merge(Seq((1, "u1-v2")).toDF("user_id", "email"))
+    val shared = t.currentSnapshot.get.files.map(_.path)
+      .filter(_.startsWith("data/v2/"))
+    assert(shared.nonEmpty, "expected v3 to reference surviving v2 files")
+    t.expireSnapshots(retentionMs = 0L)
+    assert(SnapshotLog.listVersions(t.location).size === 1)
+    // shared files survived the expiry of their originating snapshot
+    shared.foreach { p =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t.location).resolve(p)), s"deleted shared file $p")
+    }
+    assert(t.read().count() === 50)
+    assert(t.read().where($"user_id" === 1).head().getString(1) === "u1-v2")
+  }
+
   test("time travel + snapshot expiry (C6)") {
     val t = tmpTable()
     t.merge(Seq((1, "a")).toDF("user_id", "email"), autoCreateKeys = Seq("user_id"))
