@@ -167,6 +167,26 @@ object NearDup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    * hash every word shingle, slide a window of `w` consecutive
+    * hashes, keep each window's minimum, dedupe. Guarantees any
+    * shared run of ≥ w+shingleLen-1 tokens between two documents
+    * shares a fingerprint, at ~2/(w+1) the storage of full shingling.
+    * Pure scan-side column expressions over the compiled
+    * `word_shingles`; matching docs = fingerprint-equality join.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, window: Int = 4): DataFrame = {
+    val hs = transform(expr(s"word_shingles($textCol, $shingleLen)"),
+      s => md5(s))
+    val wins = when(size(hs) <= window, array(array_min(hs)))
+      .otherwise(transform(
+        sequence(lit(0), size(hs) - window),
+        i => array_min(slice(hs, i + lit(1), lit(window)))))
+    docs
+      .select(col(idCol), explode(array_distinct(wins)).as("fp"))
+  }
+
   /** 32-bit SimHash fingerprint of the token multiset: token hash =
     * first 8 md5 hex chars; bit b of the fingerprint is the sign of
     * the Σ±1 vote by bit b of each token hash. Equal fingerprints (or

@@ -114,6 +114,11 @@ object PipelineQueries {
       NearDup.simhashPairs(docsWithDups(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // q28 — winnowing (rolling-hash) document fingerprints
+    "q28_winnow_fingerprint" -> ((s, d) =>
+      NearDup.winnowFingerprints(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id", "fp")),
+
     // q22 — IVF-bucketed ANN: centroids = vec_id < 16, probe the 4
     // nearest buckets per query — the scale path next to q16's
     // brute-force baseline; deterministic, so fully oracle-checked
@@ -307,6 +312,14 @@ object PipelineQueries {
         "FROM h, (SELECT unnest(range(0, 32)) AS b) bs GROUP BY doc_id, b) " +
         "SELECT doc_id, sum(bitval)::BIGINT AS simhash FROM bits " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "q28_winnow_fingerprint" ->
+      (s"WITH ${duckShingleCtes("documents")}, " +
+        "hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh), " +
+        "wins AS (SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_min(hs)] " +
+        "ELSE list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])) " +
+        "END AS wins FROM hs) " +
+        "SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wins " +
+        "ORDER BY doc_id, fp"),
     "q27_simhash_neardup" ->
       (s"WITH all_docs AS ($dupCte), " +
         s"n AS (SELECT doc_id, $duckNorm AS ntext FROM all_docs), " +

@@ -58,6 +58,21 @@ class NearDupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("winnowing: docs sharing a long token run share a fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, s"unique prefix one $shared unique suffix one"),
+      (2L, s"totally different start $shared and another ending"),
+      (3L, "no overlap here at all just other words entirely")
+    ).toDF("doc_id", "text")
+    val fps = NearDup.winnowFingerprints(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "docs sharing a 10-token run must share a winnow fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("native word_shingles ≡ declarative shingles on edge cases") {
     import org.apache.spark.sql.functions.{col, expr}
     val tricky = corpus.union(Seq(
