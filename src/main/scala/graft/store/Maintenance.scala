@@ -1,0 +1,44 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Warehouse maintenance (the reference's snapshot_mgmt.py role):
+  * enumerate every store table under a namespace and expire snapshots
+  * older than the retention — the Spark-native analog of
+  * `ALTER TABLE … EXECUTE expire_snapshots(retention_threshold => '6h')`
+  * run over the filtered table list (snapshot_mgmt.py:13-18).
+  */
+object Maintenance {
+
+  /** Default retention: 6 hours (snapshot_mgmt.py:18). */
+  val DefaultRetentionMs: Long = 6L * 3600 * 1000
+
+  /** Store tables (dirs with a `_snapshots` log) under
+    * `{warehouseDir}/{namespace}`.
+    */
+  def listTables(warehouseDir: String, namespace: String): Seq[String] = {
+    val dir = Paths.get(warehouseDir, namespace)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve("_snapshots")))
+      .map(_.getFileName.toString)
+      .toSeq.sorted
+  }
+
+  /** Expire old snapshots on every table in the namespace; returns
+    * (table, versions removed) per table.
+    */
+  def expireAll(spark: SparkSession, warehouseDir: String, namespace: String,
+      retentionMs: Long = DefaultRetentionMs): Seq[(String, Int)] =
+    listTables(warehouseDir, namespace).map { table =>
+      val t = UpsertTable(spark, s"$warehouseDir/$namespace/$table")
+      val before = SnapshotLog.listVersions(t.location).size
+      t.expireSnapshots(retentionMs)
+      val after = SnapshotLog.listVersions(t.location).size
+      table -> (before - after)
+    }
+}

@@ -212,6 +212,22 @@ class UpsertTableSpec extends AnyFunSuite {
     assert(t.read().where($"user_id" === 1).head().getString(1) === "u1-v2")
   }
 
+  test("maintenance sweep expires across every table in a namespace") {
+    val wh = Files.createTempDirectory("graft-maint").toString
+    Seq("t_a", "t_b").foreach { name =>
+      val t = UpsertTable(spark, s"$wh/cdc/$name")
+      t.merge(Seq((1, "a")).toDF("user_id", "email"), autoCreateKeys = Seq("user_id"))
+      t.merge(Seq((1, "b")).toDF("user_id", "email"))
+    }
+    assert(Maintenance.listTables(wh, "cdc") === Seq("t_a", "t_b"))
+    val result = Maintenance.expireAll(spark, wh, "cdc", retentionMs = 0L)
+    assert(result === Seq("t_a" -> 2, "t_b" -> 2)) // create+v2 expired, v3 kept
+    Seq("t_a", "t_b").foreach { name =>
+      assert(SnapshotLog.listVersions(s"$wh/cdc/$name").size === 1)
+      assert(UpsertTable(spark, s"$wh/cdc/$name").read().count() === 1)
+    }
+  }
+
   test("time travel + snapshot expiry (C6)") {
     val t = tmpTable()
     t.merge(Seq((1, "a")).toDF("user_id", "email"), autoCreateKeys = Seq("user_id"))
