@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.functions.{DotProduct, MinHashSig, ShingleJaccard, SimHash32, TextStats, WordShingles}
+import graft.functions.{DotProduct, MinHashSig, ShingleJaccard, SimHash32, TextStats, WinnowFps, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,6 +59,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b, IntegerLiteral(len)) => ShingleJaccard(a, b, len)
         case _ => throw new IllegalArgumentException(
           "usage: shingle_jaccard(text_a, text_b, shingleLen int literal)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, IntegerLiteral(sl), IntegerLiteral(w)) =>
+          WinnowFps(text, sl, w)
+        case _ => throw new IllegalArgumentException(
+          "usage: winnow_fps(text, shingleLen int literal, window int literal)")
       }))
     extensions.injectFunction((
       new FunctionIdentifier("text_stats"),

@@ -176,7 +176,15 @@ object NearDup {
     * `word_shingles`; matching docs = fingerprint-equality join.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, window: Int = 4): DataFrame = {
+      shingleLen: Int = 3, window: Int = 4): DataFrame =
+    docs.select(col(idCol),
+      explode(expr(s"winnow_fps($textCol, $shingleLen, $window)")).as("fp"))
+
+  /** Built-ins-only winnowing (the semantic reference for the
+    * compiled `winnow_fps`; O(n × window) interpreted, test-scale only).
+    */
+  def winnowFingerprintsDeclarative(docs: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 3, window: Int = 4): DataFrame = {
     val hs = transform(expr(s"word_shingles($textCol, $shingleLen)"),
       s => md5(s))
     val wins = when(size(hs) <= window, array(array_min(hs)))

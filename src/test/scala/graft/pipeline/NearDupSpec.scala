@@ -58,6 +58,17 @@ class NearDupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("native winnow_fps ≡ declarative winnowing") {
+    val tricky = corpus.union(Seq(
+      (40L, ""), (41L, "one two"), (42L, "a b c d e f g h i j k l m"))
+      .toDF("doc_id", "text"))
+    val fast = NearDup.winnowFingerprints(tricky, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val slow = NearDup.winnowFingerprintsDeclarative(tricky, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fast === slow && fast.nonEmpty)
+  }
+
   test("winnowing: docs sharing a long token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = Seq(
