@@ -10,10 +10,10 @@ import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -201,15 +201,34 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
     Map("keys" -> store.keyCols.mkString(",")).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder
+      with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       private var required: StructType = store.schema
+      private var keyEq: Map[String, Any] = Map.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // equality-on-key predicates drive BUCKET PRUNING (only the
+        // matching bucket's files are scanned); every filter is
+        // returned as residual — Spark re-applies them above the scan
+        keyEq = filters.collect { case EqualTo(a, v) => a -> v }.toMap
+        filters
+      }
+      override def pushedFilters(): Array[Filter] =
+        if (version.isEmpty && store.keyCols.forall(keyEq.contains))
+          store.keyCols.map(k => EqualTo(k, keyEq(k)): Filter).toArray
+        else Array.empty
       override def build(): Scan = new V1Scan {
+        // prune only on current-version reads (time travel keeps it simple)
+        private val pruneKeys =
+          if (version.isEmpty && store.keyCols.forall(keyEq.contains))
+            Some(keyEq.filter { case (k, _) => store.keyCols.contains(k) })
+          else None
         override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new GraftRelation(context, store, required, version).asInstanceOf[T]
+          new GraftRelation(context, store, required, version, pruneKeys)
+            .asInstanceOf[T]
       }
     }
 
@@ -234,12 +253,14 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
 
 private[catalog] class GraftRelation(
     context: SQLContext, store: UpsertTable, required: StructType,
-    version: Option[Long] = None)
+    version: Option[Long] = None,
+    pruneKeys: Option[Map[String, Any]] = None)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
   override def buildScan(): RDD[Row] = {
-    val df = version.map(store.readVersion).getOrElse(store.read())
+    val df = version.map(store.readVersion).getOrElse(
+      pruneKeys.map(store.readWhere).getOrElse(store.read()))
     val pruned =
       if (required.isEmpty) df.select() // e.g. COUNT(*): zero columns
       else df.select(required.fieldNames.map(col).toSeq: _*)

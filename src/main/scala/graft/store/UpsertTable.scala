@@ -85,6 +85,37 @@ class UpsertTable(spark: SparkSession, val location: String) {
     DataType.fromJson(SnapshotLog.read(location, version).schemaJson)
       .asInstanceOf[StructType]
 
+  /** Bucket id for a full primary-key value tuple, or None if any key
+    * column is missing — the same murmur3(42) % n as [[UpsertTable.bucketExpr]],
+    * evaluated driver-side (a literal hashes identically to a column).
+    */
+  def bucketFor(keyValues: Map[String, Any]): Option[Int] = {
+    val snap = snapshotOrFail
+    if (!snap.keyCols.forall(keyValues.contains)) return None
+    val sch = schema
+    val exprs = snap.keyCols.map { k =>
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(keyValues(k), sch(k).dataType)
+    }
+    val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(exprs)
+      .eval(null).asInstanceOf[Int]
+    Some(((h % snap.numBuckets) + snap.numBuckets) % snap.numBuckets)
+  }
+
+  /** Bucket-pruned read for a full-key equality lookup: touches only
+    * the one bucket's files — at 4096 buckets a point query on a
+    * 100 TB table scans ~1/4096 of it. The result still contains the
+    * bucket's OTHER keys; callers (Spark's residual filter, through
+    * the catalog) re-apply the predicate.
+    */
+  def readWhere(keyValues: Map[String, Any]): DataFrame =
+    bucketFor(keyValues) match {
+      case Some(b) =>
+        val snap = snapshotOrFail
+        readFiles(snap.files.filter(_.bucket == b), schema)
+      case None => read()
+    }
+
   private def readSnapshot(s: Snapshot): DataFrame = {
     val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     readFiles(s.files, schema)

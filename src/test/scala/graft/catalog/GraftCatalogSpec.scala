@@ -90,6 +90,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got === Seq((1, "a"), (2, "b2"), (3, "c")))
   }
 
+  test("key-equality SQL lookups prune to one bucket") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_prune (k INT, v STRING) " +
+      "TBLPROPERTIES('keys'='k', 'buckets'='64')")
+    val t = UpsertTable(spark, s"$warehouse/cdc/t_prune")
+    t.merge((1 to 500).map(i => (i, s"v$i")).toDF("k", "v"))
+    // API level: the pruned file set is a strict subset (one bucket)
+    val all = t.currentSnapshot.get.files
+    val pruned = t.bucketFor(Map("k" -> 42)).get
+    assert(all.count(_.bucket == pruned) < all.size)
+    assert(t.readWhere(Map("k" -> 42)).where($"k" === 42).count() === 1)
+    // SQL level: point lookup is correct and matches the full scan
+    val viaSql = spark.sql("SELECT v FROM graft_t.cdc.t_prune WHERE k = 42")
+      .head().getString(0)
+    assert(viaSql === "v42")
+    // non-key or partial predicates still answer from the full table
+    assert(spark.sql("SELECT COUNT(*) FROM graft_t.cdc.t_prune WHERE v LIKE 'v4%'")
+      .head().getLong(0) === 111) // 4, 40-49, 400-499
+  }
+
   test("VERSION AS OF time travel reads an older snapshot") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
