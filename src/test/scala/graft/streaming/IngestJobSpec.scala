@@ -107,6 +107,35 @@ class IngestJobSpec extends AnyFunSuite {
     assert(state(job) === Set(7 -> "v3@example.com"))
   }
 
+  test("account + product pipelines run concurrently (the reference's dual job)") {
+    // flink_json_to_iceberg.py drives raw_json_account AND
+    // raw_json_product as two standing INSERTs in one job — here two
+    // StreamingQueries in one session, fully independent state
+    val base = Files.createTempDirectory("graft-dual")
+    val accountJob = IngestJob(s"$base/t_acc", s"$base/tbl_acc", "user_id",
+      accountFields, s"$base/cp_acc",
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    val productJob = IngestJob(s"$base/t_prod", s"$base/tbl_prod", "product_id",
+      Seq(JsonField("product_id", "INT"), JsonField("product_name", "STRING")),
+      s"$base/cp_prod", trigger = Trigger.ProcessingTime("100 milliseconds"))
+    Topic.appendLines(accountJob.topicDir, Seq(
+      """{"user_id": 1, "email": "alice@example.com"}"""))
+    Topic.appendLines(productJob.topicDir, Seq(
+      """{"product_id": 1, "product_name": "Live Edge Dining Table"}""",
+      """{"product_id": 2, "product_name": "Simple Teak Dining Chair"}"""))
+    val q1 = accountJob.start(spark)
+    val q2 = productJob.start(spark)
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(state(accountJob) === Set(1 -> "alice@example.com"))
+      val products = UpsertTable(spark, productJob.tablePath).read()
+        .select("product_id", "product_name").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(products === Set(1 -> "Live Edge Dining Table",
+        2 -> "Simple Teak Dining Chair"))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("restart policy retries a failing query until it succeeds (C5)") {
     val attempts = new AtomicInteger(0)
     val job0 = mkJob(trigger = Trigger.AvailableNow())
