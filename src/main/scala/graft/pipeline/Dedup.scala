@@ -31,7 +31,7 @@ object Dedup {
   def exactRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withFp = docs.withColumn("fp", TextOps.fingerprint(col(textCol)))
     val picked = withFp.groupBy("fp")
-      .agg(min_by(struct(docs.columns.map(col): _*), col(idCol)).as("doc"))
+      .agg(min_by(struct(docs.columns.toSeq.map(col): _*), col(idCol)).as("doc"))
     picked.select("doc.*")
   }
 }

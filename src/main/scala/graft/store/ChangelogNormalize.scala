@@ -19,7 +19,7 @@ object ChangelogNormalize {
 
   /** Latest row per key by `ordCol` (dropped from the output). */
   def latestByKey(df: DataFrame, keys: Seq[String], ordCol: String): DataFrame = {
-    val payload = struct(df.columns.filterNot(_ == ordCol).map(col): _*)
+    val payload = struct(df.columns.toSeq.filterNot(_ == ordCol).map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, col(ordCol)).as("__row"))
       .select("__row.*")

@@ -49,7 +49,7 @@ object Topic {
     * next sequence prefix.
     */
   def produce(df: DataFrame, topicDir: String): Unit = {
-    val json = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    val json = df.select(to_json(struct(df.columns.toSeq.map(col): _*)).as("value"))
     val tmp = Files.createTempDirectory("graft-topic-stage")
     json.write.mode("overwrite").text(tmp.toString)
     publish(tmp, Paths.get(topicDir))
