@@ -150,6 +150,33 @@ object ReferenceQueries {
         .limit(10)
     }),
 
+    // Q29 — grouping-set aggregate (ROLLUP): subtotal rows + grand
+    // total in one pass (Expand + hash agg)
+    "q29_rollup" -> ((s, d) =>
+      events(s, d)
+        .rollup("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
+        .orderBy(col("event_type").asc_nulls_first)),
+
+    // Q30 — analytic window frame: per-user running sum in event order
+    "q30_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 6).as("running"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Q31 — set operation: customers with both open and finished orders
+    "q31_intersect" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      o.where(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
     // Q12 — query-layer hash aggregate (§2.4)
     "q12_agg" -> ((s, d) =>
       events(s, d)
@@ -205,6 +232,19 @@ object ReferenceQueries {
     "q12_agg" ->
       ("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q29_rollup" ->
+      ("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
+        "FROM events GROUP BY ROLLUP(event_type) " +
+        "ORDER BY event_type ASC NULLS FIRST"),
+    "q30_running_sum" ->
+      ("SELECT user_id, event_id, ROUND(SUM(value) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_ns(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running " +
+        "FROM events ORDER BY user_id, event_id"),
+    "q31_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "ORDER BY o_custkey"),
     "q24_multijoin_topk" ->
       ("SELECT o.o_orderkey, " +
         "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue " +

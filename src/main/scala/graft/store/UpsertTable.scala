@@ -244,6 +244,34 @@ class UpsertTable(spark: SparkSession, val location: String) {
     } finally normalized.unpersist()
   }
 
+  /** Rewrite the table under a new bucket count (the growth path:
+    * a table created at 16 buckets that reaches terabytes moves to
+    * 4096 so merges keep touching a sliver). One full rewrite — like
+    * Iceberg's rewrite with a new partition spec — committed as a
+    * normal snapshot, so readers never see a half-rebucketed table
+    * and time travel still works across the boundary.
+    */
+  def rebucket(newNumBuckets: Int): Unit = synchronized {
+    require(newNumBuckets > 0, "bucket count must be positive")
+    val snap = snapshotOrFail
+    if (snap.numBuckets == newNumBuckets) return
+    val schema = this.schema
+    val bucketOf = bucketExpr(snap.keyCols, newNumBuckets)
+    val version = snap.version + 1
+    val outDir = s"$location/data/v$version"
+    read().withColumn("__bucket", bucketOf)
+      .repartition(newNumBuckets, col("__bucket"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
+    val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
+      FileEntry(s"data/v$version/$rel", b) }
+    SnapshotLog.commit(location, snap.copy(
+      version = version,
+      schemaJson = schema.json,
+      numBuckets = newNumBuckets,
+      files = newFiles,
+      timestampMs = System.currentTimeMillis()))
+  }
+
   /** Snapshot expiry (C6; reference snapshot_mgmt.py:17-18
     * `expire_snapshots(retention_threshold => '6h')`): drop manifests
     * older than the retention (never the current one) and delete data

@@ -212,6 +212,24 @@ class UpsertTableSpec extends AnyFunSuite {
     assert(t.read().where($"user_id" === 1).head().getString(1) === "u1-v2")
   }
 
+  test("rebucket rewrites under a new bucket count, data and locality intact") {
+    val t = tmpTable()
+    t.merge((1 to 300).map(i => (i, s"u$i")).toDF("user_id", "email"),
+      autoCreateKeys = Seq("user_id"), autoCreateBuckets = 4)
+    t.rebucket(128)
+    assert(t.currentSnapshot.get.numBuckets === 128)
+    assert(t.read().count() === 300)
+    assert(t.read().where($"user_id" === 7).head().getString(1) === "u7")
+    // merges after the rebucket enjoy the new locality
+    val before = t.currentSnapshot.get.files.map(_.path).toSet
+    t.merge(Seq((7, "u7-v2")).toDF("user_id", "email"))
+    val after = t.currentSnapshot.get.files.map(_.path).toSet
+    assert((before -- after).size <= 2)
+    assert(t.read().where($"user_id" === 7).head().getString(1) === "u7-v2")
+    // bucket pruning works against the new layout
+    assert(t.readWhere(Map("user_id" -> 7)).where($"user_id" === 7).count() === 1)
+  }
+
   test("maintenance sweep expires across every table in a namespace") {
     val wh = Files.createTempDirectory("graft-maint").toString
     Seq("t_a", "t_b").foreach { name =>
