@@ -11,8 +11,15 @@ import graft.store.UpsertTable
 /** One parsed field of the raw JSON payload: extract `$.name`, cast to
   * `sqlType` with NULL-on-error (reference JSON_VALUE + CAST,
   * flink_json_to_iceberg.py:113-114).
+  *
+  * @param maxLength source-DDL length constraint (`VARCHAR(255)`,
+  *                  000_init.sql:5,11): longer values are dropped by
+  *                  the ingest validation
+  * @param required  source-DDL `NOT NULL`: rows with a NULL value are
+  *                  dropped (the key field is always required)
   */
-case class JsonField(name: String, sqlType: String)
+case class JsonField(name: String, sqlType: String,
+    maxLength: Option[Int] = None, required: Boolean = false)
 
 /** The streaming-ingest pipeline of the reference's Flink job
   * (flink_json_to_iceberg.py:95-147), Spark-native: a file-backed
@@ -50,10 +57,18 @@ case class IngestJob(
       expr(s"try_cast(get_json_object(value, '$$.${f.name}') AS ${f.sqlType})")
         .as(f.name)
     }
-    raw
-      .select(extracted :+ col("__file"): _*)
-      .withColumn("ts", current_timestamp()) // P4 ingestion stamp
-      .where(col(keyField).isNotNull)
+    val constraints = fields.flatMap { f =>
+      // NULL passes a length constraint (it's the NOT-NULL check's job)
+      f.maxLength.map(n =>
+        col(f.name).isNull || length(col(f.name)) <= n).toSeq ++
+        (if (f.required) Seq(col(f.name).isNotNull) else Nil)
+    }
+    constraints.foldLeft(
+      raw
+        .select(extracted :+ col("__file"): _*)
+        .withColumn("ts", current_timestamp()) // P4 ingestion stamp
+        .where(col(keyField).isNotNull)
+    )((df, c) => df.where(c))
   }
 
   private def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {

@@ -107,6 +107,23 @@ class IngestJobSpec extends AnyFunSuite {
     assert(state(job) === Set(7 -> "v3@example.com"))
   }
 
+  test("DDL constraints: VARCHAR(255)-style length and NOT NULL drop rows") {
+    val base = Files.createTempDirectory("graft-constr")
+    val job = IngestJob(
+      topicDir = s"$base/topic", tablePath = s"$base/table",
+      keyField = "user_id",
+      fields = Seq(JsonField("user_id", "INT"),
+        JsonField("email", "STRING", maxLength = Some(20), required = true)),
+      checkpointDir = s"$base/cp", trigger = Trigger.AvailableNow())
+    Topic.appendLines(job.topicDir, Seq(
+      """{"user_id": 1, "email": "ok@example.com"}""",
+      """{"user_id": 2, "email": "this-address-is-far-too-long@example.com"}""",
+      """{"user_id": 3}"""))
+    val q = job.start(spark)
+    q.awaitTermination()
+    assert(state(job) === Set(1 -> "ok@example.com"))
+  }
+
   test("account + product pipelines run concurrently (the reference's dual job)") {
     // flink_json_to_iceberg.py drives raw_json_account AND
     // raw_json_product as two standing INSERTs in one job — here two
