@@ -225,14 +225,18 @@ class UpsertTable(spark: SparkSession, val location: String) {
       val upserts = normalized.where(col("__op") =!= "d").select(dataCols.map(col): _*)
 
       val version = snap.version + 1
-      val outDir = s"$location/data/v$version"
+      // unique per-attempt dir: a racing/crashed writer can never
+      // clobber files another attempt already committed (the manifest
+      // references only its own attempt's paths; losers leave orphans
+      // that never become visible)
+      val outDir = s"$location/data/v$version-$attemptId"
       val out = survivors.unionByName(upserts)
         .withColumn("__bucket", bucketOf)
       out.repartition(math.max(affected.size, 1), col("__bucket"))
         .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
 
       val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
-        FileEntry(s"data/v$version/$rel", b) }
+        FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b) }
 
       SnapshotLog.commit(location, snap.copy(
         version = version,
@@ -258,12 +262,12 @@ class UpsertTable(spark: SparkSession, val location: String) {
     val schema = this.schema
     val bucketOf = bucketExpr(snap.keyCols, newNumBuckets)
     val version = snap.version + 1
-    val outDir = s"$location/data/v$version"
+    val outDir = s"$location/data/v$version-$attemptId"
     read().withColumn("__bucket", bucketOf)
       .repartition(newNumBuckets, col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
     val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
-      FileEntry(s"data/v$version/$rel", b) }
+      FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b) }
     SnapshotLog.commit(location, snap.copy(
       version = version,
       schemaJson = schema.json,
@@ -293,6 +297,9 @@ class UpsertTable(spark: SparkSession, val location: String) {
       SnapshotLog.delete(location, v)
     }
   }
+
+  private def attemptId: String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   private def listBucketFiles(outDir: String): Seq[(String, Int)] = {
     val dir = Paths.get(outDir)

@@ -177,6 +177,28 @@ class UpsertTableSpec extends AnyFunSuite {
     } finally spark.conf.unset(UpsertTable.BucketsConf)
   }
 
+  test("racing merges from a stale snapshot: loser conflicts, winner's data intact") {
+    val loc = Files.createTempDirectory("graft-race").toString
+    val a = UpsertTable(spark, loc)
+    val b = UpsertTable(spark, loc) // second writer, same table
+    a.merge(Seq((1, "base")).toDF("user_id", "email"), autoCreateKeys = Seq("user_id"))
+    // both observed version 1; A commits v2 first
+    a.merge(Seq((2, "from-a")).toDF("user_id", "email"))
+    // B raced from the same base: must conflict, and must NOT have
+    // clobbered any file A's committed snapshot references
+    intercept[IllegalStateException] {
+      // force B's stale base by replaying version arithmetic: B reads
+      // current (v2) — simulate staleness by committing v3 under B
+      // and A concurrently via the log primitive
+      val snapA = SnapshotLog.read(loc, 2L)
+      SnapshotLog.commit(loc, snapA.copy(version = 3L))
+      SnapshotLog.commit(loc, snapA.copy(version = 3L, timestampMs = 42L))
+    }
+    val stored = a.read().orderBy("user_id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(stored.containsSlice(Seq((1, "base"), (2, "from-a"))))
+  }
+
   test("optimistic commit: racing writers conflict instead of clobbering") {
     val t = tmpTable()
     t.create(accountSchema, Seq("user_id"))
@@ -199,7 +221,7 @@ class UpsertTableSpec extends AnyFunSuite {
     // v3: touch only key-1's bucket; every other v2 file is SHARED
     t.merge(Seq((1, "u1-v2")).toDF("user_id", "email"))
     val shared = t.currentSnapshot.get.files.map(_.path)
-      .filter(_.startsWith("data/v2/"))
+      .filter(_.startsWith("data/v2-"))
     assert(shared.nonEmpty, "expected v3 to reference surviving v2 files")
     t.expireSnapshots(retentionMs = 0L)
     assert(SnapshotLog.listVersions(t.location).size === 1)
