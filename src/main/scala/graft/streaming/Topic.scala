@@ -61,20 +61,37 @@ object Topic {
   def appendLines(topicDir: String, lines: Seq[String]): Unit = {
     val dir = Paths.get(topicDir)
     Files.createDirectories(dir)
-    val tmp = Files.createTempFile("graft-topic", ".jsonl")
+    val tmp = Files.createTempFile(dir, ".graft-topic", ".tmp")
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    val target = dir.resolve(f"${nextSeq(dir)}%08d-00000.jsonl")
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try publishOne(dir, tmp, suffix = "00000")
+    finally Files.deleteIfExists(tmp)
   }
 
   private def publish(staging: Path, dir: Path): Unit = {
     Files.createDirectories(dir)
-    val seq = nextSeq(dir)
     val parts = Files.list(staging).iterator().asScala
       .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
     parts.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, dir.resolve(f"$seq%08d-$i%05d.jsonl"),
-        StandardCopyOption.ATOMIC_MOVE)
+      try publishOne(dir, p, suffix = f"$i%05d")
+      finally Files.deleteIfExists(p)
+    }
+  }
+
+  /** Atomic-exclusive publish under the next free sequence prefix:
+    * hard-link creation fails (rather than replaces) if a concurrent
+    * producer claimed the same offset, so racing producers interleave
+    * instead of clobbering — broker-style offset assignment.
+    */
+  private def publishOne(dir: Path, src: Path, suffix: String): Unit = {
+    var done = false
+    while (!done) {
+      val target = dir.resolve(f"${nextSeq(dir)}%08d-$suffix.jsonl")
+      try {
+        Files.createLink(target, src)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race; re-read seq
+      }
     }
   }
 
