@@ -164,6 +164,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q33 — corpus vocabulary: top-20 tokens by frequency (explode →
+    // partial-agg count → TakeOrdered; the shuffle carries one row per
+    // (partition, token), not one per occurrence)
+    "q33_vocab_topk" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -272,6 +283,11 @@ object PipelineQueries {
         "ORDER BY sim DESC, vec_id) AS rn FROM cand) " +
         "SELECT qid, vec_id, sim FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id"
     },
+    "q33_vocab_topk" ->
+      (s"WITH n AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
+        "t AS (SELECT unnest(string_split(ntext, ' ')) AS token FROM n) " +
+        "SELECT token, COUNT(*) AS n FROM t GROUP BY token " +
+        "ORDER BY n DESC, token LIMIT 20"),
     "q26_corpus_filter" ->
       (s"WITH all_docs AS ($dupCte), " +
         s"surv AS (SELECT min(doc_id) AS doc_id FROM (" +
