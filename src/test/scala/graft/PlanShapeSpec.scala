@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties the 100 TB design
+  * depends on, asserted against the ACTUAL physical plans so a future
+  * refactor can't silently reintroduce a cartesian product, lose a
+  * broadcast, or drop partial aggregation.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("similarity queries broadcast the small side") {
+    Seq("q16_cosine_topk", "q22_ann_ivf", "q25_embedding_neardup").foreach { q =>
+      assert(plan(q).contains("BroadcastExchange"), s"$q lost its broadcast")
+    }
+  }
+
+  test("dimension join broadcasts, fact side never broadcast-built") {
+    assert(plan("q11_join").contains("BroadcastHashJoin"))
+  }
+
+  test("dedup and changelog-normalize aggregate partially before the shuffle") {
+    assert(plan("q13_dedup_exact").contains("partial_min"),
+      "exact dedup lost map-side partial aggregation")
+    assert(plan("q23_upsert_latest_agg").contains("partial_max_by"),
+      "changelog-normalize lost map-side partial aggregation")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = plan("q10_status_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"),
+      s"pushdown missing in:\n$p")
+  }
+}
