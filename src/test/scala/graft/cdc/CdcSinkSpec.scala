@@ -104,6 +104,52 @@ class CdcSinkSpec extends AnyFunSuite {
     assert(productTable.read().count() === 2)
   }
 
+  test("CDC stream: kill, append while down, restart — exactly-once (C4/C5)") {
+    val base = Files.createTempDirectory("graft-cdc-restart")
+    val topic = s"$base/topic"
+    val job = CdcJob(topic, s"$base/wh", s"$base/cp", keyFor,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    def accounts: Map[Long, String] =
+      UpsertTable(spark, CdcSink.targetPath(s"$base/wh", "account"))
+        .read().select("user_id", "email").collect()
+        .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+
+    Topic.appendLines(topic, Seq(
+      env("account", "c", "null", account(1, "a@example.com")),
+      env("account", "c", "null", account(2, "b@example.com"))))
+    val q1 = job.start(spark)
+    q1.processAllAvailable()
+    assert(accounts.keySet === Set(1L, 2L))
+    q1.stop() // kill
+
+    Topic.appendLines(topic, Seq(
+      env("account", "u", account(1, "a@example.com"), account(1, "a2@example.com")),
+      env("account", "d", account(2, "b@example.com"), "null")))
+    val q2 = job.start(spark) // same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    assert(accounts === Map(1L -> "a2@example.com"))
+  }
+
+  test("schema evolves mid-stream when envelopes grow a column (S6)") {
+    val base = Files.createTempDirectory("graft-cdc-evolve")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null", account(1, "a@example.com")))
+        .toDF("value"), wh, keyFor)
+    val widened =
+      """{"user_id":2,"email":"b@example.com","created_at":1757389556032031,"age":30}"""
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null", widened)).toDF("value"), wh, keyFor)
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    assert(t.schema.fieldNames.contains("age"))
+    val rows = t.read().select("user_id", "age").collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        Option(r.get(1)).map(_.asInstanceOf[Number].longValue())).toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(30L)) // old row null-filled
+  }
+
   test("malformed and foreign-payload envelopes are dropped, not fatal") {
     val base = Files.createTempDirectory("graft-cdc2")
     import spark.implicits._
