@@ -137,6 +137,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("table"))
   }
 
+  test("ALTER TABLE RENAME moves the store directory") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.tmp")
+    spark.sql("CREATE TABLE graft_t.tmp.before_rename (k INT) " +
+      "TBLPROPERTIES('keys'='k')")
+    UpsertTable(spark, s"$warehouse/tmp/before_rename")
+      .merge(Seq((1)).toDF("k"))
+    spark.sql("ALTER TABLE graft_t.tmp.before_rename RENAME TO tmp.after_rename")
+    assert(spark.sql("SELECT k FROM graft_t.tmp.after_rename").head().getInt(0) === 1)
+    val gone = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_t.tmp.before_rename").collect()
+    }
+    assert(gone.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("DROP NAMESPACE refuses non-empty without CASCADE, obeys with") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.nsdrop")
+    spark.sql("CREATE TABLE graft_t.nsdrop.t (k INT) TBLPROPERTIES('keys'='k')")
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft_t.nsdrop") }
+    assert(spark.sql("SHOW TABLES IN graft_t.nsdrop").count() === 1)
+    spark.sql("DROP NAMESPACE graft_t.nsdrop CASCADE")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(warehouse, "nsdrop")))
+  }
+
   test("CREATE TABLE without keys property is rejected") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.tmp")
