@@ -175,6 +175,12 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
 
+    // q34 — feature-hashing text vectorization: tokens → md5 % 64
+    // dimensions with token-share weights (model-free text→vector)
+    "q34_hashing_embed" -> ((s, d) =>
+      TextOps.hashingEmbedding(docs(s, d), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "dim")),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -283,6 +289,14 @@ object PipelineQueries {
         "ORDER BY sim DESC, vec_id) AS rn FROM cand) " +
         "SELECT qid, vec_id, sim FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id"
     },
+    "q34_hashing_embed" ->
+      (s"WITH n0 AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM n0), " +
+        "d AS (SELECT doc_id, n, " +
+        "('0x' || substr(md5(tk), 1, 8))::BIGINT % 64 AS dim FROM t) " +
+        "SELECT doc_id, dim, round(COUNT(*) / CAST(n AS DOUBLE), 6) AS weight " +
+        "FROM d GROUP BY doc_id, n, dim ORDER BY doc_id, dim"),
     "q33_vocab_topk" ->
       (s"WITH n AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
         "t AS (SELECT unnest(string_split(ntext, ' ')) AS token FROM n) " +

@@ -54,4 +54,24 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und"),
     "es" -> Seq("el", "los", "las", "y"),
     "fr" -> Seq("le", "les", "et", "du"))
+
+  /** Feature-hashing text vectorization (the hashing trick): each
+    * token maps to dimension md5(token) % dim; the weight of a
+    * dimension is its token share. Model-free text→vector embedding —
+    * the classic large-scale shortcut when no learned embedder is in
+    * the loop. Output is sparse rows (doc, dim, weight): one explode +
+    * one partial-agg groupBy, shuffle volume O(doc × distinct dims).
+    */
+  def hashingEmbedding(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol), col("__n"), explode(col("__toks")).as("__tk"))
+      .withColumn("dim", expr(
+        s"pmod(cast(conv(substring(md5(__tk), 1, 8), 16, 10) as bigint), $dim)"))
+      .groupBy(col(idCol), col("__n"), col("dim"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col(idCol), col("dim"),
+        round(col("__c") / col("__n").cast("double"), 6).as("weight"))
 }
