@@ -38,9 +38,6 @@ object TextOps {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
 
-  /** Token count of a document (whitespace tokenization). */
-  def tokenCount(text: Column): Column = size(tokens(text))
-
   /** Marker-word language scorer: how many tokens appear in the
     * marker set. The lang-ID heuristic scores each candidate language
     * and takes the argmax (ties broken by a fixed language order).
