@@ -232,7 +232,11 @@ class UpsertTable(spark: SparkSession, val location: String) {
       val outDir = s"$location/data/v$version-$attemptId"
       val out = survivors.unionByName(upserts)
         .withColumn("__bucket", bucketOf)
+      // sortWithinPartitions on the key: no extra shuffle, but data
+      // files get key-clustered row groups, so parquet min/max stats
+      // prune key-range scans inside a bucket too
       out.repartition(math.max(affected.size, 1), col("__bucket"))
+        .sortWithinPartitions(snap.keyCols.map(col): _*)
         .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
 
       val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
@@ -265,6 +269,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
     val outDir = s"$location/data/v$version-$attemptId"
     read().withColumn("__bucket", bucketOf)
       .repartition(newNumBuckets, col("__bucket"))
+      .sortWithinPartitions(snap.keyCols.map(col): _*)
       .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
     val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
       FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b) }
