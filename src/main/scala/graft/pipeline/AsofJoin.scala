@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: attach to each left row the payload of the
+  * LATEST right row with the same key and time at-or-before the left
+  * row's time (the time-series enrichment join Spark has no native
+  * operator for).
+  *
+  * Plan shape (the reason to compose it this way): union both sides,
+  * one hash shuffle on the key, and a carry-forward window
+  * (`last(payload) IGNORE NULLS`) over (time, side) order. No range
+  * join, no per-row subquery, no cross product — cost is one sort per
+  * key partition, the same as any windowed aggregation, at any scale.
+  * Right-side ties on the timestamp resolve deterministically to the
+  * greatest tie-break column value.
+  */
+object AsofJoin {
+
+  /** @param left       probe side
+    * @param right      build side carrying `payloadCol`
+    * @param keyCol     equi-join key (same name both sides)
+    * @param leftTime   left event-time column (numeric, same unit as right)
+    * @param rightTime  right event-time column
+    * @param payloadCol right column to attach (null when no right row
+    *                   at-or-before the left time)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: Column, rightTime: Column, payloadCol: String): DataFrame = {
+    val l = left
+      .withColumn("__t", leftTime)
+      .withColumn("__side", lit(1))
+      .withColumn(payloadCol, lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right
+      .select(col(keyCol), rightTime.as("__t"), col(payloadCol))
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // rights sort before lefts at equal time (side 0 < 1) → inclusive
+    // at-or-before; equal-time rights tie-break by greatest payload
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__t"), col("__side"), col(payloadCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u
+      .withColumn("__asof", last(col(payloadCol), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop(payloadCol, "__t", "__side")
+      .withColumnRenamed("__asof", payloadCol)
+  }
+}

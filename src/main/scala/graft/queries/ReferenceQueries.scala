@@ -191,6 +191,29 @@ object ReferenceQueries {
         .orderBy("o_custkey")
     }),
 
+    // Q35 — backward as-of join: each event enriched with the latest
+    // order of the same customer at-or-before the event time (union +
+    // carry-forward window; one key shuffle, no range-join explosion)
+    "q35_asof_join" -> ((s, d) => {
+      val ev = events(s, d).select(
+        col("user_id").as("k"),
+        col("event_id"),
+        col("ts")) // ns epoch (nanosAsLong)
+      val ord = Tables.load(s, d, "orders")
+      graft.pipeline.AsofJoin.backward(
+        left = ev,
+        right = ord.select(col("o_custkey").as("k"),
+          col("o_orderdate"), col("o_orderkey")),
+        keyCol = "k",
+        leftTime = expr("ts div 1000"), // ns -> µs
+        // o_orderdate is TIMESTAMP_NTZ; session is UTC, so the cast is
+        // exact and unix_micros ≡ DuckDB epoch_us
+        rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
+        payloadCol = "o_orderkey")
+        .select(col("event_id"), col("o_orderkey").as("asof_orderkey"))
+        .orderBy("event_id")
+    }),
+
     // Q12 — query-layer hash aggregate (§2.4)
     "q12_agg" -> ((s, d) =>
       events(s, d)
@@ -250,6 +273,17 @@ object ReferenceQueries {
     "q12_agg" ->
       ("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q35_asof_join" ->
+      ("WITH l AS (SELECT user_id AS k, epoch_ns(ts) // 1000 AS t, event_id, " +
+        "NULL::BIGINT AS o_orderkey, 1 AS side FROM events), " +
+        "r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, " +
+        "NULL::BIGINT AS event_id, o_orderkey, 0 AS side FROM orders), " +
+        "u AS (SELECT * FROM l UNION ALL SELECT * FROM r), " +
+        "c AS (SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (" +
+        "PARTITION BY k ORDER BY t, side, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey " +
+        "FROM u) " +
+        "SELECT event_id, asof_orderkey FROM c WHERE side = 1 ORDER BY event_id"),
     "q29_rollup" ->
       ("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events GROUP BY ROLLUP(event_type) " +
