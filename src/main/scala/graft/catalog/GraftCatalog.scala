@@ -68,7 +68,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
+    graft.Fs.children(dir)
       .filter(isTableDir)
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -112,7 +112,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = tablePath(ident)
     if (!isTableDir(p)) false
     else {
-      deleteRecursively(p)
+      graft.Fs.deleteRecursively(p)
       true
     }
   }
@@ -126,7 +126,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ---- SupportsNamespaces ----
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(warehouse).iterator().asScala
+    graft.Fs.children(warehouse)
       .filter(p => Files.isDirectory(p) && !isTableDir(p))
       .map(p => Array(p.getFileName.toString))
       .toArray
@@ -135,7 +135,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespace.isEmpty) return listNamespaces()
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
+    graft.Fs.children(dir)
       .filter(p => Files.isDirectory(p) && !isTableDir(p))
       .map(p => namespace :+ p.getFileName.toString)
       .toArray
@@ -162,18 +162,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))
     if (!Files.isDirectory(dir)) false
     else {
-      val empty = !Files.list(dir).iterator().hasNext
+      val empty = graft.Fs.children(dir).isEmpty
       if (!empty && !cascade)
         throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
-      deleteRecursively(dir)
+      graft.Fs.deleteRecursively(dir)
       true
     }
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 }
 

@@ -29,23 +29,30 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
       leftTime: Column, rightTime: Column, payloadCol: String): DataFrame = {
+    require(!left.columns.contains(payloadCol),
+      s"left side already has a column named $payloadCol; " +
+        "rename it first — the as-of join attaches the right payload under that name")
+    // the payload rides inside a non-null marker struct so a right row
+    // whose payload is genuinely NULL still "wins" as the latest match
+    // (a bare `last(payload) IGNORE NULLS` would skip it and attach an
+    // older row's payload instead)
     val l = left
       .withColumn("__t", leftTime)
       .withColumn("__side", lit(1))
-      .withColumn(payloadCol, lit(null).cast(right.schema(payloadCol).dataType))
     val r = right
-      .select(col(keyCol), rightTime.as("__t"), col(payloadCol))
+      .select(col(keyCol), rightTime.as("__t"),
+        struct(col(payloadCol).as("p")).as("__pv"))
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     // rights sort before lefts at equal time (side 0 < 1) → inclusive
     // at-or-before; equal-time rights tie-break by greatest payload
     val w = Window.partitionBy(keyCol)
-      .orderBy(col("__t"), col("__side"), col(payloadCol))
+      .orderBy(col("__t"), col("__side"), col("__pv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u
-      .withColumn("__asof", last(col(payloadCol), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__pv"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop(payloadCol, "__t", "__side")
-      .withColumnRenamed("__asof", payloadCol)
+      .withColumn(payloadCol, col("__asof.p"))
+      .drop("__pv", "__asof", "__t", "__side")
   }
 }

@@ -19,8 +19,11 @@ object StoreQueries {
 
   val CatalogName = "graft_sql"
 
+  // per-process suffix: parallel verify runs each get their own
+  // warehouse instead of colliding in a shared tmpdir (VERDICT r2)
   private def warehouse: String = {
-    val wh = Paths.get(sys.props("java.io.tmpdir"), "graft-sql-warehouse")
+    val wh = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-sql-warehouse-${ProcessHandle.current().pid()}")
     Files.createDirectories(wh)
     wh.toString
   }

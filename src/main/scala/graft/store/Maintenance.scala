@@ -20,14 +20,11 @@ object Maintenance {
   /** Store tables (dirs with a `_snapshots` log) under
     * `{warehouseDir}/{namespace}`.
     */
-  def listTables(warehouseDir: String, namespace: String): Seq[String] = {
-    val dir = Paths.get(warehouseDir, namespace)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+  def listTables(warehouseDir: String, namespace: String): Seq[String] =
+    graft.Fs.children(Paths.get(warehouseDir, namespace))
       .filter(p => Files.isDirectory(p.resolve("_snapshots")))
       .map(_.getFileName.toString)
-      .toSeq.sorted
-  }
+      .sorted
 
   /** Expire old snapshots on every table in the namespace; returns
     * (table, versions removed) per table.

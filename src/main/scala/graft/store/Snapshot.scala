@@ -47,15 +47,12 @@ object SnapshotLog {
 
   def snapshotsDir(tableRoot: String): Path = Paths.get(tableRoot, "_snapshots")
 
-  def listVersions(tableRoot: String): Seq[Long] = {
-    val dir = snapshotsDir(tableRoot)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+  def listVersions(tableRoot: String): Seq[Long] =
+    graft.Fs.children(snapshotsDir(tableRoot))
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
-  }
+      .sorted
 
   def read(tableRoot: String, version: Long): Snapshot = {
     val bytes = Files.readAllBytes(snapshotsDir(tableRoot).resolve(f"v$version%08d.json"))

@@ -306,18 +306,15 @@ class UpsertTable(spark: SparkSession, val location: String) {
   private def attemptId: String =
     java.util.UUID.randomUUID().toString.take(8)
 
-  private def listBucketFiles(outDir: String): Seq[(String, Int)] = {
-    val dir = Paths.get(outDir)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+  private def listBucketFiles(outDir: String): Seq[(String, Int)] =
+    graft.Fs.children(Paths.get(outDir))
       .filter(p => p.getFileName.toString.startsWith("__bucket="))
       .flatMap { bdir =>
         val b = bdir.getFileName.toString.stripPrefix("__bucket=").toInt
-        Files.list(bdir).iterator().asScala
+        graft.Fs.children(bdir)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(f => (s"${bdir.getFileName}/${f.getFileName}", b))
-      }.toSeq
-  }
+      }
 }
 
 object UpsertTable {

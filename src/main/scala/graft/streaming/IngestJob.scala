@@ -73,9 +73,10 @@ case class IngestJob(
 
   private def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
     // Arrival order inside the micro-batch ≙ Kafka offset: file
-    // sequence first (producer-assigned), then position within the
-    // file's partitions (monotonic id is increasing in row order per
-    // partition, and a file's partitions are planned in offset order).
+    // sequence first (producer-assigned), then block offset within the
+    // file (splits of one large file are packed into partitions in
+    // size order, not offset order), then the monotonic id (increasing
+    // in row order inside each split).
     val ordered = transform(batch)
       .withColumn("__ord", struct(col("__file"), monotonically_increasing_id()))
       .drop("__file")

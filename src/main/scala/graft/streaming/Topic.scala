@@ -27,20 +27,28 @@ object Topic {
 
   /** Streaming read of a topic (reference Kafka source DDL,
     * flink_json_to_iceberg.py:95-108): unbounded `value STRING` rows
-    * plus `__file` (the offset-carrying provenance column).
+    * plus `__file` (the offset-carrying provenance column: file path +
+    * block start). The block start matters: Spark plans one large file
+    * as several splits and packs splits into partitions sorted by size
+    * descending, so path alone would not order rows across the splits
+    * of a single file — (path, block_start, in-partition row id) does.
     */
   def stream(spark: SparkSession, topicDir: String): DataFrame =
     spark.readStream
       .schema(valueSchema)
       .text(topicDir)
-      .select(col("value"), col("_metadata.file_path").as("__file"))
+      .select(col("value"), fileOrd.as("__file"))
 
   /** Batch read of the whole topic (replay/verification path). */
   def readAll(spark: SparkSession, topicDir: String): DataFrame =
     spark.read
       .schema(valueSchema)
       .text(topicDir)
-      .select(col("value"), col("_metadata.file_path").as("__file"))
+      .select(col("value"), fileOrd.as("__file"))
+
+  private def fileOrd =
+    struct(col("_metadata.file_path").as("path"),
+      col("_metadata.file_block_start").as("block"))
 
   /** Producer sink (S4/P8, reference test_cdc.py:99-121): serialize
     * every column of `df` to one JSON object per row (`to_json(struct)`)
@@ -50,9 +58,17 @@ object Topic {
     */
   def produce(df: DataFrame, topicDir: String): Unit = {
     val json = df.select(to_json(struct(df.columns.toSeq.map(col): _*)).as("value"))
-    val tmp = Files.createTempDirectory("graft-topic-stage")
-    json.write.mode("overwrite").text(tmp.toString)
-    publish(tmp, Paths.get(topicDir))
+    val dir = Paths.get(topicDir)
+    Files.createDirectories(dir)
+    // stage INSIDE the topic dir: publish is then a same-filesystem
+    // hard link (staging under java.io.tmpdir breaks with EXDEV when
+    // /tmp is a different filesystem). Dot-prefixed dirs are invisible
+    // to Spark's file source, so consumers never see staged parts.
+    val tmp = Files.createTempDirectory(dir, ".graft-topic-stage")
+    try {
+      json.write.mode("overwrite").text(tmp.toString)
+      publish(tmp, dir)
+    } finally graft.Fs.deleteRecursively(tmp)
   }
 
   /** Driver-side harness append (the test_cdc.py role): raw JSON lines
@@ -69,8 +85,8 @@ object Topic {
 
   private def publish(staging: Path, dir: Path): Unit = {
     Files.createDirectories(dir)
-    val parts = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    val parts = graft.Fs.children(staging)
+      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
     parts.zipWithIndex.foreach { case (p, i) =>
       try publishOne(dir, p, suffix = f"$i%05d")
       finally Files.deleteIfExists(p)
@@ -96,8 +112,7 @@ object Topic {
   }
 
   private def nextSeq(dir: Path): Long =
-    if (!Files.isDirectory(dir)) 0L
-    else Files.list(dir).iterator().asScala
+    graft.Fs.children(dir)
       .map(_.getFileName.toString)
       .filter(_.endsWith(".jsonl"))
       .map(_.takeWhile(_ != '-').toLong)

@@ -150,6 +150,76 @@ class CdcSinkSpec extends AnyFunSuite {
     assert(rows(1L).isEmpty && rows(2L).contains(30L)) // old row null-filled
   }
 
+  test("steady-state batches reuse the stored schema — no re-inference") {
+    val base = Files.createTempDirectory("graft-cdc-noinfer")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    val before = CdcSink.inferenceCount.get()
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null", account(1, "a@example.com"))).toDF("value"),
+      wh, keyFor, microTsCols = Map("account" -> Seq("created_at")))
+    assert(CdcSink.inferenceCount.get() === before + 1) // first sight infers
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null", account(2, "b@example.com")),
+        env("account", "u", account(1, "a@example.com"),
+          account(1, "a2@example.com"))).toDF("value"),
+      wh, keyFor, microTsCols = Map("account" -> Seq("created_at")))
+    // same fields → parsed under the manifest schema, zero inference
+    assert(CdcSink.inferenceCount.get() === before + 1)
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    assert(t.schema("created_at").dataType === TimestampType)
+    val rows = t.read().select("user_id", "email").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a2@example.com", 2L -> "b@example.com"))
+    // a genuinely new field re-infers exactly once
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null",
+        """{"user_id":3,"email":"c@example.com","created_at":1757389556032031,"age":30}"""))
+        .toDF("value"),
+      wh, keyFor, microTsCols = Map("account" -> Seq("created_at")))
+    assert(CdcSink.inferenceCount.get() === before + 2)
+    assert(t.schema.fieldNames.contains("age"))
+  }
+
+  test("a batch where a known numeric column is all-null does not wedge the stream") {
+    val base = Files.createTempDirectory("graft-cdc-nullcol")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null",
+        """{"user_id":1,"email":"a@example.com","age":30}""")).toDF("value"),
+      wh, keyFor)
+    // age is null in every payload of this batch: with per-batch
+    // inference this inferred an untyped column and threw
+    // 'incompatible evolution' forever on replay (ADVICE r2)
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null",
+        """{"user_id":2,"email":"b@example.com","age":null}""")).toDF("value"),
+      wh, keyFor)
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    val rows = t.read().select("user_id", "age").collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        Option(r.get(1)).map(_.asInstanceOf[Number].longValue())).toMap
+    assert(rows === Map(1L -> Some(30L), 2L -> None))
+  }
+
+  test("first-sight inference drops null-only fields; they evolve in later") {
+    val base = Files.createTempDirectory("graft-cdc-nullfirst")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null",
+        """{"user_id":1,"email":"a@example.com","age":null}""")).toDF("value"),
+      wh, keyFor)
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    assert(!t.schema.fieldNames.contains("age")) // dropFieldIfAllNull
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null",
+        """{"user_id":2,"email":"b@example.com","age":41}""")).toDF("value"),
+      wh, keyFor)
+    assert(t.schema.fieldNames.contains("age")) // additive evolution
+  }
+
   test("malformed and foreign-payload envelopes are dropped, not fatal") {
     val base = Files.createTempDirectory("graft-cdc2")
     import spark.implicits._

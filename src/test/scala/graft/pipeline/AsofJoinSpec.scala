@@ -35,6 +35,29 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(5L).isEmpty)
   }
 
+  test("a NULL payload on the latest right row is attached as NULL, not skipped") {
+    val quotes = Seq[(Long, Long, Option[Long])](
+      (1L, 10L, Some(100L)),
+      (1L, 20L, None) // latest match has a genuinely NULL payload
+    ).toDF("k", "qt", "quote_id")
+    val trades = Seq((1L, 30L, 1L)).toDF("k", "tt", "trade_id")
+    val out = AsofJoin.backward(trades, quotes, "k",
+      leftTime = col("tt"), rightTime = col("qt"), payloadCol = "quote_id")
+      .select("quote_id").head()
+    // the t=20 row wins even though its payload is NULL; the stale 100
+    // from t=10 must NOT leak through
+    assert(out.isNullAt(0))
+  }
+
+  test("left side already owning the payload column is rejected, not clobbered") {
+    val quotes = Seq((1L, 10L, 100L)).toDF("k", "qt", "pid")
+    val trades = Seq((1L, 30L, 7L)).toDF("k", "tt", "pid") // pid collides
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(trades, quotes, "k", col("tt"), col("qt"), "pid")
+    }
+    assert(e.getMessage.contains("pid"))
+  }
+
   test("as-of plan is a single key shuffle, no range join or cross product") {
     val l = (1 to 100).map(i => (i.toLong % 5, i.toLong, i.toLong)).toDF("k", "tt", "id")
     val r = (1 to 50).map(i => (i.toLong % 5, i.toLong * 2, i.toLong)).toDF("k", "qt", "pid")
