@@ -38,28 +38,39 @@ object Bench {
       }
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // a failed rep records +Inf, never its (near-zero) failure time —
+    // min-reporting must not let broken code improve the record
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       // noop sink: fully executes the physical plan (sorts, projections,
       // exchanges) without Catalyst pruning it the way `.count()` would
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => Double.PositiveInfinity }
     }
     val samples: Seq[Map[String, Double]] =
       (1 to reps).map(_ => names.map(n => n -> timeOne(n)).toMap)
-    val best = names.map(n => n -> samples.map(_(n)).min).toMap
+    val failed = names.filter(n => samples.exists(_(n).isInfinity))
+    val best = names.map { n =>
+      val ok = samples.map(_(n)).filterNot(_.isInfinity)
+      n -> (if (ok.isEmpty) Double.PositiveInfinity else ok.min)
+    }.toMap
     val noisy = names.filter { n =>
-      val s = samples.map(_(n))
-      s.min > 0 && s.max / s.min > 3.0
+      val s = samples.map(_(n)).filterNot(_.isInfinity)
+      s.nonEmpty && s.min > 0 && s.max / s.min > 3.0
     }
-    val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
-    val total = best.values.sum
+    def fmt(d: Double): String = if (d.isInfinity) "\"failed\"" else d.toString
+    val qs = names.map(n => "\"" + n + "\":" + fmt(best(n))).mkString("{", ",", "}")
+    val total = best.values.filterNot(_.isInfinity).sum
     val warn =
       if (noisy.isEmpty) ""
       else ",\"load_warning\":" + noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$warn,"sf":"$sfDir"}""")
+    val fail =
+      if (failed.isEmpty) ""
+      else ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$warn$fail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

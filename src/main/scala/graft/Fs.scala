@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, LinkOption, Path}
 
 import scala.jdk.CollectionConverters._
 
@@ -22,8 +22,14 @@ object Fs {
     finally s.close()
   }
 
+  /** Recursive delete that never follows symlinks: a directory symlink
+    * inside a dropped table/namespace/staging dir is removed as a link
+    * entry, its target untouched (Files.isDirectory would otherwise
+    * resolve the link and descend into — then delete — the target).
+    */
   def deleteRecursively(p: Path): Unit = {
-    children(p).foreach(deleteRecursively)
+    if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS))
+      children(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -33,14 +33,8 @@ object StoreQueries {
     s.conf.set(s"spark.sql.catalog.$CatalogName.warehouse", warehouse)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val children = Files.list(p)
-      try children.iterator().forEachRemaining(deleteRecursively)
-      finally children.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.Fs.deleteRecursively(p)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q20 — events changelog CDC-merged into the store (event_type
