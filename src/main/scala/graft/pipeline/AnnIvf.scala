@@ -26,6 +26,12 @@ object AnnIvf {
 
   /** Nearest-centroid bucket per corpus vector (ties: lowest centroid
     * id — same rule as the DuckDB oracle).
+    *
+    * Shape: `max_by` over the broadcast fanout, NOT a row_number
+    * window — the argmax partially aggregates map-side, so the
+    * exchange carries at most one row per (partition, vector) instead
+    * of |corpus| × K rows. The tie-break struct `(s, -cid)` makes
+    * "highest similarity, then lowest centroid id" a plain maximum.
     */
   def assignBuckets(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "emb"): DataFrame = {
@@ -33,10 +39,13 @@ object AnnIvf {
     corpus
       .crossJoin(broadcast(c))
       .withColumn("s", sim(vecCol, "cemb"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("s").desc, col("cid"))))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        // vec is constant per id: carry it through the agg (one row
+        // per vector in the shuffle) instead of re-joining the corpus
+        first(col(vecCol)).as(vecCol),
+        max_by(col("cid"), struct(col("s"), (-col("cid")).as("nc"))).as("bucket"))
+      .select(col(idCol), col(vecCol), col("bucket"))
   }
 
   /** Lloyd-iteration centroid training (k-means-lite): seed with the
@@ -86,14 +95,22 @@ object AnnIvf {
       idCol: String = "vec_id", vecCol: String = "emb"): DataFrame = {
     val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
     val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cemb"))
+    // top-nprobe buckets per query via collect_list over the K
+    // (bounded, broadcast) centroids + sort + slice — partial-agg
+    // shape like assignBuckets, no per-query window exchange. Sort
+    // desc on (s, -cid, cid) = "s desc, cid asc", the oracle's order.
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qemb"))
       .crossJoin(broadcast(c))
       .withColumn("s", sim("qemb", "cemb"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("s").desc, col("cid"))))
-      .where(col("rn") <= nprobe)
-      .select(col("qid"), col("qemb"), col("cid").as("bucket"))
+      .groupBy(col("qid"))
+      .agg(
+        first(col("qemb")).as("qemb"),
+        slice(sort_array(collect_list(
+          struct(col("s"), (-col("cid")).as("nc"), col("cid"))), asc = false),
+          1, nprobe).as("top"))
+      .select(col("qid"), col("qemb"), explode(col("top")).as("t"))
+      .select(col("qid"), col("qemb"), col("t.cid").as("bucket"))
     assigned
       .join(broadcast(probes), "bucket")
       .where(col(idCol) =!= col("qid"))

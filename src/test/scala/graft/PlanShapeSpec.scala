@@ -40,6 +40,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "changelog-normalize lost map-side partial aggregation")
   }
 
+  test("IVF bucket assignment partially aggregates, no per-vector window") {
+    val p22 = plan("q22_ann_ivf")
+    val p25 = plan("q25_embedding_neardup")
+    // argmax-by-centroid must be a map-side partial aggregation: the
+    // exchange carries one row per vector, not the corpus × K fanout
+    assert(p22.contains("partial_max_by"),
+      s"q22 bucket assignment lost partial aggregation:\n$p22")
+    assert(p25.contains("partial_max_by"),
+      s"q25 bucket assignment lost partial aggregation:\n$p25")
+    // probe selection (top-nprobe centroids per query) is a bounded
+    // collect_list + slice, also partial-aggregated
+    assert(p22.contains("partial_collect_list"),
+      s"q22 probe selection lost partial aggregation:\n$p22")
+    // q25 has no window at all; q22's only window is the final
+    // per-query top-k over probed candidates
+    assert(!p25.contains("Window"), s"q25 reintroduced a window exchange:\n$p25")
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val p = plan("q10_status_filter")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"),
