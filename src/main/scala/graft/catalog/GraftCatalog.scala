@@ -5,15 +5,16 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.{EqualTo, Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -171,13 +172,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** DSv2 table over one [[UpsertTable]]: batch-readable via a V1Scan
-  * relation (column-pruned; residual filters applied by Spark above
-  * the scan), batch-writable via `INSERT INTO` (each insert is an
-  * upsert merge — the store's only write semantic, matching the
-  * reference's `write.upsert.enabled` tables where INSERT replaces
-  * rows with equal keys). Time travel and maintenance stay on the
-  * store API.
+/** DSv2 table over one [[UpsertTable]]: batch-readable via Spark's own
+  * vectorized DSv2 parquet scan over the snapshot's file list (column
+  * pruning and filter pushdown reach the parquet reader; whole-stage
+  * codegen sees a columnar `BatchScan`, no `RDD[Row]` conversion),
+  * batch-writable via `INSERT INTO` (each insert is an upsert merge —
+  * the store's only write semantic, matching the reference's
+  * `write.upsert.enabled` tables where INSERT replaces rows with equal
+  * keys). Time travel and maintenance stay on the store API.
   */
 private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
     version: Option[Long] = None)
@@ -197,34 +199,64 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
-      private var required: StructType = store.schema
-      private var keyEq: Map[String, Any] = Map.empty
+      private val dataSchema: StructType = schema()
+      private var required: StructType = dataSchema
+      private var filters: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        // equality-on-key predicates drive BUCKET PRUNING (only the
-        // matching bucket's files are scanned); every filter is
-        // returned as residual — Spark re-applies them above the scan
-        keyEq = filters.collect { case EqualTo(a, v) => a -> v }.toMap
-        filters
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+        // kept whole: equality-on-full-key predicates drive BUCKET
+        // PRUNING at build time, and all filters are handed to the
+        // parquet scan for row-group/page skipping; everything is also
+        // returned as residual — Spark re-applies above the scan (the
+        // standard file-source contract: parquet stats are advisory)
+        filters = fs
+        fs
       }
+      // key-equality filters are fully answered by bucket pruning +
+      // parquet stats; report them so EXPLAIN shows the point lookup
       override def pushedFilters(): Array[Filter] =
+        pruneKeys.map(m => m.map { case (k, v) => EqualTo(k, v): Filter }.toArray)
+          .getOrElse(Array.empty)
+      // prune only on current-version reads (time travel keeps it simple)
+      private def pruneKeys: Option[Map[String, Any]] = {
+        val keyEq = filters.collect { case EqualTo(a, v) => a -> v }.toMap
         if (version.isEmpty && store.keyCols.forall(keyEq.contains))
-          store.keyCols.map(k => EqualTo(k, keyEq(k)): Filter).toArray
-        else Array.empty
-      override def build(): Scan = new V1Scan {
-        // prune only on current-version reads (time travel keeps it simple)
-        private val pruneKeys =
-          if (version.isEmpty && store.keyCols.forall(keyEq.contains))
-            Some(keyEq.filter { case (k, _) => store.keyCols.contains(k) })
-          else None
-        override def readSchema(): StructType = required
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new GraftRelation(context, store, required, version, pruneKeys)
-            .asInstanceOf[T]
+          Some(keyEq.filter { case (k, _) => store.keyCols.contains(k) })
+        else None
+      }
+      override def build(): Scan = {
+        val spark = SparkSession.active
+        val paths = store.dataFiles(version, pruneKeys)
+          .map(new HadoopPath(_)).toSeq
+        // snapshot-pinned file listing: the index is built from the
+        // manifest's explicit file list, so concurrent commits never
+        // change what this scan reads (Iceberg-style isolation)
+        val index = new InMemoryFileIndex(spark, paths, Map.empty,
+          Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
+        new GraftParquetScanBuilder(spark, index, dataSchema)
+          .withPushdown(required, filters)
       }
     }
+
+  /** Thin subclass whose only job is to apply externally-decided
+    * pushdown state (required columns + source filters) and build —
+    * `pushedDataFilters` is protected in [[FileScanBuilder]], so the
+    * convertible-filter handoff to the parquet reader has to happen
+    * from a subclass.
+    */
+  private class GraftParquetScanBuilder(
+      spark: SparkSession,
+      index: InMemoryFileIndex,
+      dataSchema: StructType)
+      extends ParquetScanBuilder(spark, index, dataSchema, dataSchema,
+        CaseInsensitiveStringMap.empty()) {
+    def withPushdown(required: StructType, filters: Array[Filter]): Scan = {
+      pruneColumns(required)
+      pushedDataFilters = pushDataFilters(filters)
+      build()
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -245,19 +277,3 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
     }
 }
 
-private[catalog] class GraftRelation(
-    context: SQLContext, store: UpsertTable, required: StructType,
-    version: Option[Long] = None,
-    pruneKeys: Option[Map[String, Any]] = None)
-    extends BaseRelation with TableScan {
-  override def sqlContext: SQLContext = context
-  override def schema: StructType = required
-  override def buildScan(): RDD[Row] = {
-    val df = version.map(store.readVersion).getOrElse(
-      pruneKeys.map(store.readWhere).getOrElse(store.read()))
-    val pruned =
-      if (required.isEmpty) df.select() // e.g. COUNT(*): zero columns
-      else df.select(required.fieldNames.map(col).toSeq: _*)
-    pruned.rdd
-  }
-}

@@ -116,6 +116,21 @@ class UpsertTable(spark: SparkSession, val location: String) {
       case None => read()
     }
 
+  /** Absolute data-file paths of a snapshot (current when `version` is
+    * None), restricted to the single key bucket when a full
+    * key-equality map is given — feeds the catalog's DSv2 scan, which
+    * hands them straight to Spark's vectorized parquet reader.
+    */
+  def dataFiles(version: Option[Long] = None,
+      pruneKeys: Option[Map[String, Any]] = None): Seq[String] = {
+    val snap = version.map(SnapshotLog.read(location, _)).getOrElse(snapshotOrFail)
+    val files = pruneKeys.flatMap(bucketFor) match {
+      case Some(b) => snap.files.filter(_.bucket == b)
+      case None => snap.files
+    }
+    files.map(f => s"$location/${f.path}")
+  }
+
   private def readSnapshot(s: Snapshot): DataFrame = {
     val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     readFiles(s.files, schema)

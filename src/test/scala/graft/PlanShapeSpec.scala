@@ -58,6 +58,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p25.contains("Window"), s"q25 reintroduced a window exchange:\n$p25")
   }
 
+  test("catalog SQL reads are columnar DSv2 parquet scans, no RDD bridge") {
+    val p = plan("q20_store_sql_roundtrip")
+    assert(p.contains("BatchScan"), s"q20 read is not a DSv2 batch scan:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"q20 crosses a DataFrame->RDD[Row] boundary:\n$p")
+    assert(!p.contains("RowToColumnar"),
+      s"q20 pays a row-to-columnar conversion:\n$p")
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val p = plan("q10_status_filter")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"),

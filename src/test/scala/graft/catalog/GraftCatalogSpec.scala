@@ -65,7 +65,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(tables.contains("t_intro"))
   }
 
-  test("aggregates and zero-column scans work through the V1 relation") {
+  test("aggregates and zero-column scans work through the DSv2 scan") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
     spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_agg (k INT, v DOUBLE) " +
@@ -103,9 +103,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(all.count(_.bucket == pruned) < all.size)
     assert(t.readWhere(Map("k" -> 42)).where($"k" === 42).count() === 1)
     // SQL level: point lookup is correct and matches the full scan
-    val viaSql = spark.sql("SELECT v FROM graft_t.cdc.t_prune WHERE k = 42")
-      .head().getString(0)
-    assert(viaSql === "v42")
+    val lookup = spark.sql("SELECT v FROM graft_t.cdc.t_prune WHERE k = 42")
+    assert(lookup.head().getString(0) === "v42")
+    // plan level: the key predicate reaches the vectorized parquet scan
+    val phys = lookup.queryExecution.executedPlan.toString
+    assert(phys.contains("BatchScan") && phys.contains("EqualTo(k,42)"),
+      s"point lookup lost scan pushdown:\n$phys")
     // non-key or partial predicates still answer from the full table
     assert(spark.sql("SELECT COUNT(*) FROM graft_t.cdc.t_prune WHERE v LIKE 'v4%'")
       .head().getLong(0) === 111) // 4, 40-49, 400-499
