@@ -11,14 +11,14 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.{EqualTo, Filter, InsertableRelation}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.store.UpsertTable
+import graft.store.{SnapshotLog, UpsertTable}
 
 /** SQL addressability for the upsert store (SURVEY.md §2.1 S7, §2.4
   * Q-d/Q-f): a `TableCatalog` + `SupportsNamespaces` over a warehouse
@@ -93,6 +93,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       version = Some(version.toLong))
   }
 
+  /** Time travel (`TIMESTAMP AS OF t`) — Spark hands micros since
+    * epoch; resolve to the newest snapshot committed at or before it.
+    * The time-denominated twin of `VERSION AS OF`, matching the
+    * reference's retention world (snapshot_mgmt.py:18 `'6h'`).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val loc = p.toString
+    val tsMs = Math.floorDiv(timestamp, 1000L)
+    val at = SnapshotLog.listVersions(loc).reverseIterator
+      .map(SnapshotLog.read(loc, _))
+      .find(_.timestampMs <= tsMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of $ident committed at or before epoch ${tsMs} ms"))
+    new GraftSqlTable(ident, UpsertTable(spark, loc),
+      version = Some(at.version))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val keys = Option(properties.get("keys")).map(_.split(",").map(_.trim).toSeq)
@@ -105,9 +124,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(ident, t)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution happens through UpsertTable.merge (S6)")
+  /** SQL schema evolution, routed through the store's evolve
+    * semantics (the reference sink's evolve mode as DDL): `ADD
+    * COLUMNS` appends nullable columns, `ALTER COLUMN … TYPE` widens
+    * int→long / float→double. Both commit a manifest-only snapshot —
+    * existing data files are served by cast-on-read, no rewrite.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val store = UpsertTable(spark, p.toString)
+    val target = changes.foldLeft(store.schema) { (sch, ch) => ch match {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "nested ADD COLUMN is not supported")
+        StructType(sch.fields :+
+          StructField(add.fieldNames()(0), add.dataType(), nullable = true))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          "nested column types are not supported")
+        val name = upd.fieldNames()(0)
+        val cur = sch(name).dataType
+        // only widenings are storable without rewriting history; evolve
+        // rejects incompatible pairs, this rejects silent narrowing
+        val widened = UpsertTable.evolve(
+          StructType(Seq(StructField(name, cur))),
+          StructType(Seq(StructField(name, upd.newDataType()))))._1.head.dataType
+        require(widened == upd.newDataType(),
+          s"ALTER COLUMN $name TYPE ${upd.newDataType().sql} does not widen ${cur.sql}")
+        StructType(sch.fields.map(f =>
+          if (f.name == name) f.copy(dataType = upd.newDataType()) else f))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }}
+    store.evolveSchema(target)
+    new GraftSqlTable(ident, store)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
@@ -192,7 +244,7 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def properties(): util.Map[String, String] =
     Map("keys" -> store.keyCols.mkString(",")).asJava
 
@@ -259,19 +311,20 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      // INSERT INTO ≙ upsert merge by the table's keys (the store's
+      // write semantic, reference write.upsert.enabled); INSERT
+      // OVERWRITE ≙ truncate-commit: the new snapshot holds only the
+      // inserted rows, prior versions stay time-travelable
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation(): InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
-                overwrite: Boolean): Unit = {
-              // INSERT ≙ upsert merge by the table's keys (the store's
-              // write semantic); INSERT OVERWRITE is not supported —
-              // truncation would need a distinct store op
-              if (overwrite) throw new UnsupportedOperationException(
-                "INSERT OVERWRITE is not supported; INSERT merges by key")
-              store.merge(data)
-            }
+                overwrite: Boolean): Unit =
+              if (overwriteAll || overwrite) store.overwrite(data)
+              else store.merge(data)
           }
       }
     }

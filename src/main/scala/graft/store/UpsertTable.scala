@@ -190,7 +190,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
     // schema evolution (S6): additive columns; int→long / float→double
     // widening; anything else incompatible is rejected
     val oldSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val (newSchema, widened) = evolve(oldSchema, batchDataSchema)
+    val (newSchema, _) = evolve(oldSchema, batchDataSchema)
     val dataCols = newSchema.fieldNames.toSeq
 
     // align batch to evolved schema (missing cols → null, widen casts)
@@ -225,10 +225,16 @@ class UpsertTable(spark: SparkSession, val location: String) {
     try {
       val bucketOf = bucketExpr(snap.keyCols, snap.numBuckets)
 
-      // buckets touched by this batch — bounded by numBuckets, safe to collect
+      // buckets touched by this batch — bounded by numBuckets, safe to
+      // collect. Widening does NOT touch extra buckets: files in
+      // untouched buckets keep their narrow physical type and are
+      // served by cast-on-read under the manifest schema (the parquet
+      // reader promotes int32→int64 / float→double); the physical
+      // rewrite is deferred to [[rewriteData]] maintenance. A 100 TB
+      // table therefore absorbs an int→long evolution without a
+      // full rewrite inside a merge commit.
       val affected: Set[Int] =
-        if (widened) (0 until snap.numBuckets).toSet
-        else normalized.select(bucketOf.as("b")).distinct()
+        normalized.select(bucketOf.as("b")).distinct()
           .collect().map(_.getInt(0)).toSet
 
       val (oldAffected, untouched) = snap.files.partition(f => affected(f.bucket))
@@ -278,12 +284,27 @@ class UpsertTable(spark: SparkSession, val location: String) {
     require(newNumBuckets > 0, "bucket count must be positive")
     val snap = snapshotOrFail
     if (snap.numBuckets == newNumBuckets) return
+    rewriteAll(snap, newNumBuckets)
+  }
+
+  /** Maintenance rewrite of every data file under the current manifest
+    * schema and bucket count: completes deferred widening (files whose
+    * physical types are narrower than the manifest, served by
+    * cast-on-read until now) and compacts accumulated small files.
+    * A normal snapshot commit — concurrent readers and time travel are
+    * never disturbed.
+    */
+  def rewriteData(): Unit = synchronized {
+    rewriteAll(snapshotOrFail, snapshotOrFail.numBuckets)
+  }
+
+  private def rewriteAll(snap: Snapshot, numBuckets: Int): Unit = {
     val schema = this.schema
-    val bucketOf = bucketExpr(snap.keyCols, newNumBuckets)
+    val bucketOf = bucketExpr(snap.keyCols, numBuckets)
     val version = snap.version + 1
     val outDir = s"$location/data/v$version-$attemptId"
     read().withColumn("__bucket", bucketOf)
-      .repartition(newNumBuckets, col("__bucket"))
+      .repartition(numBuckets, col("__bucket"))
       .sortWithinPartitions(snap.keyCols.map(col): _*)
       .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
     val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
@@ -291,7 +312,62 @@ class UpsertTable(spark: SparkSession, val location: String) {
     SnapshotLog.commit(location, snap.copy(
       version = version,
       schemaJson = schema.json,
-      numBuckets = newNumBuckets,
+      numBuckets = numBuckets,
+      files = newFiles,
+      timestampMs = System.currentTimeMillis()))
+  }
+
+  /** DDL-driven schema evolution (`ALTER TABLE … ADD COLUMN` / type
+    * widening, reference connect-iceberg-sink.json:14 evolve mode as
+    * SQL): commits a MANIFEST-ONLY snapshot under the evolved schema —
+    * no data rewrite. Existing files are served by cast-on-read (the
+    * parquet reader promotes int32→int64 / float→double and fills
+    * absent columns with null under the manifest read schema); the
+    * physical rewrite, if ever wanted, is [[rewriteData]] maintenance.
+    */
+  def evolveSchema(incoming: StructType): Unit = synchronized {
+    val snap = snapshotOrFail
+    val old = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val (newSchema, _) = evolve(old, incoming)
+    if (newSchema == old) return
+    SnapshotLog.commit(location, snap.copy(
+      version = snap.version + 1,
+      schemaJson = newSchema.json,
+      timestampMs = System.currentTimeMillis()))
+  }
+
+  /** Truncate-commit (SQL `INSERT OVERWRITE`): the new snapshot
+    * references only the inserted rows' files, so the table becomes
+    * exactly `batch` while every prior snapshot stays time-travelable
+    * until expiry. Duplicate keys in the batch are rejected — an
+    * overwrite carries no arrival order to break ties with.
+    */
+  def overwrite(batch: DataFrame): Unit = synchronized {
+    val snap = snapshotOrFail
+    val oldSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val (newSchema, _) = evolve(oldSchema, batch.schema)
+    val aligned = newSchema.fields.foldLeft(batch) { (df, f) =>
+      if (!df.columns.contains(f.name)) df.withColumn(f.name, lit(null).cast(f.dataType))
+      else if (df.schema(f.name).dataType != f.dataType)
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df
+    }.select(newSchema.fieldNames.map(col).toSeq: _*)
+    val dups = aligned.groupBy(snap.keyCols.map(col): _*)
+      .count().where(col("count") > 1).limit(1).count()
+    require(dups == 0L,
+      s"INSERT OVERWRITE batch has duplicate keys for $location")
+    val bucketOf = bucketExpr(snap.keyCols, snap.numBuckets)
+    val version = snap.version + 1
+    val outDir = s"$location/data/v$version-$attemptId"
+    aligned.withColumn("__bucket", bucketOf)
+      .repartition(snap.numBuckets, col("__bucket"))
+      .sortWithinPartitions(snap.keyCols.map(col): _*)
+      .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
+    val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
+      FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b) }
+    SnapshotLog.commit(location, snap.copy(
+      version = version,
+      schemaJson = newSchema.json,
       files = newFiles,
       timestampMs = System.currentTimeMillis()))
   }
@@ -354,8 +430,9 @@ object UpsertTable {
   /** Schema evolution à la the Iceberg sink's evolve mode
     * (connect-iceberg-sink.json:14): additive columns plus int→long /
     * float→double widening; everything else incompatible is rejected.
-    * Returns the evolved schema and whether stored files need a type
-    * rewrite (an existing column widened).
+    * Returns the evolved schema and whether an existing column widened
+    * — widened files stay on disk at the narrow type and are served by
+    * cast-on-read until [[UpsertTable.rewriteData]] maintenance.
     */
   def evolve(old: StructType, incoming: StructType): (StructType, Boolean) = {
     var widened = false

@@ -125,6 +125,43 @@ class UpsertTableSpec extends AnyFunSuite {
     assert(t.read().count() === 100)
   }
 
+  test("widening merge rewrites only the batch's buckets (lazy widening)") {
+    val t = tmpTable()
+    t.merge((1 to 100).map(i => (i, s"u$i", i)).toDF("user_id", "email", "age"),
+      autoCreateKeys = Seq("user_id"))
+    val before = t.currentSnapshot.get.files
+    // widen age int -> long via a single-key merge
+    t.merge(Seq((1, "u1", 9999999999L)).toDF("user_id", "email", "age"))
+    val after = t.currentSnapshot.get.files
+    val batchBucket = t.bucketFor(Map("user_id" -> 1)).get
+    // untouched buckets' files carried over byte-identical (no rewrite)
+    assert(after.filterNot(_.bucket == batchBucket).toSet ===
+      before.filterNot(_.bucket == batchBucket).toSet)
+    // narrow files in untouched buckets served as long via cast-on-read
+    assert(t.schema("age").dataType === LongType)
+    val got = t.read().orderBy("user_id").collect()
+    assert(got.map(_.getLong(2)).take(3).toSeq === Seq(9999999999L, 2L, 3L))
+    // maintenance completes the physical rewrite; answers unchanged
+    t.rewriteData()
+    assert(t.read().orderBy("user_id").collect().map(_.getLong(2)).take(3).toSeq
+      === Seq(9999999999L, 2L, 3L))
+  }
+
+  test("overwrite is a truncate-commit: table becomes exactly the batch") {
+    val t = tmpTable()
+    t.merge((1 to 50).map(i => (i, s"u$i")).toDF("user_id", "email"),
+      autoCreateKeys = Seq("user_id"))
+    val vBefore = t.currentSnapshot.get.version
+    t.overwrite(Seq((7, "only")).toDF("user_id", "email"))
+    assert(t.read().collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      === Seq((7, "only")))
+    assert(t.readVersion(vBefore).count() === 50)
+    // duplicate keys have no tiebreak in an overwrite: rejected
+    intercept[IllegalArgumentException] {
+      t.overwrite(Seq((1, "a"), (1, "b")).toDF("user_id", "email"))
+    }
+  }
+
   test("duplicate keys without orderCol are rejected (determinism guard)") {
     val t = tmpTable()
     val dup = Seq((1, "first"), (1, "second")).toDF("user_id", "email")
