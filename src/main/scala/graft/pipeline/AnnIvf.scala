@@ -54,17 +54,26 @@ object AnnIvf {
     * map-side partial sums — the vectors themselves never shuffle).
     * Deterministic for a given corpus, so trained indexes are
     * reproducible across retries.
+    *
+    * @param roundTo round each centroid component to this many decimal
+    *                places after every mean step — pins the result
+    *                across summation orders (partition merge order vs
+    *                a sequential engine), so a trained index can be
+    *                oracle-compared bit-for-bit
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "emb"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "emb",
+      roundTo: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.udaf
     val mean = udaf(graft.functions.VectorMean)
     var centroids = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol), col(vecCol))
     for (_ <- 0 until iters) {
+      val m = mean(col(vecCol))
+      val c = roundTo.map(p => transform(m, x => round(x, p))).getOrElse(m)
       centroids = assignBuckets(corpus, centroids, idCol, vecCol)
         .groupBy(col("bucket").as(idCol))
-        .agg(mean(col(vecCol)).as(vecCol))
+        .agg(c.as(vecCol))
     }
     centroids
   }

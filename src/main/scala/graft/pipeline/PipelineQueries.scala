@@ -146,6 +146,24 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // q36 — IVF probe search over a TRAINED index at k≈√N: the scale
+    // rule exercised end-to-end. With k ~ √N the in-bucket work
+    // Σ bucket² ≈ N·√N stays subquadratic as the corpus grows (q22's
+    // fixed-k variant is the small-corpus twin). Two Lloyd rounds,
+    // deterministic first-k seed, centroids rounded to 6 dp so the
+    // trained index is bit-identical across engines.
+    "q36_ann_trained" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val centroids = AnnIvf.trainCentroids(e, k, iters = 2, roundTo = Some(6))
+      AnnIvf.topKProbed(
+        corpus = e, centroids = centroids,
+        queries = e.where(col("vec_id") < 5),
+        k = 10, nprobe = 4)
+        .orderBy("qid", "vec_id")
+    }),
+
     // q26 — corpus curation filter: the end-to-end training-data
     // selection shape — quality stats + language ID + exact-dedup
     // survivorship composed into one pass over the corpus
@@ -283,6 +301,40 @@ object PipelineQueries {
         "probes AS (SELECT qid, qemb, cid AS bucket FROM (" +
         s"SELECT q.qid, q.qemb, c.cid, row_number() OVER (PARTITION BY q.qid " +
         s"ORDER BY ${cos("q.qemb", "c.cemb")} DESC, c.cid) AS rn FROM q, c) WHERE rn <= 4), " +
+        s"cand AS (SELECT p.qid, a.vec_id, ${cos("a.emb", "p.qemb")} AS sim " +
+        "FROM assign a JOIN probes p ON a.bucket = p.bucket WHERE a.vec_id <> p.qid), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, vec_id) AS rn FROM cand) " +
+        "SELECT qid, vec_id, sim FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id"
+    },
+    "q36_ann_trained" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      // assign each vector to its nearest centroid (ties: lowest cid)
+      val assign = (src: String, cent: String) =>
+        s"SELECT vec_id, emb, cid AS bucket FROM (" +
+          s"SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+          s"ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn " +
+          s"FROM $src e, $cent c) WHERE rn = 1"
+      // element-wise bucket mean, rounded to 6 dp (VectorMean mirror)
+      val meanc = (src: String) =>
+        s"SELECT bucket AS cid, list(round(m, 6) ORDER BY i) AS cemb FROM (" +
+          s"SELECT bucket, i, avg(v) AS m FROM (" +
+          s"SELECT bucket, unnest(emb) AS v, generate_subscripts(emb, 1) AS i " +
+          s"FROM $src) GROUP BY bucket, i) GROUP BY bucket"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "seed AS (SELECT vec_id AS cid, emb AS cemb FROM (" +
+        "SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM e) " +
+        "WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM e)), " +
+        s"a1 AS (${assign("e", "seed")}), c1 AS (${meanc("a1")}), " +
+        s"a2 AS (${assign("e", "c1")}), c2 AS (${meanc("a2")}), " +
+        s"assign AS (${assign("e", "c2")}), " +
+        "q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5), " +
+        "probes AS (SELECT qid, qemb, cid AS bucket FROM (" +
+        "SELECT q.qid, q.qemb, c.cid, row_number() OVER (PARTITION BY q.qid " +
+        s"ORDER BY ${cos("q.qemb", "c.cemb")} DESC, c.cid) AS rn FROM q, c2 c) " +
+        "WHERE rn <= 4), " +
         s"cand AS (SELECT p.qid, a.vec_id, ${cos("a.emb", "p.qemb")} AS sim " +
         "FROM assign a JOIN probes p ON a.bucket = p.bucket WHERE a.vec_id <> p.qid), " +
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid " +
