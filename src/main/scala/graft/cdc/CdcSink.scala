@@ -54,10 +54,13 @@ object CdcSink {
     * ordering / row image (`after`, or `before` for deletes) with
     * `get_json_object`; group by target table; `from_json`-parse under
     * the stored table's schema (full `spark.read.json` inference runs
-    * only on first sight of a table or when new payload fields appear
-    * — the sink's auto-create/evolve inference), flatten `row.*`,
-    * convert any declared Debezium MicroTimestamp columns, and
-    * CDC-merge.
+    * only on first sight of a table, when a new non-null TOP-LEVEL
+    * payload field appears, or when a stored type has drifted — the
+    * sink's auto-create/evolve inference), flatten `row.*`, convert
+    * any declared Debezium MicroTimestamp columns, and CDC-merge.
+    * New fields nested inside an existing struct column do NOT trigger
+    * re-inference (top-level key scan only); lock schemas via
+    * [[EvolveConf]] when payloads are deeply nested and drifting.
     *
     * Scale notes: the only driver-side materialization is the distinct
     * table list (bounded by the schema's table count, like the
@@ -119,21 +122,52 @@ object CdcSink {
           spark.read.option("dropFieldIfAllNull", "true")
             .json(rows.select("__payload").as(Encoders.STRING)).schema
         }
-        val payloadSchema =
-          if (!target.exists) infer()
-          else {
-            val cached = payloadSchemaFor(target.schema,
-              microTsCols.getOrElse(table, Seq.empty))
+        val cachedSchema =
+          if (!target.exists) None
+          else Some(payloadSchemaFor(target.schema,
+            microTsCols.getOrElse(table, Seq.empty)))
+        val payloadSchema = cachedSchema match {
+          case None => infer()
+          case Some(cached) =>
             // key-name scan: no type inference, no schema merging —
-            // a narrow existence check, and skippable via EvolveConf
+            // a narrow existence check, and skippable via EvolveConf.
+            // Keys whose value is an explicit JSON null are ignored:
+            // dropFieldIfAllNull would drop them again, so re-inferring
+            // can never change the schema — without this filter a
+            // stream carrying such a field degrades back to per-batch
+            // inference permanently. Top-level keys only: a new field
+            // nested INSIDE an existing struct column does not trigger
+            // re-inference (documented trade — recursing would re-parse
+            // every struct payload each batch).
             val newField = evolve && rows
-              .select(explode(expr("json_object_keys(__payload)")).as("k"))
+              .select(col("__payload"),
+                explode(expr("json_object_keys(__payload)")).as("k"))
               .where(!col("k").isin(cached.fieldNames.toSeq: _*))
+              .where(expr(
+                "get_json_object(__payload, concat('$.', k))").isNotNull)
               .limit(1).count() > 0
             if (newField) infer() else cached
-          }
+        }
+        // type-drift guard: a stale cached type (a long column that
+        // starts carrying decimals) makes from_json null the FIELD
+        // while the raw JSON value is non-null — silent data loss if
+        // merged. Detect exactly that shape and re-infer once; the
+        // evolve path then widens (long→double) or rejects loudly
+        // (long→string), never silently nulls.
+        val finalSchema = cachedSchema match {
+          case Some(cached) if evolve && (payloadSchema eq cached) =>
+            val parsed = rows.withColumn("__row",
+              from_json(col("__payload"), cached))
+            val drifted = cached.fields.map(f =>
+              col("__row").getField(f.name).isNull &&
+                expr(s"get_json_object(__payload, '$$.${f.name}')").isNotNull)
+              .reduceOption(_ or _).getOrElse(lit(false))
+            if (parsed.where(drifted).limit(1).count() > 0) infer()
+            else cached
+          case _ => payloadSchema
+        }
         val flattened = rows
-          .withColumn("__row", from_json(col("__payload"), payloadSchema))
+          .withColumn("__row", from_json(col("__payload"), finalSchema))
           .select(col("__row.*"), col("__op"),
             struct(col("__lsn"), col("__txid")).as("__ord"))
         val converted = microTsCols.getOrElse(table, Seq.empty)

@@ -187,19 +187,15 @@ class UpsertTable(spark: SparkSession, val location: String) {
     } yield bid <= last
     if (replayed.contains(true)) return
 
-    // schema evolution (S6): additive columns; int→long / float→double
-    // widening; anything else incompatible is rejected
+    // schema evolution (S6): additive columns; numeric widening;
+    // anything else incompatible is rejected
     val oldSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val (newSchema, _) = evolve(oldSchema, batchDataSchema)
     val dataCols = newSchema.fieldNames.toSeq
 
-    // align batch to evolved schema (missing cols → null, widen casts)
-    val aligned0 = newSchema.fields.foldLeft(batch) { (df, f) =>
-      if (!df.columns.contains(f.name)) df.withColumn(f.name, lit(null).cast(f.dataType))
-      else if (df.schema(f.name).dataType != f.dataType)
-        df.withColumn(f.name, col(f.name).cast(f.dataType))
-      else df
-    }
+    // align batch to evolved schema (missing cols → null, widen casts);
+    // opCol/orderCol meta columns ride along untouched
+    val aligned0 = alignTypes(batch, newSchema)
     // in-batch changelog-normalize: last row per key wins (C1) —
     // row_number over key ordered by arrival desc, like the reference's
     // upsert materialization. Without an order column there is no
@@ -226,19 +222,29 @@ class UpsertTable(spark: SparkSession, val location: String) {
       val bucketOf = bucketExpr(snap.keyCols, snap.numBuckets)
 
       // buckets touched by this batch — bounded by numBuckets, safe to
-      // collect. Widening does NOT touch extra buckets: files in
-      // untouched buckets keep their narrow physical type and are
-      // served by cast-on-read under the manifest schema (the parquet
-      // reader promotes int32→int64 / float→double); the physical
-      // rewrite is deferred to [[rewriteData]] maintenance. A 100 TB
-      // table therefore absorbs an int→long evolution without a
-      // full rewrite inside a merge commit.
+      // collect. A READ-PROMOTABLE widening does not touch extra
+      // buckets: files in untouched buckets keep their narrow physical
+      // type and are served by cast-on-read under the manifest schema;
+      // the physical rewrite is deferred to [[rewriteData]]
+      // maintenance. A 100 TB table therefore absorbs an int→long
+      // evolution without a full rewrite inside a merge commit. Only a
+      // widening the parquet reader cannot serve (long→double) still
+      // forces the full rewrite — the manifest schema must stay
+      // readable over every live file.
+      val unservableWiden = oldSchema.fields.exists { f =>
+        newSchema.fields.find(_.name == f.name).exists(nf =>
+          nf.dataType != f.dataType && !promotableOnRead(f.dataType, nf.dataType))
+      }
       val affected: Set[Int] =
-        normalized.select(bucketOf.as("b")).distinct()
+        if (unservableWiden) (0 until snap.numBuckets).toSet
+        else normalized.select(bucketOf.as("b")).distinct()
           .collect().map(_.getInt(0)).toSet
 
       val (oldAffected, untouched) = snap.files.partition(f => affected(f.bucket))
-      val oldDf = readFiles(oldAffected, newSchema)
+      // read rewritten buckets under the OLD manifest schema (every
+      // live file is promotable-readable under it by invariant), then
+      // align-cast to the evolved schema
+      val oldDf = align(readFiles(oldAffected, oldSchema), newSchema)
 
       // keys present in the batch replace (or delete) stored rows
       val batchKeys = normalized.select(snap.keyCols.map(col): _*)
@@ -298,12 +304,15 @@ class UpsertTable(spark: SparkSession, val location: String) {
     rewriteAll(snapshotOrFail, snapshotOrFail.numBuckets)
   }
 
-  private def rewriteAll(snap: Snapshot, numBuckets: Int): Unit = {
-    val schema = this.schema
+  private def rewriteAll(snap: Snapshot, numBuckets: Int): Unit =
+    commitRewrite(snap, numBuckets, schema, read())
+
+  private def commitRewrite(snap: Snapshot, numBuckets: Int,
+      schema: StructType, df: DataFrame): Unit = {
     val bucketOf = bucketExpr(snap.keyCols, numBuckets)
     val version = snap.version + 1
     val outDir = s"$location/data/v$version-$attemptId"
-    read().withColumn("__bucket", bucketOf)
+    df.withColumn("__bucket", bucketOf)
       .repartition(numBuckets, col("__bucket"))
       .sortWithinPartitions(snap.keyCols.map(col): _*)
       .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
@@ -320,21 +329,46 @@ class UpsertTable(spark: SparkSession, val location: String) {
   /** DDL-driven schema evolution (`ALTER TABLE … ADD COLUMN` / type
     * widening, reference connect-iceberg-sink.json:14 evolve mode as
     * SQL): commits a MANIFEST-ONLY snapshot under the evolved schema —
-    * no data rewrite. Existing files are served by cast-on-read (the
-    * parquet reader promotes int32→int64 / float→double and fills
-    * absent columns with null under the manifest read schema); the
-    * physical rewrite, if ever wanted, is [[rewriteData]] maintenance.
+    * no data rewrite — whenever the parquet reader can serve existing
+    * files by cast-on-read (added columns → null; int→long,
+    * int→double, float→double promotions). Only a read-unservable
+    * widening (long→double) rewrites the data in the same commit, so
+    * the manifest schema always stays readable over every live file.
     */
   def evolveSchema(incoming: StructType): Unit = synchronized {
     val snap = snapshotOrFail
     val old = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val (newSchema, _) = evolve(old, incoming)
     if (newSchema == old) return
-    SnapshotLog.commit(location, snap.copy(
-      version = snap.version + 1,
-      schemaJson = newSchema.json,
-      timestampMs = System.currentTimeMillis()))
+    val unservable = old.fields.exists { f =>
+      newSchema.fields.find(_.name == f.name).exists(nf =>
+        nf.dataType != f.dataType && !promotableOnRead(f.dataType, nf.dataType))
+    }
+    if (unservable)
+      commitRewrite(snap, snap.numBuckets, newSchema,
+        align(readFiles(snap.files, old), newSchema))
+    else
+      SnapshotLog.commit(location, snap.copy(
+        version = snap.version + 1,
+        schemaJson = newSchema.json,
+        timestampMs = System.currentTimeMillis()))
   }
+
+  /** Align a frame's columns to `schema` types: missing columns become
+    * typed nulls, differing (wider) types are cast. Extra columns
+    * (merge meta like op/order) are preserved.
+    */
+  private def alignTypes(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (!d.columns.contains(f.name)) d.withColumn(f.name, lit(null).cast(f.dataType))
+      else if (d.schema(f.name).dataType != f.dataType)
+        d.withColumn(f.name, col(f.name).cast(f.dataType))
+      else d
+    }
+
+  /** [[alignTypes]] plus projection to exactly `schema`'s columns. */
+  private def align(df: DataFrame, schema: StructType): DataFrame =
+    alignTypes(df, schema).select(schema.fieldNames.map(col).toSeq: _*)
 
   /** Truncate-commit (SQL `INSERT OVERWRITE`): the new snapshot
     * references only the inserted rows' files, so the table becomes
@@ -346,12 +380,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
     val snap = snapshotOrFail
     val oldSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val (newSchema, _) = evolve(oldSchema, batch.schema)
-    val aligned = newSchema.fields.foldLeft(batch) { (df, f) =>
-      if (!df.columns.contains(f.name)) df.withColumn(f.name, lit(null).cast(f.dataType))
-      else if (df.schema(f.name).dataType != f.dataType)
-        df.withColumn(f.name, col(f.name).cast(f.dataType))
-      else df
-    }.select(newSchema.fieldNames.map(col).toSeq: _*)
+    val aligned = align(batch, newSchema)
     val dups = aligned.groupBy(snap.keyCols.map(col): _*)
       .count().where(col("count") > 1).limit(1).count()
     require(dups == 0L,
@@ -423,6 +452,20 @@ object UpsertTable {
   def bucketExpr(keys: Seq[String], numBuckets: Int): Column =
     pmod(hash(keys.map(col): _*), lit(numBuckets))
 
+  /** Widenings the parquet reader serves by CAST-ON-READ over files
+    * written at the narrower type (probed against Spark 4.1's
+    * vectorized reader): int32→int64, int32→double, float→double.
+    * int64→double is NOT servable — that evolution must physically
+    * rewrite the files in the same commit.
+    */
+  def promotableOnRead(from: DataType, to: DataType): Boolean =
+    (from == to) || ((from, to) match {
+      case (IntegerType, LongType) => true
+      case (IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    })
+
   /** Stored columns are always nullable (additive evolution fills nulls). */
   def allNullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
@@ -456,6 +499,11 @@ object UpsertTable {
     case _ if a == b => Some(a)
     case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
     case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    // integral -> double: the canonical CDC drift (a JSON-inferred
+    // long column starts carrying decimals). Precision caveat above
+    // 2^53 accepted — the alternative is nulling or wedging the stream.
+    case (IntegerType, DoubleType) | (DoubleType, IntegerType) => Some(DoubleType)
+    case (LongType, DoubleType) | (DoubleType, LongType) => Some(DoubleType)
     case _ => None
   }
 

@@ -220,6 +220,60 @@ class CdcSinkSpec extends AnyFunSuite {
     assert(t.schema.fieldNames.contains("age")) // additive evolution
   }
 
+  test("type drift on an existing field re-infers and widens, not nulls") {
+    val base = Files.createTempDirectory("graft-cdc-drift")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null",
+        """{"user_id":1,"email":"a@example.com","score":5}""")).toDF("value"),
+      wh, keyFor)
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    assert(t.schema("score").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // the long column starts carrying decimals: under the stale cached
+    // schema from_json nulls the field — the drift guard must re-infer
+    // and the evolve path widens long -> double
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null",
+        """{"user_id":2,"email":"b@example.com","score":5.5}""")).toDF("value"),
+      wh, keyFor)
+    assert(t.schema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    val rows = t.read().select("user_id", "score").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getDouble(1)).toMap
+    assert(rows === Map(1L -> 5.0, 2L -> 5.5))
+  }
+
+  test("an unknown key that is always-null does not re-infer every batch") {
+    val base = Files.createTempDirectory("graft-cdc-nullkey")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null",
+        """{"user_id":1,"email":"a@example.com"}""")).toDF("value"),
+      wh, keyFor)
+    val before = CdcSink.inferenceCount.get()
+    // "extra" is explicitly null in every payload: inference would drop
+    // it again (dropFieldIfAllNull), so re-running it each batch is a
+    // pure steady-state regression — the key scan must skip it
+    (1 to 3).foreach { i =>
+      CdcSink.applyBatch(spark,
+        Seq(env("account", "u", "null",
+          s"""{"user_id":1,"email":"v$i@example.com","extra":null}"""))
+          .toDF("value"),
+        wh, keyFor)
+    }
+    assert(CdcSink.inferenceCount.get() === before)
+    // but the moment extra carries a value, it evolves in
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "u", "null",
+        """{"user_id":1,"email":"v4@example.com","extra":"x"}""")).toDF("value"),
+      wh, keyFor)
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    assert(t.schema.fieldNames.contains("extra"))
+  }
+
   test("malformed and foreign-payload envelopes are dropped, not fatal") {
     val base = Files.createTempDirectory("graft-cdc2")
     import spark.implicits._
