@@ -71,9 +71,16 @@ object AnnIvf {
     for (_ <- 0 until iters) {
       val m = mean(col(vecCol))
       val c = roundTo.map(p => transform(m, x => round(x, p))).getOrElse(m)
-      centroids = assignBuckets(corpus, centroids, idCol, vecCol)
+      val next = assignBuckets(corpus, centroids, idCol, vecCol)
         .groupBy(col("bucket").as(idCol))
         .agg(c.as(vecCol))
+      // materialize each round: centroids are k·(dim+1) values (driver
+      // collect bounded by k, like the merge path's affected-bucket
+      // set), so the iterative lineage never compounds — without this
+      // the plan nests one corpus crossJoin per Lloyd round
+      val spark = corpus.sparkSession
+      centroids = spark.createDataFrame(
+        spark.sparkContext.parallelize(next.collect().toSeq), next.schema)
     }
     centroids
   }
