@@ -79,8 +79,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isTableDir(p)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(ident, UpsertTable(spark, p.toString))
+    if (isTableDir(p)) return new GraftSqlTable(ident, UpsertTable(spark, p.toString))
+    // Iceberg-style metadata tables (`SELECT * FROM cat.ns.t.snapshots`)
+    // — the snapshot_mgmt.py introspection role as SQL. Resolution:
+    // the name itself is not a table, but its parent is.
+    if (ident.namespace().nonEmpty && isTableDir(p.getParent)) {
+      val tableRoot = p.getParent.toString
+      ident.name() match {
+        case "snapshots" =>
+          return GraftMetadataTable.snapshots(ident.toString, tableRoot)
+        case "files" =>
+          return GraftMetadataTable.files(ident.toString, tableRoot)
+        case _ => ()
+      }
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** Time travel (`VERSION AS OF n`) — the Iceberg snapshot-read

@@ -213,6 +213,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(old === Seq(1, 2))
   }
 
+  test("metadata tables: <table>.snapshots and <table>.files (Q-d)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_meta (k INT, v STRING) " +
+      "TBLPROPERTIES('keys'='k')")
+    val t = UpsertTable(spark, s"$warehouse/cdc/t_meta")
+    t.merge(Seq((1, "a")).toDF("k", "v"))
+    t.merge(Seq((2, "b")).toDF("k", "v"))
+    val snaps = spark.sql("SELECT version, num_files, key_cols " +
+      "FROM graft_t.cdc.t_meta.snapshots ORDER BY version").collect()
+    // create (0 files) + two merges
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(snaps.head.getInt(1) === 0 && snaps.last.getInt(1) > 0)
+    assert(snaps.forall(_.getString(2) === "k"))
+    assert(spark.sql("SELECT committed_at FROM graft_t.cdc.t_meta.snapshots")
+      .collect().forall(!_.isNullAt(0)))
+    val files = spark.sql("SELECT path, bucket, size_bytes " +
+      "FROM graft_t.cdc.t_meta.files").collect()
+    assert(files.nonEmpty)
+    assert(files.forall(r => r.getString(0).endsWith(".parquet")
+      && r.getLong(2) > 0))
+  }
+
   test("DROP TABLE and missing-table errors") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.tmp")
