@@ -21,6 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    // SQL MERGE INTO on store tables → the store's native keyed merge
+    // (buckets containing batch keys only; no group-based rewrite)
+    extensions.injectPostHocResolutionRule(graft.catalog.GraftMergeRule)
     extensions.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

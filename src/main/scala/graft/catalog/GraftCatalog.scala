@@ -103,7 +103,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = tablePath(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
     new GraftSqlTable(ident, UpsertTable(spark, p.toString),
-      version = Some(version.toLong))
+      travelVersion = Some(version.toLong))
   }
 
   /** Time travel (`TIMESTAMP AS OF t`) — Spark hands micros since
@@ -122,7 +122,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot of $ident committed at or before epoch ${tsMs} ms"))
     new GraftSqlTable(ident, UpsertTable(spark, loc),
-      version = Some(at.version))
+      travelVersion = Some(at.version))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -246,12 +246,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * `write.upsert.enabled` tables where INSERT replaces rows with equal
   * keys). Time travel and maintenance stay on the store API.
   */
-private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
-    version: Option[Long] = None)
+private[catalog] class GraftSqlTable(ident: Identifier,
+    private[catalog] val store: UpsertTable,
+    private[catalog] val travelVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = ident.toString
-  override def schema(): StructType = version match {
+  override def schema(): StructType = travelVersion match {
     case Some(v) => store.schemaAt(v)
     case None => store.schema
   }
@@ -286,13 +287,13 @@ private[catalog] class GraftSqlTable(ident: Identifier, store: UpsertTable,
       // prune only on current-version reads (time travel keeps it simple)
       private def pruneKeys: Option[Map[String, Any]] = {
         val keyEq = filters.collect { case EqualTo(a, v) => a -> v }.toMap
-        if (version.isEmpty && store.keyCols.forall(keyEq.contains))
+        if (travelVersion.isEmpty && store.keyCols.forall(keyEq.contains))
           Some(keyEq.filter { case (k, _) => store.keyCols.contains(k) })
         else None
       }
       override def build(): Scan = {
         val spark = SparkSession.active
-        val paths = store.dataFiles(version, pruneKeys)
+        val paths = store.dataFiles(travelVersion, pruneKeys)
           .map(new HadoopPath(_)).toSeq
         // snapshot-pinned file listing: the index is built from the
         // manifest's explicit file list, so concurrent commits never

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Single `private[sql]` access shim (the standard extension-library
+  * pattern): construct a DataFrame from an analyzed LogicalPlan —
+  * needed by [[graft.catalog.GraftMergeCommand]] to hand the MERGE
+  * source query to the store's merge API. Nothing else in the repo
+  * lives outside the `graft` namespace.
+  */
+object GraftSqlShims {
+  def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+}

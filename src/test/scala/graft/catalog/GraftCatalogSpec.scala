@@ -236,6 +236,69 @@ class GraftCatalogSpec extends AnyFunSuite {
       && r.getLong(2) > 0))
   }
 
+  test("MERGE INTO: pure upsert shape routes to the store merge") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_mrg (k INT, v STRING) " +
+      "TBLPROPERTIES('keys'='k')")
+    spark.sql("INSERT INTO graft_t.cdc.t_mrg VALUES (1, 'a'), (2, 'b')")
+    Seq((2, "b2"), (3, "c")).toDF("k", "v").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO graft_t.cdc.t_mrg t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM graft_t.cdc.t_mrg ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((1, "a"), (2, "b2"), (3, "c")))
+  }
+
+  test("MERGE INTO: CDC shape with mirrored delete guard") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_mrgd (k INT, v STRING) " +
+      "TBLPROPERTIES('keys'='k')")
+    spark.sql("INSERT INTO graft_t.cdc.t_mrgd VALUES (1, 'a'), (2, 'b')")
+    Seq((1, "x", "d"), (2, "b2", "u"), (3, "c", "u"), (4, "y", "d"))
+      .toDF("k", "v", "op").createOrReplaceTempView("mrgd_src")
+    spark.sql(
+      """MERGE INTO graft_t.cdc.t_mrgd t USING mrgd_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v, k = s.k
+        |WHEN NOT MATCHED AND NOT (s.op = 'd') THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM graft_t.cdc.t_mrgd ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // 1 deleted, 2 updated, 3 inserted, 4 delete-of-absent = no-op
+    assert(got === Seq((2, "b2"), (3, "c")))
+  }
+
+  test("MERGE INTO: unsupported shapes fail loudly, never silently") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_mrgx (k INT, v STRING) " +
+      "TBLPROPERTIES('keys'='k')")
+    Seq((1, "a", "d")).toDF("k", "v", "op").createOrReplaceTempView("mrgx_src")
+    // partial UPDATE patches columns — not whole-row upsert
+    val e1 = intercept[Exception] { spark.sql(
+      """MERGE INTO graft_t.cdc.t_mrgx t USING mrgx_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+    assert(e1.getMessage.contains("every column"))
+    // conditional delete without the mirrored insert guard
+    val e2 = intercept[Exception] { spark.sql(
+      """MERGE INTO graft_t.cdc.t_mrgx t USING mrgx_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+    assert(e2.getMessage.contains("negated delete guard"))
+    // ON not covering the key
+    val e3 = intercept[Exception] { spark.sql(
+      """MERGE INTO graft_t.cdc.t_mrgx t USING mrgx_src s ON t.v = s.v
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+    assert(e3.getMessage.contains("key columns"))
+  }
+
   test("DROP TABLE and missing-table errors") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.tmp")
