@@ -44,6 +44,55 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m: MergeIntoTable if m.resolved && graftRelation(m.targetTable).isDefined =>
       translate(m, graftRelation(m.targetTable).get)
+    case d @ DeleteFromTable(target, cond)
+        if d.resolved && graftRelation(target).isDefined =>
+      translateDelete(cond, graftRelation(target).get)
+    case u @ UpdateTable(target, assignments, cond)
+        if u.resolved && graftRelation(target).isDefined =>
+      translateUpdate(assignments, cond, graftRelation(target).get)
+  }
+
+  /** `DELETE FROM t WHERE c` → scan the matching rows' KEYS (filter
+    * pushed into the DSv2 scan) and merge them with op `d` — only the
+    * buckets containing matched keys are rewritten.
+    */
+  private def translateDelete(cond: Expression,
+      rel: DataSourceV2Relation): LogicalPlan = {
+    val store = storeOf(rel)
+    val keys = store.keyCols.map(n => rel.output.find(_.name == n).get)
+    val batch = Project(
+      keys :+ Alias(Literal("d"), "__merge_op")(),
+      Filter(cond, rel))
+    GraftMergeCommand(store.location, batch, Some("__merge_op"))
+  }
+
+  /** `UPDATE t SET … WHERE c` → project the matching rows with the
+    * assignments applied (current values fill the unassigned columns)
+    * and upsert them back. Key columns are not assignable — that would
+    * be a move, not an in-place update.
+    */
+  private def translateUpdate(assignments: Seq[Assignment],
+      cond: Option[Expression], rel: DataSourceV2Relation): LogicalPlan = {
+    val store = storeOf(rel)
+    val assigned = assignments.map {
+      case Assignment(k: AttributeReference, v) => k.name -> v
+      case other => fail(s"UPDATE assigns a non-column target: ${other.sql}")
+    }.toMap
+    store.keyCols.filter(assigned.contains).foreach(k =>
+      fail(s"cannot UPDATE key column $k (delete + insert instead)"))
+    val proj = store.schema.fieldNames.toSeq.map { n =>
+      assigned.get(n)
+        .map(v => Alias(v, n)(): NamedExpression)
+        .getOrElse(rel.output.find(_.name == n).get)
+    }
+    val batch = Project(proj, cond.map(Filter(_, rel)).getOrElse(rel))
+    GraftMergeCommand(store.location, batch, None)
+  }
+
+  private def storeOf(rel: DataSourceV2Relation): UpsertTable = {
+    val table = rel.table.asInstanceOf[GraftSqlTable]
+    if (table.travelVersion.isDefined) fail("cannot write to a time-travel read")
+    table.store
   }
 
   private def graftRelation(plan: LogicalPlan): Option[DataSourceV2Relation] =

@@ -299,6 +299,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("key columns"))
   }
 
+  test("DELETE FROM and UPDATE route to bucket-local store merges") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.cdc")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_t.cdc.t_dml (k INT, v STRING, n INT) " +
+      "TBLPROPERTIES('keys'='k')")
+    spark.sql("INSERT INTO graft_t.cdc.t_dml VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    spark.sql("DELETE FROM graft_t.cdc.t_dml WHERE n >= 30")
+    assert(spark.sql("SELECT k FROM graft_t.cdc.t_dml ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2))
+    // expression UPDATE referencing current values, partial columns OK
+    spark.sql("UPDATE graft_t.cdc.t_dml SET v = concat(v, '!'), n = n + 1 WHERE k = 2")
+    val got = spark.sql("SELECT k, v, n FROM graft_t.cdc.t_dml ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === Seq((1, "a", 10), (2, "b!", 21)))
+    // key columns are not assignable
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft_t.cdc.t_dml SET k = 9 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
   test("DROP TABLE and missing-table errors") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.tmp")
