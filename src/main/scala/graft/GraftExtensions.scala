@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL MERGE INTO on store tables → the store's native keyed merge
     // (buckets containing batch keys only; no group-based rewrite)
     extensions.injectPostHocResolutionRule(graft.catalog.GraftMergeRule)
+    // after GraftMergeRule (which consumes MERGE/DELETE/UPDATE targets):
+    // overlay reads of delta-bearing store tables with the
+    // merge-on-read plan; delta-free tables keep the pure DSv2 scan
+    extensions.injectPostHocResolutionRule(graft.catalog.GraftDeltaReadRule)
     extensions.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -293,7 +293,19 @@ private[catalog] class GraftSqlTable(ident: Identifier,
       }
       override def build(): Scan = {
         val spark = SparkSession.active
-        val paths = store.dataFiles(travelVersion, pruneKeys)
+        // a raw file scan cannot apply the merge-on-read overlay —
+        // GraftDeltaReadRule replaces delta-bearing relations before
+        // any scan is built, so reaching here with deltas means the
+        // session is missing graft.GraftExtensions: fail loudly
+        // rather than serve stale base rows and tombstones
+        require(!store.hasDeltasAt(travelVersion),
+          s"table ${name()} has merge-on-read delta files; reads require " +
+            "spark.sql.extensions=graft.GraftExtensions (or compact() first)")
+        // three pruning layers before a byte is read: key-bucket
+        // (equality lookups), manifest min/max file skipping (range /
+        // equality / null predicates), then parquet row-group stats
+        // inside the files that survive
+        val paths = store.dataFiles(travelVersion, pruneKeys, filters.toSeq)
           .map(new HadoopPath(_)).toSeq
         // snapshot-pinned file listing: the index is built from the
         // manifest's explicit file list, so concurrent commits never

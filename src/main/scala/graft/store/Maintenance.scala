@@ -38,4 +38,16 @@ object Maintenance {
       val after = SnapshotLog.listVersions(t.location).size
       table -> (before - after)
     }
+
+  /** Collapse merge-on-read deltas / small files on every table in
+    * the namespace (the other half of the maintenance loop a
+    * 10 s-commit ingest needs, next to [[expireAll]]); returns
+    * (table, buckets compacted) per table.
+    */
+  def compactAll(spark: SparkSession, warehouseDir: String, namespace: String,
+      maxFilesPerBucket: Int = 1): Seq[(String, Int)] =
+    listTables(warehouseDir, namespace).map { table =>
+      table -> UpsertTable(spark, s"$warehouseDir/$namespace/$table")
+        .compact(maxFilesPerBucket)
+    }
 }

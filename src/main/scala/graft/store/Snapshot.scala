@@ -33,7 +33,27 @@ case class Snapshot(
     committed: Map[String, Long],
     timestampMs: Long)
 
-case class FileEntry(path: String, bucket: Int)
+/** One data file: manifest-relative path, key-hash bucket, per-column
+  * bounds for planning-time file skipping (see [[FileStats]]; empty
+  * map = no stats, never pruned), and its merge-on-read role:
+  *
+  *  - `kind = "base"`: current-state rows, every key at most once
+  *    across a bucket's base files (merge-on-write output).
+  *  - `kind = "delta"`: one commit's normalized changelog for the
+  *    bucket — schema columns plus `__op` (`u`/`d` tombstone) and
+  *    `__seq` (the committing snapshot version). Readers overlay
+  *    deltas on base by latest-`__seq`-per-key (base rows rank 0);
+  *    [[UpsertTable.compact]] collapses them back into base.
+  */
+case class FileEntry(path: String, bucket: Int,
+    stats: Map[String, ColStats] = Map.empty,
+    kind: String = FileEntry.Base, seq: Long = 0L)
+
+object FileEntry {
+  val Base = "base"
+  val Delta = "delta"
+  def isDelta(f: FileEntry): Boolean = f.kind == Delta
+}
 
 /** Manifest-log IO: `_snapshots/v{N}.json`, crash-safe via
   * write-temp-then-atomic-rename; current = max N. Single-writer, like
@@ -58,9 +78,15 @@ object SnapshotLog {
     val bytes = Files.readAllBytes(snapshotsDir(tableRoot).resolve(f"v$version%08d.json"))
     val s = mapper.readValue(bytes, classOf[Snapshot])
     // Long erases to Object in the Map's generic signature, so Jackson
-    // materializes small values as Integer — normalize.
-    s.copy(committed = (s.committed: Map[String, Any]).map { case (k, v) =>
-      k -> v.asInstanceOf[Number].longValue() })
+    // materializes small values as Integer — normalize. Manifests
+    // written before stats existed deserialize with a null map.
+    s.copy(
+      committed = (s.committed: Map[String, Any]).map { case (k, v) =>
+        k -> v.asInstanceOf[Number].longValue() },
+      files = s.files.map { f0 =>
+        val f = if (f0.stats == null) f0.copy(stats = Map.empty) else f0
+        if (f.kind == null) f.copy(kind = FileEntry.Base) else f
+      })
   }
 
   def current(tableRoot: String): Option[Snapshot] =

@@ -71,8 +71,23 @@ class UpsertTable(spark: SparkSession, val location: String) {
       timestampMs = System.currentTimeMillis()))
   }
 
-  /** Current-state read (merge-on-write store: every key appears once). */
+  /** Current-state read: a plain vectorized scan when the snapshot is
+    * all base files; with deltas present (merge-on-read commits, see
+    * [[merge]]'s `delta` flag) the base is overlaid with the delta
+    * changelog by latest-`__seq`-per-key before tombstones drop.
+    */
   def read(): DataFrame = readSnapshot(snapshotOrFail)
+
+  /** Whether the current snapshot carries merge-on-read delta files
+    * (readers need the overlay; [[compact]] restores pure base).
+    */
+  def hasDeltas: Boolean = hasDeltasAt(None)
+
+  /** [[hasDeltas]] for a pinned version (time-travel reads). */
+  def hasDeltasAt(version: Option[Long]): Boolean = {
+    val snap = version.map(SnapshotLog.read(location, _)).getOrElse(snapshotOrFail)
+    snap.files.exists(FileEntry.isDelta)
+  }
 
   /** Time travel: read a specific committed version (Iceberg snapshot
     * read analog; enables the expiry semantics of snapshot_mgmt.py).
@@ -112,28 +127,64 @@ class UpsertTable(spark: SparkSession, val location: String) {
     bucketFor(keyValues) match {
       case Some(b) =>
         val snap = snapshotOrFail
-        readFiles(snap.files.filter(_.bucket == b), schema)
+        mergedView(snap.files.filter(_.bucket == b), schema, snap.keyCols)
       case None => read()
     }
 
   /** Absolute data-file paths of a snapshot (current when `version` is
     * None), restricted to the single key bucket when a full
-    * key-equality map is given — feeds the catalog's DSv2 scan, which
-    * hands them straight to Spark's vectorized parquet reader.
+    * key-equality map is given, then skipped against each file's
+    * manifest column bounds for the pushed `filters` (planning-time
+    * data skipping; see [[FileStats]]) — feeds the catalog's DSv2
+    * scan, which hands them straight to Spark's vectorized parquet
+    * reader.
     */
   def dataFiles(version: Option[Long] = None,
-      pruneKeys: Option[Map[String, Any]] = None): Seq[String] = {
+      pruneKeys: Option[Map[String, Any]] = None,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      : Seq[String] = {
     val snap = version.map(SnapshotLog.read(location, _)).getOrElse(snapshotOrFail)
-    val files = pruneKeys.flatMap(bucketFor) match {
+    val bucketed = pruneKeys.flatMap(bucketFor) match {
       case Some(b) => snap.files.filter(_.bucket == b)
       case None => snap.files
     }
-    files.map(f => s"$location/${f.path}")
+    val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val kept = bucketed.filter(f =>
+      filters.forall(FileStats.mightMatch(f.stats, sch, _)))
+    kept.map(f => s"$location/${f.path}")
   }
 
   private def readSnapshot(s: Snapshot): DataFrame = {
     val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
-    readFiles(s.files, schema)
+    mergedView(s.files, schema, s.keyCols)
+  }
+
+  /** Current-state view over a file subset: base files verbatim when
+    * no deltas are present (the zero-overhead fast path — a single
+    * vectorized scan); otherwise base ∪ deltas normalized to the
+    * latest `__seq` per key (base rows rank 0, every delta carries its
+    * committing version) with `d` tombstones dropped.
+    *
+    * The overlay is declarative — two parquet scans, a union, and a
+    * `max_by` partial aggregation — so Catalyst plans it like any
+    * query: key filters push through the aggregation into both scans,
+    * and the shuffle is bounded by distinct keys per partition
+    * (see [[ChangelogNormalize]]). This is the read tax merge-on-read
+    * trades for O(batch) commits; [[compact]] pays it down.
+    */
+  private def mergedView(files: Seq[FileEntry], schema: StructType,
+      keys: Seq[String]): DataFrame = {
+    val (deltas, bases) = files.partition(FileEntry.isDelta)
+    if (deltas.isEmpty) return readFiles(bases, schema)
+    val deltaSchema = StructType(schema.fields ++ Seq(
+      StructField(OpCol, StringType), StructField(SeqCol, LongType)))
+    val base = readFiles(bases, schema)
+      .withColumn(OpCol, lit("u")).withColumn(SeqCol, lit(0L))
+    val delta = readFiles(deltas, deltaSchema)
+    val latest = ChangelogNormalize.latestByKey(
+      base.unionByName(delta), keys, SeqCol)
+    latest.where(col(OpCol) =!= "d")
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   private def readFiles(files: Seq[FileEntry], schema: StructType): DataFrame =
@@ -161,6 +212,19 @@ class UpsertTable(spark: SparkSession, val location: String) {
     *                 no-op (reference checkpoint/commit cycle, C4).
     * @param autoCreateKeys create the table from the batch schema with
     *                 these keys if absent (sink auto-create, S6).
+    * @param delta    merge-on-read commit: append the normalized batch
+    *                 as per-bucket DELTA files (O(batch) write — no
+    *                 bucket rewrite) instead of rewriting affected
+    *                 buckets. Readers overlay deltas by latest
+    *                 `__seq` per key; [[compact]] collapses them back
+    *                 into base. This is how a 10 s-cadence stream over
+    *                 random keys avoids rewriting the whole table
+    *                 every commit at 100 TB (the Iceberg-v2
+    *                 equality-delete / Paimon changelog pattern the
+    *                 reference sink relies on). A widening the parquet
+    *                 reader cannot serve falls back to the full
+    *                 rewrite (the manifest schema must stay readable
+    *                 over every live file).
     */
   def merge(
       batch: DataFrame,
@@ -169,7 +233,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
       streamId: Option[String] = None,
       batchId: Option[Long] = None,
       autoCreateKeys: Seq[String] = Seq.empty,
-      autoCreateBuckets: Int = 0): Unit = synchronized {
+      autoCreateBuckets: Int = 0,
+      delta: Boolean = false): Unit = synchronized {
     val metaCols = opCol.toSeq ++ orderCol.toSeq
     val batchDataSchema = StructType(
       batch.schema.fields.filterNot(f => metaCols.contains(f.name)))
@@ -240,23 +305,48 @@ class UpsertTable(spark: SparkSession, val location: String) {
         else normalized.select(bucketOf.as("b")).distinct()
           .collect().map(_.getInt(0)).toSet
 
-      val (oldAffected, untouched) = snap.files.partition(f => affected(f.bucket))
-      // read rewritten buckets under the OLD manifest schema (every
-      // live file is promotable-readable under it by invariant), then
-      // align-cast to the evolved schema
-      val oldDf = align(readFiles(oldAffected, oldSchema), newSchema)
-
-      // keys present in the batch replace (or delete) stored rows
-      val batchKeys = normalized.select(snap.keyCols.map(col): _*)
-      val survivors = oldDf.join(batchKeys, snap.keyCols, "left_anti")
-      val upserts = normalized.where(col("__op") =!= "d").select(dataCols.map(col): _*)
-
       val version = snap.version + 1
       // unique per-attempt dir: a racing/crashed writer can never
       // clobber files another attempt already committed (the manifest
       // references only its own attempt's paths; losers leave orphans
       // that never become visible)
       val outDir = s"$location/data/v$version-$attemptId"
+
+      if (delta && !unservableWiden) {
+        // merge-on-read commit: write ONLY the normalized batch, as
+        // per-bucket delta files carrying the op and this commit's
+        // sequence — existing files are untouched, so the write cost
+        // is O(batch) regardless of how many buckets the keys span
+        normalized.withColumn(SeqCol, lit(version))
+          .withColumn("__bucket", bucketOf)
+          .repartition(math.max(affected.size, 1), col("__bucket"))
+          .sortWithinPartitions(snap.keyCols.map(col): _*)
+          .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
+        val newFiles = newFileEntries(outDir, newSchema)
+          .map(_.copy(kind = FileEntry.Delta, seq = version))
+        SnapshotLog.commit(location, snap.copy(
+          version = version,
+          schemaJson = newSchema.json,
+          files = snap.files ++ newFiles,
+          committed = snap.committed ++
+            (for { s <- streamId; b <- batchId } yield s -> b),
+          timestampMs = System.currentTimeMillis()))
+        return
+      }
+
+      val (oldAffected, untouched) = snap.files.partition(f => affected(f.bucket))
+      // current-state view of the rewritten buckets under the OLD
+      // manifest schema (every live file is promotable-readable under
+      // it by invariant; pending deltas in these buckets are overlaid
+      // and absorbed by this rewrite), then align-cast to the evolved
+      // schema
+      val oldDf = align(mergedView(oldAffected, oldSchema, snap.keyCols), newSchema)
+
+      // keys present in the batch replace (or delete) stored rows
+      val batchKeys = normalized.select(snap.keyCols.map(col): _*)
+      val survivors = oldDf.join(batchKeys, snap.keyCols, "left_anti")
+      val upserts = normalized.where(col("__op") =!= "d").select(dataCols.map(col): _*)
+
       val out = survivors.unionByName(upserts)
         .withColumn("__bucket", bucketOf)
       // sortWithinPartitions on the key: no extra shuffle, but data
@@ -266,8 +356,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
         .sortWithinPartitions(snap.keyCols.map(col): _*)
         .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
 
-      val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
-        FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b) }
+      val newFiles = newFileEntries(outDir, newSchema)
 
       SnapshotLog.commit(location, snap.copy(
         version = version,
@@ -304,6 +393,47 @@ class UpsertTable(spark: SparkSession, val location: String) {
     rewriteAll(snapshotOrFail, snapshotOrFail.numBuckets)
   }
 
+  /** Targeted compaction: collapse ONLY the buckets holding more than
+    * `maxFilesPerBucket` files back into a single tombstone-free base
+    * file each, leaving every other bucket's manifest entries
+    * untouched. Returns the number of buckets compacted.
+    *
+    * This is the pay-down half of merge-on-read: each delta commit
+    * (reference cadence: one per 10 s checkpoint,
+    * flink_json_to_iceberg.py:89) adds a file per touched bucket, so
+    * read overlays deepen until maintenance folds base ∪ deltas into
+    * base — Iceberg's binpack rewrite with a file-count filter, or
+    * Paimon's full-compaction trigger. The default threshold 1 means
+    * "restore every bucket to scan-optimal"; a steady-state pipeline
+    * passes e.g. 4 to amortize. Cost is proportional to the
+    * over-threshold buckets only — never a 100 TB table rewrite.
+    * Committed as a normal snapshot: concurrent readers keep their
+    * pinned file lists and prior versions stay time-travelable.
+    */
+  def compact(maxFilesPerBucket: Int = 1): Int = synchronized {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val snap = snapshotOrFail
+    val over = snap.files.groupBy(_.bucket)
+      .collect { case (b, fs) if fs.size > maxFilesPerBucket => b }.toSet
+    if (over.isEmpty) return 0
+    val (toRewrite, untouched) = snap.files.partition(f => over(f.bucket))
+    val sch = schema
+    val version = snap.version + 1
+    val outDir = s"$location/data/v$version-$attemptId"
+    // current-state view of just those buckets (delta overlay applied,
+    // tombstones dropped), written back bucket-partitioned
+    mergedView(toRewrite, sch, snap.keyCols)
+      .withColumn("__bucket", bucketExpr(snap.keyCols, snap.numBuckets))
+      .repartition(over.size, col("__bucket"))
+      .sortWithinPartitions(snap.keyCols.map(col): _*)
+      .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
+    SnapshotLog.commit(location, snap.copy(
+      version = version,
+      files = untouched ++ newFileEntries(outDir, sch),
+      timestampMs = System.currentTimeMillis()))
+    over.size
+  }
+
   private def rewriteAll(snap: Snapshot, numBuckets: Int): Unit =
     commitRewrite(snap, numBuckets, schema, read())
 
@@ -316,8 +446,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
       .repartition(numBuckets, col("__bucket"))
       .sortWithinPartitions(snap.keyCols.map(col): _*)
       .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
-    val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
-      FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b) }
+    val newFiles = newFileEntries(outDir, schema)
     SnapshotLog.commit(location, snap.copy(
       version = version,
       schemaJson = schema.json,
@@ -392,8 +521,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
       .repartition(snap.numBuckets, col("__bucket"))
       .sortWithinPartitions(snap.keyCols.map(col): _*)
       .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
-    val newFiles = listBucketFiles(outDir).map { case (rel, b) =>
-      FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b) }
+    val newFiles = newFileEntries(outDir, newSchema)
     SnapshotLog.commit(location, snap.copy(
       version = version,
       schemaJson = newSchema.json,
@@ -435,6 +563,18 @@ class UpsertTable(spark: SparkSession, val location: String) {
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(f => (s"${bdir.getFileName}/${f.getFileName}", b))
       }
+
+  /** Manifest entries for a commit's freshly written files, with
+    * column bounds harvested from each footer (metadata-only reads,
+    * bounded by the commit's own file count).
+    */
+  private def newFileEntries(outDir: String, schema: StructType): Seq[FileEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    listBucketFiles(outDir).map { case (rel, b) =>
+      FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b,
+        FileStats.collect(conf, s"$outDir/$rel", schema))
+    }
+  }
 }
 
 object UpsertTable {
@@ -442,6 +582,14 @@ object UpsertTable {
     * created tables (the manifest records it per table thereafter).
     */
   val BucketsConf = "graft.store.numBuckets"
+
+  /** Changelog-op column stored in delta files (`u` upsert / `d`
+    * tombstone) — also the in-flight op column name inside [[merge]].
+    */
+  val OpCol = "__op"
+
+  /** Commit-sequence column stored in delta files; base rows rank 0. */
+  val SeqCol = "__seq"
 
   /** Default key-space partitioning. Local tests stay small; a 100 TB
     * deployment sets [[BucketsConf]] to 4096+ or passes numBuckets
