@@ -38,6 +38,16 @@ case class JsonField(name: String, sqlType: String,
   * @param transform      hook applied to each micro-batch before the
   *                       merge (the SMT slot; also lets tests inject
   *                       failures to exercise the restart policy)
+  * @param deltaMerges    commit micro-batches as merge-on-read DELTA
+  *                       files (O(batch) per 10 s trigger — at 100 TB
+  *                       a random-key stream must not rewrite every
+  *                       touched bucket each commit) instead of
+  *                       merge-on-write bucket rewrites
+  * @param compactEvery   with `deltaMerges`, fold deltas back into
+  *                       base every N micro-batches (0 = never; run
+  *                       [[graft.store.Maintenance.compactAll]]
+  *                       instead). Compaction is idempotent, so a
+  *                       crash between merge and compact is safe.
   */
 case class IngestJob(
     topicDir: String,
@@ -46,7 +56,9 @@ case class IngestJob(
     fields: Seq[JsonField],
     checkpointDir: String,
     trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-    transform: DataFrame => DataFrame = identity) {
+    transform: DataFrame => DataFrame = identity,
+    deltaMerges: Boolean = false,
+    compactEvery: Int = 0) {
 
   /** The P1-P4+P6 projection/filter over a raw `value STRING` frame —
     * shared verbatim by the streaming path and batch replay, so the
@@ -80,12 +92,18 @@ case class IngestJob(
     val ordered = transform(batch)
       .withColumn("__ord", struct(col("__file"), monotonically_increasing_id()))
       .drop("__file")
-    UpsertTable(spark, tablePath).merge(
+    val table = UpsertTable(spark, tablePath)
+    table.merge(
       ordered,
       orderCol = Some("__ord"),
       streamId = Some(checkpointDir),
       batchId = Some(batchId),
-      autoCreateKeys = Seq(keyField))
+      autoCreateKeys = Seq(keyField),
+      delta = deltaMerges)
+    if (deltaMerges && compactEvery > 0 && batchId > 0 &&
+        batchId % compactEvery == 0) {
+      table.compact()
+    }
   }
 
   /** Start the standing INSERT INTO (py:119): one continuous
