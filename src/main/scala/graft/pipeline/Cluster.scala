@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate clustering: connected components over a pair graph.
+  *
+  * Pairwise near-dup detection ([[NearDup]]) yields edges; real corpus
+  * curation needs the transitive closure — if A~B and B~C, then
+  * {A,B,C} is ONE duplicate cluster and exactly one survivor should be
+  * kept. This computes, for every node, the minimum node id reachable
+  * through the pair graph (the canonical cluster label).
+  *
+  * Scale design: iterative min-label propagation. Each round is one
+  * hash-shuffle join of the (bounded) edge list against current labels
+  * plus a `groupBy(id).agg(min(lbl))` — partial aggregation applies,
+  * nothing is ever collected to the driver, and no all-pairs product
+  * exists anywhere. Rounds needed = the maximum cluster DIAMETER (not
+  * size): label information travels one hop per round. Dup clusters in
+  * practice are shallow (most are cliques from a shared fingerprint —
+  * diameter 1-2), so the loop converges in a handful of rounds; the
+  * convergence check is a monotone aggregate (labels only ever
+  * decrease, so an unchanged global sum ⇔ fixpoint) — one count-free
+  * scalar job per round. Lineage is truncated every round
+  * (`localCheckpoint`) so the plan does not grow with iterations; on a
+  * real cluster this is a reliable-checkpoint dir instead.
+  */
+object Cluster {
+
+  /** (id, cluster) for every node, cluster = min id in its component.
+    *
+    * @param nodes single-column DF of node ids (name = idCol); nodes
+    *              absent from `edges` come back as their own cluster
+    * @param edges two-column DF of undirected pairs (srcCol, dstCol)
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    // symmetrize once: propagation below only pushes src -> dst
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L)).as("s")).head().getLong(0)
+
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var current = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // push each node's label to its neighbors, keep the min seen
+      val pushed = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(pushed)
+        .groupBy("id")
+        .agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum == current // labels are monotone non-increasing
+      labels = next
+      current = nextSum
+      round += 1
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+  }
+
+  /** One survivor per near-dup cluster: the member whose id equals the
+    * cluster label (i.e. the minimum id — same survivorship rule as
+    * [[Dedup.exact]], lifted from fingerprint groups to transitive
+    * near-dup components).
+    */
+  def survivors(assignment: DataFrame, idCol: String): DataFrame =
+    assignment.where(col(idCol) === col("cluster")).select(idCol)
+}

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: concatenate the corpus in a
+  * deterministic document order and split it into fixed-capacity
+  * context windows ("concat-and-chunk"), accounting exactly for
+  * documents that straddle a chunk boundary.
+  *
+  * The hard part at 100 TB is the GLOBAL running offset: a naive
+  * `sum().over(Window.orderBy(id))` is an unpartitioned window — every
+  * row through one task. Instead [[withGlobalOffset]] runs a
+  * two-level prefix sum keyed by fixed-width id blocks:
+  *
+  *   1. per-block totals: `groupBy(id div B)` — partial-agg shuffle,
+  *      output is |corpus|/B rows;
+  *   2. block prefix: running sum over the (tiny) block-totals table —
+  *      the only ordered window, over |corpus|/B rows, broadcast back;
+  *   3. within-block running sum: window PARTITIONED by block —
+  *      partition-local, bounded by block width, no global sort.
+  *
+  * Block boundaries come from the data (id ranges), not from the
+  * physical partitioning, so the result is deterministic under any
+  * layout — which also makes it oracle-checkable against a plain
+  * windowed cumsum in DuckDB.
+  */
+object Pack {
+
+  /** Adds `__start` = exclusive prefix sum of `valueCol` in ascending
+    * `idCol` order (ids must be unique and non-negative: `div`
+    * truncates toward zero, so negative ids would land blocks out of
+    * order).
+    */
+  def withGlobalOffset(df: DataFrame, idCol: String, valueCol: String,
+      blockWidth: Long = 1000000L): DataFrame = {
+    val blk = expr(s"cast($idCol as long) div ${blockWidth}L")
+    val withBlk = df.withColumn("__blk", blk)
+    val totals = withBlk.groupBy("__blk")
+      .agg(sum(col(valueCol).cast("long")).as("__tot"))
+    // the one ordered window, over |corpus|/blockWidth rows only
+    val wPrefix = Window.orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = totals
+      .withColumn("__blkoff", coalesce(sum("__tot").over(wPrefix), lit(0L)))
+      .select("__blk", "__blkoff")
+    val wLocal = Window.partitionBy("__blk").orderBy(idCol)
+    withBlk
+      .join(broadcast(prefixes), "__blk")
+      .withColumn("__start",
+        col("__blkoff")
+          + sum(col(valueCol).cast("long")).over(wLocal)
+          - col(valueCol).cast("long"))
+      .drop("__blk", "__blkoff")
+  }
+
+  /** Packs documents into fixed-`capacity` token chunks: output one row
+    * per (document, chunk) occupancy — `chunk_id` and `n_tok`, the
+    * number of this document's tokens landing in that chunk. A document
+    * longer than the remaining room straddles into the next chunk(s);
+    * Σ n_tok per doc = its token count, Σ n_tok per chunk = capacity
+    * (except the final chunk).
+    *
+    * Chunk expansion is a per-row `sequence` + `explode` — a document
+    * spans ceil(len/capacity)+1 chunks at most, so the explode factor
+    * is ~1 for any realistic capacity.
+    */
+  def concatChunks(docs: DataFrame, idCol: String, tokCountCol: String,
+      capacity: Long, blockWidth: Long = 1000000L): DataFrame = {
+    val n = col(tokCountCol).cast("long")
+    withGlobalOffset(docs, idCol, tokCountCol, blockWidth)
+      .withColumn("__end", col("__start") + n)
+      .withColumn("__c0", expr(s"__start div ${capacity}L"))
+      .withColumn("__c1", expr(s"(__end - 1) div ${capacity}L"))
+      .where(n > 0)
+      .select(col(idCol), n.as("__n"), col("__start"), col("__end"),
+        explode(sequence(col("__c0"), col("__c1"))).as("chunk_id"))
+      .withColumn("n_tok",
+        least(col("__end"), (col("chunk_id") + 1) * capacity)
+          - greatest(col("__start"), col("chunk_id") * capacity))
+      .select(col(idCol), col("chunk_id"), col("n_tok"))
+  }
+}

@@ -199,6 +199,61 @@ object PipelineQueries {
       TextOps.hashingEmbedding(docs(s, d), "doc_id", "text", dim = 64)
         .orderBy("doc_id", "dim")),
 
+    // q38 — near-dup CLUSTERING: connected components over the
+    // verified LSH pair graph (transitive closure of q18's pairs) —
+    // iterative min-label propagation, one partial-agg shuffle per
+    // round, rounds = cluster diameter
+    "q38_neardup_clusters" -> ((s, d) => {
+      val base = docsWithDups(s, d)
+      val pairs = NearDup.jaccardPairs(base, "doc_id", "text", threshold = 0.8)
+      Cluster.connectedComponents(
+        base.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
+    // q39 — BPE-ish token counting + symbol/digit quality signals over
+    // the structured `events.props` JSON text (where a sub-word regex
+    // tokenizer — letters-run | digit | symbol — genuinely differs from
+    // whitespace splitting; the documents corpus is plain prose and is
+    // counted by q14). All scan-side, codegen'd, zero shuffles.
+    "q39_token_quality" -> ((s, d) =>
+      Tables.load(s, d, "events").select(
+        col("event_id"),
+        size(regexp_extract_all(col("props"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tok"),
+        size(split(trim(col("props")), "\\s+")).as("n_ws_tok"),
+        round(size(regexp_extract_all(col("props"), lit("[0-9]"), lit(0)))
+          .cast("double") / length(col("props")), 6).as("digit_ratio"),
+        round(size(regexp_extract_all(col("props"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("double") / length(col("props")), 6).as("sym_ratio"))
+        .orderBy("event_id")),
+
+    // q40 — sequence packing (concat-and-chunk): documents in doc_id
+    // order concatenated and split into 512-token context windows;
+    // global offsets via the two-level block prefix sum (no
+    // unpartitioned window anywhere). blockWidth=100 so the block
+    // machinery is genuinely exercised at test scale.
+    "q40_pack_chunks" -> ((s, d) => {
+      val withTok = docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tok_doc"))
+      Pack.concatChunks(withTok, "doc_id", "n_tok_doc",
+        capacity = 512, blockWidth = 100)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // q43 — weighted corpus mixing: per-source deterministic sampling
+    // rates (derived from the source id, 10%..100%) via md5-bucket
+    // hashing — the training-mix builder; scan-side filter, no shuffle
+    "q43_corpus_mix" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("rate",
+          expr("10 * (1 + (cast(substring(source, 4, 10) as int) % 10))"))
+        .withColumn("bucket", expr(
+          "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)"))
+        .where(col("bucket") < col("rate"))
+        .select("doc_id", "source", "rate")
+        .orderBy("doc_id")),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -236,6 +291,49 @@ object PipelineQueries {
       "AND a.doc_id < b.doc_id)"
 
   val oracleSql: Map[String, String] = Map(
+    "q38_neardup_clusters" ->
+      (s"WITH RECURSIVE all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
+        s"$duckSigBands, " +
+        "ver AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
+        "round(len(list_intersect(sa.sh, sb.sh)) / " +
+        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
+        "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
+        "JOIN sh sb ON sb.doc_id = c.doc_b) WHERE jacc >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver " +
+        "UNION SELECT doc_b, doc_a FROM ver), " +
+        "cc(id, lbl) AS (SELECT doc_id, doc_id FROM all_docs " +
+        "UNION SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster FROM cc " +
+        "GROUP BY id ORDER BY doc_id"),
+    "q39_token_quality" ->
+      ("SELECT event_id, " +
+        "len(regexp_extract_all(props, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) " +
+        "AS n_bpe_tok, " +
+        "len(regexp_split_to_array(trim(props), '\\s+')) AS n_ws_tok, " +
+        "round(len(regexp_extract_all(props, '[0-9]')) / " +
+        "CAST(length(props) AS DOUBLE), 6) AS digit_ratio, " +
+        "round(len(regexp_extract_all(props, '[^A-Za-z0-9\\s]')) / " +
+        "CAST(length(props) AS DOUBLE), 6) AS sym_ratio " +
+        "FROM events ORDER BY event_id"),
+    "q40_pack_chunks" ->
+      (s"WITH n AS (SELECT doc_id, len(string_split($duckNorm, ' ')) AS ntok " +
+        "FROM documents), " +
+        "cum AS (SELECT doc_id, ntok, CAST(sum(ntok) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS BIGINT) " +
+        "AS strt FROM n), " +
+        "x AS (SELECT doc_id, strt, strt + ntok AS fin, strt // 512 AS c0, " +
+        "(strt + ntok - 1) // 512 AS c1 FROM cum WHERE ntok > 0), " +
+        "y AS (SELECT doc_id, strt, fin, " +
+        "unnest(generate_series(c0, c1)) AS chunk_id FROM x) " +
+        "SELECT doc_id, chunk_id, " +
+        "CAST(least(fin, (chunk_id + 1) * 512) - greatest(strt, chunk_id * 512) " +
+        "AS BIGINT) AS n_tok FROM y ORDER BY doc_id, chunk_id"),
+    "q43_corpus_mix" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "10 * (1 + (CAST(substr(source, 4) AS INT) % 10)) AS rate, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 " +
+        "AS bucket FROM documents) " +
+        "SELECT doc_id, source, rate FROM t WHERE bucket < rate ORDER BY doc_id"),
     "q13_dedup_exact" ->
       (s"WITH all_docs AS ($dupCte), " +
         s"f AS (SELECT doc_id, md5($duckNorm) AS fp FROM all_docs) " +

@@ -214,6 +214,41 @@ object ReferenceQueries {
         .orderBy("event_id")
     }),
 
+    // Q41 — exact quantiles per group (linear interpolation, the
+    // quantile_cont contract). Exact `percentile` buffers each group's
+    // values — fine for low-cardinality groups like these; a
+    // high-cardinality rollout would switch to approx_percentile
+    // (t-digest sketch merge), which q21 demonstrates for distincts.
+    "q41_quantiles" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95D)"), 6).as("p95"))
+        .orderBy("event_type")),
+
+    // Q42 — gap-based sessionization (batch twin of the streaming
+    // Sessionize/flatMapGroupsWithState operator): a session breaks
+    // when a user is idle > 6 h; all windows partitioned by user —
+    // partition-local, skew-bounded by per-user history, no global sort
+    "q42_sessionize" -> ((s, d) => {
+      val gapNs = 6L * 3600L * 1000000000L
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val brk = when(col("ts") - lag(col("ts"), 1).over(wOrd) > gapNs, 1)
+        .otherwise(0)
+      events(s, d)
+        .withColumn("__brk", brk)
+        .withColumn("session_idx", sum(col("__brk")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        // project session bounds at µs: DuckDB's TIMESTAMP is
+        // µs-precision, so ns-exact values cannot hash-match
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(ts) div 1000").as("ts_start_us"),
+          expr("max(ts) div 1000").as("ts_end_us"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // Q12 — query-layer hash aggregate (§2.4)
     "q12_agg" -> ((s, d) =>
       events(s, d)
@@ -297,6 +332,21 @@ object ReferenceQueries {
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
         "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
         "ORDER BY o_custkey"),
+    "q41_quantiles" ->
+      ("SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50, " +
+        "ROUND(quantile_cont(value, 0.95), 6) AS p95 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q42_sessionize" ->
+      ("WITH o AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events), " +
+        "m AS (SELECT *, CASE WHEN tns - lag(tns) OVER " +
+        "(PARTITION BY user_id ORDER BY tns, event_id) > 21600000000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM o), " +
+        "s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY tns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS session_idx FROM m) " +
+        "SELECT user_id, session_idx, COUNT(*) AS n_events, " +
+        "MIN(tns) // 1000 AS ts_start_us, MAX(tns) // 1000 AS ts_end_us " +
+        "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
     "q24_multijoin_topk" ->
       ("SELECT o.o_orderkey, " +
         "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue " +

@@ -88,6 +88,44 @@ object StoreQueries {
       UpsertTable(s, s"$base/table").read()
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id")
+    }),
+
+    // q44 — event-time tumbling-window aggregation through a REAL
+    // multi-batch StreamingQuery: events split across 4 topic files,
+    // maxFilesPerTrigger=1 forces 4 micro-batches, so the daily
+    // (window × event_type) counts/sums accumulate in streaming agg
+    // STATE across batches (complete mode re-emits the closed set each
+    // batch; the last emission is read back). Puts the WindowedStats
+    // surface — until now unit-only — under the DuckDB gate.
+    "q44_stream_window" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-window-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val events = Tables.load(s, d, "events")
+        .select("event_id", "ts", "event_type", "value") // ts: ns epoch
+        .repartition(4) // 4 part files -> 4 micro-batches
+      Topic.produce(events, s"$base/topic")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+      val parsed = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j"))
+        .select("j.*")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val agged = parsed
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv0"))
+        .select(unix_micros(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), round(col("sv0"), 6).as("sv"))
+      val q = agged.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$base/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
     })
   )
 
@@ -106,6 +144,13 @@ object StoreQueries {
       ("SELECT user_id, event_id, event_type FROM (" +
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
         "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
-        "WHERE rn = 1 ORDER BY user_id")
+        "WHERE rn = 1 ORDER BY user_id"),
+
+    // the streamed daily-window aggregation must equal the batch
+    // tumbling-window SQL (µs-precision day buckets, epoch-aligned UTC)
+    "q44_stream_window" ->
+      ("SELECT (epoch_ns(ts) // 1000) // 86400000000 * 86400000000 AS w_start, " +
+        "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
+        "FROM events GROUP BY 1, 2 ORDER BY w_start, event_type")
   )
 }

@@ -33,11 +33,14 @@ object Topic {
     * descending, so path alone would not order rows across the splits
     * of a single file — (path, block_start, in-partition row id) does.
     */
-  def stream(spark: SparkSession, topicDir: String): DataFrame =
-    spark.readStream
-      .schema(valueSchema)
+  def stream(spark: SparkSession, topicDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(valueSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .text(topicDir)
       .select(col("value"), fileOrd.as("__file"))
+  }
 
   /** Batch read of the whole topic (replay/verification path). */
   def readAll(spark: SparkSession, topicDir: String): DataFrame =

@@ -58,6 +58,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p25.contains("Window"), s"q25 reintroduced a window exchange:\n$p25")
   }
 
+  test("sequence packing: corpus window is block-partitioned, totals pre-aggregated") {
+    val p = plan("q40_pack_chunks")
+    // the per-row cumsum must be partitioned by block — a global
+    // (unpartitioned) window over the corpus would be a single-task sort
+    assert(p.contains("windowspecdefinition(__blk"),
+      s"q40 per-row cumsum is not block-partitioned:\n$p")
+    // block totals reach their (tiny) ordered window via partial agg
+    assert(p.contains("partial_sum"),
+      s"q40 block totals lost map-side partial aggregation:\n$p")
+    // block prefixes come back via broadcast, not a shuffle of the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"q40 block prefix join lost its broadcast:\n$p")
+  }
+
+  test("sessionization windows are keyed by user, never global") {
+    val p = plan("q42_sessionize")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"q42 session windows lost their user partitioning:\n$p")
+  }
+
   test("catalog SQL reads are columnar DSv2 parquet scans, no RDD bridge") {
     val p = plan("q20_store_sql_roundtrip")
     assert(p.contains("BatchScan"), s"q20 read is not a DSv2 batch scan:\n$p")

@@ -138,6 +138,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(t1.values.forall(_.length === 64))
   }
 
+  test("connected components propagate min labels across chains") {
+    // chain 1-2-3-4 (diameter 3: needs >1 round), disjoint pair 10-11,
+    // singleton 20 (no edges at all)
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val got = Cluster.connectedComponents(nodes, edges, "id", "a", "b")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val surv = Cluster.survivors(
+      Cluster.connectedComponents(nodes, edges, "id", "a", "b"), "id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv === Seq(1L, 10L, 20L))
+  }
+
+  test("global offset equals a naive global cumsum, across blocks") {
+    val df = (0L until 57L).map(i => (i * 3 + 1, (i % 7) + 1)) // sparse ids
+      .toDF("id", "n")
+    val got = Pack.withGlobalOffset(df, "id", "n", blockWidth = 10)
+      .select("id", "n", "__start").orderBy("id").collect()
+    var running = 0L
+    got.foreach { r =>
+      assert(r.getLong(2) === running, s"offset wrong at id=${r.getLong(0)}")
+      running += r.getLong(1)
+    }
+  }
+
+  test("concat-and-chunk packing splits straddling docs exactly") {
+    // capacity 4: starts 0,3,7 -> doc2 straddles chunks 0/1, doc3 1/2
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 2L)).toDF("doc_id", "n_tok_doc")
+    val got = Pack.concatChunks(df, "doc_id", "n_tok_doc", capacity = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 3L), (2L, 0L, 1L), (2L, 1L, 3L), (3L, 1L, 1L), (3L, 2L, 1L)))
+    // invariants: per-doc totals and full chunks at capacity
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDoc === Map(1L -> 3L, 2L -> 4L, 3L -> 2L))
+    val perChunk = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(perChunk === Map(0L -> 4L, 1L -> 4L, 2L -> 1L))
+  }
+
+  test("zero-token docs are dropped from packing, offsets unaffected") {
+    val df = Seq((1L, 2L), (2L, 0L), (3L, 3L)).toDF("doc_id", "n_tok_doc")
+    val got = Pack.concatChunks(df, "doc_id", "n_tok_doc", capacity = 10)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 0L, 2L), (3L, 0L, 3L)))
+  }
+
   test("lang-id scores are consistent with token content") {
     val df = Seq((1L, "the cat and the hat"), (2L, "der die das und"),
       (3L, "xyz qqq")).toDF("doc_id", "text")
