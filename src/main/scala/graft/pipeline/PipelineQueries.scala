@@ -254,6 +254,35 @@ object PipelineQueries {
         .select("doc_id", "source", "rate")
         .orderBy("doc_id")),
 
+    // q45 — interval (range) join: per-user event co-occurrence within
+    // a 12 h window — time-bucketed at the window width so the shuffle
+    // is |L| + 2|R| and work is bucket-local, never the per-key cross
+    // product a naive key+BETWEEN join plans
+    "q45_range_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+      val l = ev.toDF("user_id", "event_a", "t_a")
+      val r = ev.toDF("user_id", "event_b", "t_b")
+      RangeJoin.inner(l, r, "user_id", "t_a", "t_b", gap = 43200000000L)
+        .where(col("event_a") =!= col("event_b"))
+        .select("event_a", "event_b")
+        .orderBy("event_a", "event_b")
+    }),
+
+    // q46 — salted skew join: events (hot keys: 5 event types carry
+    // the whole table) joined to per-type stats through a 16-way
+    // salted shuffle join — same answer as the plain join (the oracle
+    // proves it), hot-key work spread over 16 tasks
+    "q46_skew_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"), round(avg("value"), 6).as("type_avg"))
+      SkewJoin.saltedInner(ev.select("event_id", "event_type"), stats,
+        "event_type", col("event_id"), saltN = 16)
+        .select("event_id", "event_type", "type_n", "type_avg")
+        .orderBy("event_id")
+    }),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -334,6 +363,18 @@ object PipelineQueries {
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 " +
         "AS bucket FROM documents) " +
         "SELECT doc_id, source, rate FROM t WHERE bucket < rate ORDER BY doc_id"),
+    "q45_range_join" ->
+      ("WITH o AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t " +
+        "FROM events) " +
+        "SELECT a.event_id AS event_a, b.event_id AS event_b " +
+        "FROM o a JOIN o b ON a.user_id = b.user_id " +
+        "AND b.t >= a.t AND b.t < a.t + 43200000000 " +
+        "AND a.event_id <> b.event_id ORDER BY event_a, event_b"),
+    "q46_skew_join" ->
+      ("WITH st AS (SELECT event_type, COUNT(*) AS type_n, " +
+        "ROUND(AVG(value), 6) AS type_avg FROM events GROUP BY event_type) " +
+        "SELECT e.event_id, e.event_type, st.type_n, st.type_avg " +
+        "FROM events e JOIN st USING (event_type) ORDER BY event_id"),
     "q13_dedup_exact" ->
       (s"WITH all_docs AS ($dupCte), " +
         s"f AS (SELECT doc_id, md5($duckNorm) AS fp FROM all_docs) " +

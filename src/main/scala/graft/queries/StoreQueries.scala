@@ -91,8 +91,8 @@ object StoreQueries {
     }),
 
     // q44 — event-time tumbling-window aggregation through a REAL
-    // multi-batch StreamingQuery: events split across 4 topic files,
-    // maxFilesPerTrigger=1 forces 4 micro-batches, so the daily
+    // multi-batch StreamingQuery: events split across 2 topic files,
+    // maxFilesPerTrigger=1 forces 2 micro-batches, so the daily
     // (window × event_type) counts/sums accumulate in streaming agg
     // STATE across batches (complete mode re-emits the closed set each
     // batch; the last emission is read back). Puts the WindowedStats
@@ -103,7 +103,7 @@ object StoreQueries {
       deleteRecursively(base) // idempotent per run
       val events = Tables.load(s, d, "events")
         .select("event_id", "ts", "event_type", "value") // ts: ns epoch
-        .repartition(4) // 4 part files -> 4 micro-batches
+        .repartition(2) // 2 part files -> 2 micro-batches
       Topic.produce(events, s"$base/topic")
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
@@ -126,6 +126,54 @@ object StoreQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
+    }),
+
+    // q47 — stream-STREAM inner join with an event-time range
+    // condition: the q45 interval join computed by two live streams
+    // joining against each other's buffered state across micro-batches
+    // (each side split into files, maxFilesPerTrigger=1, so matches
+    // routinely pair a row from batch N with state from batch M<N).
+    // Watermark delay exceeds the data's 30-day span on purpose: the
+    // topic files are NOT time-ordered here, so early eviction would
+    // drop legitimate matches — at production scale the transport is
+    // time-ordered and the delay shrinks to actual disorder. Must
+    // hash-match the batch range-join SQL exactly.
+    "q47_stream_stream_join" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-join-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
+        .repartition(2) // 2 files per topic -> cross-batch matches
+      Topic.produce(ev, s"$base/ta")
+      Topic.produce(ev, s"$base/tb")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, t_us BIGINT")
+      def side(dir: String, uid: String, eid: String, t: String) =
+        Topic.stream(s, dir, maxFilesPerTrigger = Some(1))
+          .select(from_json(col("value"), schema).as("j"))
+          .select(col("j.user_id").as(uid), col("j.event_id").as(eid),
+            timestamp_micros(col("j.t_us")).as(t))
+      val l = side(s"$base/ta", "ua", "event_a", "t_a")
+        .withWatermark("t_a", "40 days")
+      val r = side(s"$base/tb", "ub", "event_b", "t_b")
+        .withWatermark("t_b", "40 days")
+      val joined = l.join(r,
+        col("ua") === col("ub")
+          && col("t_b") >= col("t_a")
+          && col("t_b") < col("t_a") + expr("INTERVAL 12 HOURS")
+          && col("event_a") =!= col("event_b"))
+        .select("event_a", "event_b")
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$base/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("event_a", "event_b")
     })
   )
 
@@ -151,6 +199,15 @@ object StoreQueries {
     "q44_stream_window" ->
       ("SELECT (epoch_ns(ts) // 1000) // 86400000000 * 86400000000 AS w_start, " +
         "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
-        "FROM events GROUP BY 1, 2 ORDER BY w_start, event_type")
+        "FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
+
+    // the stream-stream join must land exactly the q45 batch answer
+    "q47_stream_stream_join" ->
+      ("WITH o AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t " +
+        "FROM events) " +
+        "SELECT a.event_id AS event_a, b.event_id AS event_b " +
+        "FROM o a JOIN o b ON a.user_id = b.user_id " +
+        "AND b.t >= a.t AND b.t < a.t + 43200000000 " +
+        "AND a.event_id <> b.event_id ORDER BY event_a, event_b")
   )
 }

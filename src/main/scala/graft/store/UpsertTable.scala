@@ -529,6 +529,34 @@ class UpsertTable(spark: SparkSession, val location: String) {
       timestampMs = System.currentTimeMillis()))
   }
 
+  /** Roll the table back to an earlier version — as a NEW commit whose
+    * file list is the target snapshot's (Iceberg's
+    * `rollback_to_snapshot` procedure, the recovery move after a
+    * bad-data incident). History is preserved: the bad versions stay
+    * time-travelable until expiry, and the rollback itself is one more
+    * manifest entry — no data files move. The current `committed`
+    * (streamId → batchId) replay guards are carried FORWARD, not rolled
+    * back: a restarted streaming writer must still no-op batches it
+    * already applied, or exactly-once breaks the moment someone rolls
+    * back under a live stream.
+    */
+  def rollback(toVersion: Long): Unit = synchronized {
+    val cur = snapshotOrFail
+    require(toVersion < cur.version,
+      s"rollback target v$toVersion is not before current v${cur.version}")
+    require(SnapshotLog.listVersions(location).contains(toVersion),
+      s"rollback target v$toVersion does not exist (expired?) for $location")
+    val target = SnapshotLog.read(location, toVersion)
+    val missing = target.files.filterNot(f => Files.exists(root.resolve(f.path)))
+    require(missing.isEmpty,
+      s"cannot roll back to v$toVersion: ${missing.size} data file(s) " +
+        s"already expired, e.g. ${missing.headOption.map(_.path).getOrElse("")}")
+    SnapshotLog.commit(location, target.copy(
+      version = cur.version + 1,
+      committed = cur.committed,
+      timestampMs = System.currentTimeMillis()))
+  }
+
   /** Snapshot expiry (C6; reference snapshot_mgmt.py:17-18
     * `expire_snapshots(retention_threshold => '6h')`): drop manifests
     * older than the retention (never the current one) and delete data

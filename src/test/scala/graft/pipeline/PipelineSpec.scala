@@ -190,6 +190,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 0L, 2L), (3L, 0L, 3L)))
   }
 
+  test("range join matches within the window, including across buckets") {
+    // gap 10: left t=5 must catch right t=12 (right bucket 1 -> copy
+    // into bucket 0 where the left row lives)
+    val l = Seq((1L, 10L, 0L), (1L, 11L, 5L), (1L, 12L, 10L), (2L, 13L, 0L))
+      .toDF("k", "lid", "t_l")
+    val r = Seq((1L, 20L, 5L), (1L, 21L, 9L), (1L, 22L, 12L), (1L, 23L, 25L),
+      (2L, 24L, 3L))
+      .toDF("k", "rid", "t_r")
+    val got = RangeJoin.inner(l, r, "k", "t_l", "t_r", gap = 10L)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set(
+      (10L, 20L), (10L, 21L), // [0,10): 5, 9
+      (11L, 20L), (11L, 21L), (11L, 22L), // [5,15): 5, 9, 12
+      (12L, 22L), // [10,20): 12
+      (13L, 24L))) // other key, [0,10): 3
+  }
+
+  test("salted join equals the plain join and spreads hot keys") {
+    val left = (1L to 100L).map(i => (i, if (i % 10 == 0) "hot" else "cold"))
+      .toDF("id", "k")
+    val right = Seq(("hot", 1), ("cold", 2)).toDF("k", "v")
+    val salted = SkewJoin.saltedInner(left, right, "k", col("id"), saltN = 8)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getInt(2)))
+    val plain = left.join(right, "k")
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(salted.toSeq === plain.toSeq)
+    assert(salted.length === 100)
+  }
+
   test("lang-id scores are consistent with token content") {
     val df = Seq((1L, "the cat and the hat"), (2L, "der die das und"),
       (3L, "xyz qqq")).toDF("doc_id", "text")

@@ -316,4 +316,33 @@ class UpsertTableSpec extends AnyFunSuite {
     assert(t.read().head().getString(1) === "b")  // current still readable
     intercept[Exception] { t.readVersion(versions.head).count() }
   }
+
+  test("rollback restores an old version as a new commit, history intact") {
+    val t = tmpTable()
+    t.merge(Seq((1, "good"), (2, "x")).toDF("user_id", "email"),
+      autoCreateKeys = Seq("user_id"))
+    val goodVersion = SnapshotLog.listVersions(t.location).last
+    t.merge(Seq((1, "BAD"), (3, "oops")).toDF("user_id", "email"))
+    val badVersion = SnapshotLog.listVersions(t.location).last
+    t.rollback(goodVersion)
+    // current state is the good version again
+    val got = t.read().orderBy("user_id").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((1, "good"), (2, "x")))
+    // the rollback is a NEW version; the bad one remains time-travelable
+    val after = SnapshotLog.listVersions(t.location).last
+    assert(after === badVersion + 1)
+    assert(t.readVersion(badVersion).orderBy("user_id").collect()
+      .map(_.getString(1)).toSeq === Seq("BAD", "x", "oops"))
+    // writes continue on top of the rollback
+    t.merge(Seq((2, "y")).toDF("user_id", "email"))
+    assert(t.read().orderBy("user_id").collect()
+      .map(_.getString(1)).toSeq === Seq("good", "y"))
+    // cannot roll "back" to the current or a future version
+    intercept[IllegalArgumentException] { t.rollback(after + 10) }
+    // cannot roll back past expiry: expire everything but current,
+    // then the good version's manifest is gone
+    t.expireSnapshots(retentionMs = 0L)
+    intercept[IllegalArgumentException] { t.rollback(goodVersion) }
+  }
 }
