@@ -39,6 +39,8 @@ object Multimodal {
 
   case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
 
+  case class MediaMeta(media_id: Long, n_bytes: Long, payload_md5: String)
+
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, payload: Array[Byte])
 
   /** Pluggable per-executor codec. Implementations must be
@@ -83,6 +85,30 @@ object Multimodal {
     * analog; bounds per-task memory for big payloads).
     */
   val DefaultBatchSize = 64
+
+  /** Payload metadata/integrity pass: size + content digest per media
+    * row, through the SAME batched `mapPartitions` shape as the codec
+    * operators — no stub involved, so (unlike the codec outputs) these
+    * values are engine-portable and sit under the DuckDB oracle gate
+    * (q48). The ingest-side fixity check of a real media pipeline.
+    */
+  def metadata(media: Dataset[Media],
+      batchSize: Int = DefaultBatchSize): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // one digest instance per task, reused across the batch (the
+      // per-partition init the codec operators amortize the same way)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          md.reset()
+          val hex = md.digest(m.payload).map("%02x".format(_)).mkString
+          MediaMeta(m.media_id, m.payload.length.toLong, hex)
+        }
+      }
+    }
+  }
 
   /** decode + embed: payload → feature vector, batched per partition. */
   def extractFeatures(media: Dataset[Media], dim: Int,

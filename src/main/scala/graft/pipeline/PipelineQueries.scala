@@ -283,6 +283,41 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // q48 — multimodal metadata/integrity pass under the oracle: the
+    // documents corpus re-cast as binary media payloads (UTF-8 bytes),
+    // size + md5 fixity extracted through the REAL batched
+    // mapPartitions path (Multimodal.metadata) — proving the
+    // binary-column plumbing end-to-end; only the codec itself stays
+    // stubbed (no media libs in this container)
+    "q48_multimodal_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).select(
+        col("doc_id").as("media_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
+        col("n_chars").cast("long").as("duration_ms"),
+        lit("utf8").as("format")).as[Multimodal.Media]
+      Multimodal.metadata(media).toDF().orderBy("media_id")
+    }),
+
+    // q49 — video frame sampling fan-out under the oracle: documents
+    // as fake videos (duration = n_chars ms), one frame per 100 ms via
+    // Multimodal.frameSample — the per-row explosion (indices,
+    // timestamps, batching) is real and hash-checked; frame payloads
+    // (stub codec output) are deliberately excluded from the result
+    "q49_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).select(
+        col("doc_id").as("media_id"), lit("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
+        col("n_chars").cast("long").as("duration_ms"),
+        lit("utf8").as("format")).as[Multimodal.Media]
+      Multimodal.frameSample(media, everyMs = 100L).toDF()
+        .select("media_id", "frame_idx", "ts_ms")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -363,6 +398,16 @@ object PipelineQueries {
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 " +
         "AS bucket FROM documents) " +
         "SELECT doc_id, source, rate FROM t WHERE bucket < rate ORDER BY doc_id"),
+    "q48_multimodal_meta" ->
+      ("SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, " +
+        "md5(text) AS payload_md5 FROM documents ORDER BY media_id"),
+    "q49_frame_sample" ->
+      ("WITH v AS (SELECT doc_id AS media_id, " +
+        "greatest(1, n_chars // 100) AS n_frames FROM documents), " +
+        "f AS (SELECT media_id, " +
+        "unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM v) " +
+        "SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, " +
+        "frame_idx * 100 AS ts_ms FROM f ORDER BY media_id, frame_idx"),
     "q45_range_join" ->
       ("WITH o AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t " +
         "FROM events) " +

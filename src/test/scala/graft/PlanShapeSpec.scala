@@ -78,6 +78,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q42 session windows lost their user partitioning:\n$p")
   }
 
+  test("range join is an equi-join on (key, bucket), never nested-loop") {
+    val p = plan("q45_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q45 planned the time predicate as a nested-loop join:\n$p")
+    assert(p.contains("Join") && (p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")),
+      s"q45 lost its hash-joinable (key, bucket) equi-condition:\n$p")
+  }
+
+  test("salted join replicates the build side and shuffles, no broadcast") {
+    val p = plan("q46_skew_join")
+    assert(p.contains("Generate explode"),
+      s"q46 build side is not salt-replicated:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q46 is not a shuffled hash join (broadcast would void the salt):\n$p")
+  }
+
   test("catalog SQL reads are columnar DSv2 parquet scans, no RDD bridge") {
     val p = plan("q20_store_sql_roundtrip")
     assert(p.contains("BatchScan"), s"q20 read is not a DSv2 batch scan:\n$p")

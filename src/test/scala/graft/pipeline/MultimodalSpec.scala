@@ -77,6 +77,21 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => m.media_id -> m.payload.toSeq).toMap
     assert(corpus.collect().forall(m => back(m.media_id) == m.payload.toSeq))
   }
+  test("metadata pass digests payloads exactly, batched per partition") {
+    val metas = Multimodal.metadata(corpus).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(metas.size === 100)
+    (1 to 100).foreach { i =>
+      val payload = s"payload-bytes-$i".getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = md.digest(payload).map("%02x".format(_)).mkString
+      assert(metas(i.toLong).n_bytes === payload.length.toLong)
+      assert(metas(i.toLong).payload_md5 === expect)
+    }
+    // partition-local: no shuffle introduced
+    assert(Multimodal.metadata(corpus).rdd.getNumPartitions
+      === corpus.rdd.getNumPartitions)
+  }
 }
 
 class ApproxDistinctSpec extends AnyFunSuite {
