@@ -142,7 +142,10 @@ object StoreQueries {
       val base = Paths.get(sys.props("java.io.tmpdir"),
         s"graft-stream-join-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
       deleteRecursively(base) // idempotent per run
+      // deterministic 25% user subset: the dual-stream state machinery
+      // is identical, the buffered state (and bench cost) is a quarter
       val ev = Tables.load(s, d, "events")
+        .where(pmod(col("user_id"), lit(4)) === 0)
         .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
         .repartition(2) // 2 files per topic -> cross-batch matches
       Topic.produce(ev, s"$base/ta")
@@ -174,6 +177,42 @@ object StoreQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$base/out").orderBy("event_a", "event_b")
+    }),
+
+    // q50 — stream-STATIC join (the remaining cell of the streaming
+    // join matrix next to q47): a live event stream left-joined per
+    // micro-batch against a static per-customer order-count dimension.
+    // The static side is a batch aggregate re-planned inside each
+    // micro-batch — at scale it broadcasts (small dim) or pre-shuffles
+    // once; the stream side never blocks on it.
+    "q50_stream_static_join" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-static-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val ev = Tables.load(s, d, "events").select("event_id", "user_id")
+        .repartition(2) // 2 files -> 2 micro-batches
+      Topic.produce(ev, s"$base/topic")
+      val dim = Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(count(lit(1)).as("n_orders"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT")
+      val joined = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j"))
+        .select("j.*")
+        .join(dim, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$base/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("event_id")
     })
   )
 
@@ -201,13 +240,21 @@ object StoreQueries {
         "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
 
-    // the stream-stream join must land exactly the q45 batch answer
+    // the stream-stream join must land exactly the batch answer over
+    // the same 25% user subset
     "q47_stream_stream_join" ->
       ("WITH o AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t " +
-        "FROM events) " +
+        "FROM events WHERE user_id % 4 = 0) " +
         "SELECT a.event_id AS event_a, b.event_id AS event_b " +
         "FROM o a JOIN o b ON a.user_id = b.user_id " +
         "AND b.t >= a.t AND b.t < a.t + 43200000000 " +
-        "AND a.event_id <> b.event_id ORDER BY event_a, event_b")
+        "AND a.event_id <> b.event_id ORDER BY event_a, event_b"),
+
+    // the per-batch stream-static join must equal the batch left join
+    "q50_stream_static_join" ->
+      ("WITH st AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT e.event_id, e.user_id, COALESCE(st.n_orders, 0) AS n_orders " +
+        "FROM events e LEFT JOIN st USING (user_id) ORDER BY event_id")
   )
 }
