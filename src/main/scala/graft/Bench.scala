@@ -30,14 +30,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup at the smallest SF: JIT + codegen + reader init
     // land here instead of inflating whichever query runs first
+    // optional comma-separated query filter (dev tooling: time a
+    // single query without the whole suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def selected(n: String): Boolean = only.forall(_.contains(n))
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (selected(name))
+          try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
       }
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
     // a failed rep records +Inf, never its (near-zero) failure time —
     // min-reporting must not let broken code improve the record
     def timeOne(name: String): Double = {

@@ -167,14 +167,23 @@ object StoreQueries {
           && col("t_b") < col("t_a") + expr("INTERVAL 12 HOURS")
           && col("event_a") =!= col("event_b"))
         .select("event_a", "event_b")
-      val q = joined.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/cp")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(s"$base/out")
-        }
-        .start()
+      // dual-sided join state means 2 state stores per shuffle
+      // partition per batch, each committing versioned files — at this
+      // data size that fixed cost dominates, so the STREAM runs at 8
+      // state partitions (results identical; at 100 TB you'd size this
+      // UP with the cluster instead). Restored right after planning.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.read.parquet(s"$base/out").orderBy("event_a", "event_b")
     }),
@@ -213,6 +222,34 @@ object StoreQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$base/out").orderBy("event_id")
+    }),
+
+    // q51 — co-located bucketed join: both sides written ONCE as
+    // bucketed tables (8 buckets on the join key, sorted within
+    // buckets), then joined with zero exchanges — the scan's bucket
+    // layout satisfies the join's (and the aggregation's) required
+    // distribution, so at 100 TB the repeated-join workload pays the
+    // shuffle once at write time instead of per query. Plan-pinned: no
+    // hash-partition exchange anywhere (PlanShapeSpec).
+    "q51_bucketed_join" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-bucketed-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      val suffix = math.abs(d.hashCode).toString
+      val ev = Tables.load(s, d, "events").select("event_id", "user_id")
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("user_id"))
+      ev.write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$base/ev").saveAsTable(s"bucketed_events_$suffix")
+      ord.write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$base/ord").saveAsTable(s"bucketed_orders_$suffix")
+      val l = s.table(s"bucketed_events_$suffix").hint("merge")
+      val r = s.table(s"bucketed_orders_$suffix").hint("merge")
+      l.join(r, "user_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
     })
   )
 
@@ -255,6 +292,12 @@ object StoreQueries {
       ("WITH st AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders " +
         "FROM orders GROUP BY 1) " +
         "SELECT e.event_id, e.user_id, COALESCE(st.n_orders, 0) AS n_orders " +
-        "FROM events e LEFT JOIN st USING (user_id) ORDER BY event_id")
+        "FROM events e LEFT JOIN st USING (user_id) ORDER BY event_id"),
+
+    // the bucketed join must equal the plain join + aggregate
+    "q51_bucketed_join" ->
+      ("SELECT e.user_id, COUNT(*) AS n_pairs FROM events e " +
+        "JOIN orders o ON o.o_custkey = e.user_id " +
+        "GROUP BY e.user_id ORDER BY e.user_id")
   )
 }

@@ -95,6 +95,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q46 is not a shuffled hash join (broadcast would void the salt):\n$p")
   }
 
+  test("bucketed join is co-located: sort-merge with zero hash exchanges") {
+    val p = plan("q51_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"q51 is not a sort-merge join:\n$p")
+    // bucket layout must satisfy join AND aggregation distribution —
+    // the only exchange allowed is the final orderBy's range partition
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q51 shuffles despite bucketing:\n$p")
+  }
+
   test("catalog SQL reads are columnar DSv2 parquet scans, no RDD bridge") {
     val p = plan("q20_store_sql_roundtrip")
     assert(p.contains("BatchScan"), s"q20 read is not a DSv2 batch scan:\n$p")
