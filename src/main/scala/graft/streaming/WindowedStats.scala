@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-time streaming aggregation (beyond-reference extension: the
   * reference job is processing-time only, SURVEY.md §2.5, but any
@@ -112,5 +112,76 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}
+
+/** The same gap-session operator on `transformWithState` — Spark 4's
+  * arbitrary-state successor to flatMapGroupsWithState: typed
+  * `ValueState` handles, explicit event-time timers (registered per
+  * session end, stale timers deleted on update), RocksDB-backed state.
+  * Semantically identical to [[Sessionize]]; proven equivalent in
+  * WindowedStatsSpec. Requires
+  * `spark.sql.streaming.stateStore.providerClass =
+  *  org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`.
+  */
+object SessionizeTws {
+
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionEvent, UserSession] {
+    @transient private var state: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionAcc]("session",
+        Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+        tv: TimerValues): Iterator[UserSession] = {
+      val out = scala.collection.mutable.ListBuffer.empty[UserSession]
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var acc = if (state.exists()) state.get() else null
+      // the previous batch's timer is stale the moment the session
+      // grows — delete it so only the live session-end timer can fire
+      if (acc != null) getHandle.deleteTimer(acc.endMs + gapMs)
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        acc match {
+          case null => acc = SessionAcc(t, t, 1)
+          case s if t - s.endMs <= gapMs =>
+            acc = s.copy(endMs = math.max(s.endMs, t), n = s.n + 1)
+          case s => // gap exceeded inside the batch: emit, start anew
+            out += UserSession(key, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.n)
+            acc = SessionAcc(t, t, 1)
+        }
+      }
+      if (acc != null) {
+        state.update(acc)
+        getHandle.registerTimer(acc.endMs + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[UserSession] = {
+      // only the live session's timer survives updates, so expiry
+      // means the watermark passed end + gap: close and evict
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(UserSession(key, new Timestamp(s.startMs),
+          new Timestamp(s.endMs), s.n))
+      } else Iterator.empty
+    }
+  }
+
+  def sessions(events: Dataset[SessionEvent], gapMs: Long,
+      watermarkDelay: String): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

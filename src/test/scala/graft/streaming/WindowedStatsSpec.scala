@@ -133,4 +133,56 @@ class WindowedStatsSpec extends AnyFunSuite {
         (2L, "2026-01-01 00:00:15.0", "2026-01-01 00:00:15.0", 1)))
     } finally q.stop()
   }
+
+  test("transformWithState sessions match the flatMapGroupsWithState ones") {
+    val base = Files.createTempDirectory("graft-sess-tws")
+    val topic = s"$base/topic"
+    Files.createDirectories(java.nio.file.Paths.get(topic))
+    // transformWithState requires the RocksDB state store provider
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sessions = SessionizeTws.sessions(
+        parsed(topic).as[SessionEvent], gapMs = 30000L,
+        watermarkDelay = "5 seconds")
+      val q = sessions.writeStream
+        .format("memory").queryName("sessions_tws").outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        // identical script to the flatMapGroupsWithState test: same
+        // sessions must come out of the new-API processor
+        Topic.appendLines(topic, Seq(
+          line(1, "2026-01-01 00:00:00"), line(1, "2026-01-01 00:00:10"),
+          line(2, "2026-01-01 00:00:15")))
+        q.processAllAvailable()
+        Topic.appendLines(topic, Seq(line(1, "2026-01-01 00:02:00")))
+        q.processAllAvailable()
+        Topic.appendLines(topic, Seq(line(9, "2026-01-01 00:30:00")))
+        q.processAllAvailable()
+        Topic.appendLines(topic, Seq(line(9, "2026-01-01 00:31:00")))
+        q.processAllAvailable()
+
+        val rows = spark.sql(
+          "SELECT user_id, session_start, session_end, events " +
+            "FROM sessions_tws WHERE user_id IN (1, 2) " +
+            "ORDER BY user_id, session_start")
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+            r.getTimestamp(2).toString, r.getInt(3)))
+        assert(rows.contains(
+          (1L, "2026-01-01 00:00:00.0", "2026-01-01 00:00:10.0", 2)))
+        assert(rows.contains(
+          (1L, "2026-01-01 00:02:00.0", "2026-01-01 00:02:00.0", 1)))
+        assert(rows.contains(
+          (2L, "2026-01-01 00:00:15.0", "2026-01-01 00:00:15.0", 1)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
 }
