@@ -21,11 +21,21 @@ import org.apache.spark.sql.functions._
   * diameter 1-2), so the loop converges in a handful of rounds; the
   * convergence check is a monotone aggregate (labels only ever
   * decrease, so an unchanged global sum ⇔ fixpoint) — one count-free
-  * scalar job per round. Lineage is truncated every round
-  * (`localCheckpoint`) so the plan does not grow with iterations; on a
-  * real cluster this is a reliable-checkpoint dir instead.
+  * scalar job per round. Lineage is truncated every round so the plan
+  * does not grow with iterations: through the RELIABLE checkpoint dir
+  * when `sparkContext.setCheckpointDir` is configured (survives
+  * executor loss — set it on a real cluster), falling back to
+  * `localCheckpoint` (executor-local blocks, fine for single-JVM runs).
   */
 object Cluster {
+
+  /** Truncate lineage: reliable checkpoint if a checkpoint dir is
+    * configured, executor-local otherwise.
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
 
   /** (id, cluster) for every node, cluster = min id in its component.
     *
@@ -45,13 +55,13 @@ object Cluster {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(truncate)
 
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("lbl"), lit(0L)).as("s")).head().getLong(0)
 
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint(true)
+      .transform(truncate)
     var current = labelSum(labels)
     var converged = false
     var round = 0
@@ -62,7 +72,7 @@ object Cluster {
       val next = labels.unionByName(pushed)
         .groupBy("id")
         .agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .transform(truncate)
       val nextSum = labelSum(next)
       converged = nextSum == current // labels are monotone non-increasing
       labels = next

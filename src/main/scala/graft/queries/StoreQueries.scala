@@ -116,14 +116,22 @@ object StoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv0"))
         .select(unix_micros(col("window.start")).as("w_start"),
           col("event_type"), col("n"), round(col("sv0"), 6).as("sv"))
-      val q = agged.writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", s"$base/cp")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(s"$base/out")
-        }
-        .start()
+      // state-store commit overhead dominates at this size — run the
+      // stream's agg state at 8 partitions (results identical; sized
+      // UP with the cluster at scale). Restored after start: streaming
+      // queries freeze their conf snapshot at start().
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        agged.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$base/out")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
     }),
