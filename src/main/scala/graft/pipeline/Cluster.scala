@@ -57,8 +57,12 @@ object Cluster {
       .distinct()
       .transform(truncate)
 
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L)).as("s")).head().getLong(0)
+    // decimal(38), not long: at extreme node-count × id-range scale a
+    // long sum can wrap, and a wrapped sum colliding with the previous
+    // one would silently declare FALSE convergence
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s")).head().getDecimal(0)
 
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .transform(truncate)
@@ -74,11 +78,16 @@ object Cluster {
         .agg(min("lbl").as("lbl"))
         .transform(truncate)
       val nextSum = labelSum(next)
-      converged = nextSum == current // labels are monotone non-increasing
+      converged = nextSum.compareTo(current) == 0 // labels only decrease
       labels = next
       current = nextSum
       round += 1
     }
+    // an unconverged assignment is WRONG (some labels not yet minimal)
+    // — fail loudly rather than hand back silently-split clusters
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds — " +
+        "a component with diameter beyond the budget exists; raise maxRounds")
     labels.select(col("id").as(idCol), col("lbl").as("cluster"))
   }
 

@@ -155,6 +155,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(surv === Seq(1L, 10L, 20L))
   }
 
+  test("connected components refuse to return unconverged labels") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L)).toDF("a", "b") // diameter 2
+    intercept[IllegalArgumentException] {
+      Cluster.connectedComponents(nodes, edges, "id", "a", "b", maxRounds = 1)
+        .collect()
+    }
+    // edge-free graph converges immediately even at maxRounds = 1
+    val lone = Cluster.connectedComponents(
+      Seq(7L).toDF("id"), edges.limit(0), "id", "a", "b", maxRounds = 1)
+      .collect()
+    assert(lone.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 7L)))
+  }
+
   test("global offset equals a naive global cumsum, across blocks") {
     val df = (0L until 57L).map(i => (i * 3 + 1, (i % 7) + 1)) // sparse ids
       .toDF("id", "n")
