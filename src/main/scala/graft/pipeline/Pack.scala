@@ -32,9 +32,15 @@ object Pack {
     * `idCol` order (ids must be unique and non-negative: `div`
     * truncates toward zero, so negative ids would land blocks out of
     * order).
+    *
+    * The block-prefix table has one row per OCCUPIED id block — for
+    * dense ids that is |corpus|/blockWidth; for a sparse id space size
+    * blockWidth to the id RANGE (range/blockWidth blocks), since empty
+    * blocks cost nothing but the table must stay broadcastable.
     */
   def withGlobalOffset(df: DataFrame, idCol: String, valueCol: String,
       blockWidth: Long = 1000000L): DataFrame = {
+    require(blockWidth > 0, "blockWidth must be positive")
     val blk = expr(s"cast($idCol as long) div ${blockWidth}L")
     val withBlk = df.withColumn("__blk", blk)
     val totals = withBlk.groupBy("__blk")
@@ -68,6 +74,7 @@ object Pack {
     */
   def concatChunks(docs: DataFrame, idCol: String, tokCountCol: String,
       capacity: Long, blockWidth: Long = 1000000L): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
     val n = col(tokCountCol).cast("long")
     withGlobalOffset(docs, idCol, tokCountCol, blockWidth)
       .withColumn("__end", col("__start") + n)

@@ -318,6 +318,23 @@ object PipelineQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // q52 — eval-set DECONTAMINATION: training documents sharing any
+    // 4-gram shingle with the (small) eval set — the pre-training
+    // hygiene pass that keeps benchmark text out of the corpus. Eval
+    // shingles broadcast; the train side is one scan-side explode +
+    // broadcast hash join, no shuffle of the corpus. (For very long
+    // shared runs, the winnowed-fingerprint variant (q28) does the
+    // same join at ~2/(w+1) the shingle density.)
+    "q52_decontaminate" -> ((s, d) => {
+      val sh = docs(s, d).select(col("doc_id"),
+        explode(expr("word_shingles(text, 4)")).as("sh"))
+      val ev = sh.where(col("doc_id") < 50).toDF("eval_id", "sh")
+      val tr = sh.where(col("doc_id") >= 50).toDF("train_id", "sh")
+      tr.join(broadcast(ev), "sh")
+        .select("train_id", "eval_id").distinct()
+        .orderBy("train_id", "eval_id")
+    }),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -398,6 +415,17 @@ object PipelineQueries {
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 " +
         "AS bucket FROM documents) " +
         "SELECT doc_id, source, rate FROM t WHERE bucket < rate ORDER BY doc_id"),
+    "q52_decontaminate" ->
+      (s"WITH nn AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
+        "tk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM nn), " +
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 4 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks) - 2), " +
+        "i -> array_to_string(toks[i:i+3], ' ')) END) AS s FROM tk), " +
+        "ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < 50), " +
+        "tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id >= 50) " +
+        "SELECT DISTINCT train_id, eval_id FROM tr JOIN ev USING (s) " +
+        "ORDER BY train_id, eval_id"),
     "q48_multimodal_meta" ->
       ("SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, " +
         "md5(text) AS payload_md5 FROM documents ORDER BY media_id"),
