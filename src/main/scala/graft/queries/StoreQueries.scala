@@ -145,7 +145,10 @@ object StoreQueries {
     // topic files are NOT time-ordered here, so early eviction would
     // drop legitimate matches — at production scale the transport is
     // time-ordered and the delay shrinks to actual disorder. Must
-    // hash-match the batch range-join SQL exactly.
+    // hash-match the batch range-join SQL exactly. (The plain
+    // append-parquet sink here is the test harness; a replayed batch
+    // after a crash would duplicate rows — production streams land in
+    // the store's batchId-idempotent merge, the q37 path.)
     "q47_stream_stream_join" -> ((s, d) => {
       val base = Paths.get(sys.props("java.io.tmpdir"),
         s"graft-stream-join-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
