@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   * physical partitioning, so the result is deterministic under any
   * layout — which also makes it oracle-checkable against a plain
   * windowed cumsum in DuckDB.
+  *
+  * The block-totals branch re-reads the input with columns pruned to
+  * (id, value) — a second, much narrower scan. If the input is an
+  * expensive derivation rather than a table scan, persist it upstream
+  * before calling in here.
   */
 object Pack {
 
