@@ -235,6 +235,34 @@ object StoreQueries {
       s.read.parquet(s"$base/out").orderBy("event_id")
     }),
 
+    // q53 — the S6 CDC sink end-to-end under the oracle: events
+    // re-serialized as Debezium-style envelopes (op/u|d, source.table
+    // routing, lsn/txId ordering, after/before images), pushed through
+    // the REAL CdcSink.applyBatch (envelope extraction, dynamic
+    // routing, payload schema inference, auto-create, CDC-merge), and
+    // the routed `cdc.events_postgres` table read back — must equal
+    // the declarative changelog-normalize-with-deletes SQL.
+    "q53_cdc_envelope_roundtrip" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-cdc-env-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val ev = Tables.load(s, d, "events")
+      val image = struct(col("user_id"), col("event_id"), col("event_type"))
+      val env = ev.select(to_json(struct(
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+          .as("op"),
+        struct(lit("events").as("table"), col("ts").as("lsn"),
+          col("event_id").as("txId")).as("source"),
+        image.as("after"),
+        image.as("before"))).as("value"))
+      graft.cdc.CdcSink.applyBatch(s, env, base.toString,
+        keyColsFor = _ => Seq("user_id"))
+      UpsertTable(s, graft.cdc.CdcSink.targetPath(base.toString, "events"))
+        .read()
+        .select("user_id", "event_id")
+        .orderBy("user_id")
+    }),
+
     // q51 — co-located bucketed join: both sides written ONCE as
     // bucketed tables (8 buckets on the join key, sorted within
     // buckets), then joined with zero exchanges — the scan's bucket
@@ -304,6 +332,15 @@ object StoreQueries {
         "FROM orders GROUP BY 1) " +
         "SELECT e.event_id, e.user_id, COALESCE(st.n_orders, 0) AS n_orders " +
         "FROM events e LEFT JOIN st USING (user_id) ORDER BY event_id"),
+
+    // the envelope roundtrip must land exactly the q20/q6 answer:
+    // latest row per user in (lsn=ts, txId=event_id) order, deleted
+    // keys (last op 'd') absent
+    "q53_cdc_envelope_roundtrip" ->
+      ("SELECT user_id, event_id FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
 
     // the bucketed join must equal the plain join + aggregate
     "q51_bucketed_join" ->
