@@ -263,6 +263,51 @@ object StoreQueries {
         .orderBy("user_id")
     }),
 
+    // q54 — the S2 snapshot-then-tail changelog source under the
+    // oracle: pre-cutoff state bulk-loads as the op-`r` snapshot
+    // (ordering key below every tail LSN), the post-cutoff events
+    // stream in as envelopes through a REAL standing CdcJob query, and
+    // the composed result must equal one sequential CDC apply of the
+    // whole history — Debezium's startup contract, driver-gated.
+    "q54_changelog_source" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-cdc-src-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val ev = Tables.load(s, d, "events")
+      val cutoffNs = 1705276800000000000L // 2024-01-15T00:00:00Z
+      val pre = ev.where(col("ts") < cutoffNs)
+      val post = ev.where(col("ts") >= cutoffNs)
+      // snapshot = pre-cutoff changelog-normalized state, deletes applied
+      val snap = graft.store.ChangelogNormalize.latestByKey(
+        pre.withColumn("__ord", struct(col("ts"), col("event_id")))
+          .select("user_id", "event_id", "event_type", "__ord"),
+        Seq("user_id"), "__ord")
+        .where(col("event_type") =!= "error")
+      // Topic.produce serializes the row itself (to_json over all
+      // columns), so hand it the envelope FIELDS, not pre-serialized
+      // JSON — producing a string column would double-wrap it
+      val image = struct(col("user_id"), col("event_id"), col("event_type"))
+      val env = post.select(
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+          .as("op"),
+        struct(lit("events").as("table"), col("ts").as("lsn"),
+          col("event_id").as("txId")).as("source"),
+        image.as("after"), image.as("before"))
+      Topic.produce(env.coalesce(1), s"$base/topic")
+      val q = graft.cdc.ChangelogSource.start(s,
+        snapshots = Map("events" -> snap),
+        topicDir = s"$base/topic",
+        warehouseDir = s"$base/wh",
+        checkpointDir = s"$base/cp",
+        keyColsFor = _ => Seq("user_id"),
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      UpsertTable(s, graft.cdc.CdcSink.targetPath(s"$base/wh", "events"))
+        .read()
+        .select("user_id", "event_id")
+        .orderBy("user_id")
+    }),
+
     // q51 — co-located bucketed join: both sides written ONCE as
     // bucketed tables (8 buckets on the join key, sorted within
     // buckets), then joined with zero exchanges — the scan's bucket
@@ -337,6 +382,13 @@ object StoreQueries {
     // latest row per user in (lsn=ts, txId=event_id) order, deleted
     // keys (last op 'd') absent
     "q53_cdc_envelope_roundtrip" ->
+      ("SELECT user_id, event_id FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
+
+    // snapshot ∘ tail must equal one sequential apply of the history
+    "q54_changelog_source" ->
       ("SELECT user_id, event_id FROM (" +
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
         "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
