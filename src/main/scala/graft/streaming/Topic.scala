@@ -55,12 +55,20 @@ object Topic {
 
   /** Producer sink (S4/P8, reference test_cdc.py:99-121): serialize
     * every column of `df` to one JSON object per row (`to_json(struct)`)
-    * and append to the topic. Distributed write: Spark writes part
-    * files to a staging dir, then they move into the topic under the
-    * next sequence prefix.
+    * and append to the topic. A single STRING column named `value` is
+    * treated as an already-serialized record and passed through raw —
+    * the Kafka-producer contract — instead of being wrapped a second
+    * time into `{"value":"..."}` (which downstream envelope parsers
+    * would silently drop as malformed). Distributed write: Spark
+    * writes part files to a staging dir, then they move into the topic
+    * under the next sequence prefix.
     */
   def produce(df: DataFrame, topicDir: String): Unit = {
-    val json = df.select(to_json(struct(df.columns.toSeq.map(col): _*)).as("value"))
+    val preSerialized = df.columns.toSeq == Seq("value") &&
+      df.schema.head.dataType == StringType
+    val json =
+      if (preSerialized) df
+      else df.select(to_json(struct(df.columns.toSeq.map(col): _*)).as("value"))
     val dir = Paths.get(topicDir)
     Files.createDirectories(dir)
     // stage INSIDE the topic dir: publish is then a same-filesystem

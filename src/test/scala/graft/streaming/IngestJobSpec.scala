@@ -197,4 +197,17 @@ class IngestJobSpec extends AnyFunSuite {
     q.awaitTermination()
     assert(state(job) === Set(10 -> "x@example.com", 11 -> "y@example.com"))
   }
+
+  test("producing a single value STRING column passes records through raw") {
+    import spark.implicits._
+    val job = mkJob(trigger = Trigger.AvailableNow())
+    // already-serialized records (the Kafka-producer contract): no
+    // second {"value":"..."} wrapping
+    val df = Seq("""{"user_id":20,"email":"a@b.c"}""",
+      """{"user_id":21,"email":"d@e.f"}""").toDF("value")
+    Topic.produce(df, job.topicDir)
+    val q = job.start(spark)
+    q.awaitTermination()
+    assert(state(job) === Set(20 -> "a@b.c", 21 -> "d@e.f"))
+  }
 }
