@@ -43,6 +43,9 @@ object Bench {
       }
     }
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${sys.env.getOrElse("SPARK_GRAFT_ONLY", "")} " +
+        "matches no query — check the names against SparkEntry.queries")
     // a failed rep records +Inf, never its (near-zero) failure time —
     // min-reporting must not let broken code improve the record
     def timeOne(name: String): Double = {

@@ -30,7 +30,12 @@ import org.apache.spark.sql.functions._
 object Cluster {
 
   /** Truncate lineage: reliable checkpoint if a checkpoint dir is
-    * configured, executor-local otherwise.
+    * configured, executor-local otherwise. Superseded rounds are
+    * unpersisted as the loop advances; reliable checkpoint FILES are
+    * reclaimed by Spark's context cleaner — set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` on long
+    * driver processes so per-round checkpoints do not accumulate for
+    * the application's lifetime.
     */
   private def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
@@ -40,7 +45,10 @@ object Cluster {
   /** (id, cluster) for every node, cluster = min id in its component.
     *
     * @param nodes single-column DF of node ids (name = idCol); nodes
-    *              absent from `edges` come back as their own cluster
+    *              absent from `edges` come back as their own cluster.
+    *              Edge endpoints missing from `nodes` still take part
+    *              in propagation (label information flows THROUGH
+    *              them) but are excluded from the output.
     * @param edges two-column DF of undirected pairs (srcCol, dstCol)
     */
   def connectedComponents(
@@ -56,6 +64,13 @@ object Cluster {
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .transform(truncate)
+    // propagate over nodes ∪ edge endpoints: an endpoint absent from
+    // `nodes` entering the label table mid-flight would (a) carry
+    // labels incorrectly and (b) be able to offset another label's
+    // decrease in the convergence sum — false convergence
+    val universe = nodes.select(col(idCol).as("id"))
+      .unionByName(sym.select(col("src").as("id")))
+      .distinct()
 
     // decimal(38), not long: at extreme node-count × id-range scale a
     // long sum can wrap, and a wrapped sum colliding with the previous
@@ -64,7 +79,7 @@ object Cluster {
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("s")).head().getDecimal(0)
 
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    var labels = universe.select(col("id"), col("id").as("lbl"))
       .transform(truncate)
     var current = labelSum(labels)
     var converged = false
@@ -79,6 +94,7 @@ object Cluster {
         .transform(truncate)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(current) == 0 // labels only decrease
+      labels.unpersist() // superseded round: release its blocks now
       labels = next
       current = nextSum
       round += 1
@@ -88,7 +104,9 @@ object Cluster {
     require(converged,
       s"connected components did not converge in $maxRounds rounds — " +
         "a component with diameter beyond the budget exists; raise maxRounds")
-    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+    labels
+      .join(nodes.select(col(idCol).as("id")).distinct(), "id")
+      .select(col("id").as(idCol), col("lbl").as("cluster"))
   }
 
   /** One survivor per near-dup cluster: the member whose id equals the

@@ -34,6 +34,21 @@ object PipelineQueries {
     base.unionByName(base.select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** The documents corpus re-cast as binary media rows (payload =
+    * UTF-8 text bytes, duration = n_chars ms) — the shared fixture for
+    * the oracle-gated multimodal queries (q48/q49).
+    */
+  private def docsAsMedia(s: SparkSession, d: String,
+      kind: String): org.apache.spark.sql.Dataset[Multimodal.Media] = {
+    import s.implicits._
+    docs(s, d).select(
+      col("doc_id").as("media_id"), lit(kind).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
+      col("n_chars").cast("long").as("duration_ms"),
+      lit("utf8").as("format")).as[Multimodal.Media]
+  }
+
   // duckdb fragment mirroring docsWithDups
   private val dupCte =
     "SELECT doc_id, text FROM documents " +
@@ -289,34 +304,20 @@ object PipelineQueries {
     // mapPartitions path (Multimodal.metadata) — proving the
     // binary-column plumbing end-to-end; only the codec itself stays
     // stubbed (no media libs in this container)
-    "q48_multimodal_meta" -> ((s, d) => {
-      import s.implicits._
-      val media = docs(s, d).select(
-        col("doc_id").as("media_id"), lit("image").as("kind"),
-        encode(col("text"), "UTF-8").as("payload"),
-        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
-        col("n_chars").cast("long").as("duration_ms"),
-        lit("utf8").as("format")).as[Multimodal.Media]
-      Multimodal.metadata(media).toDF().orderBy("media_id")
-    }),
+    "q48_multimodal_meta" -> ((s, d) =>
+      Multimodal.metadata(docsAsMedia(s, d, kind = "image"))
+        .toDF().orderBy("media_id")),
 
     // q49 — video frame sampling fan-out under the oracle: documents
     // as fake videos (duration = n_chars ms), one frame per 100 ms via
     // Multimodal.frameSample — the per-row explosion (indices,
     // timestamps, batching) is real and hash-checked; frame payloads
     // (stub codec output) are deliberately excluded from the result
-    "q49_frame_sample" -> ((s, d) => {
-      import s.implicits._
-      val media = docs(s, d).select(
-        col("doc_id").as("media_id"), lit("video").as("kind"),
-        encode(col("text"), "UTF-8").as("payload"),
-        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
-        col("n_chars").cast("long").as("duration_ms"),
-        lit("utf8").as("format")).as[Multimodal.Media]
-      Multimodal.frameSample(media, everyMs = 100L).toDF()
+    "q49_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(docsAsMedia(s, d, kind = "video"), everyMs = 100L)
+        .toDF()
         .select("media_id", "frame_idx", "ts_ms")
-        .orderBy("media_id", "frame_idx")
-    }),
+        .orderBy("media_id", "frame_idx")),
 
     // q52 — eval-set DECONTAMINATION: training documents sharing any
     // 4-gram shingle with the (small) eval set — the pre-training

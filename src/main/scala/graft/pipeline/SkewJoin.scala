@@ -32,8 +32,11 @@ object SkewJoin {
   def saltedInner(left: DataFrame, right: DataFrame, keyCol: String,
       saltExpr: Column, saltN: Int): DataFrame = {
     require(saltN > 0, "saltN must be positive")
+    // null salt sources fall into salt 0 instead of producing a null
+    // join key that would silently drop the row (the contract is
+    // "identical results to the unsalted join", nulls included)
     val lb = left.withColumn("__salt",
-      pmod(saltExpr.cast("long"), lit(saltN.toLong)))
+      pmod(coalesce(saltExpr.cast("long"), lit(0L)), lit(saltN.toLong)))
     val rb = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltN.toLong - 1))))
     // hint away broadcast: the whole point is exercising the salted

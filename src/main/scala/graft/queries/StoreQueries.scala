@@ -39,6 +39,21 @@ object StoreQueries {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.Fs.deleteRecursively(p)
 
+  /** Start a streaming query under a temporary shuffle-partition count
+    * (stateful streams at test data sizes are dominated by per-
+    * partition state-store commit overhead; results are identical —
+    * at 100 TB this is sized UP with the cluster instead). Safe
+    * because a streaming query clones and freezes its session conf
+    * synchronously inside `start()`; the restore happens right after.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(
+      start: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try start finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q20 — events changelog CDC-merged into the store (event_type
     // 'error' ≙ op 'd', latest-by-(ts, event_id) wins), read back by
@@ -116,13 +131,7 @@ object StoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv0"))
         .select(unix_micros(col("window.start")).as("w_start"),
           col("event_type"), col("n"), round(col("sv0"), 6).as("sv"))
-      // state-store commit overhead dominates at this size — run the
-      // stream's agg state at 8 partitions (results identical; sized
-      // UP with the cluster at scale). Restored after start: streaming
-      // queries freeze their conf snapshot at start().
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
+      val q = withShufflePartitions(s, 8) {
         agged.writeStream
           .outputMode("complete")
           .option("checkpointLocation", s"$base/cp")
@@ -131,7 +140,7 @@ object StoreQueries {
             b.write.mode("overwrite").parquet(s"$base/out")
           }
           .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       q.awaitTermination()
       s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
     }),
@@ -179,13 +188,8 @@ object StoreQueries {
           && col("event_a") =!= col("event_b"))
         .select("event_a", "event_b")
       // dual-sided join state means 2 state stores per shuffle
-      // partition per batch, each committing versioned files — at this
-      // data size that fixed cost dominates, so the STREAM runs at 8
-      // state partitions (results identical; at 100 TB you'd size this
-      // UP with the cluster instead). Restored right after planning.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
+      // partition per batch, each committing versioned files
+      val q = withShufflePartitions(s, 8) {
         joined.writeStream
           .outputMode("append")
           .option("checkpointLocation", s"$base/cp")
@@ -194,7 +198,7 @@ object StoreQueries {
             b.write.mode("append").parquet(s"$base/out")
           }
           .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       q.awaitTermination()
       s.read.parquet(s"$base/out").orderBy("event_a", "event_b")
     }),

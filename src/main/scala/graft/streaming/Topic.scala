@@ -67,7 +67,14 @@ object Topic {
     val preSerialized = df.columns.toSeq == Seq("value") &&
       df.schema.head.dataType == StringType
     val json =
-      if (preSerialized) df
+      if (preSerialized)
+        // a null record can't be represented in a text topic — fail
+        // loudly at write time rather than land an empty line that
+        // downstream parsers silently drop (to_json below never
+        // produces null, so only this path needs the guard)
+        df.select(when(col("value").isNull, raise_error(
+          lit("Topic.produce: null value record"))).otherwise(col("value"))
+          .as("value"))
       else df.select(to_json(struct(df.columns.toSeq.map(col): _*)).as("value"))
     val dir = Paths.get(topicDir)
     Files.createDirectories(dir)

@@ -155,6 +155,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(surv === Seq(1L, 10L, 20L))
   }
 
+  test("edge endpoints outside the node list propagate but don't poison convergence") {
+    // 0-9-20 is one component bridged by 20, which is NOT in `nodes`;
+    // the round-1 sum happens to equal the initial sum (9's decrease
+    // offset by 20 entering at label 9), the exact false-convergence
+    // trap when outside endpoints join labels mid-flight
+    val nodes = Seq(0L, 9L).toDF("id")
+    val edges = Seq((0L, 9L), (9L, 20L)).toDF("a", "b")
+    val got = Cluster.connectedComponents(nodes, edges, "id", "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 0L), (9L, 0L))) // 20 excluded, labels minimal
+  }
+
+  test("salted join keeps rows whose salt source is null") {
+    val left = Seq((Some(1L), "k"), (None, "k")).toDF("id", "k")
+    val right = Seq(("k", 9)).toDF("k", "v")
+    val got = SkewJoin.saltedInner(left, right, "k", col("id"), saltN = 4)
+      .collect()
+    assert(got.length === 2) // the null-id row must survive the join
+  }
+
   test("connected components refuse to return unconverged labels") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val edges = Seq((2L, 1L), (2L, 3L)).toDF("a", "b") // diameter 2
