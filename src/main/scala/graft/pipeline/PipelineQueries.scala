@@ -336,6 +336,62 @@ object PipelineQueries {
         .orderBy("train_id", "eval_id")
     }),
 
+    // q55 — RAG/context-window chunking: 32-token windows every 24
+    // tokens (8-token overlap) per document — fully scan-side fan-out
+    // (explode of a per-row sequence), zero shuffles; the per-chunk
+    // md5 lets downstream chunk-level dedup run without re-tokenizing
+    "q55_doc_chunks" -> ((s, d) =>
+      Chunk.sliding(docs(s, d), "doc_id", "text", window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // q56 — repetition-based quality signals (Gopher-style filters):
+    // duplicate-token fraction, duplicate-2-gram fraction, and the
+    // most-frequent-token share, all per document. Scan-side array
+    // ops on the token list — the top-token count is O(distinct·n)
+    // per row, the right trade for bounded-length documents (for
+    // book-length rows, switch to the explode + two-level-agg shape
+    // of q33/q34 instead).
+    "q56_repetition" -> ((s, d) => {
+      val toks = col("__toks")
+      docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .withColumn("__grams", TextOps.shingles(toks, 2))
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          round(lit(1d) - size(array_distinct(toks)).cast("double")
+            / size(toks), 6).as("dup_tok_ratio"),
+          round(lit(1d) - size(array_distinct(col("__grams"))).cast("double")
+            / size(col("__grams")), 6).as("dup_2gram_ratio"),
+          round(expr("array_max(transform(array_distinct(__toks), " +
+            "t -> size(filter(__toks, x -> x = t))))").cast("double")
+            / size(toks), 6).as("top_tok_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // q57 — PII-style redaction scrub: emails first, then digit runs,
+    // replaced by placeholder tokens, with per-document redaction
+    // counts. The corpus text has no PII, so a deterministic synthetic
+    // contact suffix is appended per row (same expression in the
+    // oracle) — the regexes and the two-pass replace order are the
+    // real operator. Scan-side regexp_replace, zero shuffles.
+    "q57_pii_redact" -> ((s, d) => {
+      val email = "[a-z0-9.]+@[a-z0-9.]+"
+      docs(s, d)
+        .withColumn("__raw", concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example ph +1-"),
+          (col("doc_id") * 7).cast("string")))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("__raw"), lit(email), lit(0)))
+            .cast("long"))
+        .withColumn("__e1", regexp_replace(col("__raw"), email, "<EMAIL>"))
+        .select(col("doc_id"), col("n_emails"),
+          size(regexp_extract_all(col("__e1"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_nums"),
+          md5(regexp_replace(col("__e1"), "[0-9]+", "<NUM>"))
+            .as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
     // sketch merge across partitions, no exact-distinct shuffle).
     // No DuckDB oracle on purpose — sketch estimates are
@@ -373,6 +429,42 @@ object PipelineQueries {
       "AND a.doc_id < b.doc_id)"
 
   val oracleSql: Map[String, String] = Map(
+    "q55_doc_chunks" ->
+      (s"WITH n0 AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, toks, len(toks) AS n FROM n0 WHERE len(toks) > 0), " +
+        "y AS (SELECT doc_id, toks, n, " +
+        "unnest(generate_series(0, (n - 1) // 24)) AS chunk_idx FROM x) " +
+        "SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok, " +
+        "least(CAST(32 AS BIGINT), n - chunk_idx * 24) AS n_tok_chunk, " +
+        "md5(array_to_string(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' ')) " +
+        "AS chunk_md5 FROM y ORDER BY doc_id, chunk_idx"),
+    "q56_repetition" ->
+      (s"WITH n0 AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, toks, CASE WHEN len(toks) < 2 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) " +
+        "END AS grams FROM n0) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, " +
+        "round(1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) " +
+        "AS dup_tok_ratio, " +
+        "round(1 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6) " +
+        "AS dup_2gram_ratio, " +
+        "round(list_max(list_transform(list_distinct(toks), " +
+        "t -> len(list_filter(toks, x -> x = t)))) / CAST(len(toks) AS DOUBLE), 6) " +
+        "AS top_tok_ratio FROM g ORDER BY doc_id"),
+    "q57_pii_redact" ->
+      ("WITH r AS (SELECT doc_id, text || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@mail.example ph +1-' || " +
+        "CAST(doc_id * 7 AS VARCHAR) AS raw FROM documents), " +
+        "e AS (SELECT doc_id, " +
+        "len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails, " +
+        "regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS e1 FROM r) " +
+        "SELECT doc_id, n_emails, " +
+        "len(regexp_extract_all(e1, '[0-9]+')) AS n_nums, " +
+        "md5(regexp_replace(e1, '[0-9]+', '<NUM>', 'g')) AS redacted_md5 " +
+        "FROM e ORDER BY doc_id"),
     "q38_neardup_clusters" ->
       (s"WITH RECURSIVE all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
         s"$duckSigBands, " +

@@ -155,6 +155,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(surv === Seq(1L, 10L, 20L))
   }
 
+  test("sliding chunks cover every token with the declared overlap") {
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9; last truncated
+    val df = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val got = Chunk.sliding(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_tok_chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+  }
+
+  test("a document shorter than the window is one untruncated chunk") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = Chunk.sliding(df, "doc_id", "text", window = 32, stride = 24)
+      .select("chunk_idx", "start_tok", "n_tok_chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 0L, 2L)))
+  }
+
+  test("identical chunk text hashes identically across documents") {
+    val df = Seq((1L, "x y z"), (2L, "x  Y z")).toDF("doc_id", "text")
+    val md5s = Chunk.sliding(df, "doc_id", "text", window = 8, stride = 8)
+      .select("chunk_md5").collect().map(_.getString(0))
+    assert(md5s.distinct.length === 1) // normalization folds case/spacing
+  }
+
   test("edge endpoints outside the node list propagate but don't poison convergence") {
     // 0-9-20 is one component bridged by 20, which is NOT in `nodes`;
     // the round-1 sum happens to equal the initial sum (9's decrease
