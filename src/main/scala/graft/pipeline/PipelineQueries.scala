@@ -401,7 +401,44 @@ object PipelineQueries {
       graft.Tables.load(s, d, "events")
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // q58 — per-document top TF-IDF term: explode → partial-agg tf,
+    // vocab-sized df join, per-doc argmax as min_by partial agg (no
+    // rank window over (doc, term) pairs)
+    "q58_tfidf_top_term" -> ((s, d) =>
+      Relevance.topTfidfTerm(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // q59 — BM25 ranked retrieval for a fixed 4-term query: scan-side
+    // term filter (≤4 surviving rows per doc), broadcast df/avgdl
+    // stats, TakeOrdered top-20
+    "q59_bm25_topk" -> ((s, d) =>
+      Relevance.bm25TopK(docs(s, d), "doc_id", "text",
+        terms = Seq("join", "hash", "vector", "stream"), k = 20)
+        .orderBy("doc_id")),
+
+    // q60 — symmetric int8 embedding quantization: per-row lambda
+    // arithmetic in the scan projection, zero shuffles; codes verified
+    // via md5 of the joined int vector
+    "q60_embed_quantize" -> ((s, d) =>
+      Quantize.int8(embs(s, d), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
+    // q61 — deterministic stratified sample: exact per-language top-5
+    // by md5 order, computed two-level (per-(lang,split) top-k then
+    // per-lang top-k) so no window ever partitions by the
+    // low-cardinality group alone
+    "q61_stratified_sample" -> ((s, d) =>
+      Sample.stratifiedTopK(docs(s, d), "lang", "doc_id", k = 5)
+        .orderBy("lang", "smp_rank")),
+
+    // q62 — deterministic global shuffle for training order: stable
+    // hash shard + within-shard rank; the only exchange is the 32-way
+    // shard partition, sorts stay shard-local
+    "q62_global_shuffle" -> ((s, d) =>
+      Sample.globalShuffle(docs(s, d), "doc_id", shards = 32)
+        .orderBy("shard", "pos"))
   )
 
   // shared DuckDB CTE chain: normalize -> tokenize -> 3-gram shingles ->
@@ -725,6 +762,72 @@ object PipelineQueries {
         "a.fp AS fp_a, b.fp AS fp_b FROM bands a JOIN bands b " +
         "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
         "SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::INT AS hamming " +
-        "FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY doc_a, doc_b")
+        "FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY doc_a, doc_b"),
+    "q58_tfidf_top_term" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS n FROM tk " +
+        "WHERE len(toks) > 0), " +
+        "t AS (SELECT doc_id, n, unnest(toks) AS term FROM x), " +
+        "tf AS (SELECT doc_id, n, term, CAST(count(*) AS DOUBLE) AS c " +
+        "FROM t GROUP BY doc_id, n, term), " +
+        "dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM x), " +
+        "w AS (SELECT tf.doc_id, tf.term, " +
+        "tf.c / tf.n * ln((nn.nd + 1) / (dft.dfc + 1)) AS wt " +
+        "FROM tf JOIN dft USING (term) CROSS JOIN nn), " +
+        "r AS (SELECT doc_id, term, wt, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY wt DESC, term) AS rn FROM w) " +
+        "SELECT doc_id, term AS top_term, round(wt, 6) AS tfidf " +
+        "FROM r WHERE rn = 1 ORDER BY doc_id"),
+    "q59_bm25_topk" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM tk " +
+        "WHERE len(toks) > 0), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM x), " +
+        "t AS (SELECT doc_id, dl, unnest(toks) AS term FROM x), " +
+        "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tfc " +
+        "FROM t WHERE term IN ('join', 'hash', 'vector', 'stream') " +
+        "GROUP BY doc_id, dl, term), " +
+        "dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, tf.term, " +
+        s"ln(1 + (st.nd - dft.dfc + 0.5) / (dft.dfc + 0.5)) * " +
+        s"(tf.tfc * ${Relevance.K1 + 1d}) / " +
+        s"(tf.tfc + ${Relevance.K1} * (${1d - Relevance.B} + " +
+        s"${Relevance.B} * tf.dl / st.avgdl)) AS s " +
+        "FROM tf JOIN dft USING (term) CROSS JOIN st), " +
+        "agg AS (SELECT doc_id, " +
+        "list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score " +
+        "FROM sc GROUP BY doc_id), " +
+        "top AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id " +
+        "LIMIT 20) " +
+        "SELECT doc_id, round(score, 6) AS score FROM top ORDER BY doc_id"),
+    "q60_embed_quantize" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "a AS (SELECT vec_id, v, " +
+        "list_max(list_transform(v, x -> abs(x))) AS amax FROM v) " +
+        "SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, " +
+        "round(amax / 127, 6) AS scale, " +
+        "round(sqrt(list_dot_product(v, v)), 6) AS l2, " +
+        "md5(array_to_string(list_transform(v, x -> " +
+        "CAST(CASE WHEN amax = 0 THEN 0 " +
+        "ELSE CAST(floor(x * 127 / amax + 0.5) AS BIGINT) END AS VARCHAR)), ',')) " +
+        "AS q_md5 FROM a ORDER BY vec_id"),
+    "q61_stratified_sample" ->
+      ("WITH h AS (SELECT lang, doc_id, " +
+        "md5('smp:' || CAST(doc_id AS VARCHAR)) AS hv FROM documents), " +
+        "r AS (SELECT lang, doc_id, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY hv, doc_id) AS smp_rank FROM h) " +
+        "SELECT lang, smp_rank, doc_id FROM r WHERE smp_rank <= 5 " +
+        "ORDER BY lang, smp_rank"),
+    "q62_global_shuffle" ->
+      ("WITH h AS (SELECT doc_id, " +
+        "md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hv FROM documents), " +
+        "s AS (SELECT doc_id, hv, " +
+        "('0x' || substr(hv, 1, 8))::BIGINT % 32 AS shard FROM h) " +
+        "SELECT doc_id, shard, row_number() OVER " +
+        "(PARTITION BY shard ORDER BY hv, doc_id) AS pos FROM s " +
+        "ORDER BY shard, pos")
   )
 }

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classic lexical relevance scoring over a document corpus — TF-IDF
+  * term weighting and BM25 ranked retrieval. The model-free relevance
+  * layer of a training-data pipeline (query-focused corpus slicing,
+  * retrieval-baseline labelling, term-importance features).
+  *
+  * Scale design: both operators are explode → partial-agg groupBy
+  * chains — token rows combine map-side before any exchange, so the
+  * shuffle carries O(doc × distinct-term) rows, never raw tokens. The
+  * document-frequency side joins back by term: for BM25 the query's
+  * term list is tiny and the join is `broadcast()`; for TF-IDF the
+  * df table is vocabulary-sized (bounded, zipf-concentrated — still
+  * orders of magnitude under the corpus) and shuffles on term with
+  * partial aggregation already applied. Corpus-level scalars (N,
+  * avgdl) are one-row aggregates, cross-joined broadcast.
+  */
+object Relevance {
+
+  /** Per-document top TF-IDF term (smooth idf: ln((N+1)/(df+1))).
+    *
+    * The per-doc argmax is a `min_by` over (-weight, term) — a real
+    * partial aggregation (one candidate row per map partition per
+    * doc), NOT a rank window: at 100 TB the window form would sort
+    * every (doc, term) pair inside doc-partitions; min_by reduces
+    * map-side and shuffles one row per document.
+    *
+    * @return doc_id, top_term, tfidf (rounded 6 dp; ranking uses the
+    *         full-precision weight, term-asc tie-break)
+    */
+  def topTfidfTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("double"))
+      .where(col("__n") > 0)
+    val tf = toks
+      .select(col(idCol), col("__n"), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("__n"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val dfByTerm = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val nDocs = toks.agg(count(lit(1)).cast("double").as("__nd"))
+    val weighted = tf
+      .join(dfByTerm, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__w",
+        col("__c") / col("__n") * log((col("__nd") + 1d) / (col("__df") + 1d)))
+    weighted
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("term"), col("__w")),
+        struct(negate(col("__w")), col("term"))).as("__top"))
+      .select(col(idCol),
+        col("__top.term").as("top_term"),
+        round(col("__top.__w"), 6).as("tfidf"))
+  }
+
+  /** BM25 constants (the standard Robertson defaults). */
+  val K1 = 1.2d
+  val B = 0.75d
+
+  /** BM25 top-k retrieval for a fixed bag of query terms.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term score
+    * tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl)), summed over query
+    * terms present in the document. Only tokens matching the query
+    * set survive the explode (scan-side filter), so the groupBy
+    * carries ≤ |terms| rows per document; df/avgdl/N stats are
+    * broadcast. Final top-k is a TakeOrdered, not a full sort.
+    *
+    * @return doc_id, score (rounded 6 dp), ranked by (score desc,
+    *         doc_id) — full-precision ordering, k rows
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__len", size(col("__toks")).cast("double"))
+      .where(col("__len") > 0)
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("__nd"),
+      avg(col("__len")).as("__avgdl"))
+    val tf = toks
+      .select(col(idCol), col("__len"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(terms.map(lit): _*))
+      .groupBy(col(idCol), col("__len"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfByTerm = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    tf
+      .join(broadcast(dfByTerm), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1d) + (col("__nd") - col("__df") + 0.5d) / (col("__df") + 0.5d)))
+      .withColumn("__s",
+        col("__idf") * (col("__tf") * lit(K1 + 1d)) /
+          (col("__tf") + lit(K1) * (lit(1d - B) + lit(B) * col("__len") / col("__avgdl"))))
+      // ordered fold, not sum(): per-doc term rows arrive in partition
+      // order, and FP addition is not associative — sorting the ≤|terms|
+      // pairs by term first makes the score bit-deterministic (and
+      // DuckDB-reproducible)
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("__s")))),
+        lit(0d), (acc, x) => acc + x.getField("__s")).as("__score"))
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("__score"), 6).as("score"))
+  }
+}
