@@ -118,4 +118,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"),
       s"pushdown missing in:\n$p")
   }
+
+  test("TF-IDF argmax is a min_by partial agg, not a rank window") {
+    val p = plan("q58_tfidf_top_term")
+    assert(p.contains("partial_min_by"),
+      s"q58 per-doc argmax lost map-side partial aggregation:\n$p")
+    assert(!p.contains("Window"),
+      s"q58 ranks (doc, term) pairs through a window exchange:\n$p")
+  }
+
+  test("BM25 broadcasts the term stats and takes top-k without a full sort") {
+    val p = plan("q59_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q59 shuffles the corpus to meet the tiny df table:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q59 pays a global sort for its top-k:\n$p")
+  }
+
+  test("quantization stays in the scan projection: no hash exchange, no window") {
+    val p = plan("q60_embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q60 shuffles a per-row computation:\n$p")
+    assert(!p.contains("Window"), s"q60 reintroduced a window:\n$p")
+  }
+
+  test("stratified sample never windows by the bare low-cardinality group") {
+    val p = plan("q61_stratified_sample")
+    // level-1 window must include the split column next to the group
+    assert(p.contains("windowspecdefinition(lang") && p.contains("__split"),
+      s"q61 lost its two-level split partitioning:\n$p")
+  }
+
+  test("global shuffle sorts shard-local") {
+    val p = plan("q62_global_shuffle")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"q62 position rank is not shard-partitioned:\n$p")
+  }
 }
