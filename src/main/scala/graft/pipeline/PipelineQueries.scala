@@ -438,7 +438,61 @@ object PipelineQueries {
     // shard partition, sorts stay shard-local
     "q62_global_shuffle" -> ((s, d) =>
       Sample.globalShuffle(docs(s, d), "doc_id", shards = 32)
-        .orderBy("shard", "pos"))
+        .orderBy("shard", "pos")),
+
+    // q63 — random-hyperplane LSH near-dup: the training-free ANN
+    // blocking path next to q25's IVF (md5-derived hyperplanes baked
+    // into the plan as literals; code computation is scan-side, the
+    // only exchange is the bucket groupBy)
+    "q63_ann_lsh" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val withDups = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("emb")))
+      AnnLsh.nearDupPairs(withDups, "vec_id", "emb",
+        nbits = 8, threshold = 0.999)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // q64 — column profiling (per-column null/distinct/min/max): the
+    // warehouse data-quality pass. One narrow pruned scan per profiled
+    // column, exact distinct via partial-agg groupBy semantics
+    "q64_profile" -> ((s, d) => {
+      val ev = graft.Tables.load(s, d, "events")
+      def prof(c: String, isNum: Boolean) = {
+        val agged = ev.agg(
+          count(col(c)).as("n_nonnull"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          (if (isNum) round(min(col(c)).cast("double"), 6)
+           else lit(null).cast("double")).as("min_num"),
+          (if (isNum) round(max(col(c)).cast("double"), 6)
+           else lit(null).cast("double")).as("max_num"))
+        agged.select(lit(c).as("col_name"), col("n_nonnull"), col("n_null"),
+          col("n_distinct"), col("min_num"), col("max_num"))
+      }
+      prof("user_id", isNum = true)
+        .unionByName(prof("event_type", isNum = false))
+        .unionByName(prof("value", isNum = true))
+        .orderBy("col_name")
+    }),
+
+    // q65 — incremental dedup: a new batch (the planted copies) is
+    // first deduped within itself (min-id per fingerprint, partial
+    // agg), then anti-joined by fingerprint against the existing
+    // corpus — the steady-state ingestion-time dedup, one hash
+    // shuffle + one hash anti-join on 32-char keys, never text
+    "q65_incremental_dedup" -> ((s, d) => {
+      val fp = TextOps.fingerprint(col("text"))
+      val existing = docs(s, d).where(col("doc_id") < 250)
+        .select(fp.as("fp")).distinct()
+      val fresh = docs(s, d)
+        .select((col("doc_id") + 100000).as("doc_id"), fp.as("fp"))
+      fresh.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .join(existing, Seq("fp"), "left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    })
   )
 
   // shared DuckDB CTE chain: normalize -> tokenize -> 3-gram shingles ->
@@ -828,6 +882,46 @@ object PipelineQueries {
         "('0x' || substr(hv, 1, 8))::BIGINT % 32 AS shard FROM h) " +
         "SELECT doc_id, shard, row_number() OVER " +
         "(PARTITION BY shard ORDER BY hv, doc_id) AS pos FROM s " +
-        "ORDER BY shard, pos")
+        "ORDER BY shard, pos"),
+    "q63_ann_lsh" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      // hyperplane j as a list literal-from-formula; bit j of the code
+      // mirrors AnnLsh.codeColumn exactly (same md5 seed scheme)
+      def plane(j: Int) =
+        s"list_transform(range(0, len(v)), i -> " +
+          s"('0x' || substr(md5('lsh:$j:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT " +
+          "/ 2147483648.0 - 1.0)"
+      val codeExpr = (0 until 8).map(j =>
+        s"(CASE WHEN list_dot_product(v, ${plane(j)}) >= 0 " +
+          s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      "WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "e AS (SELECT * FROM e0 UNION ALL SELECT vec_id + 100000, v FROM e0), " +
+        s"c AS (SELECT vec_id, v, $codeExpr AS code FROM e) " +
+        "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cos("a.v", "b.v")} AS sim " +
+        "FROM c a JOIN c b ON a.code = b.code AND a.vec_id < b.vec_id) " +
+        "WHERE sim >= 0.999 ORDER BY id_a, id_b"
+    },
+    "q64_profile" -> {
+      def prof(c: String, isNum: Boolean) = {
+        val mn = if (isNum) s"round(CAST(min($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (isNum) s"round(CAST(max($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        s"SELECT '$c' AS col_name, count($c) AS n_nonnull, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+          s"count(DISTINCT $c) AS n_distinct, $mn AS min_num, $mx AS max_num " +
+          "FROM events"
+      }
+      prof("user_id", isNum = true) + " UNION ALL " +
+        prof("event_type", isNum = false) + " UNION ALL " +
+        prof("value", isNum = true) + " ORDER BY col_name"
+    },
+    "q65_incremental_dedup" ->
+      (s"WITH f AS (SELECT doc_id, md5($duckNorm) AS fp FROM documents), " +
+        "existing AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250), " +
+        "fresh AS (SELECT min(doc_id + 100000) AS doc_id, fp FROM f GROUP BY fp) " +
+        "SELECT doc_id, fp FROM fresh " +
+        "WHERE fp NOT IN (SELECT fp FROM existing) ORDER BY doc_id")
   )
 }

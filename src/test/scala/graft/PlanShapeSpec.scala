@@ -154,4 +154,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(shard"),
       s"q62 position rank is not shard-partitioned:\n$p")
   }
+
+  test("LSH near-dup blocks on the code, never all-pairs") {
+    val p = plan("q63_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q63 degenerated to an all-pairs join:\n$p")
+    assert(!p.contains("Window"), s"q63 reintroduced a window exchange:\n$p")
+  }
+
+  test("incremental dedup pre-aggregates the batch before the anti-join") {
+    val p = plan("q65_incremental_dedup")
+    assert(p.contains("partial_min"),
+      s"q65 batch-internal dedup lost map-side partial aggregation:\n$p")
+    assert(p.contains("LeftAnti"), s"q65 lost its anti-join:\n$p")
+  }
 }
