@@ -320,7 +320,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
         normalized.withColumn(SeqCol, lit(version))
           .withColumn("__bucket", bucketOf)
           .repartition(math.max(affected.size, 1), col("__bucket"))
-          .sortWithinPartitions(snap.keyCols.map(col): _*)
+          .sortWithinPartitions(col("__bucket") +: snap.keyCols.map(col): _*)
           .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
         val newFiles = newFileEntries(outDir, newSchema)
           .map(_.copy(kind = FileEntry.Delta, seq = version))
@@ -349,11 +349,13 @@ class UpsertTable(spark: SparkSession, val location: String) {
 
       val out = survivors.unionByName(upserts)
         .withColumn("__bucket", bucketOf)
-      // sortWithinPartitions on the key: no extra shuffle, but data
-      // files get key-clustered row groups, so parquet min/max stats
-      // prune key-range scans inside a bucket too
+      // sortWithinPartitions on (__bucket, keys): no extra shuffle, but
+      // data files get key-clustered row groups, so parquet min/max
+      // stats prune key-range scans inside a bucket too; __bucket leads
+      // so the writer's partition ordering is satisfied and it never
+      // inserts its own (unstable) re-sort
       out.repartition(math.max(affected.size, 1), col("__bucket"))
-        .sortWithinPartitions(snap.keyCols.map(col): _*)
+        .sortWithinPartitions(col("__bucket") +: snap.keyCols.map(col): _*)
         .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
 
       val newFiles = newFileEntries(outDir, newSchema)
@@ -425,7 +427,9 @@ class UpsertTable(spark: SparkSession, val location: String) {
     mergedView(toRewrite, sch, snap.keyCols)
       .withColumn("__bucket", bucketExpr(snap.keyCols, snap.numBuckets))
       .repartition(over.size, col("__bucket"))
-      .sortWithinPartitions(snap.keyCols.map(col): _*)
+      // __bucket first: satisfies the writer's partition ordering so no
+      // unstable re-sort is inserted and key clustering survives
+      .sortWithinPartitions(col("__bucket") +: snap.keyCols.map(col): _*)
       .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
     SnapshotLog.commit(location, snap.copy(
       version = version,
@@ -433,6 +437,57 @@ class UpsertTable(spark: SparkSession, val location: String) {
       timestampMs = System.currentTimeMillis()))
     over.size
   }
+
+  /** Z-order clustering rewrite: re-lay every bucket's data along the
+    * Morton curve of `zCols` and split it into ≤ `maxRowsPerFile`-row
+    * files, so each file covers a narrow range of EVERY clustered
+    * column and [[FileStats]] skipping prunes scans by predicates on
+    * any of them — the layout-optimization maintenance pass next to
+    * [[compact]] (Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite).
+    *
+    * Key-bucket partitioning is preserved (point lookups and the merge
+    * path are untouched); only the order WITHIN buckets and the file
+    * split change. Committed as a normal snapshot — readers and time
+    * travel undisturbed. The min/max stats pass collects 2·|zCols|
+    * scalars on the driver (bounded, like the affected-bucket set).
+    */
+  def cluster(zCols: Seq[String], maxRowsPerFile: Long = 1L << 20): Unit =
+    synchronized {
+      require(zCols.nonEmpty, "cluster needs at least one column")
+      require(maxRowsPerFile > 0, "maxRowsPerFile must be positive")
+      val snap = snapshotOrFail
+      val sch = schema
+      zCols.foreach(c => require(sch.fieldNames.contains(c),
+        s"no such column to cluster by: $c"))
+      val df = read()
+      val statAggs = zCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c")))
+      val statsRow = df.agg(statAggs.head, statAggs.tail: _*).head()
+      def d(i: Int): Double =
+        if (statsRow.isNullAt(i)) 0d else statsRow.getDouble(i)
+      val mins = zCols.indices.map(i => d(2 * i))
+      val maxs = zCols.indices.map(i => d(2 * i + 1))
+      val z = ZOrder.zValue(zCols.map(col), mins, maxs)
+      val version = snap.version + 1
+      val outDir = s"$location/data/v$version-$attemptId"
+      df.withColumn("__bucket", bucketExpr(snap.keyCols, snap.numBuckets))
+        .withColumn("__z", z)
+        .repartition(snap.numBuckets, col("__bucket"))
+        // __bucket leads the sort so the writer's required partition
+        // ordering is already satisfied — otherwise FileFormatWriter
+        // inserts its own (unstable) sort on __bucket and the z order
+        // inside each bucket is lost
+        .sortWithinPartitions(col("__bucket"), col("__z"))
+        .drop("__z")
+        .write.partitionBy("__bucket")
+        .option("maxRecordsPerFile", maxRowsPerFile)
+        .mode("overwrite").parquet(outDir)
+      SnapshotLog.commit(location, snap.copy(
+        version = version,
+        files = newFileEntries(outDir, sch),
+        timestampMs = System.currentTimeMillis()))
+    }
 
   private def rewriteAll(snap: Snapshot, numBuckets: Int): Unit =
     commitRewrite(snap, numBuckets, schema, read())
@@ -444,7 +499,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
     val outDir = s"$location/data/v$version-$attemptId"
     df.withColumn("__bucket", bucketOf)
       .repartition(numBuckets, col("__bucket"))
-      .sortWithinPartitions(snap.keyCols.map(col): _*)
+      // __bucket first: see compact — keeps the writer from re-sorting
+      .sortWithinPartitions(col("__bucket") +: snap.keyCols.map(col): _*)
       .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
     val newFiles = newFileEntries(outDir, schema)
     SnapshotLog.commit(location, snap.copy(
@@ -519,7 +575,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
     val outDir = s"$location/data/v$version-$attemptId"
     aligned.withColumn("__bucket", bucketOf)
       .repartition(snap.numBuckets, col("__bucket"))
-      .sortWithinPartitions(snap.keyCols.map(col): _*)
+      .sortWithinPartitions(col("__bucket") +: snap.keyCols.map(col): _*)
       .write.partitionBy("__bucket").mode("overwrite").parquet(outDir)
     val newFiles = newFileEntries(outDir, newSchema)
     SnapshotLog.commit(location, snap.copy(
