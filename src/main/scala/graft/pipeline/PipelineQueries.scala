@@ -492,6 +492,45 @@ object PipelineQueries {
         .join(existing, Seq("fp"), "left_anti")
         .select("doc_id", "fp")
         .orderBy("doc_id")
+    }),
+
+    // q67 — time-series gap fill: per-user daily event counts with
+    // every missing day in the user's own [first, last] span
+    // zero-filled — the resample/densify step before any training on
+    // regular time grids. The day scaffold is a per-user
+    // `explode(sequence(d0, d1))` (span-bounded, no calendar table
+    // shuffle); the fill join is on (user, day) — all work partitioned
+    // by user, nothing global.
+    "q67_gapfill" -> ((s, d) => {
+      val ev = graft.Tables.load(s, d, "events")
+        .where(col("user_id") < 30)
+        .withColumn("day", expr("ts div 86400000000000"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
+      val span = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val scaffold = span.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      scaffold.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sv"), lit(0d)).as("sv"))
+        .orderBy("user_id", "day")
+    }),
+
+    // q68 — pivot (wide aggregation): per-user event counts spread
+    // over the five known event types as columns. Explicit pivot
+    // values keep it a single partial-agg pass (no values-discovery
+    // job); at 100 TB this is one groupBy shuffle of 5-slot rows.
+    "q68_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      graft.Tables.load(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_id")
     })
   )
 
@@ -922,6 +961,26 @@ object PipelineQueries {
         "existing AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250), " +
         "fresh AS (SELECT min(doc_id + 100000) AS doc_id, fp FROM f GROUP BY fp) " +
         "SELECT doc_id, fp FROM fresh " +
-        "WHERE fp NOT IN (SELECT fp FROM existing) ORDER BY doc_id")
+        "WHERE fp NOT IN (SELECT fp FROM existing) ORDER BY doc_id"),
+    "q67_gapfill" ->
+      ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, " +
+        "value FROM events WHERE user_id < 30), " +
+        "daily AS (SELECT user_id, day, COUNT(*) AS n, " +
+        "ROUND(SUM(value), 6) AS sv FROM ev GROUP BY user_id, day), " +
+        "span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 " +
+        "FROM daily GROUP BY user_id), " +
+        "scaffold AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day " +
+        "FROM span) " +
+        "SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n, " +
+        "COALESCE(d.sv, 0) AS sv FROM scaffold s " +
+        "LEFT JOIN daily d USING (user_id, day) ORDER BY user_id, day"),
+    "q68_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      "SELECT user_id, " +
+        types.map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) " +
+            s"AS n_$t").mkString(", ") +
+        " FROM events GROUP BY user_id ORDER BY user_id"
+    }
   )
 }

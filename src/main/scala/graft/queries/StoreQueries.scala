@@ -338,6 +338,27 @@ object StoreQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    // q66 — Z-order clustering under the oracle: events upserted into
+    // the store, re-laid along the (user_id, value) Morton curve
+    // (multiple z-contiguous files per bucket), then range-scanned by
+    // a non-key predicate through catalog SQL. Correctness of the
+    // clustered layout + manifest-stats file skipping is what's gated:
+    // the pruned DSv2 scan must still return exactly the full answer.
+    "q66_zorder_scan" -> ((s, d) => {
+      ensureCatalog(s)
+      val tableName = "events_zorder_" + math.abs(d.hashCode).toString
+      val location = Paths.get(warehouse, "cdc", tableName)
+      deleteRecursively(location)
+      val events = Tables.load(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val t = UpsertTable(s, location.toString)
+      t.merge(events, autoCreateKeys = Seq("event_id"), autoCreateBuckets = 4)
+      t.cluster(Seq("user_id", "value"), maxRowsPerFile = 512L)
+      s.sql("SELECT event_id, user_id, round(value, 6) AS value " +
+        s"FROM $CatalogName.cdc.$tableName " +
+        "WHERE user_id BETWEEN 10 AND 20 ORDER BY event_id")
     })
   )
 
@@ -402,6 +423,12 @@ object StoreQueries {
     "q51_bucketed_join" ->
       ("SELECT e.user_id, COUNT(*) AS n_pairs FROM events e " +
         "JOIN orders o ON o.o_custkey = e.user_id " +
-        "GROUP BY e.user_id ORDER BY e.user_id")
+        "GROUP BY e.user_id ORDER BY e.user_id"),
+
+    // the pruned scan over the z-clustered table must return the full
+    // predicate answer — skipping may only drop files, never rows
+    "q66_zorder_scan" ->
+      ("SELECT event_id, user_id, round(value, 6) AS value FROM events " +
+        "WHERE user_id BETWEEN 10 AND 20 ORDER BY event_id")
   )
 }

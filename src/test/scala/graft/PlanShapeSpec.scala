@@ -162,6 +162,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q63 reintroduced a window exchange:\n$p")
   }
 
+  test("z-ordered catalog read stays a columnar DSv2 scan") {
+    val p = plan("q66_zorder_scan")
+    assert(p.contains("BatchScan"), s"q66 read is not a DSv2 batch scan:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"q66 crosses a DataFrame->RDD[Row] boundary:\n$p")
+  }
+
+  test("pivot with explicit values is one partial-agg pass") {
+    val p = plan("q68_pivot")
+    assert(p.contains("partial_pivotfirst") || p.contains("partial_count"),
+      s"q68 pivot lost map-side partial aggregation:\n$p")
+  }
+
   test("incremental dedup pre-aggregates the batch before the anti-join") {
     val p = plan("q65_incremental_dedup")
     assert(p.contains("partial_min"),
