@@ -359,6 +359,42 @@ object StoreQueries {
       s.sql("SELECT event_id, user_id, round(value, 6) AS value " +
         s"FROM $CatalogName.cdc.$tableName " +
         "WHERE user_id BETWEEN 10 AND 20 ORDER BY event_id")
+    }),
+
+    // q69 — streaming DEDUPLICATION state under the oracle: the whole
+    // event stream is produced TWICE (a full replay as a second topic
+    // file), maxFilesPerTrigger=1 makes the replay its own micro-batch,
+    // and `dropDuplicates(event_id)` must suppress every replayed row
+    // against dedup STATE built in the previous batch — the appended
+    // output equals the events table exactly once. (Bounded-state
+    // production form adds a watermark; the data here is replay-only,
+    // so unbounded keys-seen state is the honest test shape.)
+    "q69_stream_dedup" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-dedup-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+        .select("event_id", "user_id", "event_type").coalesce(1)
+      Topic.produce(ev, s"$base/topic") // original
+      Topic.produce(ev, s"$base/topic") // full replay -> 2nd micro-batch
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING")
+      val deduped = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j"))
+        .select("j.*")
+        .dropDuplicates("event_id")
+      val q = withShufflePartitions(s, 8) {
+        deduped.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("event_id")
     })
   )
 
@@ -429,6 +465,11 @@ object StoreQueries {
     // predicate answer — skipping may only drop files, never rows
     "q66_zorder_scan" ->
       ("SELECT event_id, user_id, round(value, 6) AS value FROM events " +
-        "WHERE user_id BETWEEN 10 AND 20 ORDER BY event_id")
+        "WHERE user_id BETWEEN 10 AND 20 ORDER BY event_id"),
+
+    // the streamed double-produced topic must dedup back to exactly
+    // the events table
+    "q69_stream_dedup" ->
+      ("SELECT event_id, user_id, event_type FROM events ORDER BY event_id")
   )
 }
