@@ -20,6 +20,15 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z === (1L << 0 | 1L << 3))
   }
 
+  test("interleave is a bijection over the full 8-bit grid") {
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).as("y"))
+    val distinctZ = grid
+      .select(ZOrder.interleave(Seq(col("x"), col("y")), bits = 8).as("z"))
+      .distinct().count()
+    assert(distinctZ === 65536L)
+  }
+
   test("normalize clamps, maps min->0 max->top, nulls to 0") {
     val df = Seq(Some(0d), Some(10d), Some(5d), None).toDF("x")
     val out = df.select(ZOrder.normalize(col("x"), 0d, 10d, bits = 4).as("n"))
