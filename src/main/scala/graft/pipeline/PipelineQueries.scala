@@ -865,7 +865,7 @@ object PipelineQueries {
         "tf AS (SELECT doc_id, n, term, CAST(count(*) AS DOUBLE) AS c " +
         "FROM t GROUP BY doc_id, n, term), " +
         "dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY term), " +
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM x), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents), " +
         "w AS (SELECT tf.doc_id, tf.term, " +
         "tf.c / tf.n * ln((nn.nd + 1) / (dft.dfc + 1)) AS wt " +
         "FROM tf JOIN dft USING (term) CROSS JOIN nn), " +

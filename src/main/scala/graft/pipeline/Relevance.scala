@@ -42,7 +42,13 @@ object Relevance {
       .agg(count(lit(1)).cast("double").as("__c"))
     val dfByTerm = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("__df"))
-    val nDocs = toks.agg(count(lit(1)).cast("double").as("__nd"))
+    // N = |docs| over the RAW input: a zero-column count the scan
+    // serves from parquet metadata — counting post-tokenize docs
+    // instead would re-run the whole tokenize pipeline a third time
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__nd"))
+    // df joins BACK by term (broadcast — vocabulary-sized): the
+    // window-by-term alternative would re-shuffle tf and serialize
+    // every hot term ("the" ≈ every doc) into one partition
     val weighted = tf
       .join(dfByTerm, "term")
       .crossJoin(broadcast(nDocs))
