@@ -355,7 +355,11 @@ object StoreQueries {
         .select("event_id", "user_id", "event_type", "value")
       val t = UpsertTable(s, location.toString)
       t.merge(events, autoCreateKeys = Seq("event_id"), autoCreateBuckets = 4)
-      t.cluster(Seq("user_id", "value"), maxRowsPerFile = 512L)
+      // 4096 rows/file: a real multi-file z split at bench scale
+      // (sf0.1: ~7 files per bucket) without paying ~200 per-file
+      // footer-stats reads; the exact skipping geometry is pinned in
+      // ZOrderSpec, this query gates CORRECTNESS of the pruned scan
+      t.cluster(Seq("user_id", "value"), maxRowsPerFile = 4096L)
       s.sql("SELECT event_id, user_id, round(value, 6) AS value " +
         s"FROM $CatalogName.cdc.$tableName " +
         "WHERE user_id BETWEEN 10 AND 20 ORDER BY event_id")
