@@ -135,17 +135,24 @@ object CdcSink {
             // dropFieldIfAllNull would drop them again, so re-inferring
             // can never change the schema — without this filter a
             // stream carrying such a field degrades back to per-batch
-            // inference permanently. Top-level keys only: a new field
-            // nested INSIDE an existing struct column does not trigger
-            // re-inference (documented trade — recursing would re-parse
-            // every struct payload each batch).
-            val newField = evolve && rows
-              .select(col("__payload"),
-                explode(expr("json_object_keys(__payload)")).as("k"))
-              .where(!col("k").isin(cached.fieldNames.toSeq: _*))
-              .where(expr(
-                "get_json_object(__payload, concat('$.', k))").isNotNull)
-              .limit(1).count() > 0
+            // inference permanently. The scan RECURSES into
+            // struct-typed columns (one unioned limit-1 check, depth
+            // bounded by the stored schema), so a new field nested
+            // inside e.g. the envelope's source struct re-infers
+            // instead of being dropped forever.
+            val checks = CdcSink.jsonLevels(cached, "$").map {
+              case (path, known) =>
+                rows.select(col("__payload"), explode(expr(
+                  s"json_object_keys(get_json_object(__payload, '$path'))"))
+                  .as("k"))
+                  .where(!col("k").isin(known: _*))
+                  .where(expr(
+                    s"get_json_object(__payload, concat('$path', '.', k))")
+                    .isNotNull)
+                  .select(lit(1).as("hit"))
+            }
+            val newField = evolve &&
+              checks.reduce(_ unionAll _).limit(1).count() > 0
             if (newField) infer() else cached
         }
         // type-drift guard: a stale cached type (a long column that
@@ -158,10 +165,15 @@ object CdcSink {
           case Some(cached) if evolve && (payloadSchema eq cached) =>
             val parsed = rows.withColumn("__row",
               from_json(col("__payload"), cached))
-            val drifted = cached.fields.map(f =>
-              col("__row").getField(f.name).isNull &&
-                expr(s"get_json_object(__payload, '$$.${f.name}')").isNotNull)
-              .reduceOption(_ or _).getOrElse(lit(false))
+            // check every LEAF path: a drifted nested leaf nulls only
+            // that leaf while the raw JSON value stays non-null (a
+            // JSON-null parent nulls the raw path too, so no false
+            // positive)
+            val drifted = CdcSink.leafPaths(cached).map { p =>
+              p.foldLeft(col("__row"))(_ getField _).isNull &&
+                expr(s"get_json_object(__payload, '$$.${p.mkString(".")}')")
+                  .isNotNull
+            }.reduceOption(_ or _).getOrElse(lit(false))
             if (parsed.where(drifted).limit(1).count() > 0) infer()
             else cached
           case _ => payloadSchema
@@ -185,6 +197,28 @@ object CdcSink {
       }
     } finally meta.unpersist()
   }
+
+  /** (json path, known field names) for the schema root and every
+    * struct-typed descendant — the key-scan levels. Depth is bounded
+    * by the stored schema, not the payload. */
+  private[cdc] def jsonLevels(st: org.apache.spark.sql.types.StructType,
+      path: String): Seq[(String, Seq[String])] =
+    (path -> st.fieldNames.toSeq) +: st.fields.toSeq.flatMap {
+      case org.apache.spark.sql.types.StructField(n,
+          s: org.apache.spark.sql.types.StructType, _, _) =>
+        jsonLevels(s, s"$path.$n")
+      case _ => Seq.empty
+    }
+
+  /** Field-name paths of every leaf (non-struct) column. */
+  private[cdc] def leafPaths(st: org.apache.spark.sql.types.StructType,
+      prefix: Seq[String] = Seq.empty): Seq[Seq[String]] =
+    st.fields.toSeq.flatMap {
+      case org.apache.spark.sql.types.StructField(n,
+          s: org.apache.spark.sql.types.StructType, _, _) =>
+        leafPaths(s, prefix :+ n)
+      case f => Seq(prefix :+ f.name)
+    }
 }
 
 /** Standing CDC ingestion query (the Kafka-Connect sink task role):

@@ -23,6 +23,12 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   * @param committed   streamId -> last applied batchId, for exactly-once
   *                    replay no-ops (SURVEY.md §2.3 C4)
   * @param timestampMs wall-clock commit time (drives expiry, C6)
+  * @param operation   what kind of commit produced this version
+  *                    ("create" / "merge" / "delta-merge" / "compact" /
+  *                    "cluster" / "rewrite" / "evolve" / "overwrite" /
+  *                    "rollback"; "" on manifests written before the
+  *                    field existed) — drives the change feed's
+  *                    servability check and commit-history inspection
   */
 case class Snapshot(
     version: Long,
@@ -31,7 +37,8 @@ case class Snapshot(
     numBuckets: Int,
     files: Seq[FileEntry],
     committed: Map[String, Long],
-    timestampMs: Long)
+    timestampMs: Long,
+    operation: String = "")
 
 /** One data file: manifest-relative path, key-hash bucket, per-column
   * bounds for planning-time file skipping (see [[FileStats]]; empty
@@ -83,6 +90,7 @@ object SnapshotLog {
     s.copy(
       committed = (s.committed: Map[String, Any]).map { case (k, v) =>
         k -> v.asInstanceOf[Number].longValue() },
+      operation = if (s.operation == null) "" else s.operation,
       files = s.files.map { f0 =>
         val f = if (f0.stats == null) f0.copy(stats = Map.empty) else f0
         if (f.kind == null) f.copy(kind = FileEntry.Base) else f

@@ -68,7 +68,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
       numBuckets = buckets,
       files = Seq.empty,
       committed = Map.empty,
-      timestampMs = System.currentTimeMillis()))
+      timestampMs = System.currentTimeMillis(),
+      operation = "create"))
   }
 
   /** Current-state read: a plain vectorized scan when the snapshot is
@@ -99,6 +100,78 @@ class UpsertTable(spark: SparkSession, val location: String) {
   def schemaAt(version: Long): StructType =
     DataType.fromJson(SnapshotLog.read(location, version).schemaJson)
       .asInstanceOf[StructType]
+
+  /** Commit history, newest first: (version, operation, timestampMs) —
+    * the DESCRIBE HISTORY surface. */
+  def history(): Seq[(Long, String, Long)] =
+    SnapshotLog.listVersions(location).reverse.map { v =>
+      val s = SnapshotLog.read(location, v)
+      (s.version, s.operation, s.timestampMs)
+    }
+
+  /** Incremental change feed (the Delta CDF / Iceberg incremental-scan
+    * / Paimon changelog role): the exact row-level changes committed in
+    * versions `(fromVersionExclusive, toVersionInclusive]`, as the data
+    * columns plus `_change_op` (`u` upsert / `d` delete) and
+    * `_commit_version`. This is what lets a downstream pipeline consume
+    * a 100 TB table INCREMENTALLY — O(changed rows) per poll instead of
+    * re-reading state.
+    *
+    * Served from the delta files each `delta`-merge recorded in its own
+    * manifest, which stay readable after later compaction folds them
+    * out of the current snapshot (until snapshot expiry deletes them —
+    * the feed's retention window). Commits that rewrite state without
+    * recording row-level deltas (full `merge`, `overwrite`, `rollback`)
+    * make a range unservable and FAIL LOUDLY rather than return an
+    * incomplete feed; layout-only commits (`compact` / `cluster` /
+    * `rewrite` / `evolve` / `create`) are transparent. Rows are aligned
+    * to the schema at `toVersionInclusive` (cast/null-fill across
+    * evolution).
+    */
+  def readChanges(fromVersionExclusive: Long,
+      toVersionInclusive: Long): DataFrame = {
+    require(fromVersionExclusive < toVersionInclusive,
+      s"need fromVersionExclusive < toVersionInclusive, got " +
+        s"($fromVersionExclusive, $toVersionInclusive]")
+    val present = SnapshotLog.listVersions(location).toSet
+    val wanted = (fromVersionExclusive + 1) to toVersionInclusive
+    val missing = wanted.filterNot(present)
+    require(missing.isEmpty,
+      s"change feed over ($fromVersionExclusive, $toVersionInclusive] " +
+        s"unservable: version(s) ${missing.mkString(",")} expired")
+    val targetSchema = schemaAt(toVersionInclusive)
+    val layoutOnly = Set("compact", "cluster", "rewrite", "evolve", "create")
+    val frames = wanted.toSeq.flatMap { v =>
+      val s = SnapshotLog.read(location, v)
+      val deltas = s.files.filter(f => FileEntry.isDelta(f) && f.seq == v)
+      s.operation match {
+        case "delta-merge" => Some((v, s, deltas))
+        // manifests from before the operation field: trust the file
+        // evidence — delta files recorded at v mean a delta commit
+        case "" if deltas.nonEmpty => Some((v, s, deltas))
+        case op if layoutOnly.contains(op) => None
+        case "" if s.files.isEmpty => None // pre-field create
+        case op => throw new IllegalStateException(
+          s"change feed over ($fromVersionExclusive, $toVersionInclusive] " +
+            s"unservable: v$v is a '$op' commit whose changes were not " +
+            "recorded as row-level deltas")
+      }
+    }.map { case (v, s, deltas) =>
+      val sch = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+      val deltaSchema = StructType(sch.fields ++ Seq(
+        StructField(OpCol, StringType), StructField(SeqCol, LongType)))
+      alignTypes(readFiles(deltas, deltaSchema), targetSchema)
+        .select((targetSchema.fieldNames.map(col) :+
+          col(OpCol).as("_change_op") :+
+          lit(v).as("_commit_version")): _*)
+    }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      val empty = StructType(targetSchema.fields ++ Seq(
+        StructField("_change_op", StringType),
+        StructField("_commit_version", LongType)))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), empty)
+    }
+  }
 
   /** Bucket id for a full primary-key value tuple, or None if any key
     * column is missing — the same murmur3(42) % n as [[UpsertTable.bucketExpr]],
@@ -330,7 +403,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
           files = snap.files ++ newFiles,
           committed = snap.committed ++
             (for { s <- streamId; b <- batchId } yield s -> b),
-          timestampMs = System.currentTimeMillis()))
+          timestampMs = System.currentTimeMillis(),
+          operation = "delta-merge"))
         return
       }
 
@@ -366,7 +440,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
         files = untouched ++ newFiles,
         committed = snap.committed ++
           (for { s <- streamId; b <- batchId } yield s -> b),
-        timestampMs = System.currentTimeMillis()))
+        timestampMs = System.currentTimeMillis(),
+        operation = "merge"))
     } finally normalized.unpersist()
   }
 
@@ -434,7 +509,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
     SnapshotLog.commit(location, snap.copy(
       version = version,
       files = untouched ++ newFileEntries(outDir, sch),
-      timestampMs = System.currentTimeMillis()))
+      timestampMs = System.currentTimeMillis(),
+      operation = "compact"))
     over.size
   }
 
@@ -486,14 +562,16 @@ class UpsertTable(spark: SparkSession, val location: String) {
       SnapshotLog.commit(location, snap.copy(
         version = version,
         files = newFileEntries(outDir, sch),
-        timestampMs = System.currentTimeMillis()))
+        timestampMs = System.currentTimeMillis(),
+        operation = "cluster"))
     }
 
   private def rewriteAll(snap: Snapshot, numBuckets: Int): Unit =
     commitRewrite(snap, numBuckets, schema, read())
 
   private def commitRewrite(snap: Snapshot, numBuckets: Int,
-      schema: StructType, df: DataFrame): Unit = {
+      schema: StructType, df: DataFrame,
+      operation: String = "rewrite"): Unit = {
     val bucketOf = bucketExpr(snap.keyCols, numBuckets)
     val version = snap.version + 1
     val outDir = s"$location/data/v$version-$attemptId"
@@ -508,7 +586,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
       schemaJson = schema.json,
       numBuckets = numBuckets,
       files = newFiles,
-      timestampMs = System.currentTimeMillis()))
+      timestampMs = System.currentTimeMillis(),
+      operation = operation))
   }
 
   /** DDL-driven schema evolution (`ALTER TABLE … ADD COLUMN` / type
@@ -531,24 +610,50 @@ class UpsertTable(spark: SparkSession, val location: String) {
     }
     if (unservable)
       commitRewrite(snap, snap.numBuckets, newSchema,
-        align(readFiles(snap.files, old), newSchema))
+        align(readFiles(snap.files, old), newSchema), operation = "evolve")
     else
       SnapshotLog.commit(location, snap.copy(
         version = snap.version + 1,
         schemaJson = newSchema.json,
-        timestampMs = System.currentTimeMillis()))
+        timestampMs = System.currentTimeMillis(),
+        operation = "evolve"))
   }
 
   /** Align a frame's columns to `schema` types: missing columns become
     * typed nulls, differing (wider) types are cast. Extra columns
-    * (merge meta like op/order) are preserved.
+    * (merge meta like op/order) are preserved. Struct columns align
+    * recursively — Spark's `cast` refuses struct→struct with
+    * different field counts, so a batch missing an evolved-in nested
+    * field is rebuilt field-by-field with typed nulls instead.
     */
   private def alignTypes(df: DataFrame, schema: StructType): DataFrame =
     schema.fields.foldLeft(df) { (d, f) =>
       if (!d.columns.contains(f.name)) d.withColumn(f.name, lit(null).cast(f.dataType))
       else if (d.schema(f.name).dataType != f.dataType)
-        d.withColumn(f.name, col(f.name).cast(f.dataType))
+        d.withColumn(f.name,
+          alignExpr(col(f.name), d.schema(f.name).dataType, f.dataType))
       else d
+    }
+
+  /** Recursive alignment of one column to a (wider) target type. */
+  private def alignExpr(cur: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if f == t => cur
+      case (fs: StructType, ts: StructType) =>
+        val rebuilt = struct(ts.fields.toSeq.map { tf =>
+          fs.fields.find(_.name == tf.name) match {
+            case Some(ff) =>
+              alignExpr(cur.getField(tf.name), ff.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }: _*)
+        // struct() of a null parent would yield a struct of nulls —
+        // preserve the parent's own nullness
+        when(cur.isNull, lit(null).cast(to)).otherwise(rebuilt)
+      case (ArrayType(fe, _), ArrayType(te, _)) =>
+        transform(cur, x => alignExpr(x, fe, te))
+      case (_, t) => cur.cast(t)
     }
 
   /** [[alignTypes]] plus projection to exactly `schema`'s columns. */
@@ -582,7 +687,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
       version = version,
       schemaJson = newSchema.json,
       files = newFiles,
-      timestampMs = System.currentTimeMillis()))
+      timestampMs = System.currentTimeMillis(),
+      operation = "overwrite"))
   }
 
   /** Roll the table back to an earlier version — as a NEW commit whose
@@ -610,7 +716,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
     SnapshotLog.commit(location, target.copy(
       version = cur.version + 1,
       committed = cur.committed,
-      timestampMs = System.currentTimeMillis()))
+      timestampMs = System.currentTimeMillis(),
+      operation = "rollback"))
   }
 
   /** Snapshot expiry (C6; reference snapshot_mgmt.py:17-18
@@ -695,6 +802,15 @@ object UpsertTable {
       case (IntegerType, LongType) => true
       case (IntegerType, DoubleType) => true
       case (FloatType, DoubleType) => true
+      // a struct evolution is read-servable when every stored subfield
+      // is itself servable under its evolved type; subfields ADDED by
+      // the evolution are absent from old files and null-fill (the
+      // parquet reader clips nested schemas)
+      case (fs: StructType, ts: StructType) =>
+        fs.fields.forall(f =>
+          ts.fields.find(_.name == f.name)
+            .exists(nf => promotableOnRead(f.dataType, nf.dataType)))
+      case (ArrayType(ea, _), ArrayType(eb, _)) => promotableOnRead(ea, eb)
       case _ => false
     })
 
@@ -736,6 +852,25 @@ object UpsertTable {
     // 2^53 accepted — the alternative is nulling or wedging the stream.
     case (IntegerType, DoubleType) | (DoubleType, IntegerType) => Some(DoubleType)
     case (LongType, DoubleType) | (DoubleType, LongType) => Some(DoubleType)
+    // nested structs evolve recursively: additive subfields + leaf
+    // widening, same rules as the top level (a new field inside a CDC
+    // payload's source/after struct must not wedge — or silently
+    // drop — the stream)
+    case (sa: StructType, sb: StructType) =>
+      val merged = sa.fields.map { f =>
+        sb.fields.find(_.name == f.name) match {
+          case Some(in) =>
+            widerOf(f.dataType, in.dataType).map(t =>
+              f.copy(dataType = t, nullable = true))
+          case None => Some(f.copy(nullable = true))
+        }
+      }
+      if (merged.exists(_.isEmpty)) None
+      else Some(StructType(merged.map(_.get) ++
+        sb.fields.filterNot(x => sa.fieldNames.contains(x.name))
+          .map(_.copy(nullable = true))))
+    case (ArrayType(ea, _), ArrayType(eb, _)) =>
+      widerOf(ea, eb).map(ArrayType(_, containsNull = true))
     case _ => None
   }
 

@@ -287,6 +287,44 @@ class CdcSinkSpec extends AnyFunSuite {
     assert(t.read().count() === 1)
   }
 
+  test("a new field nested inside a struct column re-infers and evolves") {
+    val base = Files.createTempDirectory("graft-cdc-nested")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    val p1 = """{"user_id":1,"addr":{"city":"x","zip":"11"}}"""
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null", p1)).toDF("value"), wh, keyFor)
+    val p2 = """{"user_id":2,"addr":{"city":"y","zip":"22","country":"DE"}}"""
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null", p2)).toDF("value"), wh, keyFor)
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    val addr = t.schema("addr").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(addr.fieldNames.contains("country"),
+      "nested field was dropped instead of evolving")
+    val rows = t.read().selectExpr("user_id", "addr.country").collect()
+      .map(r => r.getAs[Number](0).longValue() -> Option(r.getString(1))).toMap
+    assert(rows(1L).isEmpty && rows(2L).contains("DE"))
+  }
+
+  test("nested leaf type drift re-infers and widens instead of nulling") {
+    val base = Files.createTempDirectory("graft-cdc-nested-drift")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    val p1 = """{"user_id":1,"addr":{"zip":7}}"""
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null", p1)).toDF("value"), wh, keyFor)
+    val p2 = """{"user_id":2,"addr":{"zip":7.5}}""" // long -> double drift
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null", p2)).toDF("value"), wh, keyFor)
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    val zips = t.read().selectExpr("user_id", "addr.zip").collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        Option(r.get(1)).map(_.asInstanceOf[Number].doubleValue())).toMap
+    assert(zips(1L).contains(7.0d), s"drifted nested leaf lost data: $zips")
+    assert(zips(2L).contains(7.5d), s"drifted nested leaf lost data: $zips")
+  }
+
   test("typed envelope parse via Envelope.schema round-trips op and images") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
