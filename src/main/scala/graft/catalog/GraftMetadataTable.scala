@@ -42,6 +42,7 @@ private[catalog] object GraftMetadataTable {
 
   private val SnapshotsSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
     StructField("committed_at", TimestampType, nullable = false),
     StructField("num_buckets", IntegerType, nullable = false),
     StructField("num_files", IntegerType, nullable = false),
@@ -61,6 +62,7 @@ private[catalog] object GraftMetadataTable {
         val ddl = DataType.fromJson(s.schemaJson).asInstanceOf[StructType].toDDL
         new GenericInternalRow(Array[Any](
           s.version,
+          UTF8String.fromString(s.operation),
           s.timestampMs * 1000L, // TimestampType carries epoch micros
           s.numBuckets,
           s.files.size,

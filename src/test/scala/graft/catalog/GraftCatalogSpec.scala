@@ -221,10 +221,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     val t = UpsertTable(spark, s"$warehouse/cdc/t_meta")
     t.merge(Seq((1, "a")).toDF("k", "v"))
     t.merge(Seq((2, "b")).toDF("k", "v"))
-    val snaps = spark.sql("SELECT version, num_files, key_cols " +
+    val snaps = spark.sql("SELECT version, num_files, key_cols, operation " +
       "FROM graft_t.cdc.t_meta.snapshots ORDER BY version").collect()
     // create (0 files) + two merges
     assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(snaps.map(_.getString(3)).toSeq === Seq("create", "merge", "merge"))
     assert(snaps.head.getInt(1) === 0 && snaps.last.getInt(1) > 0)
     assert(snaps.forall(_.getString(2) === "k"))
     assert(spark.sql("SELECT committed_at FROM graft_t.cdc.t_meta.snapshots")
