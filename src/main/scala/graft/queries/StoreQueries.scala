@@ -399,6 +399,36 @@ object StoreQueries {
       }
       q.awaitTermination()
       s.read.parquet(s"$base/out").orderBy("event_id")
+    }),
+
+    // q70 — the incremental CHANGE FEED under the oracle: events
+    // applied as two delta-merge commits (even event_ids, then odd),
+    // then readChanges over the range must reproduce each commit's
+    // exact normalized changelog — per-key last row within its half,
+    // 'error' rows as 'd' tombstones, stamped with the right commit.
+    // This is the O(changed rows) consumption path a downstream
+    // pipeline polls instead of re-reading table state.
+    "q70_change_feed" -> ((s, d) => {
+      val tablePath = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-feed-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(tablePath)
+      val ev = Tables.load(s, d, "events")
+        .withColumn("__op",
+          when(col("event_type") === "error", "d").otherwise("u"))
+        .withColumn("__ord", struct(col("ts"), col("event_id")))
+        .select("event_id", "user_id", "event_type", "__op", "__ord")
+      val t = UpsertTable(s, tablePath.toString)
+      t.merge(ev.where(col("event_id") % 2 === 0), opCol = Some("__op"),
+        orderCol = Some("__ord"), autoCreateKeys = Seq("user_id"),
+        delta = true)
+      val v0 = t.currentSnapshot.get.version
+      t.merge(ev.where(col("event_id") % 2 === 1), opCol = Some("__op"),
+        orderCol = Some("__ord"), delta = true)
+      t.readChanges(v0 - 1, v0 + 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("_change_op"),
+          (col("_commit_version") - lit(v0 - 1)).as("batch_no"))
+        .orderBy("batch_no", "user_id")
     })
   )
 
@@ -474,6 +504,16 @@ object StoreQueries {
     // the streamed double-produced topic must dedup back to exactly
     // the events table
     "q69_stream_dedup" ->
-      ("SELECT event_id, user_id, event_type FROM events ORDER BY event_id")
+      ("SELECT event_id, user_id, event_type FROM events ORDER BY event_id"),
+
+    // the change feed must equal each commit's normalized changelog:
+    // per-key last row within its half, error rows as 'd'
+    "q70_change_feed" ->
+      ("WITH halves AS (SELECT *, event_id % 2 AS h FROM events), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h, user_id " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM halves) " +
+        "SELECT user_id, event_id, event_type, " +
+        "CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS _change_op, " +
+        "h + 1 AS batch_no FROM r WHERE rn = 1 ORDER BY batch_no, user_id")
   )
 }
