@@ -254,7 +254,64 @@ object ReferenceQueries {
       events(s, d)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Q71 — set difference: customers with open but NO finished orders
+    // (EXCEPT plans as a left-anti hash join — no sort, no all-pairs)
+    "q71_except" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      o.where(col("o_orderstatus") === "O").select("o_custkey")
+        .except(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // Q72 — correlated EXISTS (TPC-H Q4 shape): priority histogram of
+    // orders having at least one lineitem received after commit date.
+    // Catalyst decorrelates to a left-semi join; the probe side never
+    // duplicates rows however many lineitems match
+    "q72_exists_semijoin" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders").as("o")
+      val l = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") > 45).as("l")
+      o.join(l,
+        col("o.o_orderkey") === col("l.l_orderkey")
+          && col("l.l_shipdate") > col("o.o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q73 — scalar-subquery HAVING (TPC-H Q11 shape): event types whose
+    // value mass exceeds a fraction of the corpus total. The scalar
+    // aggregate broadcasts; no re-scan of the grouped side
+    "q73_scalar_having" -> ((s, d) => {
+      val byType = events(s, d).groupBy("event_type")
+        .agg(sum(col("value")).as("__sv"), count(lit(1)).as("n"))
+      val total = events(s, d).agg((sum(col("value")) * 0.15d).as("__cut"))
+      byType.crossJoin(broadcast(total))
+        .where(col("__sv") > col("__cut"))
+        .select(col("event_type"), round(col("__sv"), 6).as("sv"), col("n"))
+        .orderBy("event_type")
+    }),
+
+    // Q74 — NTILE decile bucketing: order-value deciles per market
+    // segment (the curriculum/quality-binning primitive). Windows
+    // partition by segment × the orders table — for low-cardinality
+    // groups at 100 TB use the two-level q61 shape instead; here the
+    // point is the analytic-function surface
+    "q74_ntile" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("o_totalprice")), 6).as("top_price"))
+        .orderBy("c_mktsegment", "decile")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -355,6 +412,31 @@ object ReferenceQueries {
         "WHERE c.c_mktsegment = 'BUILDING' " +
         "AND o.o_orderdate < TIMESTAMP '1999-01-01' " +
         "AND l.l_shipdate > TIMESTAMP '1998-01-01' " +
-        "GROUP BY o.o_orderkey ORDER BY revenue DESC, o.o_orderkey LIMIT 10")
+        "GROUP BY o.o_orderkey ORDER BY revenue DESC, o.o_orderkey LIMIT 10"),
+    "q71_except" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "ORDER BY o_custkey"),
+    "q72_exists_semijoin" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate AND l.l_quantity > 45) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q73_scalar_having" ->
+      ("WITH bt AS (SELECT event_type, SUM(value) AS sv, COUNT(*) AS n " +
+        "FROM events GROUP BY event_type), " +
+        "tot AS (SELECT SUM(value) * 0.15 AS cut FROM events) " +
+        "SELECT event_type, round(sv, 6) AS sv, n FROM bt, tot " +
+        "WHERE sv > cut ORDER BY event_type"),
+    "q74_ntile" ->
+      ("WITH j AS (SELECT c.c_mktsegment, o.o_totalprice, o.o_orderkey " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), " +
+        "t AS (SELECT c_mktsegment, o_totalprice, " +
+        "ntile(10) OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY o_totalprice, o_orderkey) AS decile FROM j) " +
+        "SELECT c_mktsegment, decile, count(*) AS n, " +
+        "round(max(o_totalprice), 6) AS top_price FROM t " +
+        "GROUP BY c_mktsegment, decile ORDER BY c_mktsegment, decile")
   )
 }
