@@ -50,4 +50,18 @@ object Maintenance {
       table -> UpsertTable(spark, s"$warehouseDir/$namespace/$table")
         .compact(maxFilesPerBucket)
     }
+
+  /** Z-order every table in the namespace that has all `zCols` (other
+    * tables are skipped, returned with `clustered = false`) — the
+    * scheduled layout-optimization sweep next to [[compactAll]].
+    */
+  def clusterAll(spark: SparkSession, warehouseDir: String, namespace: String,
+      zCols: Seq[String], maxRowsPerFile: Long = 1L << 20)
+      : Seq[(String, Boolean)] =
+    listTables(warehouseDir, namespace).map { table =>
+      val t = UpsertTable(spark, s"$warehouseDir/$namespace/$table")
+      val applicable = zCols.forall(t.schema.fieldNames.contains)
+      if (applicable) t.cluster(zCols, maxRowsPerFile)
+      table -> applicable
+    }
 }

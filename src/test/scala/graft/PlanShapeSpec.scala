@@ -175,6 +175,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q68 pivot lost map-side partial aggregation:\n$p")
   }
 
+  test("EXCEPT and correlated EXISTS plan as anti/semi hash joins") {
+    val p71 = plan("q71_except")
+    assert(p71.contains("LeftAnti"), s"q71 EXCEPT lost its anti-join plan:\n$p71")
+    val p72 = plan("q72_exists_semijoin")
+    assert(p72.contains("LeftSemi"), s"q72 EXISTS is not a semi-join:\n$p72")
+  }
+
   test("incremental dedup pre-aggregates the batch before the anti-join") {
     val p = plan("q65_incremental_dedup")
     assert(p.contains("partial_min"),

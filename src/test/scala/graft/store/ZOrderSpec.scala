@@ -85,6 +85,22 @@ class ZOrderSpec extends AnyFunSuite {
     assert(t.read().where(col("id") === 7L).head().getLong(1) === 999L)
   }
 
+  test("clusterAll sweeps a namespace, skipping tables lacking the columns") {
+    val wh = Files.createTempDirectory("graft-zo-ns").toString
+    import spark.implicits._
+    val a = UpsertTable(spark, s"$wh/ns/t_a")
+    a.merge((1L to 100L).map(i => (i, i % 10)).toDF("id", "x"),
+      autoCreateKeys = Seq("id"), autoCreateBuckets = 1)
+    val b = UpsertTable(spark, s"$wh/ns/t_b") // no "x" column
+    b.merge(Seq((1L, "v")).toDF("id", "other"), autoCreateKeys = Seq("id"))
+    val res = Maintenance.clusterAll(spark, wh, "ns", Seq("x"),
+      maxRowsPerFile = 25L).toMap
+    assert(res === Map("t_a" -> true, "t_b" -> false))
+    assert(a.currentSnapshot.get.operation === "cluster")
+    assert(a.currentSnapshot.get.files.size === 4) // 100 rows / 25
+    assert(b.currentSnapshot.get.operation === "merge") // untouched
+  }
+
   test("cluster rejects unknown columns and bad file sizes") {
     val t = UpsertTable(spark, Files.createTempDirectory("graft-zo3").toString)
     t.merge(Seq((1L, 2L)).toDF("id", "x"), autoCreateKeys = Seq("id"))
