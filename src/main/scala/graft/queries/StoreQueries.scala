@@ -429,6 +429,60 @@ object StoreQueries {
           col("_change_op"),
           (col("_commit_version") - lit(v0 - 1)).as("batch_no"))
         .orderBy("batch_no", "user_id")
+    }),
+
+    // q75 — gap SESSIONIZATION as a real stateful stream under the
+    // oracle: the q42 batch twin re-computed by Sessionize
+    // (flatMapGroupsWithState, event-time timeouts). All real events
+    // land in batch 1; two watermark-bump sentinel batches then push
+    // the watermark past every session's end+gap so the TIMEOUT path —
+    // the state-TTL mechanism — emits every session. Bounds are
+    // ms-precision (the state holds epoch ms); the oracle sessionizes
+    // on the same ms-truncated times.
+    "q75_stream_sessions" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-sess-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"))
+      val maxUs = ev.agg(max(col("t_us"))).head().getLong(0)
+      val hourUs = 3600L * 1000000L
+      Topic.produce(ev.coalesce(1), s"$base/topic")
+      Topic.produce(Seq((-1L, maxUs + 8 * hourUs)).toDF("user_id", "t_us"),
+        s"$base/topic")
+      Topic.produce(Seq((-1L, maxUs + 16 * hourUs)).toDF("user_id", "t_us"),
+        s"$base/topic")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, t_us BIGINT")
+      val sessions = graft.streaming.Sessionize.sessions(
+        Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+          .select(from_json(col("value"), schema).as("j"))
+          .select(col("j.user_id").as("user_id"),
+            timestamp_micros(col("j.t_us")).as("ts"))
+          .as[graft.streaming.SessionEvent],
+        gapMs = 6L * 3600 * 1000, watermarkDelay = "1 hour")
+      val q = withShufflePartitions(s, 8) {
+        sessions.toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .where(col("user_id") >= 0)
+        .select(col("user_id"),
+          (row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+              .orderBy("session_start")) - 1).cast("long").as("session_idx"),
+          col("events").cast("long").as("n_events"),
+          unix_millis(col("session_start")).as("ts_start_ms"),
+          unix_millis(col("session_end")).as("ts_end_ms"))
+        .orderBy("user_id", "session_idx")
     })
   )
 
@@ -505,6 +559,22 @@ object StoreQueries {
     // the events table
     "q69_stream_dedup" ->
       ("SELECT event_id, user_id, event_type FROM events ORDER BY event_id"),
+
+    // the streamed sessions must equal batch sessionization over the
+    // same ms-truncated event times (q42's shape at ms precision)
+    "q75_stream_sessions" ->
+      ("WITH o AS (SELECT user_id, " +
+        "epoch_ns(ts) // 1000000 AS tms FROM events), " +
+        "b AS (SELECT user_id, tms, CASE WHEN tms - lag(tms) OVER " +
+        "(PARTITION BY user_id ORDER BY tms) > 21600000 " +
+        "THEN 1 ELSE 0 END AS brk FROM o), " +
+        "sx AS (SELECT user_id, tms, CAST(SUM(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY tms " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS session_idx FROM b) " +
+        "SELECT user_id, session_idx, COUNT(*) AS n_events, " +
+        "MIN(tms) AS ts_start_ms, MAX(tms) AS ts_end_ms FROM sx " +
+        "GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
 
     // the change feed must equal each commit's normalized changelog:
     // per-key last row within its half, error rows as 'd'
