@@ -54,13 +54,12 @@ object CdcSink {
     * ordering / row image (`after`, or `before` for deletes) with
     * `get_json_object`; group by target table; `from_json`-parse under
     * the stored table's schema (full `spark.read.json` inference runs
-    * only on first sight of a table, when a new non-null TOP-LEVEL
-    * payload field appears, or when a stored type has drifted — the
+    * only on first sight of a table, when a new non-null payload field
+    * appears — the key scan recurses into struct-typed columns — or
+    * when a stored type has drifted at any path, node or leaf — the
     * sink's auto-create/evolve inference), flatten `row.*`, convert
     * any declared Debezium MicroTimestamp columns, and CDC-merge.
-    * New fields nested inside an existing struct column do NOT trigger
-    * re-inference (top-level key scan only); lock schemas via
-    * [[EvolveConf]] when payloads are deeply nested and drifting.
+    * Disable re-inference entirely via [[EvolveConf]] to lock schemas.
     *
     * Scale notes: the only driver-side materialization is the distinct
     * table list (bounded by the schema's table count, like the
@@ -165,11 +164,13 @@ object CdcSink {
           case Some(cached) if evolve && (payloadSchema eq cached) =>
             val parsed = rows.withColumn("__row",
               from_json(col("__payload"), cached))
-            // check every LEAF path: a drifted nested leaf nulls only
-            // that leaf while the raw JSON value stays non-null (a
-            // JSON-null parent nulls the raw path too, so no false
-            // positive)
-            val drifted = CdcSink.leafPaths(cached).map { p =>
+            // check every path, STRUCT NODES included: a drifted
+            // nested leaf nulls only that leaf; a struct column
+            // drifting to a scalar JSON value nulls the whole node
+            // while its leaf paths read null from the raw JSON too —
+            // only the node check catches it. (A JSON-null value nulls
+            // the raw path as well, so no false positives.)
+            val drifted = CdcSink.allPaths(cached).map { p =>
               p.foldLeft(col("__row"))(_ getField _).isNull &&
                 expr(s"get_json_object(__payload, '$$.${p.mkString(".")}')")
                   .isNotNull
@@ -210,13 +211,13 @@ object CdcSink {
       case _ => Seq.empty
     }
 
-  /** Field-name paths of every leaf (non-struct) column. */
-  private[cdc] def leafPaths(st: org.apache.spark.sql.types.StructType,
+  /** Field-name paths of every column — struct nodes AND leaves. */
+  private[cdc] def allPaths(st: org.apache.spark.sql.types.StructType,
       prefix: Seq[String] = Seq.empty): Seq[Seq[String]] =
     st.fields.toSeq.flatMap {
       case org.apache.spark.sql.types.StructField(n,
           s: org.apache.spark.sql.types.StructType, _, _) =>
-        leafPaths(s, prefix :+ n)
+        (prefix :+ n) +: allPaths(s, prefix :+ n)
       case f => Seq(prefix :+ f.name)
     }
 }

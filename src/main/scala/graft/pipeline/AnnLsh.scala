@@ -42,33 +42,48 @@ object AnnLsh {
   }
 
   /** Sign-pattern bucket code: bit j of the code is set iff
-    * dot(vec, plane_j) >= 0. Sequential-order dot product (zip_with +
-    * fold), bit-matching the oracle's `list_dot_product`. */
-  def codeColumn(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val d = aggregate(
-        zip_with(vec, typedlit(p), (x, w) => x * w),
-        lit(0d), (acc, x) => acc + x)
-      when(d >= 0d, lit(1L << j)).otherwise(lit(0L))
+    * dot(vec, plane_j) >= 0 — [[Similarity.dotDeclarative]], the
+    * sequential fold bit-matching the oracle's `list_dot_product`.
+    * NULL (not bucket 0) when the vector's length doesn't match the
+    * hyperplanes, so a mixed-dimension corpus surfaces as filterable
+    * null codes instead of silently piling into one giant bucket. */
+  def codeColumn(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val raw = planes.zipWithIndex.map { case (p, j) =>
+      when(Similarity.dotDeclarative(vec, typedlit(p)) >= 0d, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(vec) === planes.head.size, raw)
+  }
 
   /** id, vec, and LSH bucket code for every row — the index build.
     * Scan-side only; persist partitioned by `code` to make probes
-    * partition-pruned at warehouse scale. */
+    * partition-pruned at warehouse scale. The dimension comes from the
+    * first row (one bounded driver action); an empty corpus yields an
+    * empty index. */
   def codes(df: DataFrame, idCol: String, vecCol: String,
-      nbits: Int, seed: String = "lsh"): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    df.select(col(idCol), col(vecCol),
-      codeColumn(col(vecCol), hyperplanes(dim, nbits, seed)).as("code"))
-  }
+      nbits: Int, seed: String = "lsh"): DataFrame =
+    df.select(size(col(vecCol))).limit(1).collect().headOption match {
+      case None =>
+        df.select(col(idCol), col(vecCol), lit(null).cast("long").as("code"))
+      case Some(row) =>
+        df.select(col(idCol), col(vecCol),
+          codeColumn(col(vecCol),
+            hyperplanes(row.getInt(0), nbits, seed)).as("code"))
+    }
 
   /** Near-duplicate pairs (cosine >= threshold) searched only within
     * same-code buckets. Identical vectors agree on every sign bit, so
     * exact copies are always found; borderline cross-bucket pairs are
-    * the accepted recall trade (identical in the oracle). */
+    * the accepted recall trade (identical in the oracle). Vectors whose
+    * dimension doesn't match the index (null code) never pair.
+    *
+    * The coded frame feeds both sides of the self-join and is
+    * recomputed for each — at warehouse scale, materialize the index
+    * once (`codes(...).write.partitionBy("code")`) and self-join the
+    * stored table instead. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       nbits: Int, threshold: Double, seed: String = "lsh"): DataFrame = {
-    val coded = codes(df, idCol, vecCol, nbits, seed)
+    val coded = codes(df, idCol, vecCol, nbits, seed).where(col("code").isNotNull)
     val l = coded.toDF("id_a", "emb_a", "code")
     val r = coded.toDF("id_b", "emb_b", "code")
     l.join(r, Seq("code"))

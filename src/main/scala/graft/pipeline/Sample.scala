@@ -32,8 +32,13 @@ object Sample {
     require(k > 0 && splits > 0, s"need k>0, splits>0; got k=$k splits=$splits")
     val hashed = df.select(col(groupCol), col(idCol),
       md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("__h"))
+    // split off the md5 (not the id): type-independent — a string id
+    // cast to long would be null for every row, silently collapsing
+    // the two-level window back into the bare-group partitioning
     val local = hashed
-      .withColumn("__split", pmod(col(idCol).cast("long"), lit(splits.toLong)))
+      .withColumn("__split", pmod(
+        expr("cast(conv(substring(__h, 1, 8), 16, 10) as bigint)"),
+        lit(splits.toLong)))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(groupCol), col("__split"))
           .orderBy(col("__h"), col(idCol))))

@@ -325,6 +325,27 @@ class CdcSinkSpec extends AnyFunSuite {
     assert(zips(2L).contains(7.5d), s"drifted nested leaf lost data: $zips")
   }
 
+  test("a struct column drifting to a scalar value fails loudly, never nulls") {
+    val base = Files.createTempDirectory("graft-cdc-node-drift")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    val p1 = """{"user_id":1,"addr":{"zip":7}}"""
+    CdcSink.applyBatch(spark,
+      Seq(env("account", "c", "null", p1)).toDF("value"), wh, keyFor)
+    // addr arrives as a plain string: only the struct-NODE drift check
+    // sees this (every leaf path under addr reads null from the raw
+    // JSON too) — re-inference must fire and evolve must reject
+    // struct->string loudly instead of merging addr=null
+    val p2 = """{"user_id":2,"addr":"5 Main St"}"""
+    intercept[IllegalArgumentException] {
+      CdcSink.applyBatch(spark,
+        Seq(env("account", "c", "null", p2)).toDF("value"), wh, keyFor)
+    }
+    // the stored row is untouched
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    assert(t.read().selectExpr("addr.zip").head().getLong(0) === 7L)
+  }
+
   test("typed envelope parse via Envelope.schema round-trips op and images") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

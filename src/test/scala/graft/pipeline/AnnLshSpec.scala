@@ -31,6 +31,25 @@ class AnnLshSpec extends AnyFunSuite {
       s"copy of vector $i landed in a different bucket"))
   }
 
+  test("empty corpus yields an empty index; mismatched dims get null codes") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "emb")
+    assert(AnnLsh.codes(empty, "vec_id", "emb", nbits = 4).count() === 0)
+    // first row fixes the dimension at 3; the 2-dim vector must code
+    // to null (filterable), not collapse into bucket 0
+    val mixed = Seq(
+      (1L, Seq(1d, 2d, 3d)), (2L, Seq(1d, 2d)), (3L, Seq(1d, 2d, 3d)))
+      .toDF("vec_id", "emb")
+    val coded = AnnLsh.codes(mixed, "vec_id", "emb", nbits = 4)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getLong(2)))).toMap
+    assert(coded(2L).isEmpty, "mismatched-dimension vector got a code")
+    assert(coded(1L).isDefined && coded(1L) === coded(3L))
+    // and pairs never include the mismatched vector
+    val pairs = AnnLsh.nearDupPairs(mixed, "vec_id", "emb",
+      nbits = 4, threshold = -1d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 3L)))
+  }
+
   test("nearDupPairs finds every planted exact copy at threshold 0.999") {
     val vecs = (1L to 40L)
       .map(i => (i, Seq.tabulate(8)(k => math.cos(i * 7 + k * 2))))
