@@ -483,6 +483,48 @@ object StoreQueries {
           unix_millis(col("session_start")).as("ts_start_ms"),
           unix_millis(col("session_end")).as("ts_end_ms"))
         .orderBy("user_id", "session_idx")
+    }),
+
+    // q76 — INCREMENTAL VIEW MAINTENANCE over the change feed: a
+    // per-event_type count/sum view kept fresh by two O(changes)
+    // refreshes (inserts, then updates + deletes) — never a source
+    // rescan — must equal the from-scratch DuckDB aggregate of the
+    // final state. The measure is floor(value) so sums are
+    // integer-exact under any accumulation order (the non-integer-sum
+    // drift caveat is documented on the operator).
+    "q76_incremental_view" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-iview-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value")).cast("long").as("vi"))
+      val src = UpsertTable(s, s"$base/src")
+      val tgt = UpsertTable(s, s"$base/tgt")
+      tgt.create(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, n BIGINT, sv DOUBLE"), keys = Seq("event_type"))
+      // commit 1: the even-id half
+      src.merge(ev.where(col("event_id") % 2 === 0),
+        autoCreateKeys = Seq("event_id"), delta = true)
+      val v1 = src.currentSnapshot.get.version
+      graft.store.IncrementalAgg.refreshCountSum(s, src, tgt,
+        v1 - 1, v1, "event_id", "event_type", "vi")
+      // commit 2: odd ids inserted; evens < 1000 updated (+10);
+      // evens in [1000, 2000) deleted
+      val batch2 = ev.where(col("event_id") % 2 === 1)
+        .withColumn("__op", lit("u"))
+        .unionByName(ev
+          .where(col("event_id") % 2 === 0 && col("event_id") < 1000)
+          .withColumn("vi", col("vi") + 10L).withColumn("__op", lit("u")))
+        .unionByName(ev
+          .where(col("event_id") % 2 === 0
+            && col("event_id") >= 1000 && col("event_id") < 2000)
+          .withColumn("__op", lit("d")))
+      src.merge(batch2, opCol = Some("__op"), delta = true)
+      val v2 = src.currentSnapshot.get.version
+      graft.store.IncrementalAgg.refreshCountSum(s, src, tgt,
+        v1, v2, "event_id", "event_type", "vi")
+      tgt.read().orderBy("event_type")
     })
   )
 
@@ -575,6 +617,19 @@ object StoreQueries {
         "SELECT user_id, session_idx, COUNT(*) AS n_events, " +
         "MIN(tms) AS ts_start_ms, MAX(tms) AS ts_end_ms FROM sx " +
         "GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+
+    // the incrementally-maintained view must equal the from-scratch
+    // aggregate of the final state
+    "q76_incremental_view" ->
+      ("WITH base AS (SELECT event_id, event_type, " +
+        "CAST(FLOOR(value) AS BIGINT) AS vi FROM events), " +
+        "final AS (SELECT event_id, event_type, " +
+        "CASE WHEN event_id % 2 = 0 AND event_id < 1000 THEN vi + 10 " +
+        "ELSE vi END AS vi FROM base " +
+        "WHERE NOT (event_id % 2 = 0 AND event_id >= 1000 " +
+        "AND event_id < 2000)) " +
+        "SELECT event_type, COUNT(*) AS n, CAST(SUM(vi) AS DOUBLE) AS sv " +
+        "FROM final GROUP BY event_type ORDER BY event_type"),
 
     // the change feed must equal each commit's normalized changelog:
     // per-key last row within its half, error rows as 'd'

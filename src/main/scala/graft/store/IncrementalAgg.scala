@@ -1,0 +1,83 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance over the change feed —
+  * the capability [[UpsertTable.readChanges]] exists to serve: keep
+  * `target = SELECT group, count(*), sum(value) FROM source GROUP BY
+  * group` fresh in O(changed rows) per refresh instead of re-scanning
+  * a 100 TB source.
+  *
+  * Algorithm per refresh over `(fromV, toV]`:
+  *  1. net change per key = the feed's LAST image per key in range
+  *     (earlier intra-range images are superseded);
+  *  2. prior contribution per changed key = time-travel read of the
+  *     source AT `fromV`, semi-joined to the changed keys (the only
+  *     part that touches the source — and only its affected rows);
+  *  3. group delta = Σ(new contributions) − Σ(prior contributions),
+  *     a partial-agg groupBy of O(changed keys) rows;
+  *  4. target rows for affected groups read, deltas applied, merged
+  *     back (groups whose count reaches 0 are deleted).
+  *
+  * Every step is bounded by the change volume, never the source size —
+  * the classic upsert-changelog view-maintenance formulation (Flink's
+  * retract streams / Materialize-style deltas) on batch Spark.
+  */
+object IncrementalAgg {
+
+  /** Refresh `target` (keyed by `groupCol`, columns `n` + `sv`) with
+    * the source changes in `(fromV, toV]`. `valueCol` must be numeric;
+    * deletes retract the key's prior contribution.
+    *
+    * FP caveat: for non-integer measures, incremental add/subtract
+    * accumulates rounding drift relative to a from-scratch sum (as in
+    * any retraction-based maintenance); integer-valued measures are
+    * exact under any order. Schedule a periodic full recompute
+    * ([[fullCountSum]]) when exact float sums matter.
+    */
+  def refreshCountSum(spark: SparkSession, source: UpsertTable,
+      target: UpsertTable, fromV: Long, toV: Long,
+      keyCol: String, groupCol: String, valueCol: String): Unit = {
+    val changes = source.readChanges(fromV, toV)
+    // 1. last image per key in the range (max _commit_version wins;
+    //    within one commit a key appears once — merge normalized it)
+    val net = changes
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(col(groupCol), col(valueCol), col("_change_op")),
+        col("_commit_version")).as("__last"))
+      .select(col(keyCol), col("__last.*"))
+    // 2. prior contributions of exactly the changed keys
+    val prior = source.readVersion(fromV)
+      .join(net.select(keyCol), Seq(keyCol), "left_semi")
+      .select(col(keyCol), col(groupCol), col(valueCol))
+    // 3. group-level deltas: +new (non-delete) − old
+    val adds = net.where(col("_change_op") =!= "d")
+      .select(col(groupCol), lit(1L).as("__dn"),
+        col(valueCol).cast("double").as("__dv"))
+    val subs = prior
+      .select(col(groupCol), lit(-1L).as("__dn"),
+        (-col(valueCol).cast("double")).as("__dv"))
+    val deltas = adds.unionByName(subs)
+      .groupBy(col(groupCol))
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
+    // 4. read-modify-write the affected target groups
+    val current = target.read()
+      .join(deltas.select(groupCol), Seq(groupCol), "left_semi")
+    val merged = deltas
+      .join(current, Seq(groupCol), "left")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
+        (coalesce(col("sv"), lit(0d)) + col("__dv")).as("sv"))
+      .withColumn("__op", when(col("n") <= 0L, "d").otherwise("u"))
+    target.merge(merged, opCol = Some("__op"))
+  }
+
+  /** Full recompute into a fresh frame — the correctness oracle for
+    * [[refreshCountSum]] (and the bootstrap for an empty target). */
+  def fullCountSum(source: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    source.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("double")).as("sv"))
+}

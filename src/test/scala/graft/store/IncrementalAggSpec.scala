@@ -1,0 +1,86 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** refreshCountSum must equal a from-scratch recompute after any mix of
+  * inserts, updates, and deletes applied across multiple refreshes. */
+class IncrementalAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tables() = {
+    val base = Files.createTempDirectory("graft-ia")
+    val src = UpsertTable(spark, s"$base/src")
+    val tgt = UpsertTable(spark, s"$base/tgt")
+    tgt.create(StructType(Seq(
+      StructField("g", StringType),
+      StructField("n", LongType),
+      StructField("sv", DoubleType))), keys = Seq("g"))
+    (src, tgt)
+  }
+
+  private def check(src: UpsertTable, tgt: UpsertTable): Unit = {
+    val want = IncrementalAgg.fullCountSum(src.read(), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = tgt.read()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
+
+  test("multi-refresh with inserts, updates, deletes matches recompute") {
+    val (src, tgt) = tables()
+    // refresh 1: plain inserts across two groups
+    src.merge(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "g", "v"), autoCreateKeys = Seq("id"), delta = true)
+    val v1 = src.currentSnapshot.get.version
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1 - 1, v1, "id", "g", "v")
+    check(src, tgt)
+    // refresh 2: update (1 moves group a->b AND changes value), insert,
+    // delete, plus a delete of a key that never existed
+    src.merge(Seq((1L, "b", 100L, "u"), (4L, "a", 7L, "u"),
+      (2L, "a", 20L, "d"), (99L, "zz", 1L, "d"))
+      .toDF("id", "g", "v", "op"), opCol = Some("op"), delta = true)
+    val v2 = src.currentSnapshot.get.version
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1, v2, "id", "g", "v")
+    check(src, tgt)
+    // group "a" now holds only id 4
+    assert(tgt.read().where(col("g") === "a").head().getLong(1) === 1L)
+  }
+
+  test("a group emptied by deletes disappears from the target") {
+    val (src, tgt) = tables()
+    src.merge(Seq((1L, "only", 3L)).toDF("id", "g", "v"),
+      autoCreateKeys = Seq("id"), delta = true)
+    val v1 = src.currentSnapshot.get.version
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1 - 1, v1, "id", "g", "v")
+    assert(tgt.read().count() === 1)
+    src.merge(Seq((1L, "only", 3L, "d")).toDF("id", "g", "v", "op"),
+      opCol = Some("op"), delta = true)
+    val v2 = src.currentSnapshot.get.version
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1, v2, "id", "g", "v")
+    assert(tgt.read().count() === 0)
+    check(src, tgt)
+  }
+
+  test("a key flapping within one range nets to its last image") {
+    val (src, tgt) = tables()
+    src.merge(Seq((1L, "a", 1L)).toDF("id", "g", "v"),
+      autoCreateKeys = Seq("id"), delta = true)
+    val v1 = src.currentSnapshot.get.version
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1 - 1, v1, "id", "g", "v")
+    // three commits in ONE refresh range: update, delete, re-insert
+    src.merge(Seq((1L, "a", 50L)).toDF("id", "g", "v"), delta = true)
+    src.merge(Seq((1L, "a", 50L, "d")).toDF("id", "g", "v", "op"),
+      opCol = Some("op"), delta = true)
+    src.merge(Seq((1L, "b", 9L)).toDF("id", "g", "v"), delta = true)
+    val v2 = src.currentSnapshot.get.version
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1, v2, "id", "g", "v")
+    check(src, tgt)
+  }
+}
