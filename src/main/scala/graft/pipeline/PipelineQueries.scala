@@ -518,6 +518,14 @@ object PipelineQueries {
         .orderBy("user_id", "day")
     }),
 
+    // q77 — unigram-LM perplexity scoring (CCNet-style quality
+    // filter): each document's mean -ln p(token) under the corpus's
+    // own add-one unigram LM. LM broadcast; integer-scaled log-probs
+    // make the per-doc sums order-exact
+    "q77_unigram_nll" -> ((s, d) =>
+      Relevance.unigramNll(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // q68 — pivot (wide aggregation): per-user event counts spread
     // over the five known event types as columns. Explicit pivot
     // values keep it a single partial-agg pass (no values-discovery
@@ -962,6 +970,18 @@ object PipelineQueries {
         "fresh AS (SELECT min(doc_id + 100000) AS doc_id, fp FROM f GROUP BY fp) " +
         "SELECT doc_id, fp FROM fresh " +
         "WHERE fp NOT IN (SELECT fp FROM existing) ORDER BY doc_id"),
+    "q77_unigram_nll" ->
+      (s"WITH tk AS (SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t " +
+        "FROM documents), " +
+        "c AS (SELECT t, count(*) AS c FROM tk GROUP BY t), " +
+        "st AS (SELECT CAST(sum(c) AS DOUBLE) AS nn, " +
+        "CAST(count(*) AS DOUBLE) AS vv FROM c), " +
+        "li AS (SELECT tk.doc_id, " +
+        "CAST(FLOOR(-ln((c.c + 1) / (st.nn + st.vv)) * 1000000) AS BIGINT) " +
+        "AS li FROM tk JOIN c USING (t) CROSS JOIN st) " +
+        "SELECT doc_id, count(*) AS n_tok, " +
+        "sum(li) // count(*) AS nll_micro " +
+        "FROM li GROUP BY doc_id ORDER BY doc_id"),
     "q67_gapfill" ->
       ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, " +
         "value FROM events WHERE user_id < 30), " +

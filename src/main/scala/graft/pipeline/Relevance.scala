@@ -63,6 +63,44 @@ object Relevance {
         round(col("__top.__w"), 6).as("tfidf"))
   }
 
+  /** Per-document unigram negative log-likelihood — the language-model
+    * perplexity quality filter (CCNet-style: score each document
+    * against a corpus LM; outliers are boilerplate or noise). The LM
+    * is the corpus's own add-one-smoothed unigram distribution:
+    * p(t) = (c_t + 1) / (N + V).
+    *
+    * Scale shape: one explode + partial-agg count builds the
+    * (vocabulary-sized, zipf-bounded) LM; scoring joins tokens to it
+    * BROADCAST — the corpus never shuffles on token (a hot-token
+    * shuffle would serialize "the" into one partition). Per-token
+    * −ln p is scaled to integer millionths before the per-doc sum, so
+    * the aggregate is bit-exact under ANY accumulation order (and
+    * engine-portable — the DuckDB oracle reproduces it exactly).
+    *
+    * @return doc_id, n_tok, nll_micro (mean −ln p per token in integer
+    *         millionths — pure integer arithmetic end-to-end, so no
+    *         engine rounding convention can flip a boundary)
+    */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tk"))
+    val counts = toks.groupBy(col("__tk"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = counts.agg(
+      sum(col("__c")).cast("double").as("__nn"),
+      count(lit(1)).cast("double").as("__vv"))
+    toks
+      .join(broadcast(counts), "__tk")
+      .crossJoin(broadcast(stats))
+      .withColumn("__li",
+        floor(negate(log((col("__c") + 1L) / (col("__nn") + col("__vv"))))
+          * 1000000d).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("__li")).as("__sli"))
+      .select(col(idCol), col("n_tok"),
+        expr("__sli div n_tok").as("nll_micro"))
+  }
+
   /** BM25 constants (the standard Robertson defaults). */
   val K1 = 1.2d
   val B = 0.75d

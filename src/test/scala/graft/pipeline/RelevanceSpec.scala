@@ -55,6 +55,22 @@ class RelevanceSpec extends AnyFunSuite {
     assert(score(4L) > score(2L))
   }
 
+  test("unigramNll scores rare-token documents as less likely") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare unique")).toDF("doc_id", "text")
+    val out = Relevance.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).toSeq === Seq(4L, 4L)) // n_tok
+    // doc 2 carries two singleton tokens: higher mean NLL
+    assert(out(1)._3 > out(0)._3)
+    // literal check on doc 1: all tokens 'common', c=6, N=8, V=3,
+    // p = (6+1)/(8+3)
+    val expect = math.floor(-math.log(7d / 11d) * 1e6).toLong
+    assert(out(0)._3 === expect)
+  }
+
   test("bm25TopK applies the k cut after full ranking") {
     val docs = (1L to 10L).map(i => (i, "join doc " + i)).toDF("doc_id", "text")
     val out = Relevance.bm25TopK(docs, "doc_id", "text", Seq("join"), k = 4)
