@@ -201,7 +201,15 @@ object CdcSink {
 
   /** (json path, known field names) for the schema root and every
     * struct-typed descendant — the key-scan levels. Depth is bounded
-    * by the stored schema, not the payload. */
+    * by the stored schema, not the payload.
+    *
+    * Known limitation: recursion covers struct columns only — fields
+    * nested inside ARRAY-OF-STRUCT columns are not scanned (no scalar
+    * JSON path addresses "any element"), so new element subfields
+    * appear only via first-sight inference and element-level type
+    * drift is not auto-detected. Lock such schemas via [[EvolveConf]]
+    * or keep array payloads schema-stable. (Array-column drift to a
+    * scalar IS caught: the array path itself is checked.) */
   private[cdc] def jsonLevels(st: org.apache.spark.sql.types.StructType,
       path: String): Seq[(String, Seq[String])] =
     (path -> st.fieldNames.toSeq) +: st.fields.toSeq.flatMap {

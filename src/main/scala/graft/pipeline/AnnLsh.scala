@@ -62,8 +62,12 @@ object AnnLsh {
     * empty index. */
   def codes(df: DataFrame, idCol: String, vecCol: String,
       nbits: Int, seed: String = "lsh"): DataFrame =
-    df.select(size(col(vecCol))).limit(1).collect().headOption match {
-      case None =>
+    // sample the dimension from the first non-null, non-empty vector —
+    // a null/empty leading row must not crash the index build when the
+    // same vector anywhere else just gets a filterable null code
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(size(col(vecCol))).limit(1).collect().headOption match {
+      case None => // no usable vectors at all
         df.select(col(idCol), col(vecCol), lit(null).cast("long").as("code"))
       case Some(row) =>
         df.select(col(idCol), col(vecCol),

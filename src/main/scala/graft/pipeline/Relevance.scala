@@ -74,8 +74,11 @@ object Relevance {
     * BROADCAST — the corpus never shuffles on token (a hot-token
     * shuffle would serialize "the" into one partition). Per-token
     * −ln p is scaled to integer millionths before the per-doc sum, so
-    * the aggregate is bit-exact under ANY accumulation order (and
-    * engine-portable — the DuckDB oracle reproduces it exactly).
+    * the aggregate is bit-exact under ANY accumulation order. (Cross-
+    * engine portability additionally rests on ln() agreeing to the
+    * floor boundary — libm vs Math.log can differ by an ulp, which
+    * floor(x·1e6) would amplify to ±1; astronomically unlikely per
+    * token type, but not impossible.)
     *
     * @return doc_id, n_tok, nll_micro (mean −ln p per token in integer
     *         millionths — pure integer arithmetic end-to-end, so no

@@ -283,14 +283,18 @@ object ReferenceQueries {
 
     // Q73 — scalar-subquery HAVING (TPC-H Q11 shape): event types whose
     // value mass exceeds a fraction of the corpus total. The scalar
-    // aggregate broadcasts; no re-scan of the grouped side
+    // aggregate broadcasts; no re-scan of the grouped side. The
+    // measure is floor(value) so both sums are integer-exact — a
+    // full-precision double threshold would be partition-order
+    // nondeterministic exactly at the cut
     "q73_scalar_having" -> ((s, d) => {
+      val vi = floor(col("value")).cast("long")
       val byType = events(s, d).groupBy("event_type")
-        .agg(sum(col("value")).as("__sv"), count(lit(1)).as("n"))
-      val total = events(s, d).agg((sum(col("value")) * 0.15d).as("__cut"))
+        .agg(sum(vi).as("sv"), count(lit(1)).as("n"))
+      val total = events(s, d).agg((sum(vi) * 0.15d).as("__cut"))
       byType.crossJoin(broadcast(total))
-        .where(col("__sv") > col("__cut"))
-        .select(col("event_type"), round(col("__sv"), 6).as("sv"), col("n"))
+        .where(col("sv") > col("__cut"))
+        .select(col("event_type"), col("sv"), col("n"))
         .orderBy("event_type")
     }),
 
@@ -424,10 +428,12 @@ object ReferenceQueries {
         "AND l.l_shipdate > o.o_orderdate AND l.l_quantity > 45) " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q73_scalar_having" ->
-      ("WITH bt AS (SELECT event_type, SUM(value) AS sv, COUNT(*) AS n " +
+      ("WITH bt AS (SELECT event_type, " +
+        "SUM(CAST(FLOOR(value) AS BIGINT)) AS sv, COUNT(*) AS n " +
         "FROM events GROUP BY event_type), " +
-        "tot AS (SELECT SUM(value) * 0.15 AS cut FROM events) " +
-        "SELECT event_type, round(sv, 6) AS sv, n FROM bt, tot " +
+        "tot AS (SELECT SUM(CAST(FLOOR(value) AS BIGINT)) * 0.15 AS cut " +
+        "FROM events) " +
+        "SELECT event_type, sv, n FROM bt, tot " +
         "WHERE sv > cut ORDER BY event_type"),
     "q74_ntile" ->
       ("WITH j AS (SELECT c.c_mktsegment, o.o_totalprice, o.o_orderkey " +

@@ -41,37 +41,53 @@ object IncrementalAgg {
       keyCol: String, groupCol: String, valueCol: String): Unit = {
     val changes = source.readChanges(fromV, toV)
     // 1. last image per key in the range (max _commit_version wins;
-    //    within one commit a key appears once — merge normalized it)
+    //    within one commit a key appears once — merge normalized it).
+    //    Cached: it feeds the prior semi-join AND the adds leg — the
+    //    change-feed scan must not re-run per consumer.
     val net = changes
       .groupBy(col(keyCol))
       .agg(max_by(
         struct(col(groupCol), col(valueCol), col("_change_op")),
         col("_commit_version")).as("__last"))
       .select(col(keyCol), col("__last.*"))
-    // 2. prior contributions of exactly the changed keys
-    val prior = source.readVersion(fromV)
-      .join(net.select(keyCol), Seq(keyCol), "left_semi")
-      .select(col(keyCol), col(groupCol), col(valueCol))
-    // 3. group-level deltas: +new (non-delete) − old
-    val adds = net.where(col("_change_op") =!= "d")
-      .select(col(groupCol), lit(1L).as("__dn"),
-        col(valueCol).cast("double").as("__dv"))
-    val subs = prior
-      .select(col(groupCol), lit(-1L).as("__dn"),
-        (-col(valueCol).cast("double")).as("__dv"))
-    val deltas = adds.unionByName(subs)
-      .groupBy(col(groupCol))
-      .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
-    // 4. read-modify-write the affected target groups
-    val current = target.read()
-      .join(deltas.select(groupCol), Seq(groupCol), "left_semi")
-    val merged = deltas
-      .join(current, Seq(groupCol), "left")
-      .select(col(groupCol),
-        (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
-        (coalesce(col("sv"), lit(0d)) + col("__dv")).as("sv"))
-      .withColumn("__op", when(col("n") <= 0L, "d").otherwise("u"))
-    target.merge(merged, opCol = Some("__op"))
+      .cache()
+    try {
+      // 2. prior contributions of exactly the changed keys
+      val prior = source.readVersion(fromV)
+        .join(net.select(keyCol), Seq(keyCol), "left_semi")
+        .select(col(keyCol), col(groupCol), col(valueCol))
+      // 3. group-level deltas: +new (non-delete) − old
+      val adds = net.where(col("_change_op") =!= "d")
+        .select(col(groupCol), lit(1L).as("__dn"),
+          col(valueCol).cast("double").as("__dv"))
+      val subs = prior
+        .select(col(groupCol), lit(-1L).as("__dn"),
+          (-col(valueCol).cast("double")).as("__dv"))
+      val deltas = adds.unionByName(subs)
+        .groupBy(col(groupCol))
+        .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
+        .cache() // feeds the current semi-join AND the final left join
+      try {
+        // null group keys (in the changes OR the prior images) would
+        // silently corrupt the view: every equi-join below and the
+        // keyed target merge skip null keys, leaving stale rows
+        // behind. The target is a PK store — reject loudly; COALESCE
+        // nulls to a sentinel upstream if needed.
+        require(deltas.where(col(groupCol).isNull).limit(1).count() == 0,
+          s"refreshCountSum: null $groupCol in the change range — " +
+            "coalesce null groups to a sentinel before aggregating")
+        // 4. read-modify-write the affected target groups
+        val current = target.read()
+          .join(deltas.select(groupCol), Seq(groupCol), "left_semi")
+        val merged = deltas
+          .join(current, Seq(groupCol), "left")
+          .select(col(groupCol),
+            (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
+            (coalesce(col("sv"), lit(0d)) + col("__dv")).as("sv"))
+          .withColumn("__op", when(col("n") <= 0L, "d").otherwise("u"))
+        target.merge(merged, opCol = Some("__op"))
+      } finally deltas.unpersist()
+    } finally net.unpersist()
   }
 
   /** Full recompute into a fresh frame — the correctness oracle for

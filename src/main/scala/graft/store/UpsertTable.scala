@@ -162,7 +162,10 @@ class UpsertTable(spark: SparkSession, val location: String) {
         StructField(OpCol, StringType), StructField(SeqCol, LongType)))
       alignTypes(readFiles(deltas, deltaSchema), targetSchema)
         .select((targetSchema.fieldNames.map(col) :+
-          col(OpCol).as("_change_op") :+
+          // delta files hold the raw source op (Debezium r|c|u|d) —
+          // normalize to the feed's documented u/d contract so
+          // consumers filtering on "u" don't drop 'c' inserts
+          when(col(OpCol) === "d", "d").otherwise("u").as("_change_op") :+
           lit(v).as("_commit_version")): _*)
     }
     frames.reduceOption(_ unionByName _).getOrElse {
