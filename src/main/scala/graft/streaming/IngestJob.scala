@@ -89,8 +89,12 @@ case class IngestJob(
     // file (splits of one large file are packed into partitions in
     // size order, not offset order), then the monotonic id (increasing
     // in row order inside each split).
-    val ordered = transform(batch)
-      .withColumn("__ord", struct(col("__file"), monotonically_increasing_id()))
+    // __ord is stamped BEFORE the user transform: a transform that
+    // shuffles/repartitions would otherwise scatter rows so the
+    // monotonic id no longer reflects arrival order within a split,
+    // silently making last-wins nondeterministic for duplicate keys
+    val ordered = transform(batch
+      .withColumn("__ord", struct(col("__file"), monotonically_increasing_id())))
       .drop("__file")
     val table = UpsertTable(spark, tablePath)
     table.merge(
@@ -121,8 +125,10 @@ case class IngestJob(
     * streaming result must equal, minus the wall-clock `ts` column.
     */
   def replayBatch(spark: SparkSession): DataFrame = {
-    val parsed = parse(Topic.readAll(spark, topicDir))
-      .withColumn("__ord", struct(col("__file"), monotonically_increasing_id()))
+    // same stamping-then-transform order as the streaming path — a
+    // non-identity transform must be part of the replayed function too
+    val parsed = transform(parse(Topic.readAll(spark, topicDir))
+      .withColumn("__ord", struct(col("__file"), monotonically_increasing_id())))
     import org.apache.spark.sql.expressions.Window
     parsed
       .withColumn("__rn", row_number().over(
@@ -137,11 +143,15 @@ case class IngestJob(
     */
   def runWithRestarts(spark: SparkSession, maxAttempts: Int = 999,
       delayMs: Long = 10000L): Unit = {
+    require(maxAttempts > 0, s"maxAttempts must be positive, got $maxAttempts")
     var attempt = 0
     var lastError: Throwable = null
     while (attempt < maxAttempts) {
-      val q = start(spark)
       try {
+        // start() inside the try: a failure during query STARTUP
+        // (checkpoint dir briefly locked after a crash, source listing
+        // hiccup) must consume an attempt, not bypass the policy
+        val q = start(spark)
         q.awaitTermination()
         return // clean stop
       } catch {

@@ -68,13 +68,18 @@ object Topic {
       df.schema.head.dataType == StringType
     val json =
       if (preSerialized)
-        // a null record can't be represented in a text topic — fail
-        // loudly at write time rather than land an empty line that
-        // downstream parsers silently drop (to_json below never
-        // produces null, so only this path needs the guard)
-        df.select(when(col("value").isNull, raise_error(
-          lit("Topic.produce: null value record"))).otherwise(col("value"))
-          .as("value"))
+        // a null, empty, or newline-bearing record can't be
+        // represented in a line-framed text topic — fail loudly at
+        // write time rather than land lines that downstream parsers
+        // silently drop or SPLIT into multiple malformed records
+        // (to_json below never produces any of these, so only this
+        // path needs the guard)
+        df.select(when(col("value").isNull
+            || length(col("value")) === 0
+            || col("value").contains("\n") || col("value").contains("\r"),
+          raise_error(concat(lit("Topic.produce: record is null, empty, " +
+            "or contains a line break: "), col("value"))))
+          .otherwise(col("value")).as("value"))
       else df.select(to_json(struct(df.columns.toSeq.map(col): _*)).as("value"))
     val dir = Paths.get(topicDir)
     Files.createDirectories(dir)
@@ -105,8 +110,14 @@ object Topic {
     Files.createDirectories(dir)
     val parts = graft.Fs.children(staging)
       .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+    // ONE directory listing per publish (not per part): the sequence
+    // advances locally across parts and is re-read only on an actual
+    // collision with a concurrent producer — on a topic holding tens
+    // of thousands of files, per-part re-listing made produce
+    // O(parts x topic-files)
+    var seq = nextSeq(dir)
     parts.zipWithIndex.foreach { case (p, i) =>
-      try publishOne(dir, p, suffix = f"$i%05d")
+      try seq = publishOne(dir, p, suffix = f"$i%05d", seqHint = seq) + 1
       finally Files.deleteIfExists(p)
     }
   }
@@ -115,18 +126,24 @@ object Topic {
     * hard-link creation fails (rather than replaces) if a concurrent
     * producer claimed the same offset, so racing producers interleave
     * instead of clobbering — broker-style offset assignment.
+    * Returns the sequence actually claimed.
     */
-  private def publishOne(dir: Path, src: Path, suffix: String): Unit = {
+  private def publishOne(dir: Path, src: Path, suffix: String,
+      seqHint: Long = -1L): Long = {
+    var seq = if (seqHint >= 0) seqHint else nextSeq(dir)
     var done = false
     while (!done) {
-      val target = dir.resolve(f"${nextSeq(dir)}%08d-$suffix.jsonl")
+      val target = dir.resolve(f"$seq%08d-$suffix.jsonl")
       try {
         Files.createLink(target, src)
         done = true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => // lost the race; re-read seq
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the race; re-read the sequence floor
+          seq = math.max(seq + 1, nextSeq(dir))
       }
     }
+    seq
   }
 
   private def nextSeq(dir: Path): Long =

@@ -65,7 +65,44 @@ case class SessionAcc(startMs: Long, endMs: Long, n: Int)
   * (KeyValueGroupedDataset) with event-time timeouts: a session closes
   * `gap` after its last event, enforced by the watermark.
   */
-object Sessionize {
+object Sessionize extends Serializable {
+
+  /** The shared session fold: absorb `sorted` (ascending event-time)
+    * into `acc0`, returning (closed sessions, live session or null).
+    * One copy on purpose — [[Sessionize]] and [[SessionizeTws]] are
+    * documented output-equivalent, so their core must be THE SAME
+    * code, not two copies kept in sync by hand.
+    *
+    * Cross-batch out-of-order events (possible while the watermark
+    * allows): an event inside [start − gap, end + gap] merges and may
+    * extend the session BACKWARD (start = min); an event more than
+    * `gap` before the stored start closes immediately as its own
+    * single-event session (this simple one-live-session state cannot
+    * hold a second open session; the approximation is bounded by the
+    * watermark delay and only affects late stragglers).
+    */
+  private[streaming] def fold(key: Long, acc0: SessionAcc,
+      sorted: Seq[SessionEvent], gapMs: Long)
+      : (Seq[UserSession], SessionAcc) = {
+    val out = scala.collection.mutable.ListBuffer.empty[UserSession]
+    var acc = acc0
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      acc match {
+        case null => acc = SessionAcc(t, t, 1)
+        case s if t < s.startMs - gapMs => // late straggler, own session
+          out += UserSession(key, new Timestamp(t), new Timestamp(t), 1)
+        case s if t - s.endMs <= gapMs => // merge; may extend backward
+          acc = s.copy(startMs = math.min(s.startMs, t),
+            endMs = math.max(s.endMs, t), n = s.n + 1)
+        case s => // gap exceeded inside the batch: emit, start anew
+          out += UserSession(key, new Timestamp(s.startMs),
+            new Timestamp(s.endMs), s.n)
+          acc = SessionAcc(t, t, 1)
+      }
+    }
+    (out.toSeq, acc)
+  }
 
   def sessions(
       events: Dataset[SessionEvent],
@@ -86,19 +123,8 @@ object Sessionize {
         state.remove()
       } else {
         val sorted = rows.toSeq.sortBy(_.ts.getTime)
-        var acc = state.getOption.orNull
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          acc match {
-            case null => acc = SessionAcc(t, t, 1)
-            case s if t - s.endMs <= gapMs =>
-              acc = s.copy(endMs = math.max(s.endMs, t), n = s.n + 1)
-            case s => // gap exceeded inside the batch: emit, start anew
-              out += UserSession(userId, new Timestamp(s.startMs),
-                new Timestamp(s.endMs), s.n)
-              acc = SessionAcc(t, t, 1)
-          }
-        }
+        val (closed, acc) = fold(userId, state.getOption.orNull, sorted, gapMs)
+        out ++= closed
         if (acc != null) {
           state.update(acc)
           state.setTimeoutTimestamp(acc.endMs + gapMs)
@@ -136,29 +162,17 @@ object SessionizeTws {
 
     override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
         tv: TimerValues): Iterator[UserSession] = {
-      val out = scala.collection.mutable.ListBuffer.empty[UserSession]
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var acc = if (state.exists()) state.get() else null
+      val prev = if (state.exists()) state.get() else null
       // the previous batch's timer is stale the moment the session
       // grows — delete it so only the live session-end timer can fire
-      if (acc != null) getHandle.deleteTimer(acc.endMs + gapMs)
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        acc match {
-          case null => acc = SessionAcc(t, t, 1)
-          case s if t - s.endMs <= gapMs =>
-            acc = s.copy(endMs = math.max(s.endMs, t), n = s.n + 1)
-          case s => // gap exceeded inside the batch: emit, start anew
-            out += UserSession(key, new Timestamp(s.startMs),
-              new Timestamp(s.endMs), s.n)
-            acc = SessionAcc(t, t, 1)
-        }
-      }
+      if (prev != null) getHandle.deleteTimer(prev.endMs + gapMs)
+      val (closed, acc) = Sessionize.fold(key, prev, sorted, gapMs)
       if (acc != null) {
         state.update(acc)
         getHandle.registerTimer(acc.endMs + gapMs)
       }
-      out.iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,

@@ -10,6 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class WindowedStatsSpec extends AnyFunSuite {
+
+  test("session fold: backward merge extends start; far-early straggler closes alone") {
+    import java.sql.Timestamp
+    // live session [10s, 10s], gap 2s; batch carries (ascending):
+    // 3s (more than gap before start -> own closed session),
+    // 9s (within gap before start -> merges, start moves back),
+    // 11s (within gap after end -> merges forward)
+    val sorted = Seq(3000L, 9000L, 11000L)
+      .map(t => SessionEvent(1L, new Timestamp(t)))
+    val (closed, acc) =
+      Sessionize.fold(1L, SessionAcc(10000L, 10000L, 1), sorted, gapMs = 2000L)
+    assert(closed.map(c => (c.session_start.getTime, c.session_end.getTime,
+      c.events)) === Seq((3000L, 3000L, 1)))
+    assert(acc === SessionAcc(9000L, 11000L, 3))
+  }
+
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
