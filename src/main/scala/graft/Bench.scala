@@ -78,7 +78,21 @@ object Bench {
     val fail =
       if (failed.isEmpty) ""
       else ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$warn$fail,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$warn$fail,"sf":"$sfDir"}"""
+    // the driver captures a bounded TAIL of the sbt output; a long
+    // per-query map once pushed the total off the end of the capture.
+    // Persist the full record to a file AND print it first, so it
+    // survives any truncation of the trailing sbt chatter
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $out: $e") }
+    println(json)
+    // compact trailer: a tail-capture keeps the LAST lines, so the
+    // totals survive even when the long per-query line is cut short
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"n_failed":${failed.size},"full_record":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,22 +57,29 @@ object AnnLsh {
 
   /** id, vec, and LSH bucket code for every row — the index build.
     * Scan-side only; persist partitioned by `code` to make probes
-    * partition-pruned at warehouse scale. The dimension comes from the
-    * first row (one bounded driver action); an empty corpus yields an
-    * empty index. */
+    * partition-pruned at warehouse scale. The index dimension is the
+    * MODAL vector length in the corpus (ties broken toward the
+    * smaller length) — a bounded partial-agg over at most
+    * #distinct-lengths rows, not a scan-order-dependent limit(1),
+    * which would make every bucket code depend on which row happened
+    * to be read first on a mixed-dimension corpus. Rows of any other
+    * length get a filterable null code; an empty corpus yields an
+    * empty index. Callers that know the dimension can skip the probe
+    * by passing `dim` explicitly. */
   def codes(df: DataFrame, idCol: String, vecCol: String,
-      nbits: Int, seed: String = "lsh"): DataFrame =
-    // sample the dimension from the first non-null, non-empty vector —
-    // a null/empty leading row must not crash the index build when the
-    // same vector anywhere else just gets a filterable null code
-    df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(size(col(vecCol))).limit(1).collect().headOption match {
+      nbits: Int, seed: String = "lsh", dim: Option[Int] = None): DataFrame =
+    dim.orElse {
+      df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+        .groupBy(size(col(vecCol)).as("__d")).count()
+        .orderBy(col("count").desc, col("__d").asc)
+        .limit(1).collect()
+        .headOption.map(_.getInt(0))
+    } match {
       case None => // no usable vectors at all
         df.select(col(idCol), col(vecCol), lit(null).cast("long").as("code"))
-      case Some(row) =>
+      case Some(d) =>
         df.select(col(idCol), col(vecCol),
-          codeColumn(col(vecCol),
-            hyperplanes(row.getInt(0), nbits, seed)).as("code"))
+          codeColumn(col(vecCol), hyperplanes(d, nbits, seed)).as("code"))
     }
 
   /** Near-duplicate pairs (cosine >= threshold) searched only within

@@ -980,7 +980,9 @@ object PipelineQueries {
         "CAST(FLOOR(-ln((c.c + 1) / (st.nn + st.vv)) * 1000000) AS BIGINT) " +
         "AS li FROM tk JOIN c USING (t) CROSS JOIN st) " +
         "SELECT doc_id, count(*) AS n_tok, " +
-        "sum(li) // count(*) AS nll_micro " +
+        // DuckDB SUM(BIGINT) is HUGEINT (read back float64); cast the
+        // quotient back to BIGINT to match Spark's int64
+        "CAST(sum(li) // count(*) AS BIGINT) AS nll_micro " +
         "FROM li GROUP BY doc_id ORDER BY doc_id"),
     "q67_gapfill" ->
       ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, " +

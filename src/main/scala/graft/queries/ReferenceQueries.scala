@@ -427,11 +427,18 @@ object ReferenceQueries {
         "WHERE l.l_orderkey = o.o_orderkey " +
         "AND l.l_shipdate > o.o_orderdate AND l.l_quantity > 45) " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // Oracle-determinism rules applied here: (1) DuckDB SUM(BIGINT)
+    // returns HUGEINT (read back as float64) so every integer SUM
+    // that reaches the output is cast back to BIGINT; (2) the 0.15
+    // literal is DECIMAL in DuckDB but double in Spark, so the cut
+    // is computed in float64 in both engines (CAST ... AS DOUBLE)
     "q73_scalar_having" ->
       ("WITH bt AS (SELECT event_type, " +
-        "SUM(CAST(FLOOR(value) AS BIGINT)) AS sv, COUNT(*) AS n " +
+        "CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sv, " +
+        "COUNT(*) AS n " +
         "FROM events GROUP BY event_type), " +
-        "tot AS (SELECT SUM(CAST(FLOOR(value) AS BIGINT)) * 0.15 AS cut " +
+        "tot AS (SELECT CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS DOUBLE) " +
+        "* CAST(0.15 AS DOUBLE) AS cut " +
         "FROM events) " +
         "SELECT event_type, sv, n FROM bt, tot " +
         "WHERE sv > cut ORDER BY event_type"),

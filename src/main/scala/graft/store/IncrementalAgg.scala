@@ -56,13 +56,17 @@ object IncrementalAgg {
       val prior = source.readVersion(fromV)
         .join(net.select(keyCol), Seq(keyCol), "left_semi")
         .select(col(keyCol), col(groupCol), col(valueCol))
-      // 3. group-level deltas: +new (non-delete) − old
+      // 3. group-level deltas: +new (non-delete) − old. Null measures
+      //    contribute 0 (matching fullCountSum): an un-coalesced null
+      //    would poison sum(__dv) for a group whose only in-range
+      //    change carries a null value, writing sv = NULL into the
+      //    target where the from-scratch sum says otherwise
       val adds = net.where(col("_change_op") =!= "d")
         .select(col(groupCol), lit(1L).as("__dn"),
-          col(valueCol).cast("double").as("__dv"))
+          coalesce(col(valueCol).cast("double"), lit(0d)).as("__dv"))
       val subs = prior
         .select(col(groupCol), lit(-1L).as("__dn"),
-          (-col(valueCol).cast("double")).as("__dv"))
+          (-coalesce(col(valueCol).cast("double"), lit(0d))).as("__dv"))
       val deltas = adds.unionByName(subs)
         .groupBy(col(groupCol))
         .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
@@ -91,9 +95,12 @@ object IncrementalAgg {
   }
 
   /** Full recompute into a fresh frame — the correctness oracle for
-    * [[refreshCountSum]] (and the bootstrap for an empty target). */
+    * [[refreshCountSum]] (and the bootstrap for an empty target).
+    * Null measures contribute 0, so an all-null group has sv = 0 (not
+    * NULL) — the same convention the incremental path uses. */
   def fullCountSum(source: DataFrame, groupCol: String,
       valueCol: String): DataFrame =
     source.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("double")).as("sv"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col(valueCol).cast("double"), lit(0d))).as("sv"))
 }

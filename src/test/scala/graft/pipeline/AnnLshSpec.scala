@@ -34,8 +34,9 @@ class AnnLshSpec extends AnyFunSuite {
   test("empty corpus yields an empty index; mismatched dims get null codes") {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "emb")
     assert(AnnLsh.codes(empty, "vec_id", "emb", nbits = 4).count() === 0)
-    // first row fixes the dimension at 3; the 2-dim vector must code
-    // to null (filterable), not collapse into bucket 0
+    // the modal length (3, held by 2 of 3 rows) fixes the index
+    // dimension; the 2-dim vector must code to null (filterable),
+    // not collapse into bucket 0
     val mixed = Seq(
       (1L, Seq(1d, 2d, 3d)), (2L, Seq(1d, 2d)), (3L, Seq(1d, 2d, 3d)))
       .toDF("vec_id", "emb")
@@ -44,6 +45,15 @@ class AnnLshSpec extends AnyFunSuite {
         else Some(r.getLong(2)))).toMap
     assert(coded(2L).isEmpty, "mismatched-dimension vector got a code")
     assert(coded(1L).isDefined && coded(1L) === coded(3L))
+    // scan order must not change the chosen dimension: the 2-dim
+    // outlier leading the frame still loses to the modal length
+    val reversed = Seq(
+      (2L, Seq(1d, 2d)), (3L, Seq(1d, 2d, 3d)), (1L, Seq(1d, 2d, 3d)))
+      .toDF("vec_id", "emb")
+    val recoded = AnnLsh.codes(reversed, "vec_id", "emb", nbits = 4)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getLong(2)))).toMap
+    assert(recoded === coded, "bucket codes depend on scan order")
     // and pairs never include the mismatched vector
     val pairs = AnnLsh.nearDupPairs(mixed, "vec_id", "emb",
       nbits = 4, threshold = -1d).collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -68,6 +68,28 @@ class IncrementalAggSpec extends AnyFunSuite {
     check(src, tgt)
   }
 
+  test("null measures contribute 0, not NULL, to the maintained sum") {
+    val (src, tgt) = tables()
+    // seed a group with a real value
+    src.merge(Seq((1L, "a", Some(10L))).toDF("id", "g", "v"),
+      autoCreateKeys = Seq("id"), delta = true)
+    val v1 = src.currentSnapshot.get.version
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1 - 1, v1, "id", "g", "v")
+    // a refresh whose ONLY change for group a carries a null value:
+    // un-coalesced, sum over the all-null __dv leg is NULL and
+    // coalesce(sv,0)+NULL would write sv = NULL into the target
+    src.merge(Seq((2L, "a", Option.empty[Long]),
+      (3L, "nullonly", Option.empty[Long])).toDF("id", "g", "v"),
+      delta = true)
+    val v2 = src.currentSnapshot.get.version
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1, v2, "id", "g", "v")
+    check(src, tgt)
+    assert(tgt.read().where(col("g") === "a").head().getDouble(2) === 10d)
+    // an all-null group exists with sv = 0 under the nulls-as-zero
+    // convention (documented on fullCountSum)
+    assert(tgt.read().where(col("g") === "nullonly").head().getDouble(2) === 0d)
+  }
+
   test("a key flapping within one range nets to its last image") {
     val (src, tgt) = tables()
     src.merge(Seq((1L, "a", 1L)).toDF("id", "g", "v"),
