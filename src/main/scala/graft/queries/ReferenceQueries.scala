@@ -299,18 +299,24 @@ object ReferenceQueries {
     }),
 
     // Q74 — NTILE decile bucketing: order-value deciles per market
-    // segment (the curriculum/quality-binning primitive). Windows
-    // partition by segment × the orders table — for low-cardinality
-    // groups at 100 TB use the two-level q61 shape instead; here the
-    // point is the analytic-function surface
+    // segment (the curriculum/quality-binning primitive). The naive
+    // `ntile(10) OVER (PARTITION BY c_mktsegment ...)` form plans ONE
+    // window partition per segment — each segment's entire order
+    // history sorting in a single task, a scale-killer at 100 TB with
+    // 5 segments. The gated path is [[graft.pipeline.Rank.ntileExact]]:
+    // identical answer (equivalence property-tested in RankSpec),
+    // distributed via range buckets + broadcast offsets; no
+    // per-segment global sort exists in the plan (pinned in
+    // PlanShapeSpec)
     "q74_ntile" -> ((s, d) => {
       val o = Tables.load(s, d, "orders")
       val c = Tables.load(s, d, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .withColumn("decile", ntile(10).over(
-          Window.partitionBy("c_mktsegment")
-            .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+      val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      graft.pipeline.Rank
+        .ntileExact(j, "c_mktsegment", "o_totalprice", "o_orderkey", k = 10)
+        .withColumn("decile", col("ntile"))
         .groupBy("c_mktsegment", "decile")
         .agg(count(lit(1)).as("n"),
           round(max(col("o_totalprice")), 6).as("top_price"))

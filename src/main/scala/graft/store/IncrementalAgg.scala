@@ -36,40 +36,53 @@ object IncrementalAgg {
     * exact under any order. Schedule a periodic full recompute
     * ([[fullCountSum]]) when exact float sums matter.
     */
-  def refreshCountSum(spark: SparkSession, source: UpsertTable,
-      target: UpsertTable, fromV: Long, toV: Long,
-      keyCol: String, groupCol: String, valueCol: String): Unit = {
-    val changes = source.readChanges(fromV, toV)
-    // 1. last image per key in the range (max _commit_version wins;
-    //    within one commit a key appears once — merge normalized it).
-    //    Cached: it feeds the prior semi-join AND the adds leg — the
-    //    change-feed scan must not re-run per consumer.
-    val net = changes
+  /** Step 1: the feed's last image per key in `(fromV, toV]` (max
+    * _commit_version wins; within one commit a key appears once —
+    * merge normalized it). Exposed for plan-shape assertions. */
+  private[graft] def netChanges(changes: DataFrame, keyCol: String,
+      groupCol: String, valueCol: String): DataFrame =
+    changes
       .groupBy(col(keyCol))
       .agg(max_by(
         struct(col(groupCol), col(valueCol), col("_change_op")),
         col("_commit_version")).as("__last"))
       .select(col(keyCol), col("__last.*"))
-      .cache()
+
+  /** Steps 2-3: group-level deltas from the net changes — prior
+    * contributions come from a time-travel read of the source AT
+    * `fromV` SEMI-JOINED to the changed keys (the refresh's only
+    * touch of the source; never a full-source aggregate — pinned in
+    * PlanShapeSpec). Null measures contribute 0 (matching
+    * [[fullCountSum]]): an un-coalesced null would poison sum(__dv)
+    * for a group whose only in-range change carries a null value,
+    * writing sv = NULL into the target where the from-scratch sum
+    * says otherwise. */
+  private[graft] def groupDeltas(source: UpsertTable, fromV: Long,
+      net: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val prior = source.readVersion(fromV)
+      .join(net.select(keyCol), Seq(keyCol), "left_semi")
+      .select(col(keyCol), col(groupCol), col(valueCol))
+    val adds = net.where(col("_change_op") =!= "d")
+      .select(col(groupCol), lit(1L).as("__dn"),
+        coalesce(col(valueCol).cast("double"), lit(0d)).as("__dv"))
+    val subs = prior
+      .select(col(groupCol), lit(-1L).as("__dn"),
+        (-coalesce(col(valueCol).cast("double"), lit(0d))).as("__dv"))
+    adds.unionByName(subs)
+      .groupBy(col(groupCol))
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
+  }
+
+  def refreshCountSum(spark: SparkSession, source: UpsertTable,
+      target: UpsertTable, fromV: Long, toV: Long,
+      keyCol: String, groupCol: String, valueCol: String): Unit = {
+    val changes = source.readChanges(fromV, toV)
+    // cached: net feeds the prior semi-join AND the adds leg — the
+    // change-feed scan must not re-run per consumer
+    val net = netChanges(changes, keyCol, groupCol, valueCol).cache()
     try {
-      // 2. prior contributions of exactly the changed keys
-      val prior = source.readVersion(fromV)
-        .join(net.select(keyCol), Seq(keyCol), "left_semi")
-        .select(col(keyCol), col(groupCol), col(valueCol))
-      // 3. group-level deltas: +new (non-delete) − old. Null measures
-      //    contribute 0 (matching fullCountSum): an un-coalesced null
-      //    would poison sum(__dv) for a group whose only in-range
-      //    change carries a null value, writing sv = NULL into the
-      //    target where the from-scratch sum says otherwise
-      val adds = net.where(col("_change_op") =!= "d")
-        .select(col(groupCol), lit(1L).as("__dn"),
-          coalesce(col(valueCol).cast("double"), lit(0d)).as("__dv"))
-      val subs = prior
-        .select(col(groupCol), lit(-1L).as("__dn"),
-          (-coalesce(col(valueCol).cast("double"), lit(0d))).as("__dv"))
-      val deltas = adds.unionByName(subs)
-        .groupBy(col(groupCol))
-        .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
+      val deltas = groupDeltas(source, fromV, net, keyCol, groupCol, valueCol)
         .cache() // feeds the current semi-join AND the final left join
       try {
         // null group keys (in the changes OR the prior images) would

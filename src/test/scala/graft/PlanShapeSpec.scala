@@ -187,5 +187,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min"),
       s"q65 batch-internal dedup lost map-side partial aggregation:\n$p")
     assert(p.contains("LeftAnti"), s"q65 lost its anti-join:\n$p")
+    // the anti-join must key on the 32-char fingerprints — document
+    // text never reaches a join (at 100 TB the texts ARE the data)
+    assert("Join \\[fp#\\d+\\], \\[fp#\\d+\\], LeftAnti".r
+      .findFirstIn(p).isDefined,
+      s"q65 anti-join no longer keys on the fingerprint column:\n$p")
+  }
+
+  test("global shuffle pays exactly one hash exchange") {
+    val p = plan("q62_global_shuffle")
+    // shard assignment is scan-side; the only hash exchange is the
+    // partition-by-shard feeding the shard-local sort (the trailing
+    // range partition belongs to the gate's deterministic orderBy)
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashes === 1,
+      s"q62 pays $hashes hash exchanges (want exactly 1):\n$p")
+  }
+
+  test("decile assignment windows by (group, range-bucket), never bare segment") {
+    val p = plan("q74_ntile")
+    // the scale-safe NTILE: local ranks within (group, bucket) — a
+    // window partitioned by the bare 5-value segment would sort each
+    // segment's entire history in one task
+    assert(p.contains("windowspecdefinition(__g"),
+      s"q74 rank window lost its range-bucket partitioning:\n$p")
+    assert(!p.contains("windowspecdefinition(c_mktsegment"),
+      s"q74 reintroduced the per-segment global sort:\n$p")
+    // exactly one row_number expression (the materialized rank)
+    assert("row_number\\(\\)".r.findAllIn(p).size === 1,
+      s"q74 duplicated its rank window expression:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q74 customer dim join lost its broadcast:\n$p")
   }
 }

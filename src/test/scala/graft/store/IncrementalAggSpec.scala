@@ -90,6 +90,29 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(tgt.read().where(col("g") === "nullonly").head().getDouble(2) === 0d)
   }
 
+  test("refresh touches the source only through a semi-join on changed keys") {
+    val (src, tgt) = tables()
+    src.merge((1L to 50L).map(i => (i, s"g${i % 5}", i)).toDF("id", "g", "v"),
+      autoCreateKeys = Seq("id"), delta = true)
+    val v1 = src.currentSnapshot.get.version
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1 - 1, v1, "id", "g", "v")
+    src.merge(Seq((3L, "g3", 99L)).toDF("id", "g", "v"), delta = true)
+    val v2 = src.currentSnapshot.get.version
+    // the delta frame a refresh over (v1, v2] would aggregate: its
+    // physical plan must reach the source via LeftSemi on the changed
+    // keys — a full-source scan-and-aggregate here is the O(source)
+    // rewrite the operator exists to avoid
+    val net = IncrementalAgg.netChanges(
+      src.readChanges(v1, v2), "id", "g", "v")
+    val deltas = IncrementalAgg.groupDeltas(src, v1, net, "id", "g", "v")
+    val p = deltas.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"refresh lost the changed-key semi-join into the source:\n$p")
+    // and the maintained answer still matches the recompute
+    IncrementalAgg.refreshCountSum(spark, src, tgt, v1, v2, "id", "g", "v")
+    check(src, tgt)
+  }
+
   test("a key flapping within one range nets to its last image") {
     val (src, tgt) = tables()
     src.merge(Seq((1L, "a", 1L)).toDF("id", "g", "v"),
