@@ -14,12 +14,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * preserved. Codecs are pluggable per partition (one init per task,
   * amortized over the batch, like a pandas-UDF's per-batch model load).
   *
-  * The actual media decoding is STUBBED: this container has no
-  * image/audio libraries, so [[Multimodal.StubCodec]] is a clearly
-  * marked deterministic fake. The Spark-side plumbing — schema,
-  * batching, partition preservation, frame explosion — is real and
-  * tested; swapping in a libjpeg/ffmpeg-backed [[Multimodal.Codec]]
-  * is deployment configuration.
+  * Codecs: the IMAGE path is real — [[Multimodal.ImageCodec]] decodes
+  * PNG/JPEG through the JDK's own `javax.imageio` (no external
+  * dependency), resizes with deterministic nearest-neighbor
+  * arithmetic, and derives features from actual pixel values; q78
+  * gates it end-to-end against a closed-form oracle. AUDIO/VIDEO
+  * decoding stays STUBBED ([[Multimodal.StubCodec]], clearly marked —
+  * no ffmpeg/libsndfile in this environment); their Spark-side
+  * plumbing — schema, batching, partition preservation, frame
+  * explosion — is the same real, tested machinery, and swapping in an
+  * ffmpeg-backed [[Multimodal.Codec]] is deployment configuration.
   */
 object Multimodal {
 
@@ -79,6 +83,143 @@ object Multimodal {
 
     def frame(raw: Array[Byte], tsMs: Long): Array[Byte] =
       Array.tabulate[Byte](16)(i => (raw(i % raw.length) + tsMs % 7).toByte)
+  }
+
+  /** REAL image codec over the JDK's built-in `javax.imageio`
+    * (PNG/JPEG/BMP/GIF — zero external dependencies). The canonical
+    * raw form is an 8-byte big-endian (width, height) header followed
+    * by row-major 3-byte RGB triplets; every derived value is integer
+    * pixel arithmetic, so decode → resize → features is bit-stable
+    * across retries, executors, and engines (q78's DuckDB oracle
+    * recomputes the same sums from a closed-form pixel function).
+    */
+  object ImageCodec extends Codec {
+
+    /** (width, height) of a canonical raw buffer. */
+    def rawDims(raw: Array[Byte]): (Int, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(raw)
+      (bb.getInt(0), bb.getInt(4))
+    }
+
+    /** RGB triplet of pixel (x, y) in a canonical raw buffer. */
+    def rawPixel(raw: Array[Byte], x: Int, y: Int): (Int, Int, Int) = {
+      val w = java.nio.ByteBuffer.wrap(raw).getInt(0)
+      val o = 8 + (y * w + x) * 3
+      (raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
+    }
+
+    private def toRaw(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](8 + w * h * 3)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(0, w); bb.putInt(4, h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // getRGB converts any source type (indexed, BGR, gray) to
+          // packed sRGB — one deterministic colorspace for the raw form
+          val argb = img.getRGB(x, y)
+          val o = 8 + (y * w + x) * 3
+          out(o) = ((argb >> 16) & 0xff).toByte
+          out(o + 1) = ((argb >> 8) & 0xff).toByte
+          out(o + 2) = (argb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def decode(payload: Array[Byte], format: String): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      // null (not an exception) is ImageIO's undecodable signal —
+      // surface it loudly; a corrupt payload silently becoming an
+      // empty buffer would poison everything downstream
+      require(img != null,
+        s"ImageCodec: undecodable $format payload (${payload.length} bytes)")
+      toRaw(img)
+    }
+
+    /** Nearest-neighbor resample — pure index arithmetic
+      * (src = floor(dst·srcDim/dstDim)), no filtering library, so the
+      * result is the same on every JVM and mirrors the oracle's SQL. */
+    def resize(raw: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad resize target $width x $height")
+      val (sw, sh) = rawDims(raw)
+      val out = new Array[Byte](8 + width * height * 3)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(0, width); bb.putInt(4, height)
+      var y = 0
+      while (y < height) {
+        val sy = (y.toLong * sh / height).toInt
+        var x = 0
+        while (x < width) {
+          val sx = (x.toLong * sw / width).toInt
+          val so = 8 + (sy * sw + sx) * 3
+          val o = 8 + (y * width + x) * 3
+          out(o) = raw(so); out(o + 1) = raw(so + 1); out(o + 2) = raw(so + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Grid-pooled intensity features: pixels are striped into `dim`
+      * buckets by flat index, and each feature is the bucket's mean
+      * (r+g+b) normalized to [0, 1]. Integer accumulation, one float
+      * division at the end. */
+    def features(raw: Array[Byte], dim: Int): Array[Float] = {
+      require(dim > 0, s"bad feature dim $dim")
+      val (w, h) = rawDims(raw)
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var p = 0
+      val n = w * h
+      while (p < n) {
+        val o = 8 + p * 3
+        sums(p % dim) += (raw(o) & 0xff) + (raw(o + 1) & 0xff) + (raw(o + 2) & 0xff)
+        counts(p % dim) += 1
+        p += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (counts(i) == 0) 0f
+        else (sums(i).toDouble / (counts(i) * 3d * 255d)).toFloat)
+    }
+
+    /** A still image is its own single frame. */
+    def frame(raw: Array[Byte], tsMs: Long): Array[Byte] = raw
+  }
+
+  /** Deterministic synthetic image: pixel RGB at (x, y) is a fixed
+    * mod-256 polynomial of (id, x, y), PNG-encoded through the real
+    * `javax.imageio` writer. PNG is lossless, so decoding gives back
+    * exactly these pixels — which is what lets q78's oracle recompute
+    * the decoded sums in SQL without ever seeing a PNG byte. Width
+    * 16+(id mod 16), height 16+(id mod 8).
+    */
+  def synthImagePng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 16).toInt
+    val h = 16 + (id % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id + x * 3 + y * 5) % 256).toInt
+        val b = ((id * 17 + x + y * 2) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Tuning knob: rows per in-partition batch (the Arrow batch-size

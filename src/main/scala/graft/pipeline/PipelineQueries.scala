@@ -319,6 +319,49 @@ object PipelineQueries {
         .select("media_id", "frame_idx", "ts_ms")
         .orderBy("media_id", "frame_idx")),
 
+    // q78 — REAL image decode under the oracle: a deterministic PNG
+    // is encoded per doc_id (closed-form pixel polynomial -> real
+    // javax.imageio PNG writer), then ImageCodec decodes it back
+    // (real javax.imageio reader), nearest-neighbor-resizes to 8x8,
+    // and reduces to integer pixel sums. PNG is lossless and the
+    // pixel function is closed-form, so DuckDB recomputes every
+    // output from arithmetic alone — a decode failure, colorspace
+    // drift, or resize bug cannot hash-match. Same batched
+    // mapPartitions shape as q48/q49; payload bytes never shuffle.
+    "q78_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val nBuckets = 8
+      val media = docs(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.Media(
+          id, "image", Multimodal.synthImagePng(id), 0, 0, 0, 0L, "png")))
+      media.mapPartitions { it =>
+        it.grouped(Multimodal.DefaultBatchSize).flatMap(_.flatMap { m =>
+          val raw = Multimodal.ImageCodec.decode(m.payload, m.format)
+          val (w, h) = Multimodal.ImageCodec.rawDims(raw)
+          val small = Multimodal.ImageCodec.resize(raw, 8, 8)
+          var rsum = 0L
+          var p = 0
+          while (p < 64) {
+            val o = 8 + p * 3
+            rsum += (small(o) & 0xff) + (small(o + 1) & 0xff) + (small(o + 2) & 0xff)
+            p += 1
+          }
+          val sums = new Array[Long](nBuckets)
+          p = 0
+          while (p < w * h) {
+            val o = 8 + p * 3
+            sums(p % nBuckets) +=
+              (raw(o) & 0xff) + (raw(o + 1) & 0xff) + (raw(o + 2) & 0xff)
+            p += 1
+          }
+          (0 until nBuckets).map(b =>
+            (m.media_id, w.toLong, h.toLong, b.toLong, sums(b), rsum))
+        })
+      }.toDF("media_id", "width", "height", "bucket", "psum", "rsum")
+        .orderBy("media_id", "bucket")
+    }),
+
     // q52 — eval-set DECONTAMINATION: training documents sharing any
     // 4-gram shingle with the (small) eval set — the pre-training
     // hygiene pass that keeps benchmark text out of the corpus. Eval
@@ -393,14 +436,23 @@ object PipelineQueries {
     }),
 
     // q21 — HLL-style approximate distinct (HyperLogLog++ partial agg:
-    // sketch merge across partitions, no exact-distinct shuffle).
-    // No DuckDB oracle on purpose — sketch estimates are
-    // implementation-specific; the driver records a rows-only check
-    // and ApproxDistinctSpec bounds the error vs the exact count.
+    // sketch merge across partitions). Hash-gated WITHOUT hashing the
+    // engine-specific estimate: the output columns are the exact
+    // distinct count plus `est_in_10pct`, the in-gate range assertion
+    // that the sketch landed within 10% of truth (HLL++ at the
+    // default rsd is well inside that; Spark's sketch is
+    // deterministic for a given dataset, so the flag is stable). The
+    // oracle emits TRUE — if the estimate ever drifts out of range
+    // the row goes red loudly. ApproxDistinctSpec additionally bounds
+    // the raw error.
     "q21_approx_distinct" -> ((s, d) =>
       graft.Tables.load(s, d, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("__approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users"))
+            <= col("exact_users") * 0.1d).as("est_in_10pct"))
         .orderBy("event_type")),
 
     // q58 — per-document top TF-IDF term: explode → partial-agg tf,
@@ -567,6 +619,39 @@ object PipelineQueries {
       "AND a.doc_id < b.doc_id)"
 
   val oracleSql: Map[String, String] = Map(
+    // the estimate itself is engine-specific so it is asserted (10%
+    // band -> boolean), not hashed; the exact count IS hashed
+    "q21_approx_distinct" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, " +
+        "TRUE AS est_in_10pct FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
+    // mirrors synthImagePng's pixel polynomial + ImageCodec's
+    // nearest-neighbor index arithmetic — the Spark side must get the
+    // identical numbers through a REAL PNG encode/decode round-trip
+    "q78_image_decode" ->
+      ("WITH dims AS (SELECT doc_id AS id, 16 + doc_id % 16 AS w, " +
+        "16 + doc_id % 8 AS h FROM documents WHERE doc_id < 200), " +
+        "ys AS (SELECT id, w, h, unnest(generate_series(0, h - 1)) AS y " +
+        "FROM dims), " +
+        "px AS (SELECT id, w, h, y, unnest(generate_series(0, w - 1)) AS x " +
+        "FROM ys), " +
+        "v AS (SELECT id, w, h, (y * w + x) % 8 AS bucket, " +
+        "(id*31 + x*7 + y*13) % 256 + (id + x*3 + y*5) % 256 " +
+        "+ (id*17 + x + y*2) % 256 AS s FROM px), " +
+        "ps AS (SELECT id, w, h, bucket, CAST(SUM(s) AS BIGINT) AS psum " +
+        "FROM v GROUP BY id, w, h, bucket), " +
+        "y8s AS (SELECT id, w, h, unnest(generate_series(0, 7)) AS y8 " +
+        "FROM dims), " +
+        "p8 AS (SELECT id, w, h, y8, unnest(generate_series(0, 7)) AS x8 " +
+        "FROM y8s), " +
+        "rs AS (SELECT id, (x8 * w) // 8 AS x, (y8 * h) // 8 AS y " +
+        "FROM p8), " +
+        "r AS (SELECT id, CAST(SUM((id*31 + x*7 + y*13) % 256 " +
+        "+ (id + x*3 + y*5) % 256 + (id*17 + x + y*2) % 256) AS BIGINT) " +
+        "AS rsum FROM rs GROUP BY id) " +
+        "SELECT ps.id AS media_id, ps.w AS width, ps.h AS height, " +
+        "ps.bucket, ps.psum, r.rsum FROM ps JOIN r USING (id) " +
+        "ORDER BY media_id, bucket"),
     "q55_doc_chunks" ->
       (s"WITH n0 AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
         "FROM documents), " +

@@ -77,6 +77,58 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => m.media_id -> m.payload.toSeq).toMap
     assert(corpus.collect().forall(m => back(m.media_id) == m.payload.toSeq))
   }
+  test("ImageCodec decodes a real PNG back to the exact generated pixels") {
+    val id = 37L
+    val png = synthImagePng(id)
+    // a real PNG signature, not a fake buffer
+    assert(png.take(8).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val raw = ImageCodec.decode(png, "png")
+    val (w, h) = ImageCodec.rawDims(raw)
+    assert(w === 16 + (id % 16).toInt && h === 16 + (id % 8).toInt)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ImageCodec.rawPixel(raw, x, y)
+      assert(r === ((id * 31 + x * 7 + y * 13) % 256).toInt, s"r at ($x,$y)")
+      assert(g === ((id + x * 3 + y * 5) % 256).toInt, s"g at ($x,$y)")
+      assert(b === ((id * 17 + x + y * 2) % 256).toInt, s"b at ($x,$y)")
+    }
+  }
+
+  test("ImageCodec nearest-neighbor resize picks floor(dst*src/dstDim) pixels") {
+    val raw = ImageCodec.decode(synthImagePng(5L), "png")
+    val (w, h) = ImageCodec.rawDims(raw)
+    val small = ImageCodec.resize(raw, 8, 8)
+    assert(ImageCodec.rawDims(small) === ((8, 8)))
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (sx, sy) = ((x * w) / 8, (y * h) / 8)
+      assert(ImageCodec.rawPixel(small, x, y) ===
+        ImageCodec.rawPixel(raw, sx, sy), s"resized ($x,$y) from ($sx,$sy)")
+    }
+  }
+
+  test("ImageCodec features are bucket means of real pixel intensities") {
+    val raw = ImageCodec.decode(synthImagePng(11L), "png")
+    val (w, h) = ImageCodec.rawDims(raw)
+    val dim = 8
+    val feats = ImageCodec.features(raw, dim)
+    assert(feats.length === dim && feats.forall(f => f >= 0f && f <= 1f))
+    // recompute bucket 0 by hand
+    val members = (0 until w * h).filter(_ % dim == 0)
+    val sum = members.map { p =>
+      val (r, g, b) = ImageCodec.rawPixel(raw, p % w, p / w)
+      r + g + b
+    }.sum
+    val expect = sum.toDouble / (members.size * 3d * 255d)
+    assert(math.abs(feats(0) - expect) < 1e-6)
+  }
+
+  test("ImageCodec rejects undecodable payloads loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ImageCodec.decode("definitely not an image".getBytes("UTF-8"), "png")
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+
   test("metadata pass digests payloads exactly, batched per partition") {
     val metas = Multimodal.metadata(corpus).collect()
       .map(m => m.media_id -> m).toMap
@@ -97,18 +149,19 @@ class MultimodalSpec extends AnyFunSuite {
 class ApproxDistinctSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("q21 approx distinct within 10% of exact per group") {
+  test("q21 exact counts match countDistinct and the sketch stays in band") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
-    val approx = graft.SparkEntry.queries("q21_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = graft.SparkEntry.queries("q21_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
     val exact = graft.Tables.load(spark, sf, "events")
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
+    assert(rows.keySet === exact.keySet)
     exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n) <= math.max(2L, (n * 0.1).toLong),
-        s"group $k: approx ${approx(k)} vs exact $n")
+      assert(rows(k)._1 === n, s"group $k: exact_users ${rows(k)._1} vs $n")
+      assert(rows(k)._2, s"group $k: HLL estimate fell outside the 10% band")
     }
   }
 }
