@@ -193,6 +193,127 @@ object Multimodal {
     def frame(raw: Array[Byte], tsMs: Long): Array[Byte] = raw
   }
 
+  /** REAL audio codec over the JDK's built-in `javax.sound.sampled`
+    * (WAV/PCM — zero external dependencies, no audio hardware
+    * involved). Canonical raw form: 8-byte big-endian (sampleRate,
+    * nSamples) header + 16-bit little-endian signed mono samples.
+    * PCM WAV is lossless, so q79's oracle can recompute every decoded
+    * sample from the closed-form generator. Compressed formats
+    * (MP3/AAC/Opus) stay out of scope in-sandbox — same deployment
+    * seam as the ffmpeg-backed video codec.
+    */
+  object AudioCodec extends Codec {
+
+    /** (sampleRate, nSamples) of a canonical raw buffer. */
+    def rawDims(raw: Array[Byte]): (Int, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(raw)
+      (bb.getInt(0), bb.getInt(4))
+    }
+
+    /** Signed 16-bit sample `i` of a canonical raw buffer. */
+    def rawSample(raw: Array[Byte], i: Int): Int = {
+      val o = 8 + i * 2
+      ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort.toInt
+    }
+
+    def decode(payload: Array[Byte], format: String): Array[Byte] = {
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"AudioCodec: undecodable $format payload " +
+              s"(${payload.length} bytes)", e)
+      }
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1
+        && !f.isBigEndian,
+        s"AudioCodec: expected 16-bit LE mono PCM, got $f")
+      val pcm = in.readAllBytes()
+      val out = new Array[Byte](8 + pcm.length)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(0, f.getSampleRate.toInt)
+      bb.putInt(4, pcm.length / 2)
+      System.arraycopy(pcm, 0, out, 8, pcm.length)
+      out
+    }
+
+    /** Nearest-neighbor resample to `width` samples (height unused) —
+      * the same src = floor(dst·srcN/dstN) index arithmetic as
+      * [[ImageCodec.resize]], deterministic on every JVM. */
+    def resize(raw: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0, s"bad resample target $width")
+      val (rate, n) = rawDims(raw)
+      val out = new Array[Byte](8 + width * 2)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(0, rate); bb.putInt(4, width)
+      var i = 0
+      while (i < width) {
+        val s = (i.toLong * n / width).toInt
+        out(8 + i * 2) = raw(8 + s * 2)
+        out(8 + i * 2 + 1) = raw(8 + s * 2 + 1)
+        i += 1
+      }
+      out
+    }
+
+    /** Striped mean-absolute-amplitude features, normalized to [0, 1]
+      * — integer accumulation, one float division at the end. */
+    def features(raw: Array[Byte], dim: Int): Array[Float] = {
+      require(dim > 0, s"bad feature dim $dim")
+      val (_, n) = rawDims(raw)
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < n) {
+        sums(i % dim) += math.abs(rawSample(raw, i).toLong)
+        counts(i % dim) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(d =>
+        if (counts(d) == 0) 0f
+        else (sums(d).toDouble / (counts(d) * 32768d)).toFloat)
+    }
+
+    /** The frame at `tsMs`: one sample-rate-sized window starting at
+      * the timestamp (clamped to the clip), as canonical raw. */
+    def frame(raw: Array[Byte], tsMs: Long): Array[Byte] = {
+      val (rate, n) = rawDims(raw)
+      val start = math.min(n.toLong - 1L, tsMs * rate / 1000L).toInt.max(0)
+      val len = math.min(rate, n - start)
+      val out = new Array[Byte](8 + len * 2)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(0, rate); bb.putInt(4, len)
+      System.arraycopy(raw, 8 + start * 2, out, 8, len * 2)
+      out
+    }
+  }
+
+  /** Deterministic synthetic WAV clip: sample `i` is the fixed
+    * mod-65536 polynomial `((id·7919 + i·31) mod 65536) − 32768`,
+    * encoded through the real `javax.sound.sampled` WAV writer at
+    * 8 kHz 16-bit mono. Length 800 + (id mod 5)·160 samples. PCM is
+    * lossless, so decoding gives back exactly these samples — q79's
+    * oracle recomputes them in SQL without seeing a WAV byte. */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = 800 + (id % 5).toInt * 160
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 7919 + i * 31) % 65536) - 32768).toInt
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic image: pixel RGB at (x, y) is a fixed
     * mod-256 polynomial of (id, x, y), PNG-encoded through the real
     * `javax.imageio` writer. PNG is lossless, so decoding gives back

@@ -362,6 +362,44 @@ object PipelineQueries {
         .orderBy("media_id", "bucket")
     }),
 
+    // q79 — REAL audio decode under the oracle, the WAV twin of q78:
+    // deterministic PCM clips are encoded with the real
+    // javax.sound.sampled WAV writer, decoded back through
+    // AudioCodec, nearest-neighbor-resampled, and reduced to integer
+    // sample sums that DuckDB recomputes from the closed-form
+    // generator. The decoded sample rate in the output proves the
+    // real header parse.
+    "q79_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val nBuckets = 4
+      val media = docs(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.Media(
+          id, "audio", Multimodal.synthWav(id), 0, 0, 0, 0L, "wav")))
+      media.mapPartitions { it =>
+        it.grouped(Multimodal.DefaultBatchSize).flatMap(_.flatMap { m =>
+          val raw = Multimodal.AudioCodec.decode(m.payload, m.format)
+          val (rate, n) = Multimodal.AudioCodec.rawDims(raw)
+          val small = Multimodal.AudioCodec.resize(raw, 256, 0)
+          var rsum = 0L
+          var i = 0
+          while (i < 256) {
+            rsum += Multimodal.AudioCodec.rawSample(small, i)
+            i += 1
+          }
+          val sums = new Array[Long](nBuckets)
+          i = 0
+          while (i < n) {
+            sums(i % nBuckets) += Multimodal.AudioCodec.rawSample(raw, i)
+            i += 1
+          }
+          (0 until nBuckets).map(b => (m.media_id, rate.toLong, n.toLong,
+            b.toLong, sums(b), rsum))
+        })
+      }.toDF("media_id", "sample_rate", "n_samples", "bucket", "ssum", "rsum")
+        .orderBy("media_id", "bucket")
+    }),
+
     // q52 — eval-set DECONTAMINATION: training documents sharing any
     // 4-gram shingle with the (small) eval set — the pre-training
     // hygiene pass that keeps benchmark text out of the corpus. Eval
@@ -652,6 +690,25 @@ object PipelineQueries {
         "SELECT ps.id AS media_id, ps.w AS width, ps.h AS height, " +
         "ps.bucket, ps.psum, r.rsum FROM ps JOIN r USING (id) " +
         "ORDER BY media_id, bucket"),
+    // mirrors synthWav's sample polynomial + AudioCodec's resample
+    // index arithmetic; the 8000 literal is the real decoded header
+    "q79_audio_decode" ->
+      ("WITH dims AS (SELECT doc_id AS id, 800 + (doc_id % 5) * 160 AS n " +
+        "FROM documents WHERE doc_id < 200), " +
+        "sm AS (SELECT id, n, unnest(generate_series(0, n - 1)) AS i " +
+        "FROM dims), " +
+        "v AS (SELECT id, n, i % 4 AS bucket, " +
+        "(id*7919 + i*31) % 65536 - 32768 AS s FROM sm), " +
+        "ps AS (SELECT id, n, bucket, CAST(SUM(s) AS BIGINT) AS ssum " +
+        "FROM v GROUP BY id, n, bucket), " +
+        "r256 AS (SELECT id, n, unnest(generate_series(0, 255)) AS i8 " +
+        "FROM dims), " +
+        "rs AS (SELECT id, (i8 * n) // 256 AS i FROM r256), " +
+        "r AS (SELECT id, CAST(SUM((id*7919 + i*31) % 65536 - 32768) " +
+        "AS BIGINT) AS rsum FROM rs GROUP BY id) " +
+        "SELECT ps.id AS media_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+        "CAST(ps.n AS BIGINT) AS n_samples, ps.bucket, ps.ssum, r.rsum " +
+        "FROM ps JOIN r USING (id) ORDER BY media_id, bucket"),
     "q55_doc_chunks" ->
       (s"WITH n0 AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
         "FROM documents), " +

@@ -129,6 +129,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undecodable"))
   }
 
+  test("AudioCodec decodes a real WAV back to the exact generated samples") {
+    val id = 23L
+    val wav = synthWav(id)
+    // a real RIFF/WAVE container, not a fake buffer
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val raw = AudioCodec.decode(wav, "wav")
+    val (rate, n) = AudioCodec.rawDims(raw)
+    assert(rate === 8000 && n === 800 + (id % 5).toInt * 160)
+    (0 until n).foreach { i =>
+      assert(AudioCodec.rawSample(raw, i) ===
+        (((id * 7919 + i * 31) % 65536) - 32768).toInt, s"sample $i")
+    }
+  }
+
+  test("AudioCodec resample/frame pick exact source indices") {
+    val raw = AudioCodec.decode(synthWav(4L), "wav")
+    val (rate, n) = AudioCodec.rawDims(raw)
+    val small = AudioCodec.resize(raw, 100, 0)
+    assert(AudioCodec.rawDims(small) === ((rate, 100)))
+    (0 until 100).foreach { i =>
+      assert(AudioCodec.rawSample(small, i) ===
+        AudioCodec.rawSample(raw, (i.toLong * n / 100).toInt))
+    }
+    // a frame at 50 ms starts at sample 400 and is clamped to the clip
+    val fr = AudioCodec.frame(raw, 50L)
+    val (_, fn) = AudioCodec.rawDims(fr)
+    assert(fn === math.min(rate, n - 400))
+    assert(AudioCodec.rawSample(fr, 0) === AudioCodec.rawSample(raw, 400))
+  }
+
+  test("AudioCodec rejects undecodable payloads loudly") {
+    val e = intercept[IllegalArgumentException] {
+      AudioCodec.decode("definitely not audio".getBytes("UTF-8"), "wav")
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+
   test("metadata pass digests payloads exactly, batched per partition") {
     val metas = Multimodal.metadata(corpus).collect()
       .map(m => m.media_id -> m).toMap
