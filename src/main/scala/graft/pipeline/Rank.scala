@@ -59,10 +59,13 @@ object Rank {
 
     // 1. boundary probe: (rangeSplits-1) approximate quantiles per
     //    group. Accuracy only affects balance, never the answer.
+    // accuracy 100 on purpose: boundary error only skews bucket SIZES
+    // (work balance), never the answer — the cheap sketch beats a
+    // tight one that scans-and-merges 100× the state
     val probs = (1 until rangeSplits).map(i => i.toDouble / rangeSplits)
     val bRows = df.groupBy(g.as("__g"))
       .agg(expr(s"approx_percentile(cast($valueCol as double), " +
-        s"array(${probs.mkString(",")}), 10000)").as("__bs"))
+        s"array(${probs.mkString(",")}), 100)").as("__bs"))
       .collect()
     if (bRows.isEmpty)
       return df.withColumn("ntile", lit(null).cast("long")).where(lit(false))

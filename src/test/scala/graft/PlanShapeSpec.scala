@@ -204,6 +204,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q62 pays $hashes hash exchanges (want exactly 1):\n$p")
   }
 
+  test("codec queries never shuffle payload bytes") {
+    // q78/q79 decode media in batched mapPartitions; the only
+    // exchange allowed is the gate's deterministic final orderBy —
+    // payloads (the 100 TB column) must never cross a hash partition
+    Seq("q78_image_decode", "q79_audio_decode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q shuffles its media rows:\n$p")
+      assert(!p.contains("Window"), s"$q reintroduced a window:\n$p")
+    }
+  }
+
   test("decile assignment windows by (group, range-bucket), never bare segment") {
     val p = plan("q74_ntile")
     // the scale-safe NTILE: local ranks within (group, bucket) — a
