@@ -289,6 +289,232 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec for uncompressed-DIB AVI — a complete RIFF
+    * container demuxer in pure JDK code (AVI is the RIFF grammar:
+    * `RIFF('AVI ' LIST('hdrl' avih strl) LIST('movi' 00db...))`, with
+    * frames as bottom-up, 4-byte-row-padded BGR bitmaps per the
+    * BITMAPINFOHEADER spec). Raw DIB frames are lossless, so q80's
+    * oracle recomputes every decoded pixel from the closed-form
+    * generator — the same gate discipline as the image/audio codecs.
+    * Compressed codecs (H.264/VP9) remain the ffmpeg deployment seam.
+    *
+    * Canonical raw form: 16-byte big-endian header (width, height,
+    * nFrames, usPerFrame) + nFrames × width·height·3 top-down RGB
+    * frames. [[frame]] returns a single frame in [[ImageCodec]]'s raw
+    * layout, so per-frame image ops compose directly.
+    */
+  object VideoCodec extends Codec {
+
+    /** (width, height, nFrames, usPerFrame) of a canonical raw buffer. */
+    def rawDims(raw: Array[Byte]): (Int, Int, Int, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(raw)
+      (bb.getInt(0), bb.getInt(4), bb.getInt(8), bb.getInt(12))
+    }
+
+    /** RGB triplet of pixel (x, y) in frame f of a canonical raw. */
+    def rawPixel(raw: Array[Byte], f: Int, x: Int, y: Int): (Int, Int, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(raw)
+      val (w, h) = (bb.getInt(0), bb.getInt(4))
+      val o = 16 + (f * w * h + y * w + x) * 3
+      (raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
+    }
+
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def decode(payload: Array[Byte], format: String): Array[Byte] = {
+      require(payload.length >= 12 && fourcc(payload, 0) == "RIFF"
+        && fourcc(payload, 8) == "AVI ",
+        s"VideoCodec: undecodable $format payload " +
+          s"(${payload.length} bytes, not a RIFF/AVI container)")
+      var usPerFrame = 0
+      var w = 0; var h = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      // generic RIFF chunk walk; LIST chunks recurse into their body
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(payload, o)
+          val sz = le32(payload, o + 4)
+          if (id == "LIST" || id == "RIFF") walk(o + 12, o + 8 + sz)
+          else id match {
+            case "avih" => usPerFrame = le32(payload, o + 8)
+            case "strf" =>
+              require(le32(payload, o + 8) == 40,
+                "VideoCodec: unexpected BITMAPINFOHEADER size")
+              w = le32(payload, o + 12); h = le32(payload, o + 16)
+              require(le16(payload, o + 22) == 24
+                && le32(payload, o + 24) == 0,
+                "VideoCodec: only 24-bit uncompressed DIB (BI_RGB) frames")
+            case "00db" | "00dc" => frames += ((o + 8, sz))
+            case _ => () // strh, idx1, JUNK, ...
+          }
+          o += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, payload.length)
+      require(w > 0 && h > 0 && frames.nonEmpty,
+        "VideoCodec: no video stream header or frames in container")
+      val rowBytes = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+      val out = new Array[Byte](16 + frames.size * w * h * 3)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(0, w); bb.putInt(4, h)
+      bb.putInt(8, frames.size); bb.putInt(12, usPerFrame)
+      frames.zipWithIndex.foreach { case ((off, sz), f) =>
+        require(sz >= rowBytes * h, s"VideoCodec: frame $f truncated")
+        var y = 0
+        while (y < h) {
+          // DIB rows are bottom-up BGR; canonical is top-down RGB
+          val src = off + (h - 1 - y) * rowBytes
+          var x = 0
+          while (x < w) {
+            val o = 16 + (f * w * h + y * w + x) * 3
+            out(o) = payload(src + x * 3 + 2)     // R
+            out(o + 1) = payload(src + x * 3 + 1) // G
+            out(o + 2) = payload(src + x * 3)     // B
+            x += 1
+          }
+          y += 1
+        }
+      }
+      out
+    }
+
+    /** The frame nearest `tsMs` (floor by frame period, clamped), in
+      * [[ImageCodec]]'s single-image raw layout. */
+    def frame(raw: Array[Byte], tsMs: Long): Array[Byte] = {
+      val (w, h, n, us) = rawDims(raw)
+      val f = if (us <= 0) 0
+        else math.min(n - 1L, tsMs * 1000L / us).toInt.max(0)
+      val out = new Array[Byte](8 + w * h * 3)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(0, w); bb.putInt(4, h)
+      System.arraycopy(raw, 16 + f * w * h * 3, out, 8, w * h * 3)
+      out
+    }
+
+    /** Nearest-neighbor resize of every frame — same index arithmetic
+      * as [[ImageCodec.resize]], applied per frame. */
+    def resize(raw: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad resize target $width x $height")
+      val (sw, sh, n, us) = rawDims(raw)
+      val out = new Array[Byte](16 + n * width * height * 3)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(0, width); bb.putInt(4, height)
+      bb.putInt(8, n); bb.putInt(12, us)
+      var f = 0
+      while (f < n) {
+        var y = 0
+        while (y < height) {
+          val sy = (y.toLong * sh / height).toInt
+          var x = 0
+          while (x < width) {
+            val sx = (x.toLong * sw / width).toInt
+            val so = 16 + (f * sw * sh + sy * sw + sx) * 3
+            val o = 16 + (f * width * height + y * width + x) * 3
+            out(o) = raw(so); out(o + 1) = raw(so + 1); out(o + 2) = raw(so + 2)
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      out
+    }
+
+    /** Striped mean-intensity features pooled across ALL frames. */
+    def features(raw: Array[Byte], dim: Int): Array[Float] = {
+      require(dim > 0, s"bad feature dim $dim")
+      val (w, h, n, _) = rawDims(raw)
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var p = 0
+      val total = n * w * h
+      while (p < total) {
+        val o = 16 + p * 3
+        sums(p % dim) += (raw(o) & 0xff) + (raw(o + 1) & 0xff) + (raw(o + 2) & 0xff)
+        counts(p % dim) += 1
+        p += 1
+      }
+      Array.tabulate(dim)(d =>
+        if (counts(d) == 0) 0f
+        else (sums(d).toDouble / (counts(d) * 3d * 255d)).toFloat)
+    }
+  }
+
+  /** Deterministic synthetic AVI clip: a real RIFF/AVI container
+    * (avih + vids/DIB stream headers, word-aligned 00db chunks,
+    * bottom-up 4-byte-padded BGR frames) whose frame-f pixel at
+    * (x, y) is the fixed mod-256 polynomial below. 25 fps
+    * (40 000 µs/frame), 2 + (id mod 4) frames, width 8 + (id mod 8),
+    * height 8 + (id mod 4). Lossless, so q80's oracle recomputes
+    * every decoded value in SQL.
+    */
+  def synthAvi(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 4).toInt
+    val nFrames = 2 + (id % 4).toInt
+    val usPerFrame = 40000
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameBytes = rowBytes * h
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    val avih = Array.concat(le32(usPerFrame), le32(frameBytes * 25),
+      le32(0), le32(0), le32(nFrames), le32(0), le32(1), le32(frameBytes),
+      le32(w), le32(h), le32(0), le32(0), le32(0), le32(0))
+    val strh = Array.concat(cc("vids"), cc("DIB "), le32(0), le16(0),
+      le16(0), le32(0), le32(1), le32(25), le32(0), le32(nFrames),
+      le32(frameBytes), le32(0), le32(0), le16(0), le16(0), le16(w), le16(h))
+    val strf = Array.concat(le32(40), le32(w), le32(h), le16(1), le16(24),
+      le32(0), le32(frameBytes), le32(0), le32(0), le32(0), le32(0))
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      Array.concat(cc(id4), le32(body.length), body, pad)
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      Array.concat(cc("LIST"), le32(body.length + 4), cc(typ), body)
+
+    val frames = (0 until nFrames).map { f =>
+      val data = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * rowBytes // bottom-up
+        var x = 0
+        while (x < w) {
+          val r = ((id * 31 + f * 11 + x * 7 + y * 13) % 256).toInt
+          val g = ((id + f * 19 + x * 3 + y * 5) % 256).toInt
+          val b = ((id * 17 + f * 7 + x + y * 2) % 256).toInt
+          data(row + x * 3) = b.toByte     // DIB stores BGR
+          data(row + x * 3 + 1) = g.toByte
+          data(row + x * 3 + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", data)
+    }
+    val hdrl = list("hdrl", Array.concat(chunk("avih", avih),
+      list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", Array.concat(frames: _*))
+    val body = Array.concat(cc("AVI "), hdrl, movi)
+    bos.write(cc("RIFF")); bos.write(le32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic WAV clip: sample `i` is the fixed
     * mod-65536 polynomial `((id·7919 + i·31) mod 65536) − 32768`,
     * encoded through the real `javax.sound.sampled` WAV writer at

@@ -400,6 +400,41 @@ object PipelineQueries {
         .orderBy("media_id", "bucket")
     }),
 
+    // q80 — REAL video decode under the oracle: deterministic
+    // uncompressed-DIB AVI containers (a real RIFF mux) run through
+    // the REAL frameSample operator with VideoCodec (RIFF demux +
+    // bottom-up BGR -> RGB frame decode), and every sampled frame
+    // reduces to an integer pixel sum DuckDB recomputes from the
+    // closed-form generator. Container parse, frame sampling, and
+    // pixel decode all sit under the hash gate.
+    "q80_video_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).where(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 2 + (id % 4)
+          Multimodal.Media(id, "video", Multimodal.synthAvi(id),
+            0, 0, 0, n * 40L, "avi")
+        })
+      Multimodal
+        .frameSample(media, everyMs = 40L, codec = Multimodal.VideoCodec)
+        .mapPartitions(_.map { fr =>
+          val bb = java.nio.ByteBuffer.wrap(fr.payload)
+          val (w, h) = (bb.getInt(0), bb.getInt(4))
+          var sum = 0L
+          var p = 0
+          while (p < w * h) {
+            val o = 8 + p * 3
+            sum += (fr.payload(o) & 0xff) + (fr.payload(o + 1) & 0xff) +
+              (fr.payload(o + 2) & 0xff)
+            p += 1
+          }
+          (fr.media_id, fr.frame_idx.toLong, fr.ts_ms, w.toLong, h.toLong, sum)
+        })
+        .toDF("media_id", "frame_idx", "ts_ms", "width", "height", "fsum")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // q52 — eval-set DECONTAMINATION: training documents sharing any
     // 4-gram shingle with the (small) eval set — the pre-training
     // hygiene pass that keeps benchmark text out of the corpus. Eval
@@ -709,6 +744,26 @@ object PipelineQueries {
         "SELECT ps.id AS media_id, CAST(8000 AS BIGINT) AS sample_rate, " +
         "CAST(ps.n AS BIGINT) AS n_samples, ps.bucket, ps.ssum, r.rsum " +
         "FROM ps JOIN r USING (id) ORDER BY media_id, bucket"),
+    // mirrors synthAvi's per-frame pixel polynomial; the Spark side
+    // must reach the same numbers through a real RIFF demux +
+    // frameSample over the real container
+    "q80_video_decode" ->
+      ("WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w, " +
+        "8 + doc_id % 4 AS h, 2 + doc_id % 4 AS n " +
+        "FROM documents WHERE doc_id < 150), " +
+        "fs AS (SELECT id, w, h, unnest(generate_series(0, n - 1)) AS f " +
+        "FROM dims), " +
+        "ys AS (SELECT id, w, h, f, unnest(generate_series(0, h - 1)) AS y " +
+        "FROM fs), " +
+        "px AS (SELECT id, w, h, f, y, unnest(generate_series(0, w - 1)) AS x " +
+        "FROM ys), " +
+        "v AS (SELECT id, w, h, f, " +
+        "(id*31 + f*11 + x*7 + y*13) % 256 + (id + f*19 + x*3 + y*5) % 256 " +
+        "+ (id*17 + f*7 + x + y*2) % 256 AS s FROM px) " +
+        "SELECT id AS media_id, f AS frame_idx, f * 40 AS ts_ms, " +
+        "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(SUM(s) AS BIGINT) AS fsum " +
+        "FROM v GROUP BY id, f, w, h ORDER BY media_id, frame_idx"),
     "q55_doc_chunks" ->
       (s"WITH n0 AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
         "FROM documents), " +

@@ -208,7 +208,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // q78/q79 decode media in batched mapPartitions; the only
     // exchange allowed is the gate's deterministic final orderBy —
     // payloads (the 100 TB column) must never cross a hash partition
-    Seq("q78_image_decode", "q79_audio_decode").foreach { q =>
+    Seq("q78_image_decode", "q79_audio_decode", "q80_video_decode").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q shuffles its media rows:\n$p")

@@ -167,6 +167,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undecodable"))
   }
 
+  test("VideoCodec demuxes a real AVI back to the exact generated frames") {
+    val id = 13L
+    val avi = synthAvi(id)
+    // a real RIFF/AVI container
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    val raw = VideoCodec.decode(avi, "avi")
+    val (w, h, n, us) = VideoCodec.rawDims(raw)
+    assert(w === 8 + (id % 8).toInt && h === 8 + (id % 4).toInt)
+    assert(n === 2 + (id % 4).toInt && us === 40000)
+    for (f <- 0 until n; y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = VideoCodec.rawPixel(raw, f, x, y)
+      assert(r === ((id * 31 + f * 11 + x * 7 + y * 13) % 256).toInt,
+        s"r at f$f ($x,$y)")
+      assert(g === ((id + f * 19 + x * 3 + y * 5) % 256).toInt,
+        s"g at f$f ($x,$y)")
+      assert(b === ((id * 17 + f * 7 + x + y * 2) % 256).toInt,
+        s"b at f$f ($x,$y)")
+    }
+  }
+
+  test("VideoCodec frame selection floors by frame period and clamps") {
+    val raw = VideoCodec.decode(synthAvi(3L), "avi") // 5 frames @40ms
+    val (w, h, n, _) = VideoCodec.rawDims(raw)
+    assert(n === 5)
+    // ts 0 -> frame 0; ts 79 -> frame 1; ts 10_000 -> clamped to last
+    Seq((0L, 0), (79L, 1), (40L, 1), (10000L, n - 1)).foreach {
+      case (ts, want) =>
+        val fr = VideoCodec.frame(raw, ts)
+        assert(ImageCodec.rawDims(fr) === ((w, h)))
+        assert(ImageCodec.rawPixel(fr, 1, 1) ===
+          VideoCodec.rawPixel(raw, want, 1, 1), s"ts $ts -> frame $want")
+    }
+  }
+
+  test("VideoCodec resize resamples every frame with exact index math") {
+    val raw = VideoCodec.decode(synthAvi(9L), "avi")
+    val (w, h, n, us) = VideoCodec.rawDims(raw)
+    val small = VideoCodec.resize(raw, 4, 4)
+    assert(VideoCodec.rawDims(small) === ((4, 4, n, us)))
+    for (f <- 0 until n; y <- 0 until 4; x <- 0 until 4) {
+      assert(VideoCodec.rawPixel(small, f, x, y) ===
+        VideoCodec.rawPixel(raw, f, (x * w) / 4, (y * h) / 4))
+    }
+  }
+
+  test("VideoCodec rejects undecodable payloads loudly") {
+    val e = intercept[IllegalArgumentException] {
+      VideoCodec.decode("definitely not a video".getBytes("UTF-8"), "avi")
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+
   test("metadata pass digests payloads exactly, batched per partition") {
     val metas = Multimodal.metadata(corpus).collect()
       .map(m => m.media_id -> m).toMap
