@@ -52,6 +52,21 @@ def main(sf_dir, out_dir):
         if mismatch:
             c, i, a, b = mismatch
             print(f"FAIL {name}: col {c} row {i}: spark={a!r} duckdb={b!r}")
+            failures += 1; continue
+        # dtype-kind strictness: the driver's hash fails on
+        # int-vs-float drift (e.g. DuckDB SUM(BIGINT) -> HUGEINT read
+        # back as float64 — the r5 q73/q77 bug) even when values
+        # compare equal here; integer WIDTH differences (int32 vs
+        # int64) are fine (r5-green q14/q15/q26/q39 have them).
+        def kind(d):
+            return d.kind  # i/u -> int-ish, f, b, O
+        dt = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+              if kind(g[c].dtype) != kind(w[c].dtype)
+              and not {kind(g[c].dtype), kind(w[c].dtype)} <= {"i", "u"}]
+        if dt:
+            c, a, b = dt[0]
+            print(f"FAIL {name}: dtype drift on {c}: spark={a} duckdb={b} "
+                  f"(values equal, driver hash would still fail)")
             failures += 1
         else:
             print(f"OK   {name}: {len(g)} rows")
