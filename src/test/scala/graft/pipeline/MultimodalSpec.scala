@@ -220,6 +220,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undecodable"))
   }
 
+  test("real image features feed LSH near-dup search: planted duplicates found") {
+    import org.apache.spark.sql.functions.col
+    // ids 0..19 but pixels keyed on id % 10: each image 0..9 appears
+    // twice under different media ids — exact pixel duplicates
+    val media = (0L until 20L).map { mid =>
+      Media(mid, "image", synthImagePng(mid % 10), 0, 0, 0, 0L, "png")
+    }.toDS().repartition(4)
+    val feats = extractFeatures(media, dim = 16, codec = ImageCodec)
+      .toDF("media_id", "kind", "features")
+      .select(col("media_id").as("vec_id"),
+        col("features").cast("array<double>").as("emb"))
+    val pairs = AnnLsh.nearDupPairs(feats, "vec_id", "emb",
+      nbits = 8, threshold = 0.9999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical pixels -> bit-identical features -> same bucket, sim 1
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, i + 10L)),
+        s"duplicate image pair ($i, ${i + 10L}) missed")
+    }
+    // distinct source images must not collide at this threshold
+    assert(pairs.size === 10, s"false-positive pairs: ${pairs.size - 10}")
+  }
+
   test("metadata pass digests payloads exactly, batched per partition") {
     val metas = Multimodal.metadata(corpus).collect()
       .map(m => m.media_id -> m).toMap
