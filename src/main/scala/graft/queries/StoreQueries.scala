@@ -340,6 +340,35 @@ object StoreQueries {
         .orderBy("user_id")
     }),
 
+    // q81 — DYNAMIC PARTITION PRUNING: orders written once
+    // hive-partitioned by o_orderpriority, probed through a join with
+    // a dim whose filter is an AGGREGATE property (odd group count) —
+    // deliberately not a function of the join key, so static
+    // predicate inference cannot prune and Catalyst must inject the
+    // runtime dynamicpruning subquery that drops fact partitions
+    // before the scan. At 100 TB, partition-pruned scans are the
+    // difference between reading the selected priorities and reading
+    // the table. Plan-pinned: the fact scan carries a dynamicpruning
+    // partition filter (PlanShapeSpec).
+    "q81_dpp" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-dpp-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice")).cast("long").as("pi"))
+      ord.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(s"$base/orders")
+      val fact = s.read.parquet(s"$base/orders")
+      val dim = ord.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("__n"))
+        .where(pmod(col("__n"), lit(2L)) === 1L)
+        .select("o_orderpriority")
+      fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("pi")).as("sv"))
+        .orderBy("o_orderpriority")
+    }),
+
     // q66 — Z-order clustering under the oracle: events upserted into
     // the store, re-laid along the (user_id, value) Morton curve
     // (multiple z-contiguous files per bucket), then range-scanned by
@@ -596,6 +625,16 @@ object StoreQueries {
     "q66_zorder_scan" ->
       ("SELECT event_id, user_id, round(value, 6) AS value FROM events " +
         "WHERE user_id BETWEEN 10 AND 20 ORDER BY event_id"),
+
+    // the partition-pruned join must return exactly the unpruned
+    // answer: priorities with an odd order count, counted and summed
+    "q81_dpp" ->
+      ("WITH dim AS (SELECT o_orderpriority FROM orders " +
+        "GROUP BY o_orderpriority HAVING COUNT(*) % 2 = 1) " +
+        "SELECT o.o_orderpriority, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(FLOOR(o.o_totalprice) AS BIGINT)) AS BIGINT) AS sv " +
+        "FROM orders o JOIN dim USING (o_orderpriority) " +
+        "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"),
 
     // the streamed double-produced topic must dedup back to exactly
     // the events table

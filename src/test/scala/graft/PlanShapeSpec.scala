@@ -216,6 +216,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned probe join injects dynamic partition pruning") {
+    val p = plan("q81_dpp")
+    // the dim filter is an aggregate property, so only the RUNTIME
+    // subquery can prune fact partitions — at 100 TB this is the
+    // difference between scanning the selected priorities and the
+    // whole table
+    assert(p.contains("dynamicpruningexpression"),
+      s"q81 fact scan lost its dynamic partition pruning filter:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"q81 fact read is not partition-aware:\n$p")
+  }
+
   test("decile assignment windows by (group, range-bucket), never bare segment") {
     val p = plan("q74_ntile")
     // the scale-safe NTILE: local ranks within (group, bucket) — a
