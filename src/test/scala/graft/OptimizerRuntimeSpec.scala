@@ -53,4 +53,47 @@ class OptimizerRuntimeSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE splits a discovered skewed join partition at runtime") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // q46 handles PLANNED skew by salting; this is the runtime
+      // complement — AQE discovering the hot key from shuffle stats
+      // and splitting its partition. Thresholds shrink to sandbox
+      // sizes (production defaults are 256 MB); the mechanism is the
+      // same at 100 TB.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key dominating the left side; uniform right side
+      val left = ((1 to 200000).map(i => (0L, i.toLong)) ++
+        (1 to 100).flatMap(k => (1 to 10).map(i => (k.toLong, i.toLong))))
+        .toDF("k", "v").repartition(8)
+      val right = (0 to 100).map(k => (k.toLong, s"dim-$k")).toDF("k", "name")
+      val j = left.join(right, "k")
+      // drive THIS df's own adaptive plan to its final form (a write
+      // or count would finalize a separate QueryExecution and never
+      // mark this one)
+      val n = j.queryExecution.toRdd.count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+      assert(n === 200000L + 100L * 10L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
