@@ -61,12 +61,17 @@ object Rank {
     //    group. Accuracy only affects balance, never the answer.
     // accuracy 100 on purpose: boundary error only skews bucket SIZES
     // (work balance), never the answer — the cheap sketch beats a
-    // tight one that scans-and-merges 100× the state
+    // tight one that scans-and-merges 100× the state. rangeSplits=1
+    // means no boundaries at all (single bucket per group — the
+    // degenerate-but-correct case), so the probe is skipped
     val probs = (1 until rangeSplits).map(i => i.toDouble / rangeSplits)
-    val bRows = df.groupBy(g.as("__g"))
-      .agg(expr(s"approx_percentile(cast($valueCol as double), " +
-        s"array(${probs.mkString(",")}), 100)").as("__bs"))
-      .collect()
+    val bRows =
+      if (probs.isEmpty)
+        df.groupBy(g.as("__g")).agg(lit(null).as("__bs")).collect()
+      else df.groupBy(g.as("__g"))
+        .agg(expr(s"approx_percentile(cast($valueCol as double), " +
+          s"array(${probs.mkString(",")}), 100)").as("__bs"))
+        .collect()
     if (bRows.isEmpty)
       return df.withColumn("ntile", lit(null).cast("long")).where(lit(false))
     require(bRows.forall(!_.isNullAt(0)),

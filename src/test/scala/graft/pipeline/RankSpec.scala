@@ -47,6 +47,11 @@ class RankSpec extends AnyFunSuite {
     check((1L to 5L).map(i => ("s", i.toDouble, i)), k = 100, splits = 4)
   }
 
+  test("matches ntile() in the degenerate single-bucket case (splits=1)") {
+    check((1L to 40L).map(i => ("g", ((i * 13) % 7).toDouble, i)),
+      k = 4, splits = 1)
+  }
+
   test("result is scan-order independent") {
     val rows = (1L to 300L).map(i => ("x", ((i * 31) % 50).toDouble, i))
     val a = Rank.ntileExact(rows.toDF("g", "v", "id"), "g", "v", "id", 10)
