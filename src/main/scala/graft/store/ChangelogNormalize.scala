@@ -17,11 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object ChangelogNormalize {
 
-  /** Latest row per key by `ordCol` (dropped from the output). */
-  def latestByKey(df: DataFrame, keys: Seq[String], ordCol: String): DataFrame = {
+  /** Latest row per key by `ordCol` (dropped from the output). With
+    * `withCount` the per-key row count rides along as `__cnt` in the
+    * SAME aggregation — callers that must reject ambiguous batches
+    * (duplicate keys, no order) check it off the normalized result
+    * instead of paying a second full-batch shuffle for a groupBy
+    * count. */
+  def latestByKey(df: DataFrame, keys: Seq[String], ordCol: String,
+      withCount: Boolean = false): DataFrame = {
     val payload = struct(df.columns.toSeq.filterNot(_ == ordCol).map(col): _*)
-    df.groupBy(keys.map(col): _*)
-      .agg(max_by(payload, col(ordCol)).as("__row"))
-      .select("__row.*")
+    val grouped = df.groupBy(keys.map(col): _*)
+    if (withCount)
+      grouped.agg(max_by(payload, col(ordCol)).as("__row"),
+          count(lit(1)).as("__cnt"))
+        .select(col("__row.*"), col("__cnt"))
+    else
+      grouped.agg(max_by(payload, col(ordCol)).as("__row"))
+        .select("__row.*")
   }
 }

@@ -337,29 +337,30 @@ class UpsertTable(spark: SparkSession, val location: String) {
     // align batch to evolved schema (missing cols → null, widen casts);
     // opCol/orderCol meta columns ride along untouched
     val aligned0 = alignTypes(batch, newSchema)
-    // in-batch changelog-normalize: last row per key wins (C1) —
-    // row_number over key ordered by arrival desc, like the reference's
-    // upsert materialization. Without an order column there is no
-    // defined arrival order, so duplicate keys in the batch are an
-    // error rather than a partition-order-dependent coin flip.
-    if (orderCol.isEmpty) {
-      val dups = aligned0.groupBy(snap.keyCols.map(col): _*)
-        .count().where(col("count") > 1).limit(1).count()
-      require(dups == 0L,
-        s"batch has duplicate keys for $location but no orderCol; " +
-          "pass orderCol so last-wins is deterministic")
-    }
-    // max_by aggregation, not a row_number window: partial aggregation
-    // bounds the shuffle by distinct keys and keeps skewed keys
-    // parallel (see ChangelogNormalize)
+    // in-batch changelog-normalize: last row per key wins (C1), as a
+    // max_by aggregation, not a row_number window: partial
+    // aggregation bounds the shuffle by distinct keys and keeps
+    // skewed keys parallel (see ChangelogNormalize). Without an order
+    // column there is no defined arrival order, so duplicate keys in
+    // the batch are an error rather than a partition-order-dependent
+    // coin flip — detected via the __cnt that rides the SAME
+    // aggregation (checked against the cached result below), not a
+    // second full-batch shuffle.
     val pre = aligned0
       .withColumn("__ord", orderCol.map(col).getOrElse(lit(0L)))
       .withColumn("__op", opCol.map(col).getOrElse(lit("u")))
       .select((dataCols.map(col) :+ col("__op") :+ col("__ord")): _*)
+    val counted = ChangelogNormalize
+      .latestByKey(pre, snap.keyCols, "__ord", withCount = orderCol.isEmpty)
+      .cache()
     val normalized =
-      ChangelogNormalize.latestByKey(pre, snap.keyCols, "__ord").cache()
+      if (orderCol.isEmpty) counted.drop("__cnt") else counted
 
     try {
+      if (orderCol.isEmpty)
+        require(counted.where(col("__cnt") > 1).limit(1).count() == 0L,
+          s"batch has duplicate keys for $location but no orderCol; " +
+            "pass orderCol so last-wins is deterministic")
       val bucketOf = bucketExpr(snap.keyCols, snap.numBuckets)
 
       // buckets touched by this batch — bounded by numBuckets, safe to
@@ -445,7 +446,7 @@ class UpsertTable(spark: SparkSession, val location: String) {
           (for { s <- streamId; b <- batchId } yield s -> b),
         timestampMs = System.currentTimeMillis(),
         operation = "merge"))
-    } finally normalized.unpersist()
+    } finally counted.unpersist()
   }
 
   /** Rewrite the table under a new bucket count (the growth path:
