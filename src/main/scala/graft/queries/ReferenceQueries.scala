@@ -172,6 +172,55 @@ object ReferenceQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
         .orderBy(col("event_type").asc_nulls_first)),
 
+    // Q82 — CUBE with grouping_id: all four aggregation granularities
+    // of (event_type, cohort) in one pass. Spark plans cube as a
+    // single Expand + partial agg — one shuffle for every grouping
+    // set, not one job per granularity; gid disambiguates rolled-up
+    // nulls from genuine null groups (both engines use MSB-first bit
+    // encoding)
+    "q82_cube" -> ((s, d) =>
+      events(s, d)
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+        .withColumn("vi", floor(col("value")).cast("long"))
+        .cube("event_type", "cohort")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("vi")).as("sv"))
+        .select(col("event_type"), col("cohort"), col("gid"),
+          col("n"), col("sv"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("cohort").asc_nulls_first)),
+
+    // Q83 — RANGE-frame sliding aggregate: per-user 1-hour trailing
+    // sum keyed by event-time seconds (the value-range twin of q30's
+    // ROWS frame). Window partitioned by user — skew bounded by
+    // per-user history, never a global sort; integer measure so the
+    // sliding sums are exact under any accumulation order
+    "q83_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+        .rangeBetween(-3600L, 0L)
+      events(s, d)
+        .withColumn("ts_sec", expr("ts div 1000000000"))
+        .withColumn("vi", floor(col("value")).cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          sum(col("vi")).over(w).as("wsum"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Q84 — UNPIVOT: the wide per-type count row (q68's pivot shape)
+    // melted back to long form. Spark's unpivot is a scan-side
+    // Expand — no shuffle beyond the one aggregation producing the
+    // wide frame
+    "q84_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggCols = types.map(t =>
+        count(when(col("event_type") === t, 1)).as(t))
+      val wide = events(s, d).groupBy("user_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+      wide.unpivot(Array(col("user_id")),
+          types.map(col).toArray, "event_type", "n")
+        .orderBy("user_id", "event_type")
+    }),
+
     // Q30 — analytic window frame: per-user running sum in event order
     "q30_running_sum" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -395,6 +444,32 @@ object ReferenceQueries {
         "PARTITION BY user_id ORDER BY epoch_ns(ts), event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running " +
         "FROM events ORDER BY user_id, event_id"),
+    "q82_cube" ->
+      ("WITH e AS (SELECT event_type, user_id % 10 AS cohort, " +
+        "CAST(FLOOR(value) AS BIGINT) AS vi FROM events) " +
+        "SELECT event_type, cohort, " +
+        "CAST(GROUPING(event_type, cohort) AS BIGINT) AS gid, " +
+        "COUNT(*) AS n, CAST(SUM(vi) AS BIGINT) AS sv " +
+        "FROM e GROUP BY CUBE(event_type, cohort) " +
+        "ORDER BY gid, event_type ASC NULLS FIRST, cohort ASC NULLS FIRST"),
+    "q83_range_frame" ->
+      ("WITH e AS (SELECT user_id, event_id, " +
+        "epoch_ns(ts) // 1000000000 AS ts_sec, " +
+        "CAST(FLOOR(value) AS BIGINT) AS vi FROM events) " +
+        "SELECT user_id, event_id, ts_sec, " +
+        "CAST(SUM(vi) OVER (PARTITION BY user_id ORDER BY ts_sec " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS wsum " +
+        "FROM e ORDER BY user_id, event_id"),
+    "q84_unpivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = "SELECT user_id, " + types.map(t =>
+        s"COUNT(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ") +
+        " FROM events GROUP BY user_id"
+      val melted = types.map(t =>
+        s"SELECT user_id, '$t' AS event_type, $t AS n FROM wide")
+        .mkString(" UNION ALL ")
+      s"WITH wide AS ($wide) $melted ORDER BY user_id, event_type"
+    },
     "q31_intersect" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
         "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +

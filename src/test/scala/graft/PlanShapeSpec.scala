@@ -228,6 +228,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q81 fact read is not partition-aware:\n$p")
   }
 
+  test("cube computes every grouping set in one Expand + one shuffle") {
+    val p = plan("q82_cube")
+    // all four granularities of (event_type, cohort) must come from a
+    // single Expand feeding one partial-agg'd exchange — a per-grouping
+    // union would scan the fact table four times
+    assert(p.contains("Expand"), s"q82 cube lost its Expand plan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"q82 cube lost map-side partial aggregation:\n$p")
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashes === 1,
+      s"q82 pays $hashes hash exchanges (want exactly 1):\n$p")
+  }
+
+  test("range-frame sliding window is keyed by user, never global") {
+    val p = plan("q83_range_frame")
+    // the trailing 1-hour sum partitions by user_id (unbounded key
+    // cardinality) — an unpartitioned range frame would sort the whole
+    // event history in one task
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"q83 sliding window lost its user partitioning:\n$p")
+    assert(p.contains("RangeFrame"),
+      s"q83 no longer plans a RANGE window frame:\n$p")
+  }
+
+  test("unpivot melts scan-side: one Expand, one aggregation shuffle") {
+    val p = plan("q84_unpivot")
+    assert(p.contains("Expand"), s"q84 unpivot lost its Expand plan:\n$p")
+    assert(p.contains("partial_count"),
+      s"q84 wide-frame aggregation lost its map-side partial:\n$p")
+    // the melt itself is free — the only hash exchange is the groupBy
+    // producing the wide frame
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashes === 1,
+      s"q84 pays $hashes hash exchanges (want exactly 1):\n$p")
+  }
+
   test("decile assignment windows by (group, range-bucket), never bare segment") {
     val p = plan("q74_ntile")
     // the scale-safe NTILE: local ranks within (group, bucket) — a
