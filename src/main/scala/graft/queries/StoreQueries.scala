@@ -554,6 +554,40 @@ object StoreQueries {
       graft.store.IncrementalAgg.refreshCountSum(s, src, tgt,
         v1, v2, "event_id", "event_type", "vi")
       tgt.read().orderBy("event_type")
+    }),
+
+    // q85 — SQL MERGE INTO under the oracle (Q-g, until now golden-unit
+    // only): seed a keyed store table from a third of orders through
+    // DDL + INSERT, apply a CDC-shaped MERGE (delete 'F' rows, upsert
+    // the rest at +1 price) from a temp-view source, read the final
+    // state back through the catalog. The translated plan is the
+    // store's native keyed merge — only buckets containing batch keys
+    // are rewritten, the unmatched side is never scanned.
+    "q85_merge_into" -> ((s, d) => {
+      ensureCatalog(s)
+      val tbl = "orders_dml_" + math.abs(d.hashCode).toString
+      deleteRecursively(Paths.get(warehouse, "dml", tbl))
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.dml")
+      s.sql(s"CREATE TABLE $CatalogName.dml.$tbl (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING) " +
+        "TBLPROPERTIES('keys'='o_orderkey')")
+      val orders = Tables.load(s, d, "orders")
+      orders.where(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .createOrReplaceTempView("dml_seed")
+      s.sql(s"INSERT INTO $CatalogName.dml.$tbl SELECT * FROM dml_seed")
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1).as("o_totalprice"), col("o_orderstatus"),
+          when(col("o_orderstatus") === "F", "d").otherwise("u").as("op"))
+        .createOrReplaceTempView("dml_changes")
+      s.sql(s"""MERGE INTO $CatalogName.dml.$tbl t USING dml_changes s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND NOT (s.op = 'd') THEN INSERT *""")
+      s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+        s"FROM $CatalogName.dml.$tbl ORDER BY o_orderkey")
     })
   )
 
@@ -678,6 +712,22 @@ object StoreQueries {
         "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM halves) " +
         "SELECT user_id, event_id, event_type, " +
         "CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS _change_op, " +
-        "h + 1 AS batch_no FROM r WHERE rn = 1 ORDER BY batch_no, user_id")
+        "h + 1 AS batch_no FROM r WHERE rn = 1 ORDER BY batch_no, user_id"),
+
+    // the merged table must equal the set algebra of the MERGE:
+    // seed rows untouched by the batch, plus the batch's non-delete
+    // rows (matched updates and unmatched inserts carry the same
+    // values under whole-row upsert semantics)
+    "q85_merge_into" ->
+      ("WITH t0 AS (SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "o_orderstatus FROM orders WHERE o_orderkey % 3 = 0), " +
+        "s AS (SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice, " +
+        "o_orderstatus, CASE WHEN o_orderstatus = 'F' THEN 'd' ELSE 'u' END " +
+        "AS op FROM orders WHERE o_orderkey % 2 = 0) " +
+        "SELECT t0.o_orderkey, t0.o_custkey, t0.o_totalprice, t0.o_orderstatus " +
+        "FROM t0 LEFT JOIN s ON t0.o_orderkey = s.o_orderkey " +
+        "WHERE s.o_orderkey IS NULL " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+        "FROM s WHERE op <> 'd' ORDER BY o_orderkey")
   )
 }
