@@ -134,6 +134,24 @@ object PipelineQueries {
       NearDup.winnowFingerprints(docs(s, d), "doc_id", "text")
         .orderBy("doc_id", "fp")),
 
+    // q86 — duplicated-SPAN mining (the memorization-risk diagnostic
+    // next to q17/q27's pair finding): every 3-gram span appearing in
+    // >= 2 distinct documents, ranked by document frequency then
+    // total occurrences. Explode is scan-side; COUNT(DISTINCT doc_id)
+    // plans as the two-level hash aggregate — a partial count keyed on
+    // (span, doc) before the first exchange, so the shuffle carries
+    // deduplicated (span, doc) pairs, never text rows; the top-100 is
+    // a TakeOrdered, no global sort.
+    "q86_dup_spans" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("sh"))
+        .groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("sh"))
+        .limit(100)),
+
     // q22 — IVF-bucketed ANN: centroids = vec_id < 16, probe the 4
     // nearest buckets per query — the scale path next to q16's
     // brute-force baseline; deterministic, so fully oracle-checked
@@ -843,6 +861,16 @@ object PipelineQueries {
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 " +
         "AS bucket FROM documents) " +
         "SELECT doc_id, source, rate FROM t WHERE bucket < rate ORDER BY doc_id"),
+    "q86_dup_spans" ->
+      (s"WITH nn AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
+        "tk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM nn), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks) - 1), " +
+        "i -> array_to_string(toks[i:i+2], ' ')) END) AS sh FROM tk) " +
+        "SELECT sh, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ " +
+        "FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2 " +
+        "ORDER BY n_docs DESC, n_occ DESC, sh LIMIT 100"),
     "q52_decontaminate" ->
       (s"WITH nn AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
         "tk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM nn), " +

@@ -556,6 +556,77 @@ object StoreQueries {
       tgt.read().orderBy("event_type")
     }),
 
+    // q87 — stream-stream LEFT OUTER join: the semantic q47's inner
+    // join never exercises — unmatched left rows surface as null rows
+    // ONLY when the watermark evicts their buffered state (outer
+    // results emit at eviction, never at match time). Topic files are
+    // time-split at the midpoint so arrival is coarsely time-ordered
+    // (the production transport contract) and a 1-hour delay covers
+    // only within-batch disorder: a left row is evicted at
+    // t_a + 12h < wm, by which point every possible match (t_b <
+    // t_a + 12h) has already arrived. Far-future sentinel rows
+    // (user_id -1, filtered from the output) push the final watermark
+    // past every row + 12h so the last outer results flush through
+    // AvailableNow's watermark-drain batches. The right side is the
+    // pmod-8 half of the left's pmod-4 users — half the left users
+    // can never match.
+    "q87_stream_outer_join" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-louter-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
+      val bounds = ev.agg(min(col("t_us")), max(col("t_us"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val cut = minUs + (maxUs - minUs) / 2
+      val hourUs = 3600L * 1000000L
+      def feed(df: DataFrame, dir: String): Unit = {
+        Topic.produce(df.where(col("t_us") < cut).coalesce(1), dir)
+        Topic.produce(df.where(col("t_us") >= cut).coalesce(1), dir)
+        // two sentinels: wm computed at batch N's end drives eviction
+        // in batch N+1, so the flush needs a batch after the bump
+        Topic.produce(Seq((-1L, -1L, maxUs + 48 * hourUs))
+          .toDF("user_id", "event_id", "t_us"), dir)
+        Topic.produce(Seq((-1L, -1L, maxUs + 49 * hourUs))
+          .toDF("user_id", "event_id", "t_us"), dir)
+      }
+      feed(ev.where(pmod(col("user_id"), lit(4)) === 0), s"$base/ta")
+      feed(ev.where(pmod(col("user_id"), lit(8)) === 0), s"$base/tb")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, t_us BIGINT")
+      def side(dir: String, uid: String, eid: String, t: String) =
+        Topic.stream(s, dir, maxFilesPerTrigger = Some(1))
+          .select(from_json(col("value"), schema).as("j"))
+          .select(col("j.user_id").as(uid), col("j.event_id").as(eid),
+            timestamp_micros(col("j.t_us")).as(t))
+      val l = side(s"$base/ta", "ua", "event_a", "t_a")
+        .withWatermark("t_a", "1 hour")
+      val r = side(s"$base/tb", "ub", "event_b", "t_b")
+        .withWatermark("t_b", "1 hour")
+      val joined = l.join(r,
+        col("ua") === col("ub")
+          && col("t_b") >= col("t_a")
+          && col("t_b") < col("t_a") + expr("INTERVAL 12 HOURS")
+          && col("event_a") =!= col("event_b"), "leftOuter")
+        .select("ua", "event_a", "event_b")
+      val q = withShufflePartitions(s, 8) {
+        joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .where(col("ua") >= 0)
+        .select(col("event_a"), col("event_b"))
+        .orderBy(col("event_a"), col("event_b").asc_nulls_first)
+    }),
+
     // q85 — SQL MERGE INTO under the oracle (Q-g, until now golden-unit
     // only): seed a keyed store table from a third of orders through
     // DDL + INSERT, apply a CDC-shaped MERGE (delete 'F' rows, upsert
@@ -624,6 +695,19 @@ object StoreQueries {
         "FROM o a JOIN o b ON a.user_id = b.user_id " +
         "AND b.t >= a.t AND b.t < a.t + 43200000000 " +
         "AND a.event_id <> b.event_id ORDER BY event_a, event_b"),
+
+    // the streamed outer join must land exactly the batch LEFT JOIN:
+    // matched pairs plus a null row per never-matched left event
+    "q87_stream_outer_join" ->
+      ("WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t " +
+        "FROM events WHERE user_id % 4 = 0), " +
+        "r AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t " +
+        "FROM events WHERE user_id % 8 = 0) " +
+        "SELECT l.event_id AS event_a, r.event_id AS event_b " +
+        "FROM l LEFT JOIN r ON l.user_id = r.user_id " +
+        "AND r.t >= l.t AND r.t < l.t + 43200000000 " +
+        "AND l.event_id <> r.event_id " +
+        "ORDER BY event_a, event_b NULLS FIRST"),
 
     // the per-batch stream-static join must equal the batch left join
     "q50_stream_static_join" ->

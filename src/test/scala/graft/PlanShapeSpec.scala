@@ -264,6 +264,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q84 pays $hashes hash exchanges (want exactly 1):\n$p")
   }
 
+  test("duplicated-span mining shuffles (span, doc) pairs, top-k without global sort") {
+    val p = plan("q86_dup_spans")
+    // COUNT(DISTINCT doc_id) plans as the two-level hash aggregate:
+    // a partial count keyed on (span, doc) before the first exchange —
+    // the shuffle carries deduplicated (span, doc) pairs, never text
+    assert(p.contains("partial_count"),
+      s"q86 span counting lost map-side partial aggregation:\n$p")
+    assert("partial_count\\(1\\)".r.findFirstIn(p).isDefined
+      && p.contains("doc_id") && !p.contains("Expand"),
+      s"q86 distinct-doc counting changed shape (re-audit the shuffle):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q86 pays a global sort for its top-100:\n$p")
+  }
+
   test("decile assignment windows by (group, range-bucket), never bare segment") {
     val p = plan("q74_ntile")
     // the scale-safe NTILE: local ranks within (group, bucket) — a
