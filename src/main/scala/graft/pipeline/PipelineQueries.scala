@@ -244,6 +244,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q88 — near-dup corpus PRUNING (the dedup pipeline's end
+    // product): the q38 clusters reduced to one surviving
+    // representative each — min doc_id — with the member count it
+    // stands for. One partial-agg'd groupBy over the (doc, cluster)
+    // labels; the keeper set is what a 100 TB dedup pass actually
+    // ships to training.
+    "q88_neardup_prune" -> ((s, d) => {
+      val base = docsWithDups(s, d)
+      val pairs = NearDup.jaccardPairs(base, "doc_id", "text", threshold = 0.8)
+      Cluster.connectedComponents(
+        base.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
+        .groupBy("cluster")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_members"))
+        .select("keep_id", "n_members")
+        .orderBy("keep_id")
+    }),
+
     // q39 — BPE-ish token counting + symbol/digit quality signals over
     // the structured `events.props` JSON text (where a sub-word regex
     // tokenizer — letters-run | digit | symbol — genuinely differs from
@@ -832,6 +849,21 @@ object PipelineQueries {
         "UNION SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id) " +
         "SELECT id AS doc_id, min(lbl) AS cluster FROM cc " +
         "GROUP BY id ORDER BY doc_id"),
+    "q88_neardup_prune" ->
+      (s"WITH RECURSIVE all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
+        s"$duckSigBands, " +
+        "ver AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
+        "round(len(list_intersect(sa.sh, sb.sh)) / " +
+        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
+        "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
+        "JOIN sh sb ON sb.doc_id = c.doc_b) WHERE jacc >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver " +
+        "UNION SELECT doc_b, doc_a FROM ver), " +
+        "cc(id, lbl) AS (SELECT doc_id, doc_id FROM all_docs " +
+        "UNION SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id), " +
+        "lab AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id) " +
+        "SELECT min(id) AS keep_id, COUNT(*) AS n_members FROM lab " +
+        "GROUP BY cluster ORDER BY keep_id"),
     "q39_token_quality" ->
       ("SELECT event_id, " +
         "len(regexp_extract_all(props, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) " +
