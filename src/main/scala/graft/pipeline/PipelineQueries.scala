@@ -712,6 +712,22 @@ object PipelineQueries {
       "ELSE list_transform(range(1, len(toks) - 1), " +
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh FROM tk)"
 
+  // shared recursive connected-components chain over the banded
+  // candidates: Jaccard-verified edges (threshold mirrors q38/q88's
+  // Spark side), symmetric closure, min-label fixpoint — used by both
+  // the clustering (q38) and pruning (q88) oracles so the threshold
+  // and label construction can never silently diverge
+  private val duckClusterCtes: String =
+    "ver AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
+      "round(len(list_intersect(sa.sh, sb.sh)) / " +
+      "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
+      "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
+      "JOIN sh sb ON sb.doc_id = c.doc_b) WHERE jacc >= 0.8), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver " +
+      "UNION SELECT doc_b, doc_a FROM ver), " +
+      "cc(id, lbl) AS (SELECT doc_id, doc_id FROM all_docs " +
+      "UNION SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id)"
+
   private val duckSigBands: String =
     "sig AS (SELECT doc_id, " +
       (0 until NearDup.NumHashes).map(i =>
@@ -837,30 +853,12 @@ object PipelineQueries {
         "FROM e ORDER BY doc_id"),
     "q38_neardup_clusters" ->
       (s"WITH RECURSIVE all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
-        s"$duckSigBands, " +
-        "ver AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
-        "round(len(list_intersect(sa.sh, sb.sh)) / " +
-        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
-        "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
-        "JOIN sh sb ON sb.doc_id = c.doc_b) WHERE jacc >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver " +
-        "UNION SELECT doc_b, doc_a FROM ver), " +
-        "cc(id, lbl) AS (SELECT doc_id, doc_id FROM all_docs " +
-        "UNION SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id) " +
+        s"$duckSigBands, $duckClusterCtes " +
         "SELECT id AS doc_id, min(lbl) AS cluster FROM cc " +
         "GROUP BY id ORDER BY doc_id"),
     "q88_neardup_prune" ->
       (s"WITH RECURSIVE all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
-        s"$duckSigBands, " +
-        "ver AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
-        "round(len(list_intersect(sa.sh, sb.sh)) / " +
-        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
-        "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
-        "JOIN sh sb ON sb.doc_id = c.doc_b) WHERE jacc >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver " +
-        "UNION SELECT doc_b, doc_a FROM ver), " +
-        "cc(id, lbl) AS (SELECT doc_id, doc_id FROM all_docs " +
-        "UNION SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id), " +
+        s"$duckSigBands, $duckClusterCtes, " +
         "lab AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id) " +
         "SELECT min(id) AS keep_id, COUNT(*) AS n_members FROM lab " +
         "GROUP BY cluster ORDER BY keep_id"),

@@ -63,35 +63,44 @@ object Rank {
     // (work balance), never the answer — the cheap sketch beats a
     // tight one that scans-and-merges 100× the state. rangeSplits=1
     // means no boundaries at all (single bucket per group — the
-    // degenerate-but-correct case), so the probe is skipped
+    // degenerate-but-correct case), so the probe job is skipped
+    // entirely: empty-input and null-group checking fall through to
+    // the step-3 count collect, which enumerates the same groups
     val probs = (1 until rangeSplits).map(i => i.toDouble / rangeSplits)
-    val bRows =
-      if (probs.isEmpty)
-        df.groupBy(g.as("__g")).agg(lit(null).as("__bs")).collect()
-      else df.groupBy(g.as("__g"))
-        .agg(expr(s"approx_percentile(cast($valueCol as double), " +
-          s"array(${probs.mkString(",")}), 100)").as("__bs"))
-        .collect()
-    if (bRows.isEmpty)
-      return df.withColumn("ntile", lit(null).cast("long")).where(lit(false))
-    require(bRows.forall(!_.isNullAt(0)),
-      s"ntileExact: null $groupCol in input — coalesce to a sentinel first")
-    val bounds: Map[String, Seq[Double]] = bRows.map { r =>
-      // an all-null value column yields a null quantile array; treat
-      // as a single bucket and let the null-bucket check below fire
-      r.getString(0) -> Option(r.getSeq[Double](1)).getOrElse(Seq.empty)
-    }.toMap
+    val boundsOpt: Option[Map[String, Seq[Double]]] =
+      if (probs.isEmpty) None
+      else {
+        val bRows = df.groupBy(g.as("__g"))
+          .agg(expr(s"approx_percentile(cast($valueCol as double), " +
+            s"array(${probs.mkString(",")}), 100)").as("__bs"))
+          .collect()
+        require(bRows.forall(!_.isNullAt(0)),
+          s"ntileExact: null $groupCol in input — coalesce to a sentinel first")
+        Some(bRows.map { r =>
+          // an all-null value column yields a null quantile array;
+          // treat as a single bucket (bucket 0 holds the whole group)
+          r.getString(0) -> Option(r.getSeq[Double](1)).getOrElse(Seq.empty)
+        }.toMap)
+      }
 
     // 2. scan-side bucket: #boundaries <= value (monotone in value,
-    //    ties at a boundary all land together)
-    val bucket = aggregate(element_at(typedlit(bounds), g), lit(0),
-      (acc, b) => acc + when(v >= b, 1).otherwise(0))
+    //    ties at a boundary all land together); with no boundaries
+    //    every row is bucket 0
+    val bucket = boundsOpt match {
+      case None => lit(0)
+      case Some(bounds) => aggregate(element_at(typedlit(bounds), g), lit(0),
+        (acc, b) => acc + when(v >= b, 1).otherwise(0))
+    }
     val withB = df.withColumn("__g", g).withColumn("__b", bucket)
 
     // 3. exact per-bucket counts -> cumulative offsets (driver-side,
     //    bounded by |groups|·|buckets|)
     val cnt = withB.groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("c")).collect()
+    if (cnt.isEmpty)
+      return df.withColumn("ntile", lit(null).cast("long")).where(lit(false))
+    require(cnt.forall(!_.isNullAt(0)),
+      s"ntileExact: null $groupCol in input — coalesce to a sentinel first")
     val perGroup: Map[String, Seq[Long]] = cnt.groupBy(_.getString(0))
       .map { case (gk, rows) =>
         val byB = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap

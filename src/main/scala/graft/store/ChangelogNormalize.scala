@@ -25,6 +25,14 @@ object ChangelogNormalize {
     * count. */
   def latestByKey(df: DataFrame, keys: Seq[String], ordCol: String,
       withCount: Boolean = false): DataFrame = {
+    // __cnt rides beside the expanded payload in withCount mode: a
+    // data column with the same name would come back twice and make
+    // every downstream reference ambiguous — reject it loudly here
+    // instead of failing with an opaque AnalysisException later
+    if (withCount && df.columns.contains("__cnt"))
+      throw new IllegalArgumentException(
+        "ChangelogNormalize: column name __cnt is reserved by the " +
+          "normalize aggregation — rename the data column")
     val payload = struct(df.columns.toSeq.filterNot(_ == ordCol).map(col): _*)
     val grouped = df.groupBy(keys.map(col): _*)
     if (withCount)

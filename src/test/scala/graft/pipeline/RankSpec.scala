@@ -86,4 +86,17 @@ class RankSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("null"))
   }
+
+  test("splits=1 keeps the empty-input and null-group guards (no probe job)") {
+    // the degenerate path skips the boundary probe, so both checks
+    // must fall through to the count collect instead
+    val empty = Seq.empty[(String, Double, Long)].toDF("g", "v", "id")
+    val out = Rank.ntileExact(empty, "g", "v", "id", 10, rangeSplits = 1)
+    assert(out.columns.contains("ntile") && out.count() === 0)
+    val nullG = Seq((Option.empty[String], 1.0, 1L)).toDF("g", "v", "id")
+    val e = intercept[IllegalArgumentException] {
+      Rank.ntileExact(nullG, "g", "v", "id", 2, rangeSplits = 1)
+    }
+    assert(e.getMessage.contains("null"))
+  }
 }

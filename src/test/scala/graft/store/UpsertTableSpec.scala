@@ -171,6 +171,17 @@ class UpsertTableSpec extends AnyFunSuite {
     }
   }
 
+  test("a data column named __cnt is rejected loudly, not silently doubled") {
+    // the dup-check count rides beside the expanded payload under the
+    // same name — allowing it through would leave two __cnt columns
+    val t = tmpTable()
+    val clash = Seq((1, "a", 5L)).toDF("user_id", "email", "__cnt")
+    val e = intercept[IllegalArgumentException] {
+      t.merge(clash, autoCreateKeys = Seq("user_id"))
+    }
+    assert(e.getMessage.contains("__cnt"))
+  }
+
   test("merge with orderCol is order-independent across shuffled partitions") {
     import org.apache.spark.sql.functions.rand
     val rows = (1 to 50).flatMap(k => Seq((k, s"old$k", k.toLong),
