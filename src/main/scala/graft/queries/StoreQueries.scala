@@ -659,6 +659,34 @@ object StoreQueries {
         WHEN NOT MATCHED AND NOT (s.op = 'd') THEN INSERT *""")
       s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
         s"FROM $CatalogName.dml.$tbl ORDER BY o_orderkey")
+    }),
+
+    // q89 — SQL UPDATE + DELETE lifecycle (the row-level DML next to
+    // q85's MERGE): seed from events (event_id is the unique key),
+    // UPDATE one value band, DELETE another, read the final state
+    // back. Both statements translate to bucket-local keyed merges —
+    // UPDATE scans only matching rows (filter pushed into the DSv2
+    // scan) and upserts them back, DELETE merges just the matched
+    // KEYS with op 'd'; the unmatched remainder is never rewritten.
+    "q89_sql_update_delete" -> ((s, d) => {
+      ensureCatalog(s)
+      val tbl = "events_dml_" + math.abs(d.hashCode).toString
+      deleteRecursively(Paths.get(warehouse, "dml", tbl))
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.dml")
+      s.sql(s"CREATE TABLE $CatalogName.dml.$tbl (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE, event_type STRING) " +
+        "TBLPROPERTIES('keys'='event_id')")
+      Tables.load(s, d, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .createOrReplaceTempView("ev_seed")
+      s.sql(s"INSERT INTO $CatalogName.dml.$tbl SELECT * FROM ev_seed")
+      s.sql(s"UPDATE $CatalogName.dml.$tbl " +
+        "SET value = value + 100, event_type = 'boosted' " +
+        "WHERE value < CAST(0.2 AS DOUBLE)")
+      s.sql(s"DELETE FROM $CatalogName.dml.$tbl " +
+        "WHERE value >= CAST(0.9 AS DOUBLE) AND event_type = 'view'")
+      s.sql("SELECT event_id, user_id, value, event_type " +
+        s"FROM $CatalogName.dml.$tbl ORDER BY event_id")
     })
   )
 
@@ -812,6 +840,19 @@ object StoreQueries {
         "FROM t0 LEFT JOIN s ON t0.o_orderkey = s.o_orderkey " +
         "WHERE s.o_orderkey IS NULL " +
         "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
-        "FROM s WHERE op <> 'd' ORDER BY o_orderkey")
+        "FROM s WHERE op <> 'd' ORDER BY o_orderkey"),
+
+    // the UPDATE-then-DELETE lifecycle must equal the same algebra
+    // applied declaratively (update first, delete evaluated on the
+    // updated state — statement order matters and both engines agree)
+    "q89_sql_update_delete" ->
+      ("WITH upd AS (SELECT event_id, user_id, " +
+        "CASE WHEN value < CAST(0.2 AS DOUBLE) THEN value + 100 " +
+        "ELSE value END AS value, " +
+        "CASE WHEN value < CAST(0.2 AS DOUBLE) THEN 'boosted' " +
+        "ELSE event_type END AS event_type FROM events) " +
+        "SELECT event_id, user_id, value, event_type FROM upd " +
+        "WHERE NOT (value >= CAST(0.9 AS DOUBLE) AND event_type = 'view') " +
+        "ORDER BY event_id")
   )
 }
