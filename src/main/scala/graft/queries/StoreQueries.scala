@@ -556,6 +556,68 @@ object StoreQueries {
       tgt.read().orderBy("event_type")
     }),
 
+    // q90 — CHAINED stateful aggregations in ONE streaming query
+    // (multi-stateful-operator support): per-(day, type) counts/sums
+    // re-aggregated into epoch-aligned weekly windows via
+    // `window_time`, the watermark propagating through BOTH stateful
+    // operators — agg2 only ever sees day windows agg1 has closed.
+    // Sentinel rows must NOT be filtered before the aggregation: a
+    // pre-agg filter gets pushed below the watermark node and the
+    // sentinels would never advance it (observed: the last day/week
+    // stays open forever). Instead they flow in and self-exclude —
+    // their far-future windows never close, so they never emit. Day
+    // windows never straddle week boundaries (both epoch-aligned),
+    // so the result must hash-match the direct batch weekly
+    // aggregate.
+    "q90_stream_chained_aggs" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-chain-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("event_type"), floor(col("value")).cast("long").as("vi"))
+      val maxUs = ev.agg(max(col("t_us"))).head().getLong(0)
+      val dayUs = 86400L * 1000000L
+      Topic.produce(ev.repartition(2), s"$base/topic")
+      // three sentinels, 16 days out: each stateful layer adds one
+      // batch of eviction latency AND delays the effective watermark
+      // by its window size (the weekly agg evicts on the day-agg's
+      // OUTPUT watermark), so the bump must clear last-week-end
+      // + 1 day + the delay with margin
+      (0 until 3).foreach { i =>
+        Topic.produce(Seq((-1L, maxUs + 16 * dayUs + i * 1000000L, "x", 0L))
+          .toDF("user_id", "t_us", "event_type", "vi"), s"$base/topic")
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, t_us BIGINT, event_type STRING, vi BIGINT")
+      val parsed = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j"))
+        .select("j.*")
+        .withColumn("t", timestamp_micros(col("t_us")))
+        .withWatermark("t", "1 hour")
+      val daily = parsed
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"))
+      val weekly = daily
+        .groupBy(window(window_time(col("window")), "7 days"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+        .select(unix_micros(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sv"))
+      val q = withShufflePartitions(s, 8) {
+        weekly.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
+    }),
+
     // q87 — stream-stream LEFT OUTER join: the semantic q47's inner
     // join never exercises — unmatched left rows surface as null rows
     // ONLY when the watermark evicts their buffered state (outer
@@ -723,6 +785,15 @@ object StoreQueries {
         "FROM o a JOIN o b ON a.user_id = b.user_id " +
         "AND b.t >= a.t AND b.t < a.t + 43200000000 " +
         "AND a.event_id <> b.event_id ORDER BY event_a, event_b"),
+
+    // the chained day->week streamed aggregation must equal the direct
+    // batch weekly aggregate (both layers epoch-aligned)
+    "q90_stream_chained_aggs" ->
+      ("WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, " +
+        "CAST(FLOOR(value) AS BIGINT) AS vi FROM events) " +
+        "SELECT (tus // 604800000000) * 604800000000 AS w_start, " +
+        "event_type, COUNT(*) AS n, CAST(SUM(vi) AS BIGINT) AS sv " +
+        "FROM e GROUP BY 1, 2 ORDER BY w_start, event_type"),
 
     // the streamed outer join must land exactly the batch LEFT JOIN:
     // matched pairs plus a null row per never-matched left event
