@@ -577,9 +577,16 @@ object StoreQueries {
       val ev = Tables.load(s, d, "events")
         .select(col("user_id"), expr("ts div 1000").as("t_us"),
           col("event_type"), floor(col("value")).cast("long").as("vi"))
-      val maxUs = ev.agg(max(col("t_us"))).head().getLong(0)
+      val bounds = ev.agg(min(col("t_us")), max(col("t_us"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
       val dayUs = 86400L * 1000000L
-      Topic.produce(ev.repartition(2), s"$base/topic")
+      // time-split files (the q87 transport contract): Spark's
+      // watermark guarantee is one-directional — rows later than the
+      // delay MAY be dropped — so a randomly-partitioned second file
+      // arriving wholly below the watermark must not be relied on
+      val cut = minUs + (maxUs - minUs) / 2
+      Topic.produce(ev.where(col("t_us") < cut).coalesce(1), s"$base/topic")
+      Topic.produce(ev.where(col("t_us") >= cut).coalesce(1), s"$base/topic")
       // three sentinels, 16 days out: each stateful layer adds one
       // batch of eviction latency AND delays the effective watermark
       // by its window size (the weekly agg evicts on the day-agg's
@@ -923,7 +930,11 @@ object StoreQueries {
         "CASE WHEN value < CAST(0.2 AS DOUBLE) THEN 'boosted' " +
         "ELSE event_type END AS event_type FROM events) " +
         "SELECT event_id, user_id, value, event_type FROM upd " +
-        "WHERE NOT (value >= CAST(0.9 AS DOUBLE) AND event_type = 'view') " +
+        // COALESCE(..., FALSE) mirrors DELETE semantics: a NULL
+        // predicate keeps the row (DELETE doesn't match it), while a
+        // bare NOT(NULL) would drop it from the oracle
+        "WHERE NOT COALESCE(value >= CAST(0.9 AS DOUBLE) " +
+        "AND event_type = 'view', FALSE) " +
         "ORDER BY event_id")
   )
 }

@@ -64,12 +64,15 @@ class MergePropertySpec extends AnyFunSuite {
            |WHEN MATCHED AND s.op = 'd' THEN DELETE
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED AND NOT (s.op = 'd') THEN INSERT *""".stripMargin)
+      // compare full sorted row MULTISETS, not maps — a regression
+      // emitting duplicate rows per key must fail, not be collapsed
       val sqlState = spark.sql(s"SELECT k, v FROM graft_mp.cdc.$tbl")
-        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq.sorted
 
       // native path: fresh store, same seed merge + batch merge
-      val nt = UpsertTable(spark,
-        Files.createTempDirectory("graft-mergeprop-native").toString)
+      val nativeDir = Paths.get(warehouse, "native", tbl)
+      graft.Fs.deleteRecursively(nativeDir)
+      val nt = UpsertTable(spark, nativeDir.toString)
       if (seed.nonEmpty)
         nt.merge(seed.toDF("k", "v"), autoCreateKeys = Seq("k"))
       else
@@ -78,12 +81,12 @@ class MergePropertySpec extends AnyFunSuite {
       nt.merge(batch.map(r => (r.k, r.v, r.op)).toDF("k", "v", "op"),
         opCol = Some("op"))
       val nativeState = nt.read()
-        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq.sorted
 
       // and both must equal the plain map fold
       val expected = batch.foldLeft(seed.toMap) {
         case (m, Row3(k, v, o)) => if (o == "d") m - k else m + (k -> v)
-      }
+      }.toSeq.sorted
       sqlState == nativeState && sqlState == expected
     }
     val result = SCTest.check(
