@@ -50,16 +50,35 @@ object CdcSink {
   /** Apply one batch of serialized envelope JSON (`value STRING`) to
     * the per-table upsert stores.
     *
-    * Pipeline per record: extract op / source.table / (lsn, txId)
-    * ordering / row image (`after`, or `before` for deletes) with
-    * `get_json_object`; group by target table; `from_json`-parse under
-    * the stored table's schema (full `spark.read.json` inference runs
-    * only on first sight of a table, when a new non-null payload field
-    * appears — the key scan recurses into struct-typed columns — or
-    * when a stored type has drifted at any path, node or leaf — the
-    * sink's auto-create/evolve inference), flatten `row.*`, convert
-    * any declared Debezium MicroTimestamp columns, and CDC-merge.
-    * Disable re-inference entirely via [[EvolveConf]] to lock schemas.
+    * Wire format: records may arrive BARE (the envelope object itself)
+    * or FRAMED as `{"schema": …, "payload": <envelope>}` — the
+    * Kafka-Connect JsonConverter framing the reference actually ships
+    * (`value.converter.schemas.enable=true`,
+    * connect-standalone.properties:25-26; captured topic log
+    * cdc.commerce.account-0/00000000000000000000.log). Framing is
+    * detected per record (both `schema` and `payload` keys present)
+    * and unwrapped; null-valued Debezium tombstones (the log-compaction
+    * records emitted after every delete — represented as the JSON
+    * literal `null` in the line-framed topic) fall out at the
+    * `__op IS NOT NULL` filter, never merged.
+    *
+    * Pipeline per record: unwrap framing; extract op / source.table /
+    * (lsn, txId) ordering / row image (`after`, or `before` for
+    * deletes) via one `json_tuple` pass + nested `get_json_object`;
+    * group by target table; `from_json`-parse the image. FRAMED
+    * batches parse under the embedded connect schema
+    * ([[ConnectSchema.rowSchema]] — authoritative typed contract:
+    * int32/int64/logical names, ZERO sampling inference, and Debezium
+    * logical types like `io.debezium.time.MicroTimestamp` convert
+    * automatically without any caller-declared [[microTsCols]]). BARE
+    * batches fall back to the stored table's schema (full
+    * `spark.read.json` inference runs only on first sight of a table,
+    * when a new non-null payload field appears — the key scan recurses
+    * into struct-typed columns — or when a stored type has drifted at
+    * any path, node or leaf — the sink's auto-create/evolve
+    * inference), then flatten `row.*`, convert declared/derived
+    * logical columns, and CDC-merge. Disable re-inference entirely via
+    * [[EvolveConf]] to lock schemas.
     *
     * Scale notes: the only driver-side materialization is the distinct
     * table list (bounded by the schema's table count, like the
@@ -86,14 +105,33 @@ object CdcSink {
       microTsCols: Map[String, Seq[String]] = Map.empty,
       streamId: Option[String] = None,
       batchId: Option[Long] = None): Unit = {
-    val meta = raw.select(
-      get_json_object(col("value"), "$.op").as("__op"),
-      get_json_object(col("value"), "$.source.table").as("__table"),
-      expr("try_cast(get_json_object(value, '$.source.lsn') AS BIGINT)").as("__lsn"),
-      expr("try_cast(get_json_object(value, '$.source.txId') AS BIGINT)").as("__txid"),
-      when(get_json_object(col("value"), "$.op") === "d",
-        get_json_object(col("value"), "$.before"))
-        .otherwise(get_json_object(col("value"), "$.after")).as("__payload"))
+    // one json_tuple pass over the raw record detects + unwraps the
+    // JsonConverter framing (both keys present <=> framed); bare
+    // envelopes, tombstones (`null`) and malformed lines flow through
+    // unchanged and die at the filter below
+    val unframed = raw
+      .select(col("value"),
+        json_tuple(col("value"), "schema", "payload")
+          .as(Seq("__fschema", "__fpayload")))
+      .select(
+        when(col("__fschema").isNotNull && col("__fpayload").isNotNull,
+          col("__fpayload")).otherwise(col("value")).as("__env"),
+        when(col("__fschema").isNotNull && col("__fpayload").isNotNull,
+          col("__fschema")).as("__schema"))
+    // one json_tuple pass over the envelope for its top-level fields;
+    // only the small `source` struct is re-parsed for nested keys
+    val meta = unframed
+      .select(col("__schema"),
+        json_tuple(col("__env"), "op", "before", "after", "source")
+          .as(Seq("__op", "__before", "__after", "__source")))
+      .select(
+        col("__op"),
+        get_json_object(col("__source"), "$.table").as("__table"),
+        expr("try_cast(get_json_object(__source, '$.lsn') AS BIGINT)").as("__lsn"),
+        expr("try_cast(get_json_object(__source, '$.txId') AS BIGINT)").as("__txid"),
+        when(col("__op") === "d", col("__before"))
+          .otherwise(col("__after")).as("__payload"),
+        col("__schema"))
       .where(col("__op").isNotNull && col("__table").isNotNull
         && col("__payload").isNotNull)
       .cache()
@@ -121,11 +159,21 @@ object CdcSink {
           spark.read.option("dropFieldIfAllNull", "true")
             .json(rows.select("__payload").as(Encoders.STRING)).schema
         }
+        // FRAMED batch: the latest embedded connect schema (by the
+        // batch's own lsn/txId order) is the authoritative typed
+        // contract — no sampling inference, no key scan, no drift
+        // guard: a schema change arrives WITH its records, which is
+        // exactly the guarantee the bare path has to reconstruct by
+        // sampling. Bounded driver read: ONE schema string.
+        val wireSchema = rows.where(col("__schema").isNotNull)
+          .orderBy(col("__lsn").desc_nulls_last, col("__txid").desc_nulls_last)
+          .select("__schema").as(Encoders.STRING)
+          .take(1).headOption.flatMap(ConnectSchema.rowSchema)
         val cachedSchema =
           if (!target.exists) None
           else Some(payloadSchemaFor(target.schema,
             microTsCols.getOrElse(table, Seq.empty)))
-        val payloadSchema = cachedSchema match {
+        def bareSchema = cachedSchema match {
           case None => infer()
           case Some(cached) =>
             // key-name scan: no type inference, no schema merging —
@@ -154,39 +202,52 @@ object CdcSink {
               checks.reduce(_ unionAll _).limit(1).count() > 0
             if (newField) infer() else cached
         }
-        // type-drift guard: a stale cached type (a long column that
-        // starts carrying decimals) makes from_json null the FIELD
-        // while the raw JSON value is non-null — silent data loss if
-        // merged. Detect exactly that shape and re-infer once; the
-        // evolve path then widens (long→double) or rejects loudly
-        // (long→string), never silently nulls.
-        val finalSchema = cachedSchema match {
-          case Some(cached) if evolve && (payloadSchema eq cached) =>
-            val parsed = rows.withColumn("__row",
-              from_json(col("__payload"), cached))
-            // check every path, STRUCT NODES included: a drifted
-            // nested leaf nulls only that leaf; a struct column
-            // drifting to a scalar JSON value nulls the whole node
-            // while its leaf paths read null from the raw JSON too —
-            // only the node check catches it. (A JSON-null value nulls
-            // the raw path as well, so no false positives.)
-            val drifted = CdcSink.allPaths(cached).map { p =>
-              p.foldLeft(col("__row"))(_ getField _).isNull &&
-                expr(s"get_json_object(__payload, '$$.${p.mkString(".")}')")
-                  .isNotNull
-            }.reduceOption(_ or _).getOrElse(lit(false))
-            if (parsed.where(drifted).limit(1).count() > 0) infer()
-            else cached
-          case _ => payloadSchema
+        // type-drift guard (bare path only): a stale cached type (a
+        // long column that starts carrying decimals) makes from_json
+        // null the FIELD while the raw JSON value is non-null — silent
+        // data loss if merged. Detect exactly that shape and re-infer
+        // once; the evolve path then widens (long→double) or rejects
+        // loudly (long→string), never silently nulls.
+        def bareFinalSchema(payloadSchema: org.apache.spark.sql.types.StructType) =
+          cachedSchema match {
+            case Some(cached) if evolve && (payloadSchema eq cached) =>
+              val parsed = rows.withColumn("__row",
+                from_json(col("__payload"), cached))
+              // check every path, STRUCT NODES included: a drifted
+              // nested leaf nulls only that leaf; a struct column
+              // drifting to a scalar JSON value nulls the whole node
+              // while its leaf paths read null from the raw JSON too —
+              // only the node check catches it. (A JSON-null value nulls
+              // the raw path as well, so no false positives.)
+              val drifted = CdcSink.allPaths(cached).map { p =>
+                p.foldLeft(col("__row"))(_ getField _).isNull &&
+                  expr(s"get_json_object(__payload, '$$.${p.mkString(".")}')")
+                    .isNotNull
+              }.reduceOption(_ or _).getOrElse(lit(false))
+              if (parsed.where(drifted).limit(1).count() > 0) infer()
+              else cached
+            case _ => payloadSchema
+          }
+        val finalSchema = wireSchema match {
+          case Some((ws, _)) => ws
+          case None => bareFinalSchema(bareSchema)
         }
         val flattened = rows
           .withColumn("__row", from_json(col("__payload"), finalSchema))
           .select(col("__row.*"), col("__op"),
             struct(col("__lsn"), col("__txid")).as("__ord"))
-        val converted = microTsCols.getOrElse(table, Seq.empty)
-          .foldLeft(flattened) { (df, c) =>
-            if (df.columns.contains(c)) df.withColumn(c, timestamp_micros(col(c)))
-            else df
+        // logical-type conversions: caller-declared MicroTimestamp
+        // columns (bare path) plus every convertible logical the wire
+        // schema declares — the wire declaration wins on conflict
+        val logicalCols =
+          microTsCols.getOrElse(table, Seq.empty)
+            .map(_ -> "io.debezium.time.MicroTimestamp").toMap ++
+            wireSchema.map(_._2).getOrElse(Map.empty)
+        val converted = logicalCols.toSeq.sortBy(_._1)
+          .foldLeft(flattened) { case (df, (c, logical)) =>
+            if (!df.columns.contains(c)) df
+            else ConnectSchema.materialize(c, logical)
+              .map(e => df.withColumn(c, e)).getOrElse(df)
           }
         UpsertTable(spark, targetPath(warehouseDir, table)).merge(
           converted,

@@ -18,7 +18,9 @@ import graft.streaming.Topic
   * `r`-batch, ordering key below any tail LSN), then the envelope
   * topic is tailed by a standing [[CdcJob]]-style query. The store's
   * last-wins merge makes the handoff safe: tail events at or after the
-  * snapshot LSN simply re-apply.
+  * snapshot LSN simply re-apply. The tail consumes both bare envelopes
+  * and the reference's actual Kafka-Connect `{"schema",…,"payload":…}`
+  * framing, tombstones included (see [[CdcSink.applyBatch]]).
   */
 object ChangelogSource {
 

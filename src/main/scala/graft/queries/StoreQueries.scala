@@ -756,6 +756,55 @@ object StoreQueries {
         "WHERE value >= CAST(0.9 AS DOUBLE) AND event_type = 'view'")
       s.sql("SELECT event_id, user_id, value, event_type " +
         s"FROM $CatalogName.dml.$tbl ORDER BY event_id")
+    }),
+
+    // q91 — the reference's ACTUAL wire format replayed VERBATIM: the
+    // captured topic-log record values (JsonConverter
+    // `{"schema",…,"payload":…}` framing, schemas.enable=true —
+    // CapturedWire fixtures lifted byte-for-byte from the reference's
+    // Kafka log), continued with framed update/delete records derived
+    // from the same schema blocks plus a Debezium delete tombstone,
+    // pushed through the REAL standing CdcJob. The embedded connect
+    // schema drives a fully TYPED parse (user_id int32, created_at
+    // io.debezium.time.MicroTimestamp -> TIMESTAMP) with zero sampling
+    // inference and no caller-declared timestamp columns; the
+    // tombstone must be skipped, not merged. Final state of both
+    // routed tables under the oracle.
+    "q91_connect_framed_replay" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-connect-wire-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val acct = graft.cdc.CapturedWire.lines("cdc.commerce.account")
+      val prod = graft.cdc.CapturedWire.lines("cdc.commerce.product")
+      val tail = Seq(
+        graft.cdc.CapturedWire.continuation(acct.head, "u",
+          """{"user_id":2,"email":"bob@example.com","created_at":1757389556032031}""",
+          """{"user_id":2,"email":"bob.new@example.com","created_at":1757389556032031}""",
+          lsn = 22446700L, txId = 750L),
+        graft.cdc.CapturedWire.continuation(acct.head, "d",
+          """{"user_id":3,"email":"carol@example.com","created_at":1757389556032031}""",
+          "null", lsn = 22446800L, txId = 751L),
+        graft.cdc.CapturedWire.Tombstone, // post-delete compaction record
+        graft.cdc.CapturedWire.continuation(prod.head, "u",
+          """{"product_id":1,"product_name":"Live Edge Dining Table","created_at":1757389556033782}""",
+          """{"product_id":1,"product_name":"Walnut Coffee Table","created_at":1757389556033782}""",
+          lsn = 22446900L, txId = 752L))
+      Topic.appendLines(s"$base/topic", acct ++ prod ++ tail)
+      val q = graft.cdc.CdcJob(s"$base/topic", s"$base/wh", s"$base/cp",
+        keyColsFor =
+          { case "account" => Seq("user_id"); case _ => Seq("product_id") },
+        trigger = Trigger.AvailableNow()).start(s)
+      q.awaitTermination()
+      def finalState(table: String, id: String, name: String) =
+        UpsertTable(s, graft.cdc.CdcSink.targetPath(s"$base/wh", table)).read()
+          .select(lit(table).as("tbl"), col(id).cast("int").as("id"),
+            col(name).as("name"),
+            // created_at landed as a real TIMESTAMP via the embedded
+            // schema's MicroTimestamp — hash its exact micros
+            unix_micros(col("created_at")).as("created_us"))
+      finalState("account", "user_id", "email")
+        .unionAll(finalState("product", "product_id", "product_name"))
+        .orderBy("tbl", "id")
     })
   )
 
@@ -935,6 +984,19 @@ object StoreQueries {
         // bare NOT(NULL) would drop it from the oracle
         "WHERE NOT COALESCE(value >= CAST(0.9 AS DOUBLE) " +
         "AND event_type = 'view', FALSE) " +
-        "ORDER BY event_id")
+        "ORDER BY event_id"),
+
+    // the captured-wire replay has a closed-form answer: the captured
+    // snapshot rows (reference seed data) after the framed
+    // update/delete continuation — user 2's new email, user 3 gone,
+    // product 1 renamed; created_us is each row's verbatim
+    // MicroTimestamp payload value round-tripped through TIMESTAMP
+    "q91_connect_framed_replay" ->
+      ("SELECT * FROM (VALUES " +
+        "('account', 1, 'alice@example.com', 1757389556032031), " +
+        "('account', 2, 'bob.new@example.com', 1757389556032031), " +
+        "('product', 1, 'Walnut Coffee Table', 1757389556033782), " +
+        "('product', 2, 'Simple Teak Dining Chair', 1757389556033782)" +
+        ") AS t(tbl, id, name, created_us) ORDER BY tbl, id")
   )
 }

@@ -346,6 +346,102 @@ class CdcSinkSpec extends AnyFunSuite {
     assert(t.read().selectExpr("addr.zip").head().getLong(0) === 7L)
   }
 
+  test("captured JsonConverter framing replays verbatim: typed parse, zero inference") {
+    val base = Files.createTempDirectory("graft-cdc-framed")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    val before = CdcSink.inferenceCount.get()
+    // the reference's actual topic bytes (CapturedWire fixtures) —
+    // NOTE: no microTsCols declared; the embedded schema must drive
+    // both the types and the MicroTimestamp conversion
+    CdcSink.applyBatch(spark,
+      (CapturedWire.lines("cdc.commerce.account") ++
+        CapturedWire.lines("cdc.commerce.product")).toDF("value"),
+      wh, keyFor)
+    assert(CdcSink.inferenceCount.get() === before,
+      "framed batch must parse under the embedded schema, not sampling")
+    val acct = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    // int32 honored (inference would have widened to long)
+    assert(acct.schema("user_id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(acct.schema("created_at").dataType === TimestampType)
+    val rows = acct.read()
+      .selectExpr("user_id", "email", "unix_micros(created_at)").collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows === Map(
+      1 -> (("alice@example.com", 1757389556032031L)),
+      2 -> (("bob@example.com", 1757389556032031L)),
+      3 -> (("carol@example.com", 1757389556032031L))))
+    assert(UpsertTable(spark, CdcSink.targetPath(wh, "product"))
+      .read().count() === 2)
+  }
+
+  test("framed continuation + tombstones: tombstones skipped, never merged") {
+    val base = Files.createTempDirectory("graft-cdc-tomb")
+    import spark.implicits._
+    val acct = CapturedWire.lines("cdc.commerce.account")
+    val del = CapturedWire.continuation(acct.head, "d",
+      """{"user_id":3,"email":"carol@example.com","created_at":1757389556032031}""",
+      "null", lsn = 22446800L, txId = 751L)
+    // replay twice: with and without interleaved tombstones — the
+    // materialized states must be identical (FIXTURES.md §4 + the
+    // Debezium compaction contract: a tombstone is transport noise)
+    def replay(wh: String, lines: Seq[String]): Map[Int, String] = {
+      CdcSink.applyBatch(spark, lines.toDF("value"), wh, keyFor)
+      UpsertTable(spark, CdcSink.targetPath(wh, "account")).read()
+        .select("user_id", "email").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+    }
+    val plain = replay(s"$base/wh1", acct :+ del)
+    val withTombs = replay(s"$base/wh2",
+      Seq(acct.head, CapturedWire.Tombstone, acct(1), acct(2), del,
+        CapturedWire.Tombstone))
+    assert(plain === Map(1 -> "alice@example.com", 2 -> "bob@example.com"))
+    assert(withTombs === plain)
+  }
+
+  test("canonical golden sequence with post-delete tombstones still lands {0 rows}") {
+    // FIXTURES.md §4 extended: after the manual/003 delete-everything
+    // pass, Debezium emits one tombstone per deleted key — the replay
+    // must still materialize the empty state
+    val base = Files.createTempDirectory("graft-cdc-golden-tomb")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    val history =
+      Seq(env("account", "r", "null", account(1, "alice@example.com")),
+        env("account", "r", "null", account(2, "bob@example.com")),
+        env("account", "r", "null", account(3, "carol@example.com")),
+        env("account", "c", "null", account(4, "derek@example.com")),
+        env("account", "c", "null", account(5, "emily@example.com")),
+        env("account", "u", account(5, "emily@example.com"),
+          account(5, "emma@example.com"))) ++
+        (1 to 5).flatMap(i => Seq(
+          env("account", "d", account(i, s"x$i@example.com"), "null"),
+          CapturedWire.Tombstone))
+    CdcSink.applyBatch(spark, history.toDF("value"), wh, keyFor)
+    assert(UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+      .read().count() === 0)
+  }
+
+  test("bare and framed envelopes mix in one batch; framed schema wins") {
+    val base = Files.createTempDirectory("graft-cdc-mixed")
+    val wh = s"$base/wh"
+    import spark.implicits._
+    val framed = CapturedWire.continuation(
+      CapturedWire.lines("cdc.commerce.account").head, "c", "null",
+      """{"user_id":7,"email":"frank@example.com","created_at":1757389556032031}""",
+      lsn = 22446900L, txId = 760L)
+    val bare = env("account", "c", "null", account(8, "grace@example.com"))
+    CdcSink.applyBatch(spark, Seq(framed, bare).toDF("value"), wh, keyFor)
+    val t = UpsertTable(spark, CdcSink.targetPath(wh, "account"))
+    // wire schema applied to the whole table batch: ints, typed ts
+    assert(t.schema("user_id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(t.schema("created_at").dataType === TimestampType)
+    assert(t.read().select("user_id").collect()
+      .map(_.getInt(0)).toSet === Set(7, 8))
+  }
+
   test("typed envelope parse via Envelope.schema round-trips op and images") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
