@@ -10,9 +10,14 @@ import org.apache.spark.sql.SparkSession
   * times (default 3) and reports the per-query MIN — the steady-state
   * cost of the plan, which external load can only inflate, never
   * deflate. Repeats are whole-suite passes (not back-to-back), so a
-  * transient load spike can't poison all repeats of one query. When
-  * any query's max/min spread exceeds 3×, `load_warning` lists the
-  * affected queries — a signal the machine was busy, not the code.
+  * transient load spike can't poison all repeats of one query.
+  *
+  * Noise retries: a query whose FASTEST `reps` samples still spread
+  * more than 3× was load-poisoned — up to `SPARK_GRAFT_NOISE_RETRIES`
+  * (default 2) extra passes re-run just those queries; calm samples
+  * displace the poisoned ones from the fastest set. Queries still
+  * spread-noisy after retries land in `load_warning` — persistent
+  * contention, not the code.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,17 +63,29 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => Double.PositiveInfinity }
     }
-    val samples: Seq[Map[String, Double]] =
-      (1 to reps).map(_ => names.map(n => n -> timeOne(n)).toMap)
-    val failed = names.filter(n => samples.exists(_(n).isInfinity))
+    val acc = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach(_ => names.foreach(n => acc(n) :+= timeOne(n)))
+    // spread over the FASTEST `reps` samples: extra calm passes push
+    // load-poisoned outliers out of the window, so transient spikes
+    // clear while persistent contention still warns
+    def spreadNoisy(n: String): Boolean = {
+      val ok = acc(n).filterNot(_.isInfinity).sorted.take(reps)
+      ok.nonEmpty && ok.head > 0 && ok.last / ok.head > 3.0
+    }
+    val noiseRetries =
+      sys.env.getOrElse("SPARK_GRAFT_NOISE_RETRIES", "2").toInt.max(0)
+    var retry = 0
+    while (retry < noiseRetries && names.exists(spreadNoisy)) {
+      names.filter(spreadNoisy).foreach(n => acc(n) :+= timeOne(n))
+      retry += 1
+    }
+    val failed = names.filter(n => acc(n).exists(_.isInfinity))
     val best = names.map { n =>
-      val ok = samples.map(_(n)).filterNot(_.isInfinity)
+      val ok = acc(n).filterNot(_.isInfinity)
       n -> (if (ok.isEmpty) Double.PositiveInfinity else ok.min)
     }.toMap
-    val noisy = names.filter { n =>
-      val s = samples.map(_(n)).filterNot(_.isInfinity)
-      s.nonEmpty && s.min > 0 && s.max / s.min > 3.0
-    }
+    val noisy = names.filter(spreadNoisy)
     def fmt(d: Double): String = if (d.isInfinity) "\"failed\"" else d.toString
     val qs = names.map(n => "\"" + n + "\":" + fmt(best(n))).mkString("{", ",", "}")
     val total = best.values.filterNot(_.isInfinity).sum
@@ -78,21 +95,34 @@ object Bench {
     val fail =
       if (failed.isEmpty) ""
       else ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jstr(s: String): String = // minimal JSON string escape
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$warn$fail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$warn$fail,"sf":${jstr(sfDir)}}"""
     // the driver captures a bounded TAIL of the sbt output; a long
     // per-query map once pushed the total off the end of the capture.
     // Persist the full record to a file AND print it first, so it
     // survives any truncation of the trailing sbt chatter
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    // default under the build dir: a bare `sbt runMain graft.Bench`
+    // from the repo root must never silently clobber the TRACKED
+    // BENCH_LOCAL.json record (refreshing that is a deliberate copy)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench/BENCH_LOCAL.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $out: $e") }
     println(json)
     // compact trailer: a tail-capture keeps the LAST lines, so the
     // totals survive even when the long per-query line is cut short
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"n_failed":${failed.size},"full_record":"$out","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"n_failed":${failed.size},"full_record":${jstr(out)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -14,16 +14,19 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * preserved. Codecs are pluggable per partition (one init per task,
   * amortized over the batch, like a pandas-UDF's per-batch model load).
   *
-  * Codecs: the IMAGE path is real — [[Multimodal.ImageCodec]] decodes
-  * PNG/JPEG through the JDK's own `javax.imageio` (no external
-  * dependency), resizes with deterministic nearest-neighbor
-  * arithmetic, and derives features from actual pixel values; q78
-  * gates it end-to-end against a closed-form oracle. AUDIO/VIDEO
-  * decoding stays STUBBED ([[Multimodal.StubCodec]], clearly marked —
-  * no ffmpeg/libsndfile in this environment); their Spark-side
-  * plumbing — schema, batching, partition preservation, frame
-  * explosion — is the same real, tested machinery, and swapping in an
-  * ffmpeg-backed [[Multimodal.Codec]] is deployment configuration.
+  * Codecs: all three media kinds decode for REAL through JDK-native
+  * code paths, each oracle-gated against a closed-form pixel/sample
+  * oracle — [[Multimodal.ImageCodec]] (PNG/JPEG via `javax.imageio`,
+  * deterministic nearest-neighbor resize, features from actual pixel
+  * values; q78), [[Multimodal.AudioCodec]] (WAV/PCM via
+  * `javax.sound.sampled`; q79), and [[Multimodal.VideoCodec]] (a pure
+  * RIFF/AVI demuxer for uncompressed BI_RGB frames; q80). The only
+  * remaining seam is COMPRESSED formats (MP3, H.264, JPEG-in-AVI):
+  * no ffmpeg ships in this environment, so those arrive by plugging
+  * an ffmpeg-backed [[Multimodal.Codec]] — deployment configuration,
+  * not operator code (CodecSeamSpec proves the plug point).
+  * [[Multimodal.StubCodec]] remains only as a clearly-labeled test
+  * fake for plumbing tests.
   */
 object Multimodal {
 
@@ -343,6 +346,15 @@ object Multimodal {
         while (o + 8 <= to) {
           val id = fourcc(payload, o)
           val sz = le32(payload, o + 4)
+          // the size field is attacker-controlled: a negative value
+          // walks backwards or loops forever (sz = -8 advances by 0),
+          // an oversized one recurses past the buffer — fail loudly
+          // like every other undecodable-container path. Long
+          // arithmetic: o + 8 + Int.MaxValue wraps negative in Int and
+          // would slip past the bound
+          require(sz >= 0 && o + 8 + sz.toLong <= payload.length,
+            s"VideoCodec: corrupt chunk '$id' at offset $o " +
+              s"(size $sz, container ${payload.length} bytes)")
           if (id == "LIST" || id == "RIFF") walk(o + 12, o + 8 + sz)
           else id match {
             case "avih" => usPerFrame = le32(payload, o + 8)

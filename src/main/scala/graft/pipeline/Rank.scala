@@ -34,6 +34,19 @@ import org.apache.spark.sql.functions._
   * nulls-first within it — exactly the built-in window's default
   * null placement. `rangeSplits` scales with data volume; the
   * default 32 caps any single sort task at roughly group/32.
+  *
+  * Determinism contract: steps 3 and 4 are separate jobs over the
+  * same input — exactness needs both to see IDENTICAL rows. By
+  * default (`reuse=true`) the bucketed frame is persisted
+  * (MEMORY_AND_DISK) at the count job and the rank job reads the
+  * materialized copy, which guarantees agreement for any input and
+  * halves the scans; the cache is LRU-evictable and small relative
+  * to a shuffle of the same data. Pass `reuse=false` for one-shot
+  * jobs over data too large to materialize — then the input must be
+  * DETERMINISTIC (immutable files, no nondeterministic expressions
+  * upstream), or the offsets can disagree with the ranked rows and
+  * produce silently wrong tiles. (The step-1 boundary probe is
+  * exempt either way: boundary drift only skews bucket sizes.)
   */
 object Rank {
 
@@ -51,9 +64,16 @@ object Rank {
     *         `ntile(k) OVER (PARTITION BY group ORDER BY value, tie)`
     */
   def ntileExact(df: DataFrame, groupCol: String, valueCol: String,
-      tieCol: String, k: Int, rangeSplits: Int = 32): DataFrame = {
+      tieCol: String, k: Int, rangeSplits: Int = 32,
+      reuse: Boolean = true): DataFrame = {
     require(k > 0 && rangeSplits > 0,
       s"need k>0, rangeSplits>0; got k=$k rangeSplits=$rangeSplits")
+    val reserved =
+      Seq("__g", "__b", "__lr", "ntile").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"ntileExact: input carries reserved column(s) " +
+        s"${reserved.mkString(", ")} — rename them first (withColumn " +
+        "would silently overwrite)")
     val g = col(groupCol).cast("string")
     val v = col(valueCol).cast("double")
 
@@ -91,14 +111,22 @@ object Rank {
       case Some(bounds) => aggregate(element_at(typedlit(bounds), g), lit(0),
         (acc, b) => acc + when(v >= b, 1).otherwise(0))
     }
-    val withB = df.withColumn("__g", g).withColumn("__b", bucket)
+    val withB0 = df.withColumn("__g", g).withColumn("__b", bucket)
+    // materialize once: the count collect below builds the cache, the
+    // rank job reads it — identical rows for both (see scaladoc), one
+    // input scan instead of two
+    val withB = if (reuse)
+      withB0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else withB0
 
     // 3. exact per-bucket counts -> cumulative offsets (driver-side,
     //    bounded by |groups|·|buckets|)
     val cnt = withB.groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("c")).collect()
-    if (cnt.isEmpty)
+    if (cnt.isEmpty) {
+      if (reuse) withB.unpersist()
       return df.withColumn("ntile", lit(null).cast("long")).where(lit(false))
+    }
     require(cnt.forall(!_.isNullAt(0)),
       s"ntileExact: null $groupCol in input — coalesce to a sentinel first")
     val perGroup: Map[String, Seq[Long]] = cnt.groupBy(_.getString(0))

@@ -353,6 +353,7 @@ object StoreQueries {
     "q81_dpp" -> ((s, d) => {
       val base = Paths.get(sys.props("java.io.tmpdir"),
         s"graft-dpp-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run, no orphaned trees
       val ord = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           floor(col("o_totalprice")).cast("long").as("pi"))

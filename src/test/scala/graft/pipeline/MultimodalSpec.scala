@@ -220,6 +220,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undecodable"))
   }
 
+  test("VideoCodec rejects corrupt chunk sizes instead of hanging or walking out") {
+    // adversarial size fields in an otherwise-valid container: sz = -8
+    // makes the walk advance by 0 (infinite loop), other negatives walk
+    // backwards, oversized sizes recurse past the buffer
+    def withChunkSize(sz: Int): Array[Byte] = {
+      val avi = synthAvi(1L)
+      val bad = avi.clone()
+      // first chunk inside the RIFF body is the hdrl LIST at offset 12;
+      // its le32 size field sits at offset 16
+      bad(16) = (sz & 0xff).toByte
+      bad(17) = ((sz >> 8) & 0xff).toByte
+      bad(18) = ((sz >> 16) & 0xff).toByte
+      bad(19) = ((sz >> 24) & 0xff).toByte
+      bad
+    }
+    for (sz <- Seq(-8, -1, Int.MinValue, Int.MaxValue)) {
+      val e = intercept[IllegalArgumentException] {
+        VideoCodec.decode(withChunkSize(sz), "avi")
+      }
+      assert(e.getMessage.contains("corrupt chunk"), s"size $sz")
+    }
+  }
+
   test("real image features feed LSH near-dup search: planted duplicates found") {
     import org.apache.spark.sql.functions.col
     // ids 0..19 but pixels keyed on id % 10: each image 0..9 appears

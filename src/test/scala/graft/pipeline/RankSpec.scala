@@ -79,6 +79,26 @@ class RankSpec extends AnyFunSuite {
     assert(out.columns.contains("ntile") && out.count() === 0)
   }
 
+  test("reserved column names are rejected, not silently overwritten") {
+    for (bad <- Seq("__g", "__b", "__lr", "ntile")) {
+      val df = Seq(("a", 1.0, 1L, 9)).toDF("g", "v", "id", bad)
+      val e = intercept[IllegalArgumentException] {
+        Rank.ntileExact(df, "g", "v", "id", 2)
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
+
+  test("reuse=false still ranks correctly on deterministic input") {
+    val df = (1 to 100).map(i => (s"g${i % 3}", (i * 37 % 101).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val a = Rank.ntileExact(df, "g", "v", "id", 4)
+      .select("g", "id", "ntile").collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Rank.ntileExact(df, "g", "v", "id", 4, reuse = false)
+      .select("g", "id", "ntile").collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
   test("null group keys fail loudly") {
     val df = Seq((Option.empty[String], 1.0, 1L)).toDF("g", "v", "id")
     val e = intercept[IllegalArgumentException] {
