@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale curves for the pairing operators (MinHash/LSH
+  * near-dup, connected-components clustering, hyperplane-LSH ANN,
+  * corpus pruning): the subquadratic claims (banded buckets, Σbucket²
+  * ≈ N√N, CC rounds = diameter) are design arguments — this main
+  * turns them into NUMBERS by timing each operator at three corpus
+  * sizes (sf0.01, sf0.1, and a synthetic 4× sf0.1) and fitting the
+  * scaling exponent α in t ∝ n^α. An all-pairs operator would show
+  * α → 2 between the two largest points; every operator here must
+  * stay well under that.
+  *
+  * The ×4 corpus preserves the duplicate STRUCTURE of the original
+  * instead of fabricating new collisions: each replica applies a
+  * bijective per-replica character rotation to text (shingle
+  * relations inside a replica are exactly the original corpus's;
+  * replicas are mutually dissimilar) and a per-replica sign-flip
+  * pattern to embeddings (an isometry — within-replica cosine
+  * geometry unchanged; replica directions decorrelated). Output size
+  * therefore grows 4×, not 16×, and runtime growth measures the
+  * OPERATOR, not an artifact of planted cross-replica duplicates.
+  *
+  * Prints one JSON line and writes SCALE_CURVE.md.
+  */
+object ScaleCurve {
+
+  private def rot(n: Int): String = {
+    val a = "abcdefghijklmnopqrstuvwxyz"
+    a.drop(n) + a.take(n)
+  }
+
+  /** Replica-salted 4× corpus dirs (documents + embeddings parquet). */
+  private def buildX4(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docsX4 = (0 until 4).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + r * 10000000L).as("doc_id"),
+        translate(col("text"),
+          "abcdefghijklmnopqrstuvwxyz", rot(7 * r % 26)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    docsX4.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val embsX4 = (0 until 4).map { r =>
+      if (r == 0) embs
+      else embs.select(
+        (col("vec_id") + r * 10000000L).as("vec_id"),
+        expr(("cast(transform(embedding, (x, i) -> x * (CASE WHEN " +
+          s"pmod(i * 2654435761 + $r * (i + 3), 4) < 2 " +
+          "THEN 1.0D ELSE -1.0D END)) AS array<float>)")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    embsX4.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sfSmall = "/root/testdata/sf0.01"
+    val sfBig = "/root/testdata/sf0.1"
+    val x4 = sys.props("java.io.tmpdir") +
+      s"/graft-scale-x4-${ProcessHandle.current().pid()}"
+    Fs.deleteRecursively(java.nio.file.Paths.get(x4))
+    buildX4(spark, sfBig, x4)
+
+    val ops = Seq( // (name, size-carrying table)
+      "q17_minhash_neardup" -> "documents",
+      "q38_neardup_clusters" -> "documents",
+      "q88_neardup_prune" -> "documents",
+      "q63_ann_lsh" -> "embeddings")
+    val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
+    val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
+      label -> Map(
+        "documents" -> spark.read.parquet(s"$dir/documents.parquet").count(),
+        "embeddings" -> spark.read.parquet(s"$dir/embeddings.parquet").count())
+    }.toMap
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup: JIT + codegen at the smallest SF, untimed
+    ops.foreach { case (name, _) => time(name, "/root/testdata/sf0.001") }
+
+    val results = ops.map { case (name, table) =>
+      val ts = points.map { case (label, dir) =>
+        label -> (1 to reps).map(_ => time(name, dir)).min
+      }
+      val ns = points.map { case (label, _) => sizes(label)(table).toDouble }
+      val ls = ts.map(_._2)
+      // least-squares slope of ln t over ln n (3 points)...
+      val (xs, ys) = (ns.map(math.log), ls.map(math.log))
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val fit = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      // ...and the large-end pairwise slope (fixed costs amortized —
+      // the honest number for "would this survive another 10x")
+      val tail = math.log(ls(2) / ls(1)) / math.log(ns(2) / ns(1))
+      (name, ts, ns, fit, tail)
+    }
+
+    val md = new StringBuilder
+    md ++= "# SCALE_CURVE — measured scaling of the pairing operators\n\n"
+    md ++= "Generated by `graft.ScaleCurve` (min of " + reps + " reps per " +
+      "point, local[" + cpus + "]). `alpha_fit` is the least-squares\n" +
+      "exponent of t ∝ n^α over all three corpus sizes; `alpha_tail` " +
+      "is the\nsf0.1 → sf0.1×4 slope (fixed costs amortized — the " +
+      "number that predicts\nthe next 10×). All-pairs behavior would " +
+      "be α ≈ 2.\n\n"
+    md ++= "| operator | n (rows) | t sf0.01 | t sf0.1 | t sf0.1x4 | alpha_fit | alpha_tail |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
+    results.foreach { case (name, ts, ns, fit, tail) =>
+      md ++= f"| $name | ${ns.map(_.toLong).mkString(" / ")} " +
+        ts.map(t => f"| ${t._2}%.2f s ").mkString +
+        f"| $fit%.2f | $tail%.2f |\n"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_CURVE.md"),
+      md.toString.getBytes("UTF-8"))
+    val json = results.map { case (name, _, _, fit, tail) =>
+      f""""$name":{"alpha_fit":$fit%.3f,"alpha_tail":$tail%.3f}"""
+    }.mkString("{\"metric\":\"scale_exponents\",", ",", "}")
+    println(json)
+    Fs.deleteRecursively(java.nio.file.Paths.get(x4))
+    spark.stop()
+  }
+}
