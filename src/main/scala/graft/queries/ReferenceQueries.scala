@@ -298,6 +298,50 @@ object ReferenceQueries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // Q92 — the same gap sessions through Spark's NATIVE session-window
+    // operator (`session_window` aggregation): q42 hand-rolls the gap
+    // logic with lag/sum windows and q75 re-computes it with custom
+    // flatMapGroupsWithState state — this is the built-in third engine,
+    // one `groupBy(session_window(...))` whose merge logic lives inside
+    // the SessionWindow physical aggregation (partition-local per user,
+    // no ordered window over the corpus). Semantics differ from q42 at
+    // the boundary on purpose: Spark merges sessions while the next
+    // event starts STRICTLY before current end, so a gap of exactly 6 h
+    // breaks here (>=) where q42's lag test (>) does not — the oracle
+    // encodes the native operator's rule. Session end = last event + gap.
+    "q92_session_native" -> ((s, d) =>
+      events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("t"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sv"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_start_us"),
+          unix_micros(col("session_window.end")).as("s_end_us"),
+          col("n_events"), col("sv"))
+        .orderBy("user_id", "s_start_us")),
+
+    // Q97 — approx-quantile next to q41's exact percentiles, closing
+    // the sketch family (q21 HLL distinct, q95 count-min counts, q97
+    // GK/KLL ranks): the exact p50 is hashed, and percentile_approx's
+    // sketch answer is asserted in-band — between the exact values at
+    // rank p±0.05, a 50× cushion over the sketch's 1/accuracy = 0.001
+    // rank-error guarantee — rather than hashed, because the merged
+    // sketch's exact output is engine- and partition-layout-specific.
+    // At 100 TB the sketch is the only viable path: fixed-size state,
+    // partial-agg merged, one pass (exact percentile sorts every group).
+    "q97_approx_quantile" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+          expr("percentile_approx(value, 0.5D, 1000)").as("__est"),
+          expr("percentile(value, 0.45D)").as("__lo"),
+          expr("percentile(value, 0.55D)").as("__hi"))
+        .select(col("event_type"), col("p50_exact"),
+          (col("__est") >= col("__lo") && col("__est") <= col("__hi"))
+            .as("est_in_band"))
+        .orderBy("event_type")),
+
     // Q12 — query-layer hash aggregate (§2.4)
     "q12_agg" -> ((s, d) =>
       events(s, d)
@@ -489,6 +533,28 @@ object ReferenceQueries {
         "SELECT user_id, session_idx, COUNT(*) AS n_events, " +
         "MIN(tns) // 1000 AS ts_start_us, MAX(tns) // 1000 AS ts_end_us " +
         "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+    // native session_window rule: break at gap >= 6h (see q92 comment);
+    // end = last event + gap. Ties at equal µs don't affect membership
+    // (diff 0 < gap regardless of tie order), so lag over tus is safe.
+    "q92_session_native" ->
+      ("WITH o AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS tus " +
+        "FROM events), " +
+        "m AS (SELECT *, CASE WHEN tus - lag(tus) OVER " +
+        "(PARTITION BY user_id ORDER BY tus) >= 21600000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM o), " +
+        "s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY tus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS sid FROM m) " +
+        "SELECT user_id, MIN(tus) AS s_start_us, " +
+        "MAX(tus) + 21600000000 AS s_end_us, COUNT(*) AS n_events, " +
+        "ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sv " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"),
+    // the estimate is engine-specific, so it is asserted (rank band ->
+    // boolean), not hashed; the exact percentile IS hashed (q21 pattern)
+    "q97_approx_quantile" ->
+      ("SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50_exact, " +
+        "TRUE AS est_in_band FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q24_multijoin_topk" ->
       ("SELECT o.o_orderkey, " +
         "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue " +
