@@ -66,6 +66,53 @@ object Pack {
       .drop("__blk", "__blkoff")
   }
 
+  /** Grouped variant of [[withGlobalOffset]]: adds `__start` = exclusive
+    * prefix sum of `valueCol` WITHIN each `groupCol` value, in ascending
+    * (`ordCol`, `idCol`) order — the running-budget primitive behind
+    * per-source token-budget selection (q93).
+    *
+    * Same two-level shape, keyed by (group, block): block boundaries cut
+    * the `ordCol` VALUE range (`ordCol div blockWidth`), so they are
+    * data-determined and layout-independent. The only ordered window
+    * runs over the (group × occupied-block) totals — |groups| ·
+    * (ordRange/blockWidth) rows, partitioned by group — and the per-row
+    * cumsum window is partitioned by (group, block). Nothing is ordered
+    * across a whole group, so one giant source can't serialize into a
+    * single task the way a plain `PARTITION BY group ORDER BY ord`
+    * window would.
+    *
+    * `ordCol` must be numeric and non-negative (div truncates toward
+    * zero — negatives would land blocks out of order); (`ordCol`,
+    * `idCol`) must be unique per group for a deterministic order.
+    */
+  def withGroupedOffset(df: DataFrame, groupCol: String, ordCol: Column,
+      idCol: String, valueCol: String, blockWidth: Long): DataFrame = {
+    require(blockWidth > 0, "blockWidth must be positive")
+    val reserved = Seq("__ord", "__blk", "__blkoff", "__start")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input column $c collides with a reserved working column"))
+    val withBlk = df
+      .withColumn("__ord", ordCol.cast("long"))
+      .withColumn("__blk", expr(s"__ord div ${blockWidth}L"))
+    val totals = withBlk.groupBy(groupCol, "__blk")
+      .agg(sum(col(valueCol).cast("long")).as("__tot"))
+    // the one ordered window: per group over its occupied blocks only
+    val wPrefix = Window.partitionBy(groupCol).orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = totals
+      .withColumn("__blkoff", coalesce(sum("__tot").over(wPrefix), lit(0L)))
+      .select(col(groupCol), col("__blk"), col("__blkoff"))
+    val wLocal = Window.partitionBy(groupCol, "__blk")
+      .orderBy(col("__ord"), col(idCol))
+    withBlk
+      .join(broadcast(prefixes), Seq(groupCol, "__blk"))
+      .withColumn("__start",
+        col("__blkoff")
+          + sum(col(valueCol).cast("long")).over(wLocal)
+          - col(valueCol).cast("long"))
+      .drop("__ord", "__blk", "__blkoff")
+  }
+
   /** Packs documents into fixed-`capacity` token chunks: output one row
     * per (document, chunk) occupancy — `chunk_id` and `n_tok`, the
     * number of this document's tokens landing in that chunk. A document

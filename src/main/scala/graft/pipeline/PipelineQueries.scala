@@ -702,6 +702,29 @@ object PipelineQueries {
         .select(col("user_id") +:
           types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
         .orderBy("user_id")
+    }),
+
+    // q93 — per-source TOKEN-BUDGET selection: each source contributes
+    // documents in a deterministic md5-shuffled order until its char
+    // budget (4000) fills; a doc is kept only if it fits entirely. This
+    // is the "give me N tokens per domain" cut a corpus-mixing run
+    // makes after q43's rate mixing — a running budget, not a count or
+    // rate, so it needs the per-group prefix sum. Pack.withGroupedOffset
+    // runs it as a two-level block prefix sum keyed by (source, ord
+    // block): no window is ever ordered across a whole source, so one
+    // giant domain can't serialize into a single task at 100 TB.
+    "q93_token_budget" -> ((s, d) => {
+      // uniform deterministic order key: first 8 md5 hex chars of the
+      // doc id — same construction q43/q62 use, so blocks stay balanced
+      val ord = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as long)")
+      Pack.withGroupedOffset(
+        docs(s, d).select("doc_id", "source", "n_chars"),
+        "source", ord, "doc_id", "n_chars", blockWidth = 1L << 26)
+        .where(col("__start") + col("n_chars") <= 4000)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("__start").as("start_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1261,6 +1284,18 @@ object PipelineQueries {
           s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) " +
             s"AS n_$t").mkString(", ") +
         " FROM events GROUP BY user_id ORDER BY user_id"
-    }
+    },
+    // plain per-source windowed cumsum — the two-level block prefix sum
+    // must agree with it exactly (same invariant PipelineSpec pins for
+    // withGlobalOffset vs the naive global window)
+    "q93_token_budget" ->
+      ("WITH o AS (SELECT doc_id, source, n_chars, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS ord " +
+        "FROM documents), " +
+        "c AS (SELECT *, CAST(SUM(n_chars) OVER (PARTITION BY source " +
+        "ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "- n_chars AS BIGINT) AS start_chars FROM o) " +
+        "SELECT doc_id, source, n_chars, start_chars FROM c " +
+        "WHERE start_chars + n_chars <= 4000 ORDER BY doc_id")
   )
 }

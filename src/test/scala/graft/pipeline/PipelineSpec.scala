@@ -226,6 +226,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped offset equals a naive per-group cumsum, across blocks") {
+    // two groups interleaved, ord values spanning several width-10
+    // blocks, one duplicate ord per group to exercise the id tie-break
+    val df = (0L until 60L)
+      .map(i => (if (i % 2 == 0) "g1" else "g2", (i * 7) % 40, i, (i % 5) + 1))
+      .toDF("grp", "ord", "id", "n")
+    val got = Pack.withGroupedOffset(df, "grp", col("ord"), "id", "n",
+      blockWidth = 10)
+      .select("grp", "ord", "id", "n", "__start")
+      .orderBy("grp", "ord", "id").collect()
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    got.foreach { r =>
+      val g = r.getString(0)
+      assert(r.getLong(4) === running.getOrElse(g, 0L),
+        s"offset wrong at grp=$g id=${r.getLong(2)}")
+      running(g) = running.getOrElse(g, 0L) + r.getLong(3)
+    }
+    // reserved working columns are rejected loudly, not overwritten
+    intercept[IllegalArgumentException] {
+      Pack.withGroupedOffset(df.withColumn("__start", lit(1)),
+        "grp", col("ord"), "id", "n", blockWidth = 10)
+    }
+  }
+
   test("concat-and-chunk packing splits straddling docs exactly") {
     // capacity 4: starts 0,3,7 -> doc2 straddles chunks 0/1, doc3 1/2
     val df = Seq((1L, 3L), (2L, 4L), (3L, 2L)).toDF("doc_id", "n_tok_doc")
