@@ -145,6 +145,50 @@ object StoreQueries {
       s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
     }),
 
+    // q94 — SLIDING (hopping) event-time windows through the same
+    // multi-batch streaming harness as q44's tumbling twin: each event
+    // lands in 3 overlapping (3-day window, 1-day slide) buckets, so
+    // the streaming agg state holds ~3× the tumbling row count and
+    // every micro-batch updates windows opened by earlier batches.
+    // Spark expands the window set scan-side (one row per covering
+    // window — a fixed ×3 fan-out, no shuffle amplification beyond the
+    // agg exchange itself); state size is bounded by (windows ×
+    // event_types), independent of input rows. The oracle replicates
+    // the epoch-aligned window arithmetic with a generate_series cross
+    // join.
+    "q94_stream_sliding" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-sliding-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val events = Tables.load(s, d, "events")
+        .select("event_id", "ts", "event_type", "value") // ts: ns epoch
+        .repartition(2) // 2 part files -> 2 micro-batches
+      Topic.produce(events, s"$base/topic")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+      val parsed = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j"))
+        .select("j.*")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val agged = parsed
+        .groupBy(window(col("t"), "3 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv0"))
+        .select(unix_micros(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), round(col("sv0"), 6).as("sv"))
+      val q = withShufflePartitions(s, 8) {
+        agged.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
+    }),
+
     // q47 — stream-STREAM inner join with an event-time range
     // condition: the q45 interval join computed by two live streams
     // joining against each other's buffered state across micro-batches
@@ -832,6 +876,19 @@ object StoreQueries {
       ("SELECT (epoch_ns(ts) // 1000) // 86400000000 * 86400000000 AS w_start, " +
         "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
+
+    // the streamed sliding-window aggregation must equal the batch
+    // expansion: each event replicated into the 3 epoch-aligned
+    // (3-day, 1-day-slide) windows covering it
+    "q94_stream_sliding" ->
+      ("WITH e AS (SELECT event_type, value, " +
+        "(epoch_ns(ts) // 1000) // 86400000000 AS day FROM events), " +
+        "x AS (SELECT event_type, value, " +
+        "(day - unnest(generate_series(0, 2))) * 86400000000 AS w_start " +
+        "FROM e) " +
+        "SELECT w_start, event_type, COUNT(*) AS n, " +
+        "ROUND(SUM(value), 6) AS sv " +
+        "FROM x GROUP BY 1, 2 ORDER BY w_start, event_type"),
 
     // the stream-stream join must land exactly the batch answer over
     // the same 25% user subset
