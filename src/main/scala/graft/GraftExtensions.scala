@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.functions.{DotProduct, MinHashSig, ShingleJaccard, SimHash32, TextStats, WinnowFps, WordShingles}
+import graft.functions.{CmsSketch, DotProduct, MinHashSig, ShingleJaccard, SimHash32, TextStats, WinnowFps, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -75,6 +75,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           WinnowFps(text, sl, w)
         case _ => throw new IllegalArgumentException(
           "usage: winnow_fps(text, shingleLen int literal, window int literal)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tok, IntegerLiteral(d), IntegerLiteral(w)) =>
+          CmsSketch(tok, d, w)
+        case _ => throw new IllegalArgumentException(
+          "usage: cms_sketch(token, depth int literal, width int literal)")
       }))
     extensions.injectFunction((
       new FunctionIdentifier("text_stats"),

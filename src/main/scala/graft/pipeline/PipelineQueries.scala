@@ -725,6 +725,36 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("__start").as("start_chars"))
         .orderBy("doc_id")
+    }),
+
+    // q95 — count-min-sketch heavy hitters: the corpus token stream
+    // folded into ONE fixed-size 4×256 counter grid (native
+    // TypedImperativeAggregate, merged cell-wise under partial agg — the
+    // exchange carries one 8 KiB grid per partition, never token rows),
+    // then the exact top-20 tokens probed against it. The sketch is
+    // bit-deterministic (md5 hash family, commutative counts), so the
+    // ESTIMATES are hashed against a DuckDB cell-grid reconstruction —
+    // not just banded — and the CMS guarantee est >= exact rides along
+    // as an in-band boolean. This is the frequency member of the sketch
+    // family: q21 HLL (distinct), q95 CMS (counts), q97 GK (ranks).
+    "q95_cms_heavy_hitters" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val sketch = toks.agg(expr("cms_sketch(token, 4, 256)").as("cells"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+      // declarative probe: min_j cells[j*width + h_j(token)], the same
+      // md5-prefix hash family the sketch uses internally
+      val probe = expr(
+        "array_min(transform(sequence(0, 3), j -> element_at(cells, " +
+          "cast(j * 256 + cast(conv(substring(md5(concat(" +
+          "cast(j as string), ':', token)), 1, 8), 16, 10) as bigint) % 256 " +
+          "+ 1 as int))))")
+      exact.crossJoin(broadcast(sketch))
+        .withColumn("est", probe)
+        .select(col("token"), col("n"), col("est"),
+          (col("est") >= col("n")).as("never_under"))
+        .orderBy(col("n").desc, col("token"))
     })
   )
 
@@ -1296,6 +1326,24 @@ object PipelineQueries {
         "ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "- n_chars AS BIGINT) AS start_chars FROM o) " +
         "SELECT doc_id, source, n_chars, start_chars FROM c " +
-        "WHERE start_chars + n_chars <= 4000 ORDER BY doc_id")
+        "WHERE start_chars + n_chars <= 4000 ORDER BY doc_id"),
+    // cell-grid reconstruction: the sketch is deterministic (md5 hash
+    // family, commutative cell sums), so the estimates hash-match a
+    // group-by rebuild of the same 4×256 grid
+    "q95_cms_heavy_hitters" ->
+      (s"WITH nn AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
+        "t AS (SELECT unnest(string_split(ntext, ' ')) AS token FROM nn), " +
+        "js AS (SELECT unnest(range(0, 4)) AS j), " +
+        "cells AS (SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) " +
+        "|| ':' || token), 1, 8))::BIGINT % 256 AS cell, COUNT(*) AS c " +
+        "FROM t, js GROUP BY 1, 2), " +
+        "exact AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token " +
+        "ORDER BY n DESC, token LIMIT 20), " +
+        "ph AS (SELECT e.token, e.n, js.j, ('0x' || substr(md5(" +
+        "CAST(js.j AS VARCHAR) || ':' || e.token), 1, 8))::BIGINT % 256 " +
+        "AS cell FROM exact e, js) " +
+        "SELECT ph.token, ph.n, CAST(MIN(c.c) AS BIGINT) AS est, " +
+        "TRUE AS never_under FROM ph JOIN cells c USING (j, cell) " +
+        "GROUP BY ph.token, ph.n ORDER BY ph.n DESC, ph.token")
   )
 }
