@@ -755,6 +755,31 @@ object PipelineQueries {
         .select(col("token"), col("n"), col("est"),
           (col("est") >= col("n")).as("never_under"))
         .orderBy(col("n").desc, col("token"))
+    }),
+
+    // q96 — SEMANTIC dedup end-to-end (the embedding-space analog of
+    // q88's text pruning, the SemDeDup recipe): corpus ∪ planted exact
+    // copies bucketed by nearest centroid, near-dup pairs found only
+    // WITHIN buckets (cosine >= 0.999, never all-pairs), transitive
+    // closure by the same diameter-bounded min-label propagation as
+    // q38, one surviving representative (min vec_id) + member count per
+    // semantic cluster. Every stage is the already-proven operator —
+    // IVF assignment (broadcast centroids), in-bucket pairing, CC, a
+    // partial-agg'd prune — composed into the pipeline a 100 TB
+    // embedding-dedup pass actually ships.
+    "q96_semantic_dedup" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val withDups = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("emb")))
+      val pairs = AnnIvf.nearDupPairs(withDups, e.where(col("vec_id") < 16),
+        threshold = 0.999)
+      Cluster.connectedComponents(
+        withDups.select("vec_id"), pairs, "vec_id", "id_a", "id_b")
+        .groupBy("cluster")
+        .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_members"))
+        .select("keep_id", "n_members")
+        .orderBy("keep_id")
     })
   )
 
@@ -1344,6 +1369,31 @@ object PipelineQueries {
         "AS cell FROM exact e, js) " +
         "SELECT ph.token, ph.n, CAST(MIN(c.c) AS BIGINT) AS est, " +
         "TRUE AS never_under FROM ph JOIN cells c USING (j, cell) " +
-        "GROUP BY ph.token, ph.n ORDER BY ph.n DESC, ph.token")
+        "GROUP BY ph.token, ph.n ORDER BY ph.n DESC, ph.token"),
+    // q25's IVF-bucketed pair chain + the q38/q88 recursive min-label
+    // closure, grouped to one representative per semantic cluster
+    "q96_semantic_dedup" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH RECURSIVE " +
+        "e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "e AS (SELECT * FROM e0 UNION ALL SELECT vec_id + 100000, emb FROM e0), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e0 WHERE vec_id < 16), " +
+        "assign AS (SELECT vec_id, emb, cid AS bucket FROM (" +
+        s"SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn FROM e, c) WHERE rn = 1), " +
+        "ver AS (SELECT id_a, id_b FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cos("a.emb", "b.emb")} AS sim " +
+        "FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "WHERE sim >= 0.999), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM ver " +
+        "UNION SELECT id_b, id_a FROM ver), " +
+        "cc(id, lbl) AS (SELECT vec_id, vec_id FROM e " +
+        "UNION SELECT ed.dst, c2.lbl FROM cc c2 JOIN edges ed ON ed.src = c2.id), " +
+        "lab AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id) " +
+        "SELECT min(id) AS keep_id, COUNT(*) AS n_members FROM lab " +
+        "GROUP BY cluster ORDER BY keep_id"
+    }
   )
 }
