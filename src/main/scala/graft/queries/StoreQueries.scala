@@ -189,6 +189,52 @@ object StoreQueries {
       s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
     }),
 
+    // q98 — the NATIVE streaming session-window operator: q92's gap
+    // sessions re-computed by a real multi-batch StreamingQuery through
+    // `groupBy(session_window(...))` — Spark's built-in merging session
+    // state (UpdatingSessions/MergingSessions), not the hand-rolled
+    // flatMapGroupsWithState twin (q75). The 2-file split forces
+    // sessions to MERGE ACROSS micro-batches: batch 2 events that land
+    // inside or adjacent to a batch-1 session must extend/merge it in
+    // the state store, and the final complete-mode emission must still
+    // hash-match the batch oracle. State is keyed by (user, session) —
+    // partition-parallel, bounded by active sessions, exactly the
+    // reference's changelog-normalize state shape but with merge.
+    "q98_stream_session_native" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-sessnative-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val events = Tables.load(s, d, "events")
+        .select("event_id", "ts", "user_id", "value") // ts: ns epoch
+        .repartition(2) // 2 part files -> 2 micro-batches
+      Topic.produce(events, s"$base/topic")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, value DOUBLE")
+      val parsed = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j"))
+        .select("j.*")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val agged = parsed
+        .groupBy(session_window(col("t"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv0"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_start_us"),
+          unix_micros(col("session_window.end")).as("s_end_us"),
+          col("n_events"), round(col("sv0"), 6).as("sv"))
+      val q = withShufflePartitions(s, 8) {
+        agged.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("user_id", "s_start_us")
+    }),
+
     // q47 — stream-STREAM inner join with an event-time range
     // condition: the q45 interval join computed by two live streams
     // joining against each other's buffered state across micro-batches
@@ -889,6 +935,22 @@ object StoreQueries {
         "SELECT w_start, event_type, COUNT(*) AS n, " +
         "ROUND(SUM(value), 6) AS sv " +
         "FROM x GROUP BY 1, 2 ORDER BY w_start, event_type"),
+
+    // the streamed native session windows must land exactly the q92
+    // batch answer: gap >= 6h splits, session end = last event + gap
+    "q98_stream_session_native" ->
+      ("WITH o AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS tus " +
+        "FROM events), " +
+        "m AS (SELECT *, CASE WHEN tus - lag(tus) OVER " +
+        "(PARTITION BY user_id ORDER BY tus) >= 21600000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM o), " +
+        "s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY tus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS sid FROM m) " +
+        "SELECT user_id, MIN(tus) AS s_start_us, " +
+        "MAX(tus) + 21600000000 AS s_end_us, COUNT(*) AS n_events, " +
+        "ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sv " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"),
 
     // the stream-stream join must land exactly the batch answer over
     // the same 25% user subset

@@ -278,6 +278,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q86 pays a global sort for its top-100:\n$p")
   }
 
+  test("token budget windows by (source, block), never a whole source") {
+    val p = plan("q93_token_budget")
+    // the per-row running budget must be partitioned by (source, ord
+    // block) — a window over the bare source would serialize each
+    // domain's corpus into one task
+    assert("windowspecdefinition\\(source#\\d+, __blk#\\d+L".r
+      .findFirstIn(p).isDefined,
+      s"q93 running budget lost its (source, block) partitioning:\n$p")
+    // block totals pre-aggregate map-side; prefixes come back broadcast
+    assert(p.contains("partial_sum"),
+      s"q93 block totals lost map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q93 block prefix join lost its broadcast:\n$p")
+  }
+
+  test("CMS sketch aggregates partially: the exchange carries grids, not tokens") {
+    val p = plan("q95_cms_heavy_hitters")
+    // the sketch is a TypedImperativeAggregate — it must plan as an
+    // ObjectHashAggregate with a map-side partial grid per partition
+    assert(p.contains("ObjectHashAggregate"),
+      s"q95 sketch left the object-agg path:\n$p")
+    assert(p.contains("partial_cms_sketch"),
+      s"q95 sketch lost map-side partial aggregation:\n$p")
+    // the single-row grid reaches the probe side without a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q95 grid probe lost its broadcast:\n$p")
+  }
+
   test("decile assignment windows by (group, range-bucket), never bare segment") {
     val p = plan("q74_ntile")
     // the scale-safe NTILE: local ranks within (group, bucket) — a
