@@ -780,6 +780,39 @@ object PipelineQueries {
         .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_members"))
         .select("keep_id", "n_members")
         .orderBy("keep_id")
+    }),
+
+    // q99 — TEMPERATURE-scaled corpus mixing (the multilingual-LM
+    // alpha-sampling recipe, next to q43's fixed rates and q93's hard
+    // budgets): per-source sampling rates derived from the data's own
+    // mass distribution, p_s ∝ mass_s^0.5, targeting ~200 docs total.
+    // The stats pass is one partial-agg groupBy over |sources| rows;
+    // rates broadcast back; the keep decision is the same scan-side
+    // md5-bucket test as q43 — the corpus itself never shuffles.
+    // Cross-engine float determinism: the sqrt weights are floored to
+    // integer MICRO-units before the normalizer sums them, so the only
+    // order-sensitive reduction is an exact integer sum; the remaining
+    // double arithmetic is the identical left-associated expression on
+    // both engines (each step IEEE-rounded from identical inputs).
+    "q99_temperature_mix" -> ((s, d) => {
+      val stats = docs(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("double").as("mass"))
+        .withColumn("wm",
+          floor(sqrt(col("mass")) * lit(1000000.0)).cast("long"))
+      val z = stats.agg(sum("wm").as("z"))
+      val rates = stats.crossJoin(broadcast(z))
+        .select(col("source"),
+          floor(lit(1000000.0) * lit(200.0) * col("wm")
+            / col("z").cast("double") / col("n_docs"))
+            .cast("long").as("ppm"))
+      docs(s, d)
+        .join(broadcast(rates), "source")
+        .where(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), " +
+          "16, 10) as bigint) % 1000000") < col("ppm"))
+        .select("doc_id", "source", "ppm")
+        .orderBy("doc_id")
     })
   )
 
@@ -1394,6 +1427,19 @@ object PipelineQueries {
         "lab AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id) " +
         "SELECT min(id) AS keep_id, COUNT(*) AS n_members FROM lab " +
         "GROUP BY cluster ORDER BY keep_id"
-    }
+    },
+    // identical left-associated double expression; the normalizer z is
+    // an exact integer sum of micro-unit weights (order-independent)
+    "q99_temperature_mix" ->
+      ("WITH st AS (SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS DOUBLE) AS mass FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n_docs, " +
+        "CAST(FLOOR(sqrt(mass) * 1000000.0) AS BIGINT) AS wm FROM st), " +
+        "z AS (SELECT CAST(SUM(wm) AS BIGINT) AS z FROM w), " +
+        "r AS (SELECT source, CAST(FLOOR(1000000.0 * 200.0 * wm " +
+        "/ CAST(z AS DOUBLE) / n_docs) AS BIGINT) AS ppm FROM w, z) " +
+        "SELECT d.doc_id, d.source, r.ppm FROM documents d JOIN r USING (source) " +
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT " +
+        "% 1000000 < ppm ORDER BY doc_id")
   )
 }

@@ -235,6 +235,26 @@ object StoreQueries {
       s.read.parquet(s"$base/out").orderBy("user_id", "s_start_us")
     }),
 
+    // q100 — ORC at rest (SURVEY.md §2.1 S8's second format, until now
+    // claimed-free but ungated): the events table written as ORC,
+    // read back through the vectorized ORC reader with the filter
+    // pushed to the scan, aggregated, and hash-matched against the
+    // same SQL over the parquet original — format round-trip fidelity,
+    // not just "the writer didn't crash".
+    "q100_orc_roundtrip" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-orc-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      Tables.load(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(base.toString)
+      s.read.orc(base.toString)
+        .where(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
+        .orderBy("user_id")
+    }),
+
     // q47 — stream-STREAM inner join with an event-time range
     // condition: the q45 interval join computed by two live streams
     // joining against each other's buffered state across micro-batches
@@ -951,6 +971,13 @@ object StoreQueries {
         "MAX(tus) + 21600000000 AS s_end_us, COUNT(*) AS n_events, " +
         "ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sv " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"),
+
+    // the ORC round-trip must equal the same aggregate over the
+    // parquet original
+    "q100_orc_roundtrip" ->
+      ("SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
+        "FROM events WHERE event_type = 'click' " +
+        "GROUP BY user_id ORDER BY user_id"),
 
     // the stream-stream join must land exactly the batch answer over
     // the same 25% user subset
