@@ -304,11 +304,13 @@ object ReferenceQueries {
     // flatMapGroupsWithState state — this is the built-in third engine,
     // one `groupBy(session_window(...))` whose merge logic lives inside
     // the SessionWindow physical aggregation (partition-local per user,
-    // no ordered window over the corpus). Semantics differ from q42 at
-    // the boundary on purpose: Spark merges sessions while the next
-    // event starts STRICTLY before current end, so a gap of exactly 6 h
-    // breaks here (>=) where q42's lag test (>) does not — the oracle
-    // encodes the native operator's rule. Session end = last event + gap.
+    // no ordered window over the corpus). Boundary rule (verified
+    // against the merge iterators and a live run): Spark merges while
+    // the next window's start <= current session end, so a gap of
+    // EXACTLY 6 h still merges and only a strictly greater gap splits —
+    // the same `>` break as q42's lag test. Session end = last event
+    // + gap (the two formulations differ in the emitted end column,
+    // not in membership).
     "q92_session_native" -> ((s, d) =>
       events(s, d)
         .withColumn("t", timestamp_micros(expr("ts div 1000")))
@@ -533,14 +535,15 @@ object ReferenceQueries {
         "SELECT user_id, session_idx, COUNT(*) AS n_events, " +
         "MIN(tns) // 1000 AS ts_start_us, MAX(tns) // 1000 AS ts_end_us " +
         "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
-    // native session_window rule: break at gap >= 6h (see q92 comment);
-    // end = last event + gap. Ties at equal µs don't affect membership
-    // (diff 0 < gap regardless of tie order), so lag over tus is safe.
+    // native session_window rule: a gap of exactly 6h still MERGES
+    // (split only at > 6h — see q92 comment); end = last event + gap.
+    // Ties at equal µs don't affect membership (diff 0 < gap regardless
+    // of tie order), so lag over tus is safe.
     "q92_session_native" ->
       ("WITH o AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS tus " +
         "FROM events), " +
         "m AS (SELECT *, CASE WHEN tus - lag(tus) OVER " +
-        "(PARTITION BY user_id ORDER BY tus) >= 21600000000 " +
+        "(PARTITION BY user_id ORDER BY tus) > 21600000000 " +
         "THEN 1 ELSE 0 END AS brk FROM o), " +
         "s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id " +
         "ORDER BY tus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +

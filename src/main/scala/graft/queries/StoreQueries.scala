@@ -54,6 +54,44 @@ object StoreQueries {
     try start finally s.conf.set(key, prev)
   }
 
+  /** Shared scaffold for the complete-mode streamed-aggregation gates
+    * (q44/q94/q98): produce the selected event columns to a topic in 2
+    * part files, stream them back with maxFilesPerTrigger=1 (forcing 2
+    * micro-batches so aggregation STATE carries across batches), apply
+    * `agg` to the parsed stream (which has the schema's columns plus
+    * `t`, the µs event-time timestamp), write each complete-mode
+    * emission over the previous one, and read back the final emission.
+    * Callers order the result.
+    */
+  private def streamedEventAgg(s: SparkSession, d: String, tag: String,
+      selectCols: Seq[String], schemaDdl: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    val base = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+    deleteRecursively(base) // idempotent per run
+    val events = Tables.load(s, d, "events")
+      .select(selectCols.map(col): _*) // ts: ns epoch
+      .repartition(2) // 2 part files -> 2 micro-batches
+    Topic.produce(events, s"$base/topic")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val parsed = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+      .select(from_json(col("value"), schema).as("j"))
+      .select("j.*")
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+    val q = withShufflePartitions(s, 8) {
+      agg(parsed).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$base/out")
+        }
+        .start()
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q20 — events changelog CDC-merged into the store (event_type
     // 'error' ≙ op 'd', latest-by-(ts, event_id) wins), read back by
@@ -112,38 +150,17 @@ object StoreQueries {
     // STATE across batches (complete mode re-emits the closed set each
     // batch; the last emission is read back). Puts the WindowedStats
     // surface — until now unit-only — under the DuckDB gate.
-    "q44_stream_window" -> ((s, d) => {
-      val base = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-stream-window-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
-      deleteRecursively(base) // idempotent per run
-      val events = Tables.load(s, d, "events")
-        .select("event_id", "ts", "event_type", "value") // ts: ns epoch
-        .repartition(2) // 2 part files -> 2 micro-batches
-      Topic.produce(events, s"$base/topic")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
-      val parsed = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
-        .select(from_json(col("value"), schema).as("j"))
-        .select("j.*")
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
-      val agged = parsed
-        .groupBy(window(col("t"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv0"))
-        .select(unix_micros(col("window.start")).as("w_start"),
-          col("event_type"), col("n"), round(col("sv0"), 6).as("sv"))
-      val q = withShufflePartitions(s, 8) {
-        agged.writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", s"$base/cp")
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(s"$base/out")
-          }
-          .start()
-      }
-      q.awaitTermination()
-      s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
-    }),
+    "q44_stream_window" -> ((s, d) =>
+      streamedEventAgg(s, d, "stream-window",
+        Seq("event_id", "ts", "event_type", "value"),
+        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE") {
+        parsed =>
+          parsed
+            .groupBy(window(col("t"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sv0"))
+            .select(unix_micros(col("window.start")).as("w_start"),
+              col("event_type"), col("n"), round(col("sv0"), 6).as("sv"))
+      }.orderBy("w_start", "event_type")),
 
     // q94 — SLIDING (hopping) event-time windows through the same
     // multi-batch streaming harness as q44's tumbling twin: each event
@@ -156,38 +173,17 @@ object StoreQueries {
     // event_types), independent of input rows. The oracle replicates
     // the epoch-aligned window arithmetic with a generate_series cross
     // join.
-    "q94_stream_sliding" -> ((s, d) => {
-      val base = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-stream-sliding-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
-      deleteRecursively(base) // idempotent per run
-      val events = Tables.load(s, d, "events")
-        .select("event_id", "ts", "event_type", "value") // ts: ns epoch
-        .repartition(2) // 2 part files -> 2 micro-batches
-      Topic.produce(events, s"$base/topic")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
-      val parsed = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
-        .select(from_json(col("value"), schema).as("j"))
-        .select("j.*")
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
-      val agged = parsed
-        .groupBy(window(col("t"), "3 days", "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv0"))
-        .select(unix_micros(col("window.start")).as("w_start"),
-          col("event_type"), col("n"), round(col("sv0"), 6).as("sv"))
-      val q = withShufflePartitions(s, 8) {
-        agged.writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", s"$base/cp")
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(s"$base/out")
-          }
-          .start()
-      }
-      q.awaitTermination()
-      s.read.parquet(s"$base/out").orderBy("w_start", "event_type")
-    }),
+    "q94_stream_sliding" -> ((s, d) =>
+      streamedEventAgg(s, d, "stream-sliding",
+        Seq("event_id", "ts", "event_type", "value"),
+        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE") {
+        parsed =>
+          parsed
+            .groupBy(window(col("t"), "3 days", "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sv0"))
+            .select(unix_micros(col("window.start")).as("w_start"),
+              col("event_type"), col("n"), round(col("sv0"), 6).as("sv"))
+      }.orderBy("w_start", "event_type")),
 
     // q98 — the NATIVE streaming session-window operator: q92's gap
     // sessions re-computed by a real multi-batch StreamingQuery through
@@ -200,40 +196,19 @@ object StoreQueries {
     // hash-match the batch oracle. State is keyed by (user, session) —
     // partition-parallel, bounded by active sessions, exactly the
     // reference's changelog-normalize state shape but with merge.
-    "q98_stream_session_native" -> ((s, d) => {
-      val base = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-stream-sessnative-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
-      deleteRecursively(base) // idempotent per run
-      val events = Tables.load(s, d, "events")
-        .select("event_id", "ts", "user_id", "value") // ts: ns epoch
-        .repartition(2) // 2 part files -> 2 micro-batches
-      Topic.produce(events, s"$base/topic")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, value DOUBLE")
-      val parsed = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
-        .select(from_json(col("value"), schema).as("j"))
-        .select("j.*")
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
-      val agged = parsed
-        .groupBy(session_window(col("t"), "6 hours"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv0"))
-        .select(col("user_id"),
-          unix_micros(col("session_window.start")).as("s_start_us"),
-          unix_micros(col("session_window.end")).as("s_end_us"),
-          col("n_events"), round(col("sv0"), 6).as("sv"))
-      val q = withShufflePartitions(s, 8) {
-        agged.writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", s"$base/cp")
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(s"$base/out")
-          }
-          .start()
-      }
-      q.awaitTermination()
-      s.read.parquet(s"$base/out").orderBy("user_id", "s_start_us")
-    }),
+    "q98_stream_session_native" -> ((s, d) =>
+      streamedEventAgg(s, d, "stream-sessnative",
+        Seq("event_id", "ts", "user_id", "value"),
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, value DOUBLE") {
+        parsed =>
+          parsed
+            .groupBy(session_window(col("t"), "6 hours"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv0"))
+            .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("s_start_us"),
+              unix_micros(col("session_window.end")).as("s_end_us"),
+              col("n_events"), round(col("sv0"), 6).as("sv"))
+      }.orderBy("user_id", "s_start_us")),
 
     // q100 — ORC at rest (SURVEY.md §2.1 S8's second format, until now
     // claimed-free but ungated): the events table written as ORC,
@@ -957,12 +932,13 @@ object StoreQueries {
         "FROM x GROUP BY 1, 2 ORDER BY w_start, event_type"),
 
     // the streamed native session windows must land exactly the q92
-    // batch answer: gap >= 6h splits, session end = last event + gap
+    // batch answer: an exactly-6h gap still merges (split only at
+    // > 6h), session end = last event + gap
     "q98_stream_session_native" ->
       ("WITH o AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS tus " +
         "FROM events), " +
         "m AS (SELECT *, CASE WHEN tus - lag(tus) OVER " +
-        "(PARTITION BY user_id ORDER BY tus) >= 21600000000 " +
+        "(PARTITION BY user_id ORDER BY tus) > 21600000000 " +
         "THEN 1 ELSE 0 END AS brk FROM o), " +
         "s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id " +
         "ORDER BY tus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +

@@ -283,7 +283,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // the per-row running budget must be partitioned by (source, ord
     // block) — a window over the bare source would serialize each
     // domain's corpus into one task
-    assert("windowspecdefinition\\(source#\\d+, __blk#\\d+L".r
+    // anchor to the PER-ROW window (partition cols source, __blk then
+    // order col __ord): the block-prefix window also starts with
+    // "source#N, __blk#ML" but there __blk is an ORDER col followed by
+    // " ASC", so requiring ", __ord#" right after distinguishes them
+    assert("windowspecdefinition\\(source#\\d+, __blk#\\d+L, __ord#".r
       .findFirstIn(p).isDefined,
       s"q93 running budget lost its (source, block) partitioning:\n$p")
     // block totals pre-aggregate map-side; prefixes come back broadcast
