@@ -204,4 +204,73 @@ class StreamRestartSpec extends AnyFunSuite {
     assert(chainResult(s"$base/kr/out") === expected,
       "restarted run must reload both aggregation layers' state + watermark")
   }
+
+  // ---- q98 shape: native session-window aggregation (MERGING state) ----
+
+  private def sessionQuery(topic: String, cp: String, out: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, t_us BIGINT")
+    val parsed = Topic.stream(spark, topic, maxFilesPerTrigger = Some(1))
+      .select(from_json(col("value"), schema).as("j"))
+      .select("j.*")
+      .withColumn("t", timestamp_micros(col("t_us")))
+    val sess = parsed
+      .groupBy(session_window(col("t"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s0"),
+        unix_micros(col("session_window.end")).as("s1"), col("n"))
+    val q = withShufflePartitions(4) {
+      sess.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .start()
+    }
+    q.awaitTermination()
+  }
+
+  private def sessResult(out: String): Seq[(Long, Long, Long, Long)] =
+    spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+  test("native session windows: kill with sessions open, restart merges into restored state") {
+    val base = Files.createTempDirectory("graft-restart-session")
+    // users 0..3: a 3-event session (0,1,2 h) and a later 2-event
+    // session (10,11 h — the 8 h gap splits); user 9: two events
+    // EXACTLY 6 h apart — the boundary rule says they merge
+    val rows = (for (u <- 0L until 4L; h <- Seq(0L, 1L, 2L, 10L, 11L))
+      yield (u, h * hourUs)) ++ Seq((9L, 0L), (9L, 6L * hourUs))
+    val df = rows.toDF("user_id", "t_us")
+    // the cut lands INSIDE the first session: its 2 h event (and user
+    // 9's boundary event) only arrive after the restart, so they must
+    // merge into sessions reloaded from the checkpointed state
+    val cutUs = 2L * hourUs
+
+    locally { // uninterrupted twin
+      val topic = s"$base/full/topic"
+      Topic.produce(df.where(col("t_us") < cutUs).coalesce(1), topic)
+      Topic.produce(df.where(col("t_us") >= cutUs).coalesce(1), topic)
+      sessionQuery(topic, s"$base/full/cp", s"$base/full/out")
+    }
+    val expected = sessResult(s"$base/full/out")
+    assert(expected.size === 9, "4 users x 2 sessions + user 9's merged one")
+    assert(expected.filter(_._1 == 9L) ===
+      Seq((9L, 0L, 12L * hourUs, 2L)),
+      "an exactly-6h gap must MERGE (split is strictly greater only)")
+
+    val topic = s"$base/kr/topic"
+    Topic.produce(df.where(col("t_us") < cutUs).coalesce(1), topic)
+    sessionQuery(topic, s"$base/kr/cp", s"$base/kr/out") // phase 1, then die
+    assert(sessResult(s"$base/kr/out") !== expected,
+      "the kill must land while sessions are still open")
+    Topic.produce(df.where(col("t_us") >= cutUs).coalesce(1), topic)
+    sessionQuery(topic, s"$base/kr/cp", s"$base/kr/out") // restart, same cp
+    assert(sessResult(s"$base/kr/out") === expected,
+      "restarted run must merge new events into the restored session state")
+  }
 }
