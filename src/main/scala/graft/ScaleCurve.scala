@@ -82,7 +82,8 @@ object ScaleCurve {
       "q17_minhash_neardup" -> "documents",
       "q38_neardup_clusters" -> "documents",
       "q88_neardup_prune" -> "documents",
-      "q63_ann_lsh" -> "embeddings")
+      "q63_ann_lsh" -> "embeddings",
+      "q96_semantic_dedup" -> "embeddings")
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(

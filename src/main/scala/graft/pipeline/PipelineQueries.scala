@@ -813,6 +813,30 @@ object PipelineQueries {
           "16, 10) as bigint) % 1000000") < col("ppm"))
         .select("doc_id", "source", "ppm")
         .orderBy("doc_id")
+    }),
+
+    // q101 — per-document duplicated-span ratio (the boilerplate /
+    // memorization-contamination score next to q86's global span
+    // mining): for each doc, the fraction of its 3-gram span
+    // OCCURRENCES that also appear in at least one other document —
+    // the per-row signal a curation pass thresholds on, where q86
+    // ranks the spans themselves. Shape: scan-side explode; span →
+    // distinct-doc counts as the two-level distinct agg (the shuffle
+    // carries deduplicated (span, doc) pairs); counts join back to
+    // the span stream by span (linear hash join, no pairs); final
+    // per-doc partial-agg groupBy. Text never shuffles.
+    "q101_span_novelty" -> ((s, d) => {
+      val spans = docs(s, d)
+        .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("sh"))
+      val counts = spans.groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      spans.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_spans") / col("n_spans").cast("double"), 6))
+        .orderBy("doc_id")
     })
   )
 
@@ -1440,6 +1464,22 @@ object PipelineQueries {
         "/ CAST(z AS DOUBLE) / n_docs) AS BIGINT) AS ppm FROM w, z) " +
         "SELECT d.doc_id, d.source, r.ppm FROM documents d JOIN r USING (source) " +
         "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT " +
-        "% 1000000 < ppm ORDER BY doc_id")
+        "% 1000000 < ppm ORDER BY doc_id"),
+    // same 3-gram span construction as the q86 oracle, joined back to
+    // the span stream for the per-document occurrence ratio
+    "q101_span_novelty" ->
+      (s"WITH nn AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
+        "tk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM nn), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks) - 1), " +
+        "i -> array_to_string(toks[i:i+2], ' ')) END) AS sh FROM tk), " +
+        "c AS (SELECT sh, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY sh) " +
+        "SELECT g.doc_id, COUNT(*) AS n_spans, " +
+        "CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_spans, " +
+        "ROUND(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) " +
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio " +
+        "FROM g JOIN c USING (sh) GROUP BY g.doc_id ORDER BY doc_id")
   )
 }

@@ -90,4 +90,50 @@ class PipelinePropertySpec extends AnyFunSuite {
         got.forall(_._3 > 0)
     })
   }
+
+  test("grouped offsets ≡ sequential per-group cumsum on random inputs") {
+    // random groups, DUPLICATE ord values (id tie-break exercised),
+    // ords spanning several width-5 blocks including empty ones
+    val genRows = Gen.listOfN(35, for {
+      g <- Gen.oneOf("a", "b", "c")
+      o <- Gen.choose(0L, 60L)
+      n <- Gen.choose(0L, 9L)
+    } yield (g, o, n))
+    check(Prop.forAll(genRows) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, o, n), i) =>
+        (g, o, i.toLong, n)
+      }.toDF("grp", "ord", "id", "n")
+      val got = Pack.withGroupedOffset(df, "grp", col("ord"), "id", "n",
+        blockWidth = 5)
+        .select("grp", "ord", "id", "n", "__start").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // brute force: per group, sort by (ord, id), running sum
+      val want = got.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (r._2, r._3))
+          .scanLeft(("", 0L, 0L, 0L, 0L)) { case (acc, r) =>
+            (r._1, r._2, r._3, r._4, acc._5 + acc._4)
+          }.drop(1)
+      }.toSet
+      got.toSet == want
+    })
+  }
+
+  test("CMS estimates bound exact counts on random token streams") {
+    val genToks = Gen.listOfN(80, Gen.oneOf(
+      (0 until 12).map(i => s"t$i")))
+    check(Prop.forAll(genToks) { toks =>
+      val cells = toks.toDF("t").repartition(5)
+        .agg(expr("cms_sketch(t, 4, 64)")).as[Seq[Long]].head()
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (tok, n) =>
+        val est = (0 until 4)
+          .map(j => cells(j * 64 + graft.functions.CmsSketch.cell(j, tok, 64)))
+          .min
+        // never an underestimate, and over by at most the total
+        // colliding mass (trivially bounded by the stream length)
+        est >= n && est <= toks.size.toLong
+      }
+    })
+  }
 }
