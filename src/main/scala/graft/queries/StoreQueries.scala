@@ -210,6 +210,34 @@ object StoreQueries {
               col("n_events"), round(col("sv0"), 6).as("sv"))
       }.orderBy("user_id", "s_start_us")),
 
+    // q102 — the CMS sketch as STREAMING aggregation state: the q95
+    // count-min grid accumulated by a real 2-batch StreamingQuery (the
+    // custom TypedImperativeAggregate's buffer serializes into the
+    // streaming state store between micro-batches and merges with
+    // batch 2's partial grids), then probed batch-side against exact
+    // per-type counts. Deterministic for the same reason as q95 —
+    // cell-wise sums commute across any batch/partition split — so the
+    // streamed estimates hash-match the same DuckDB grid rebuild.
+    "q102_stream_cms" -> ((s, d) => {
+      val sketch = streamedEventAgg(s, d, "stream-cms",
+        Seq("event_id", "ts", "event_type"),
+        "event_id BIGINT, ts BIGINT, event_type STRING") { parsed =>
+        parsed.agg(expr("cms_sketch(event_type, 4, 64)").as("cells"))
+      }
+      val exact = Tables.load(s, d, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val probe = expr(
+        "array_min(transform(sequence(0, 3), j -> element_at(cells, " +
+          "cast(j * 64 + cast(conv(substring(md5(concat(" +
+          "cast(j as string), ':', event_type)), 1, 8), 16, 10) as bigint) " +
+          "% 64 + 1 as int))))")
+      exact.crossJoin(broadcast(sketch))
+        .withColumn("est", probe)
+        .select(col("event_type"), col("n"), col("est"),
+          (col("est") >= col("n")).as("never_under"))
+        .orderBy("event_type")
+    }),
+
     // q100 — ORC at rest (SURVEY.md §2.1 S8's second format, until now
     // claimed-free but ungated): the events table written as ORC,
     // read back through the vectorized ORC reader with the filter
@@ -947,6 +975,22 @@ object StoreQueries {
         "MAX(tus) + 21600000000 AS s_end_us, COUNT(*) AS n_events, " +
         "ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sv " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"),
+
+    // the streamed grid must equal a batch rebuild of the same 4×64
+    // cells (cell-wise sums commute across batches), probed per type
+    "q102_stream_cms" ->
+      ("WITH js AS (SELECT unnest(range(0, 4)) AS j), " +
+        "cells AS (SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) " +
+        "|| ':' || event_type), 1, 8))::BIGINT % 64 AS cell, COUNT(*) AS c " +
+        "FROM events, js GROUP BY 1, 2), " +
+        "exact AS (SELECT event_type, COUNT(*) AS n FROM events " +
+        "GROUP BY event_type), " +
+        "ph AS (SELECT e.event_type, e.n, js.j, ('0x' || substr(md5(" +
+        "CAST(js.j AS VARCHAR) || ':' || e.event_type), 1, 8))::BIGINT % 64 " +
+        "AS cell FROM exact e, js) " +
+        "SELECT ph.event_type, ph.n, CAST(MIN(c.c) AS BIGINT) AS est, " +
+        "TRUE AS never_under FROM ph JOIN cells c USING (j, cell) " +
+        "GROUP BY ph.event_type, ph.n ORDER BY ph.event_type"),
 
     // the ORC round-trip must equal the same aggregate over the
     // parquet original
