@@ -820,20 +820,24 @@ object PipelineQueries {
     // mining): for each doc, the fraction of its 3-gram span
     // OCCURRENCES that also appear in at least one other document —
     // the per-row signal a curation pass thresholds on, where q86
-    // ranks the spans themselves. Shape: scan-side explode; span →
-    // distinct-doc counts as the two-level distinct agg (the shuffle
-    // carries deduplicated (span, doc) pairs); counts join back to
-    // the span stream by span (linear hash join, no pairs); final
-    // per-doc partial-agg groupBy. Text never shuffles.
+    // ranks the spans themselves. Shape: the exploded stream is
+    // pre-aggregated to per-(doc, span) occurrence counts right after
+    // the scan, so BOTH consumers — the doc-frequency agg (now a
+    // plain count over deduplicated pairs, no two-level distinct) and
+    // the join probe side — shuffle one row per (doc, span), never
+    // one per occurrence; final per-doc partial-agg groupBy over
+    // sums of the carried counts. Text never shuffles.
     "q101_span_novelty" -> ((s, d) => {
-      val spans = docs(s, d)
+      val pairs = docs(s, d)
         .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("sh"))
-      val counts = spans.groupBy("sh")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-      spans.join(counts, "sh")
+        .groupBy("doc_id", "sh")
+        .agg(count(lit(1)).as("occ"))
+      val counts = pairs.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      pairs.join(counts, "sh")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .agg(sum(col("occ")).as("n_spans"),
+          sum(when(col("n_docs") >= 2, col("occ")).otherwise(0L))
+            .as("n_dup_spans"))
         .withColumn("dup_ratio",
           round(col("n_dup_spans") / col("n_spans").cast("double"), 6))
         .orderBy("doc_id")

@@ -108,14 +108,19 @@ class PipelinePropertySpec extends AnyFunSuite {
         .select("grp", "ord", "id", "n", "__start").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4)))
-      // brute force: per group, sort by (ord, id), running sum
-      val want = got.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      // brute force FROM THE INPUT (not from got — a silent row
+      // drop/duplication must fail too): per group, sort by (ord, id),
+      // running sum
+      val input = rows.zipWithIndex.map { case ((g, o, n), i) =>
+        (g, o, i.toLong, n)
+      }
+      val want = input.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
         rs.sortBy(r => (r._2, r._3))
           .scanLeft(("", 0L, 0L, 0L, 0L)) { case (acc, r) =>
             (r._1, r._2, r._3, r._4, acc._5 + acc._4)
           }.drop(1)
       }.toSet
-      got.toSet == want
+      got.length == input.length && got.toSet == want
     })
   }
 
