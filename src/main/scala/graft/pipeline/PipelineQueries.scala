@@ -689,6 +689,13 @@ object PipelineQueries {
       Relevance.unigramNll(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // q103 — conditional bigram-LM scoring: the order-2 twin of q77's
+    // unigram filter (see Relevance.bigramNll for the model and the
+    // broadcast-LM scale shape)
+    "q103_bigram_nll" -> ((s, d) =>
+      Relevance.bigramNll(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // q68 — pivot (wide aggregation): per-user event counts spread
     // over the five known event types as columns. Explicit pivot
     // values keep it a single partial-agg pass (no values-discovery
@@ -1484,6 +1491,27 @@ object PipelineQueries {
         "AS n_dup_spans, " +
         "ROUND(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) " +
         "/ CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio " +
-        "FROM g JOIN c USING (sh) GROUP BY g.doc_id ORDER BY doc_id")
+        "FROM g JOIN c USING (sh) GROUP BY g.doc_id ORDER BY doc_id"),
+    // conditional bigram LM: p(w2|w1) = (c2+1)/(c1+V), c1 = left-
+    // context totals derived from the bigram counts, V = unigram
+    // vocabulary; integer-millionth log-probs as in q77
+    "q103_bigram_nll" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) " +
+        "END) AS b FROM tk), " +
+        "c2 AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b), " +
+        "c1 AS (SELECT string_split(b, ' ')[1] AS w1, " +
+        "CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1), " +
+        "vv AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vv FROM (" +
+        s"SELECT unnest(string_split($duckNorm, ' ')) AS t FROM documents)), " +
+        "lm AS (SELECT c2.b, CAST(FLOOR(-ln((c2.c2 + 1) / (c1.c1 + vv.vv)) " +
+        "* 1000000) AS BIGINT) AS li FROM c2 " +
+        "JOIN c1 ON string_split(c2.b, ' ')[1] = c1.w1 CROSS JOIN vv) " +
+        "SELECT bg.doc_id, COUNT(*) AS n_bigrams, " +
+        "CAST(SUM(lm.li) // COUNT(*) AS BIGINT) AS nll_micro " +
+        "FROM bg JOIN lm USING (b) GROUP BY bg.doc_id ORDER BY doc_id")
   )
 }

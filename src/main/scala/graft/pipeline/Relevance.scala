@@ -104,6 +104,55 @@ object Relevance {
         expr("__sli div n_tok").as("nll_micro"))
   }
 
+  /** Per-document CONDITIONAL bigram negative log-likelihood — the
+    * next-order LM quality filter next to [[unigramNll]] (KenLM-style
+    * scoring, truncated to order 2): p(w2|w1) = (c(w1w2) + 1) /
+    * (c(w1·) + V), add-one smoothed over the token vocabulary, where
+    * c(w1·) is w1's count as a LEFT context (= Σ bigram counts
+    * starting with w1) and V the corpus unigram vocabulary size.
+    * Repetitive boilerplate scores low (its bigrams dominate their
+    * left contexts); token-salad noise scores high.
+    *
+    * Scale shape mirrors unigramNll: the per-bigram log-probs are
+    * precomputed ONCE on the (zipf-bounded) bigram-vocabulary table —
+    * c1 derived from c2 by a groupBy on the left token, never a second
+    * corpus pass — and joined to the bigram stream broadcast, so the
+    * corpus never shuffles on a hot bigram. (If the bigram vocabulary
+    * outgrows broadcast range at extreme scale, the same plan with a
+    * shuffle join on the bigram key is the fallback; scores are
+    * integer micro-units either way, so any accumulation order gives
+    * the identical per-doc sum.) Documents shorter than 2 tokens fall
+    * back to their whole text as a single pseudo-bigram (the
+    * word_shingles contract), so every document scores.
+    *
+    * @return doc_id, n_bigrams, nll_micro (mean −ln p per bigram in
+    *         integer millionths)
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol), explode(expr(s"word_shingles($textCol, 2)")).as("__bg"))
+    val c2 = bigrams.groupBy(col("__bg"))
+      .agg(count(lit(1)).as("__c2"))
+      .withColumn("__w1", element_at(split(col("__bg"), " "), 1))
+    val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("__tk"))
+      .agg(countDistinct(col("__tk")).cast("double").as("__vv"))
+    val lm = c2
+      .join(broadcast(c1), "__w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__li",
+        floor(negate(log((col("__c2") + 1L) / (col("__c1") + col("__vv"))))
+          * 1000000d).cast("long"))
+      .select("__bg", "__li")
+    bigrams
+      .join(broadcast(lm), "__bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__li")).as("__sli"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__sli div n_bigrams").as("nll_micro"))
+  }
+
   /** BM25 constants (the standard Robertson defaults). */
   val K1 = 1.2d
   val B = 0.75d
