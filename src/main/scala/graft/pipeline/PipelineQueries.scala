@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -485,6 +486,109 @@ object PipelineQueries {
       tr.join(broadcast(ev), "sh")
         .select("train_id", "eval_id").distinct()
         .orderBy("train_id", "eval_id")
+    }),
+
+    // q104 — BLOOM-FILTER decontamination: the zero-join form of q52.
+    // The eval-set shingles fold into ONE Bloom filter (fpp 1%) whose
+    // size depends only on the eval set — never the corpus — and the
+    // 100 TB corpus side is a pure scan-side membership probe
+    // (bloom_contains, a native codegen'd expression): no shuffle, no
+    // broadcast hash table of raw shingle strings, just bits. Bloom
+    // prefilter → exact confirm against the (small) eval side, so the
+    // output pairs are EXACTLY q52's — the sketch's no-false-negative
+    // guarantee makes the prefilter lossless — and they hash-gate.
+    // The sketch's two probabilistic properties ride along in-band
+    // (q21/q95 pattern): fn_free (every exact hit passed the bloom —
+    // guaranteed, asserted anyway) and fp_in_band (observed
+    // false-positive rate over non-member probes ≤ 4× configured fpp;
+    // deterministic for a given dataset, so stable run-to-run).
+    "q104_bloom_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val sh = docs(s, d).select(col("doc_id"),
+        explode(expr("word_shingles(text, 4)")).as("sh"))
+      val ev = sh.where(col("doc_id") < 50).toDF("eval_id", "sh")
+      val tr = sh.where(col("doc_id") >= 50).toDF("train_id", "sh")
+      // Driver-side build over the EVAL side only — bounded by the
+      // eval set, which is small by the premise of decontamination
+      // (same bound as q52's broadcast side). For a multi-GB blocklist
+      // swap in DataFrame.stat.bloomFilter's distributed treeAggregate
+      // build; the probe side below is unchanged either way.
+      val evalShingles = ev.select("sh").distinct().as[String].collect()
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(evalShingles.length, 1), 0.01)
+      evalShingles.foreach(bf.putString)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      val probe = expr(s"bloom_contains('$b64', sh)")
+      // in-band sketch audit over the distinct train shingles
+      val evalSet = ev.select("sh").distinct().withColumn("__ev", lit(true))
+      val audit = tr.select("sh").distinct()
+        .withColumn("__hit", probe)
+        .join(broadcast(evalSet), Seq("sh"), "left")
+        .agg(
+          sum(when(col("__hit") && col("__ev").isNull, 1L).otherwise(0L))
+            .as("__fp"),
+          sum(when(col("__ev").isNull, 1L).otherwise(0L)).as("__nonmember"),
+          sum(when(col("__ev").isNotNull && !col("__hit"), 1L).otherwise(0L))
+            .as("__fn"))
+        .select((col("__fn") === 0L).as("fn_free"),
+          (col("__fp") <= greatest(col("__nonmember") * 0.04, lit(1.0)))
+            .as("fp_in_band"))
+      tr.where(probe)                       // scan-side bloom prefilter
+        .join(broadcast(ev), "sh")          // exact confirm, eval side only
+        .select("train_id", "eval_id").distinct()
+        .crossJoin(broadcast(audit))        // one-row global flags
+        .orderBy("train_id", "eval_id")
+    }),
+
+    // q105 — INVERTED-INDEX build with bounded posting heads: distinct
+    // (token, doc) postings [one partial-agg'd shuffle], then per-term
+    // document frequency plus only the FIRST 32 doc ids per term ever
+    // materialize into a list — a stopword's multi-billion-row posting
+    // never concentrates in one aggregation buffer at 100 TB (the full
+    // list, when needed, ships sharded by the rn/32 block instead).
+    // Both window functions share one (token) partitioning → a single
+    // exchange serves the row_number and the count.
+    "q105_inverted_index" -> ((s, d) => {
+      val postings = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .distinct()
+      val byTok = Window.partitionBy("token")
+      postings
+        .withColumn("rn", row_number().over(byTok.orderBy("doc_id")))
+        .withColumn("df", count(lit(1)).over(byTok))
+        .where(col("rn") <= 32)
+        .groupBy("token", "df")
+        .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+        .select(col("token"), col("df"),
+          array_join(expr("transform(__ids, x -> cast(x AS string))"), ",")
+            .as("head"))
+        .orderBy("token")
+    }),
+
+    // q106 — EDIT-DISTANCE near-dup pairs (the character-level member
+    // of the dedup family: q17 set-overlap, q19 bit-distance, q106
+    // string-distance): candidate pairs only WITHIN catalog blocks
+    // (brand, type, size) further cut by the |len(a)-len(b)| ≤ t length
+    // bound — a necessary condition for levenshtein ≤ t, so the block
+    // join is lossless — then the threshold form levenshtein(a, b, 2)
+    // which abandons each DP row early once the band exceeds t. No
+    // all-pairs product exists; at 100 TB the block key would widen
+    // with a deletion-neighborhood token (each name also joins on
+    // name-minus-one-token keys), keeping per-block cardinality flat.
+    "q106_editdist_pairs" -> ((s, d) => {
+      val p = Tables.load(s, d, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+      val a = p.toDF("a_key", "a_name", "brand", "ptype", "psize")
+      val b = p.toDF("b_key", "b_name", "brand", "ptype", "psize")
+      a.join(b, Seq("brand", "ptype", "psize"))
+        .where(col("a_key") < col("b_key") &&
+          abs(length(col("a_name")) - length(col("b_name"))) <= 2)
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+        .where(col("dist") >= 0)
+        .select(col("a_key"), col("b_key"), col("dist").cast("long").as("dist"))
+        .orderBy("a_key", "b_key")
     }),
 
     // q55 — RAG/context-window chunking: 32-token windows every 24
@@ -1061,6 +1165,39 @@ object PipelineQueries {
         "tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id >= 50) " +
         "SELECT DISTINCT train_id, eval_id FROM tr JOIN ev USING (s) " +
         "ORDER BY train_id, eval_id"),
+    // bloom prefilter is lossless (no false negatives), so the pairs
+    // are q52's exactly; the sketch audit booleans are TRUE by design
+    "q104_bloom_decontaminate" ->
+      (s"WITH nn AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
+        "tk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM nn), " +
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 4 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks) - 2), " +
+        "i -> array_to_string(toks[i:i+3], ' ')) END) AS s FROM tk), " +
+        "ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < 50), " +
+        "tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id >= 50) " +
+        "SELECT DISTINCT train_id, eval_id, TRUE AS fn_free, " +
+        "TRUE AS fp_in_band FROM tr JOIN ev USING (s) " +
+        "ORDER BY train_id, eval_id"),
+    "q105_inverted_index" ->
+      (s"WITH nn AS (SELECT doc_id, $duckNorm AS ntext FROM documents), " +
+        "t AS (SELECT DISTINCT doc_id, unnest(string_split(ntext, ' ')) " +
+        "AS token FROM nn), " +
+        "w AS (SELECT token, doc_id, " +
+        "row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY token) AS df FROM t) " +
+        "SELECT token, df, " +
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS head " +
+        "FROM w WHERE rn <= 32 GROUP BY token, df ORDER BY token"),
+    "q106_editdist_pairs" ->
+      ("SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist " +
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand " +
+        "AND a.p_type = b.p_type AND a.p_size = b.p_size " +
+        "AND a.p_partkey < b.p_partkey " +
+        "AND abs(length(a.p_name) - length(b.p_name)) <= 2 " +
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2 " +
+        "ORDER BY a_key, b_key"),
     "q48_multimodal_meta" ->
       ("SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, " +
         "md5(text) AS payload_md5 FROM documents ORDER BY media_id"),

@@ -416,10 +416,54 @@ object ReferenceQueries {
         .agg(count(lit(1)).as("n"),
           round(max(col("o_totalprice")), 6).as("top_price"))
         .orderBy("c_mktsegment", "decile")
+    }),
+
+    // Q107 — FULL OUTER reconciliation: per-nation high-balance
+    // customer totals vs high-balance supplier totals, where each
+    // side's filter leaves nations the other lacks — nulls appear on
+    // BOTH sides of the join and are coalesced to zero. Both inputs
+    // pre-aggregate BEFORE the join (partial-agg groupBy), so the full
+    // outer exchange carries at most |nations| rows per side at any
+    // scale; the nation-name lookup is a broadcast. The sum rounds at
+    // 2 dp AFTER aggregation — the addends are 2-dp account balances,
+    // so cross-engine double summation agrees at that precision.
+    "q107_full_outer_reconcile" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer").where(col("c_acctbal") > 9950)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("cust_bal"))
+      val su = Tables.load(s, d, "supplier").where(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          round(sum("s_acctbal"), 2).as("supp_bal"))
+      val n = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").as("nationkey"), col("n_name"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .join(broadcast(n), Seq("nationkey"))
+        .select(col("nationkey"), col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("cust_bal"), lit(0d)).as("cust_bal"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("supp_bal"), lit(0d)).as("supp_bal"))
+        .orderBy("nationkey")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q107_full_outer_reconcile" ->
+      ("WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust, " +
+        "round(sum(c_acctbal), 2) AS cust_bal FROM customer " +
+        "WHERE c_acctbal > 9950 GROUP BY 1), " +
+        "s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp, " +
+        "round(sum(s_acctbal), 2) AS supp_bal FROM supplier " +
+        "WHERE s_acctbal > 9000 GROUP BY 1) " +
+        "SELECT nationkey, n.n_name, COALESCE(c.n_cust, 0) AS n_cust, " +
+        "COALESCE(c.cust_bal, 0) AS cust_bal, " +
+        "COALESCE(s.n_supp, 0) AS n_supp, " +
+        "COALESCE(s.supp_bal, 0) AS supp_bal " +
+        "FROM c FULL OUTER JOIN s USING (nationkey) " +
+        "JOIN nation n ON n.n_nationkey = nationkey " +
+        "ORDER BY nationkey"),
     "q1_scan_project" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q2_json_extract_cast" ->
