@@ -83,7 +83,13 @@ object ScaleCurve {
       "q38_neardup_clusters" -> "documents",
       "q88_neardup_prune" -> "documents",
       "q63_ann_lsh" -> "embeddings",
-      "q96_semantic_dedup" -> "embeddings")
+      "q96_semantic_dedup" -> "embeddings",
+      // bloom probe: filter size fixed by the eval side, corpus side a
+      // pure scan — the exponent must track the scan, not the sketch
+      "q104_bloom_decontaminate" -> "documents",
+      // Pass-Join: constant keys per string; candidates must stay
+      // near-linear for the pigeonhole blocking claim to hold
+      "q108_passjoin_editdist" -> "documents")
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(

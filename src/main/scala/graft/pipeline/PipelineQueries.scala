@@ -591,6 +591,29 @@ object PipelineQueries {
         .orderBy("a_key", "b_key")
     }),
 
+    // q108 — PASS-JOIN edit-distance similarity join (the scalable
+    // successor to q106): ALL near-dup pairs across the whole corpus,
+    // no catalog blocking, via pigeonhole segment keys — see
+    // [[EditDistJoin]] for the algorithm and its linearity argument.
+    // Fixture: 30-char normalized-prefix fingerprints of every
+    // document plus a planted 1-char mutant per document (the testdata
+    // has no natural near-dups at the character level; the mutation
+    // position doc_id%15+3 is deterministic and replayed verbatim in
+    // the oracle), distinct'd. Every surviving (prefix, mutant) pair
+    // is within distance 1 and must be found.
+    "q108_passjoin_editdist" -> ((s, d) => {
+      val p = docs(s, d)
+        .select(col("doc_id"), substring(TextOps.norm(col("text")), 1, 30).as("s"))
+      val m = p.select(
+        when(length(col("s")) >= col("doc_id") % 15 + 3,
+          expr("concat(substr(s, 1, doc_id % 15 + 2), 'q', " +
+            "substr(s, doc_id % 15 + 4))"))
+          .otherwise(col("s")).as("s"))
+      val u = p.select("s").unionByName(m)
+      EditDistJoin.pairs(u, "s", tau = 2)
+        .orderBy("a_s", "b_s")
+    }),
+
     // q55 — RAG/context-window chunking: 32-token windows every 24
     // tokens (8-token overlap) per document — fully scan-side fan-out
     // (explode of a per-row sequence), zero shuffles; the per-chunk
@@ -1189,6 +1212,21 @@ object PipelineQueries {
         "SELECT token, df, " +
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS head " +
         "FROM w WHERE rn <= 32 GROUP BY token, df ORDER BY token"),
+    // brute-force length-banded verify join — algorithm-independent
+    // ground truth for the Pass-Join candidate generation
+    "q108_passjoin_editdist" ->
+      (s"WITH p AS (SELECT doc_id, substr($duckNorm, 1, 30) AS s " +
+        "FROM documents), " +
+        "m AS (SELECT CASE WHEN length(s) >= doc_id % 15 + 3 " +
+        "THEN substr(s, 1, doc_id % 15 + 2) || 'q' || " +
+        "substr(s, doc_id % 15 + 4) ELSE s END AS s FROM p), " +
+        "u AS (SELECT DISTINCT s FROM " +
+        "(SELECT s FROM p UNION ALL SELECT s FROM m)) " +
+        "SELECT a.s AS a_s, b.s AS b_s, " +
+        "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist " +
+        "FROM u a JOIN u b ON a.s < b.s " +
+        "AND abs(length(a.s) - length(b.s)) <= 2 " +
+        "WHERE levenshtein(a.s, b.s) <= 2 ORDER BY a_s, b_s"),
     "q106_editdist_pairs" ->
       ("SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, " +
         "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist " +
