@@ -446,7 +446,42 @@ object ReferenceQueries {
           coalesce(col("n_supp"), lit(0L)).as("n_supp"),
           coalesce(col("supp_bal"), lit(0d)).as("supp_bal"))
         .orderBy("nationkey")
-    })
+    }),
+
+    // Q109 — explicit GROUPING SETS (the general form completing the
+    // rollup (q29) / cube (q82) family): four hand-picked sets with
+    // grouping_id() disambiguating which columns are aggregated-away
+    // vs genuinely NULL. Like cube, one Expand + ONE partial-agg
+    // shuffle — the expansion factor is |sets|, fixed at plan time.
+    "q109_grouping_sets" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Q110 — fixed-width HISTOGRAM of a measure column: bin id is a
+    // pure scan-side expression (floor + clamp), counts/sums partial-
+    // aggregate into ≤20 rows, and the share-of-total window runs over
+    // that bounded aggregate only — the classic two-level shape where
+    // nothing unbounded ever sorts or windows. Bounds are fixed (not
+    // data-dependent min/max) so the histogram needs exactly one pass.
+    "q110_histogram" -> ((s, d) =>
+      events(s, d)
+        .select(least(floor(col("value") / 25), lit(19)).cast("int")
+          .as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pct",
+          round(col("n") / sum("n").over(Window.partitionBy()), 6))
+        .orderBy("bin"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -464,6 +499,20 @@ object ReferenceQueries {
         "FROM c FULL OUTER JOIN s USING (nationkey) " +
         "JOIN nation n ON n.n_nationkey = nationkey " +
         "ORDER BY nationkey"),
+    "q109_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, " +
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders GROUP BY GROUPING SETS " +
+        "((o_orderstatus, o_orderpriority), (o_orderstatus), " +
+        "(o_orderpriority), ()) " +
+        "ORDER BY gid, o_orderstatus NULLS FIRST, " +
+        "o_orderpriority NULLS FIRST"),
+    "q110_histogram" ->
+      ("WITH b AS (SELECT CAST(least(floor(value / 25), 19) AS INT) AS bin " +
+        "FROM events), g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin) " +
+        "SELECT bin, n, round(n / (sum(n) OVER ()), 6) AS pct " +
+        "FROM g ORDER BY bin"),
     "q1_scan_project" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q2_json_extract_cast" ->
