@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-provided parquet testdata (TESTDATA.md).
   * One parquet file per table under `sfDir`.
@@ -10,13 +12,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // `events.ts` is parquet TIMESTAMP(NANOS) which Spark rejects by
-  // default (PARQUET_TYPE_ILLEGAL); sessions must set
-  // `spark.sql.legacy.parquet.nanosAsLong=true` at build time (see
-  // Verify/Bench/TestSpark) so it reads as a nanos LongType. This also
-  // makes changelog ordering exact — no µs truncation ties — matching
-  // the DuckDB oracle's ns ordering. The conf is intentionally NOT set
-  // here: a library loader must not flip session-global behavior.
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // `events.ts` has shipped in two physical encodings across testdata
+  // generations: parquet TIMESTAMP(NANOS) (reads as a nanos LongType
+  // under `spark.sql.legacy.parquet.nanosAsLong=true`, which sessions
+  // set at build time — see Verify/Bench/TestSpark) and parquet
+  // TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). The engine's changelog
+  // ordering, sessionization, and range joins all operate on a
+  // ns-epoch long — the finest precision either encoding carries — so
+  // the loader normalizes the µs form to ns here. Sessions run with
+  // spark.sql.session.timeZone=UTC, making the NTZ→LTZ cast the
+  // identity on the stored instant. Session-global confs are
+  // intentionally NOT set here: a library loader must not flip
+  // session behavior.
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType != LongType)
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    else df
+  }
 }

@@ -570,19 +570,20 @@ object PipelineQueries {
     // q106 — EDIT-DISTANCE near-dup pairs (the character-level member
     // of the dedup family: q17 set-overlap, q19 bit-distance, q106
     // string-distance): candidate pairs only WITHIN catalog blocks
-    // (brand, type, size) further cut by the |len(a)-len(b)| ≤ t length
+    // (brand, type) further cut by the |len(a)-len(b)| ≤ t length
     // bound — a necessary condition for levenshtein ≤ t, so the block
     // join is lossless — then the threshold form levenshtein(a, b, 2)
     // which abandons each DP row early once the band exceeds t. No
-    // all-pairs product exists; at 100 TB the block key would widen
-    // with a deletion-neighborhood token (each name also joins on
-    // name-minus-one-token keys), keeping per-block cardinality flat.
+    // all-pairs product exists; at 100 TB the fixed-cardinality
+    // catalog block would be replaced by content-derived keys
+    // (deletion-neighborhood / PASS-JOIN segments — q108 is exactly
+    // that scalable successor), keeping per-block cardinality flat.
     "q106_editdist_pairs" -> ((s, d) => {
       val p = Tables.load(s, d, "part")
-        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
-      val a = p.toDF("a_key", "a_name", "brand", "ptype", "psize")
-      val b = p.toDF("b_key", "b_name", "brand", "ptype", "psize")
-      a.join(b, Seq("brand", "ptype", "psize"))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+      val a = p.toDF("a_key", "a_name", "brand", "ptype")
+      val b = p.toDF("b_key", "b_name", "brand", "ptype")
+      a.join(b, Seq("brand", "ptype"))
         .where(col("a_key") < col("b_key") &&
           abs(length(col("a_name")) - length(col("b_name"))) <= 2)
         .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
@@ -1231,7 +1232,7 @@ object PipelineQueries {
       ("SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, " +
         "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist " +
         "FROM part a JOIN part b ON a.p_brand = b.p_brand " +
-        "AND a.p_type = b.p_type AND a.p_size = b.p_size " +
+        "AND a.p_type = b.p_type " +
         "AND a.p_partkey < b.p_partkey " +
         "AND abs(length(a.p_name) - length(b.p_name)) <= 2 " +
         "WHERE levenshtein(a.p_name, b.p_name) <= 2 " +

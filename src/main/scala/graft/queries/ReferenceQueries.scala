@@ -428,11 +428,11 @@ object ReferenceQueries {
     // 2 dp AFTER aggregation — the addends are 2-dp account balances,
     // so cross-engine double summation agrees at that precision.
     "q107_full_outer_reconcile" -> ((s, d) => {
-      val c = Tables.load(s, d, "customer").where(col("c_acctbal") > 9950)
+      val c = Tables.load(s, d, "customer").where(col("c_acctbal") > 9900)
         .groupBy(col("c_nationkey").as("nationkey"))
         .agg(count(lit(1)).as("n_cust"),
           round(sum("c_acctbal"), 2).as("cust_bal"))
-      val su = Tables.load(s, d, "supplier").where(col("s_acctbal") > 9000)
+      val su = Tables.load(s, d, "supplier").where(col("s_acctbal") > 4400)
         .groupBy(col("s_nationkey").as("nationkey"))
         .agg(count(lit(1)).as("n_supp"),
           round(sum("s_acctbal"), 2).as("supp_bal"))
@@ -488,10 +488,10 @@ object ReferenceQueries {
     "q107_full_outer_reconcile" ->
       ("WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust, " +
         "round(sum(c_acctbal), 2) AS cust_bal FROM customer " +
-        "WHERE c_acctbal > 9950 GROUP BY 1), " +
+        "WHERE c_acctbal > 9900 GROUP BY 1), " +
         "s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp, " +
         "round(sum(s_acctbal), 2) AS supp_bal FROM supplier " +
-        "WHERE s_acctbal > 9000 GROUP BY 1) " +
+        "WHERE s_acctbal > 4400 GROUP BY 1) " +
         "SELECT nationkey, n.n_name, COALESCE(c.n_cust, 0) AS n_cust, " +
         "COALESCE(c.cust_bal, 0) AS cust_bal, " +
         "COALESCE(s.n_supp, 0) AS n_supp, " +
