@@ -615,6 +615,76 @@ object PipelineQueries {
         .orderBy("a_s", "b_s")
     }),
 
+    // q114 — per-source KL DIVERGENCE from the corpus distribution:
+    // the domain-drift detector a corpus-mixing run consults before
+    // setting q43/q99's rates (a source whose unigram distribution
+    // diverges from the pool gets inspected, not blindly sampled).
+    // KL(P_src‖Q) = Σ p·ln(p/q) over the source's tokens, computed as
+    // integer micro-units: term = c · floor(1e6·ln((c·T)/(C·T_s)))
+    // with every operand an exact count, so both engines feed ln the
+    // identical double and the sums are order-exact (the q77 trick).
+    // One corpus tokenization; the (source, token) groupBy is the
+    // only corpus-sized shuffle; token totals derive from THAT
+    // aggregate (never a second pass) and join back broadcast — the
+    // corpus never shuffles on a hot token. Output is the raw integer
+    // sum (no final division — keeps negatives-safe integral
+    // semantics engine-agnostic).
+    "q114_kl_divergence" -> ((s, d) => {
+      val toks = docs(s, d).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("tk"))
+      val st = toks.groupBy("source", "tk").agg(count(lit(1)).as("c"))
+      val ct = st.groupBy("tk").agg(sum("c").as("cc"))
+      val srcTot = st.groupBy("source").agg(sum("c").as("ts"))
+      val tot = srcTot.agg(sum("ts").as("tt"))
+      st.join(broadcast(ct), "tk")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("term", col("c") *
+          floor(log((col("c") * col("tt")) / (col("cc") * col("ts")))
+            * 1000000d).cast("long"))
+        .groupBy("source")
+        .agg(max("ts").as("n_tokens"), sum("term").as("kl_sum_micro"))
+        .orderBy("source")
+    }),
+
+    // q115 — PAGERANK over the nation-level trade graph (supplier
+    // nation → customer nation per lineitem, weight = shipment
+    // count): see [[PageRank]] for the integer-arithmetic model and
+    // the broadcast-rank iteration shape. The edge build joins the
+    // fact table against two broadcast dims and partial-aggregates to
+    // |nations|² edges — the only fact-sized work; five fixed
+    // iterations then run on the tiny aggregate.
+    "q115_pagerank" -> ((s, d) => {
+      val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables.load(s, d, "customer").select("c_custkey", "c_nationkey")
+      val su = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      PageRank.ranks(edges, iters = 5).orderBy("node")
+    }),
+
+    // q116 — deterministic BOTTOM-K global sample: the k smallest
+    // md5(key) values ARE a uniform k-sample of the corpus, and
+    // orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // top-k heaps merged at the driver, k rows moved, NO global sort
+    // or shuffle of the corpus (contrast q62, which pays one full
+    // exchange because it must ORDER the whole output). The same
+    // hash-order trick underlies q61/q93's per-group cuts; this is
+    // the global form, and it composes: re-running with a larger k
+    // extends the same sample (hash order is stable).
+    "q116_bottomk_sample" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("bk:"), col("doc_id").cast("string"))).as("h"))
+        .orderBy("h")
+        .limit(50)
+        .orderBy("doc_id")),
+
     // q55 — RAG/context-window chunking: 32-token windows every 24
     // tokens (8-token overlap) per document — fully scan-side fan-out
     // (explode of a per-row sequence), zero shuffles; the per-chunk
@@ -1237,6 +1307,51 @@ object PipelineQueries {
         "AND abs(length(a.p_name) - length(b.p_name)) <= 2 " +
         "WHERE levenshtein(a.p_name, b.p_name) <= 2 " +
         "ORDER BY a_key, b_key"),
+    "q114_kl_divergence" ->
+      (s"WITH tk AS (SELECT source, unnest(string_split($duckNorm, ' ')) AS t " +
+        "FROM documents), " +
+        "st AS (SELECT source, t, count(*) AS c FROM tk GROUP BY 1, 2), " +
+        "ct AS (SELECT t, CAST(sum(c) AS BIGINT) AS cc FROM st GROUP BY 1), " +
+        "srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts " +
+        "FROM st GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(ts) AS BIGINT) AS tt FROM srct), " +
+        "term AS (SELECT st.source, srct.ts, st.c * " +
+        "CAST(FLOOR(ln((st.c * tot.tt) / (ct.cc * srct.ts)) * 1000000) " +
+        "AS BIGINT) AS term " +
+        "FROM st JOIN ct USING (t) JOIN srct USING (source) CROSS JOIN tot) " +
+        "SELECT source, max(ts) AS n_tokens, " +
+        "CAST(sum(term) AS BIGINT) AS kl_sum_micro " +
+        "FROM term GROUP BY source ORDER BY source"),
+    "q115_pagerank" -> {
+      val base =
+        "WITH e AS (SELECT CAST(s.s_nationkey AS BIGINT) AS src, " +
+          "CAST(c.c_nationkey AS BIGINT) AS dst, count(*) AS w " +
+          "FROM lineitem l " +
+          "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+          "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+          "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2), " +
+          "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+          "nn AS (SELECT count(*) AS n FROM nodes), " +
+          "ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw " +
+          "FROM e GROUP BY 1), " +
+          "r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r " +
+          "FROM nodes CROSS JOIN nn)"
+      val iters = (1 to 5).map { i =>
+        s"r$i AS (SELECT nodes.node, " +
+          "CAST((150000000000 // n) + (85 * COALESCE(c.s, 0)) // 100 " +
+          "AS BIGINT) AS r " +
+          "FROM nodes CROSS JOIN nn LEFT JOIN " +
+          s"(SELECT e.dst, sum((p.r * e.w) // ow.outw) AS s " +
+          s"FROM r${i - 1} p JOIN e ON p.node = e.src " +
+          "JOIN ow ON e.src = ow.src GROUP BY e.dst) c " +
+          "ON nodes.node = c.dst)"
+      }.mkString(", ")
+      s"$base, $iters SELECT node, r FROM r5 ORDER BY node"
+    },
+    "q116_bottomk_sample" ->
+      ("SELECT doc_id, h FROM (SELECT doc_id, " +
+        "md5('bk:' || CAST(doc_id AS VARCHAR)) AS h FROM documents " +
+        "ORDER BY h LIMIT 50) ORDER BY doc_id"),
     "q48_multimodal_meta" ->
       ("SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, " +
         "md5(text) AS payload_md5 FROM documents ORDER BY media_id"),

@@ -481,7 +481,70 @@ object ReferenceQueries {
         .agg(count(lit(1)).as("n"))
         .withColumn("pct",
           round(col("n") / sum("n").over(Window.partitionBy()), 6))
-        .orderBy("bin"))
+        .orderBy("bin")),
+
+    // Q111 — COHORT RETENTION: users grouped by first-activity day,
+    // counted again at each day offset. Two aggregations share ONE
+    // shuffle domain (user_id): the cohort assignment is a per-user
+    // min — a partial agg, never a window over the event stream — and
+    // the join back to the stream is co-partitioned on that same key,
+    // so AQE plans it without a second exchange of the big side. The
+    // final (cohort, offset) rollup is ≤ |days|² rows. The classic
+    // wrong shape — min(day) OVER (PARTITION BY user) on the raw
+    // stream — would sort every user's events; nothing here sorts.
+    "q111_cohort_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    }),
+
+    // Q112 — strict-order FUNNEL (view → click → purchase): each
+    // stage's time is the earliest event of that type STRICTLY AFTER
+    // the previous stage — a conditional-min cascade, not a per-user
+    // sort. Every groupBy/join keys on user_id, so the whole funnel
+    // is one shuffle domain; stage frames are one row per user, so
+    // the cascade's join inputs shrink monotonically. Output keeps
+    // non-converting users (left joins, NULL stage times) — the
+    // numbers a funnel report actually needs.
+    "q112_funnel" -> ((s, d) => {
+      val ev = events(s, d).select("user_id", "event_type", "ts")
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val t2 = ev.join(t1, "user_id")
+        .where(col("event_type") === "click" && col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val t3 = ev.join(t2, "user_id")
+        .where(col("event_type") === "purchase" && col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      t1.join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    }),
+
+    // Q113 — event TRANSITION MATRIX (order-1 Markov estimate): the
+    // per-user next-event pairing is a lead() window partitioned by
+    // user — bounded per-partition sort, the same shape the
+    // sessionizer (q42) pins — and the (from, to) rollup plus the
+    // row-conditional probability run on the ≤ |types|² aggregate
+    // only. Probabilities round at 6 dp after a double division of
+    // two exact counts, so both engines agree bit-for-bit.
+    "q113_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum("n").over(Window.partitionBy("from_type")), 6))
+        .orderBy("from_type", "to_type")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -513,6 +576,34 @@ object ReferenceQueries {
         "FROM events), g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin) " +
         "SELECT bin, n, round(n / (sum(n) OVER ()), 6) AS pct " +
         "FROM g ORDER BY bin"),
+    "q111_cohort_retention" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day " +
+        "FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1) " +
+        "SELECT cohort_day, day - cohort_day AS offset_days, " +
+        "count(DISTINCT e.user_id) AS n_users " +
+        "FROM e JOIN c USING (user_id) GROUP BY 1, 2 " +
+        "ORDER BY cohort_day, offset_days"),
+    "q112_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events), " +
+        "t1 AS (SELECT user_id, min(t) AS t_view FROM e " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "t2 AS (SELECT e.user_id, min(t) AS t_click FROM e JOIN t1 USING (user_id) " +
+        "WHERE event_type = 'click' AND t > t_view GROUP BY 1), " +
+        "t3 AS (SELECT e.user_id, min(t) AS t_purchase FROM e JOIN t2 USING (user_id) " +
+        "WHERE event_type = 'purchase' AND t > t_click GROUP BY 1) " +
+        "SELECT t1.user_id, t_view, t_click, t_purchase FROM t1 " +
+        "LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id) " +
+        "ORDER BY user_id"),
+    "q113_transition_matrix" ->
+      ("WITH p AS (SELECT event_type AS from_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts), event_id) AS to_type FROM events), " +
+        "g AS (SELECT from_type, to_type, count(*) AS n FROM p " +
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, " +
+        "round(n / (sum(n) OVER (PARTITION BY from_type)), 6) AS p " +
+        "FROM g ORDER BY from_type, to_type"),
     "q1_scan_project" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q2_json_extract_cast" ->

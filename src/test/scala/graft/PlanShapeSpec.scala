@@ -325,4 +325,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"q74 customer dim join lost its broadcast:\n$p")
   }
+
+  test("cohort retention never windows the event stream") {
+    val p = plan("q111_cohort_retention")
+    // cohort day must come from a partial-agg groupBy + join back,
+    // NOT min(day) OVER (PARTITION BY user) — the window form sorts
+    // every user's whole history
+    assert(!p.contains("windowspecdefinition"),
+      s"q111 reintroduced a window over the event stream:\n$p")
+    assert(p.contains("partial_min"),
+      s"q111 cohort assignment lost map-side partial aggregation:\n$p")
+  }
+
+  test("funnel cascade stays in one shuffle domain keyed by user") {
+    val p = plan("q112_funnel")
+    // conditional-min stages, no per-user sort anywhere
+    assert(!p.contains("windowspecdefinition"),
+      s"q112 funnel reintroduced a window sort:\n$p")
+    assert(p.contains("partial_min"),
+      s"q112 stage times lost map-side partial aggregation:\n$p")
+  }
+
+  test("pagerank iterates with broadcast ranks, shuffles only contributions") {
+    val p = plan("q115_pagerank")
+    // the |V|-row rank table must reach the edge table broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"q115 rank join lost its broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"q115 contribution sums lost map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q115 plans a cartesian product:\n$p")
+  }
+
+  test("bottom-k sample plans as TakeOrdered, never a global sort of the corpus") {
+    val p = plan("q116_bottomk_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q116 lost its top-k heap plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"q116 pays a global range sort:\n$p")
+  }
 }
