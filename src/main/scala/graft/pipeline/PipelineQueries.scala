@@ -668,6 +668,73 @@ object PipelineQueries {
       PageRank.ranks(edges, iters = 5).orderBy("node")
     }),
 
+    // q117 — PPJOIN-style EXACT Jaccard similarity join: prefix
+    // filtering makes the exact (non-LSH) set-similarity join
+    // subquadratic. Each document's distinct 3-shingle set is ordered
+    // by GLOBAL shingle frequency (rarest first, shingle-string
+    // tiebreak); only the first |x| − ceil(τ·|x|) + 1 shingles — the
+    // PREFIX — generate join candidates. The prefix-filter lemma
+    // (Chaudhuri et al.; PPJoin) guarantees any pair with Jaccard ≥ τ
+    // shares a prefix shingle, so the block join is lossless and the
+    // verification (exact intersection over the full sets) never
+    // misses a pair. Scale: candidates cost Σ_prefix-shingles df² —
+    // prefixes hold only RARE shingles, so df is small exactly where
+    // it is squared; the frequent-shingle mass (where df² explodes)
+    // never joins. Contrast q17/q18 (MinHash: probabilistic recall)
+    // — this is the exact-recall member of the near-dup family.
+    "q117_ppjoin_jaccard" -> ((s, d) => {
+      val sh = docsWithDups(s, d).select(col("doc_id"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("t"))
+      val dfc = sh.groupBy("t").agg(count(lit(1)).as("df"))
+      val ord = sh.join(dfc, "t")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ord"))
+        .select(col("doc_id"),
+          expr("transform(ord, x -> x.t)").as("toks"),
+          size(col("ord")).as("sz"))
+        .withColumn("plen", expr("sz - cast(ceil(0.8 * sz) AS INT) + 1"))
+      val pre = ord.select(col("doc_id"),
+        explode(expr("slice(toks, 1, plen)")).as("p"))
+      val cand = pre.select(col("doc_id").as("a_id"), col("p"))
+        .join(pre.select(col("doc_id").as("b_id"), col("p")), "p")
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val sets = ord.select(col("doc_id"), col("toks"), col("sz"))
+      cand
+        .join(sets.toDF("a_id", "a_toks", "a_sz"), "a_id")
+        .join(sets.toDF("b_id", "b_toks", "b_sz"), "b_id")
+        .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+        .withColumn("jr", col("inter") / (col("a_sz") + col("b_sz") - col("inter")))
+        .where(col("jr") >= 0.8)
+        .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+          round(col("jr"), 6).as("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // q118 — WEIGHTED sample without replacement (Efraimidis-
+    // Spirakis A-ES): rank every document by −ln(u)/w where u is a
+    // hash-derived uniform and w its weight (n_chars); the k smallest
+    // keys are a weight-proportional sample. Like q116 this plans as
+    // TakeOrderedAndProject — per-partition heaps, k rows moved, no
+    // RNG state and no global sort — but the inclusion probability is
+    // now proportional to weight, the cut a corpus-mixing run wants
+    // when long documents should carry their token share. Keys are
+    // identical doubles in both engines (hash→uniform→ln, the q77
+    // libm-parity precedent); output pins the key in integer pico
+    // units.
+    "q118_weighted_sample" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          ((conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") + 1L) / 4294967297d).as("u"))
+        .withColumn("k", negate(log(col("u"))) / col("n_chars"))
+        .orderBy("k", "doc_id")
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"),
+          floor(col("k") * 1e12).cast("long").as("key_pico"))
+        .orderBy("doc_id")),
+
     // q116 — deterministic BOTTOM-K global sample: the k smallest
     // md5(key) values ARE a uniform k-sample of the corpus, and
     // orderBy+limit plans as TakeOrderedAndProject — per-partition
@@ -1352,6 +1419,35 @@ object PipelineQueries {
       ("SELECT doc_id, h FROM (SELECT doc_id, " +
         "md5('bk:' || CAST(doc_id AS VARCHAR)) AS h FROM documents " +
         "ORDER BY h LIMIT 50) ORDER BY doc_id"),
+    // naive all-pairs over shared shingles: the prefix filter is
+    // lossless, so the oracle need not replicate it — exact Jaccard
+    // over distinct shingle sets IS the full answer
+    "q117_ppjoin_jaccard" ->
+      (s"WITH d AS ($dupCte), " +
+        s"nn AS (SELECT doc_id, $duckNorm AS ntext FROM d), " +
+        "tkk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM nn), " +
+        "sh0 AS (SELECT doc_id, CASE WHEN len(toks) < 3 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh " +
+        "FROM tkk), " +
+        "e AS (SELECT doc_id, unnest(list_distinct(sh)) AS t FROM sh0), " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1), " +
+        "j AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+        "FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "f AS (SELECT a_id, b_id, inter, " +
+        "inter / (sa.sz + sb.sz - inter) AS jr FROM j " +
+        "JOIN sz sa ON j.a_id = sa.doc_id JOIN sz sb ON j.b_id = sb.doc_id) " +
+        "SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter, " +
+        "round(jr, 6) AS jacc FROM f WHERE jr >= 0.8 ORDER BY a_id, b_id"),
+    "q118_weighted_sample" ->
+      ("SELECT doc_id, n_chars, " +
+        "CAST(floor(k * 1e12) AS BIGINT) AS key_pico FROM " +
+        "(SELECT doc_id, n_chars, -ln(u) / n_chars AS k FROM " +
+        "(SELECT doc_id, n_chars, " +
+        "(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT " +
+        "+ 1) / 4294967297.0 AS u FROM documents) " +
+        "ORDER BY k, doc_id LIMIT 50) ORDER BY doc_id"),
     "q48_multimodal_meta" ->
       ("SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, " +
         "md5(text) AS payload_md5 FROM documents ORDER BY media_id"),

@@ -544,6 +544,33 @@ object ReferenceQueries {
         .withColumn("p", round(col("n") /
           sum("n").over(Window.partitionBy("from_type")), 6))
         .orderBy("from_type", "to_type")
+    }),
+
+    // Q119 — per-entity Z-SCORE anomaly flags: days where a user's
+    // event count exceeds their own mean by 2σ. Mean and variance
+    // come from EXPLICIT integer sums (Σn, Σn², day count) aggregated
+    // per user — never a built-in stddev, whose accumulation
+    // algorithm (Welford vs naive) differs across engines — so both
+    // engines evaluate the identical double expression and agree
+    // bit-for-bit, σ = 0 included (then no day can exceed μ, so the
+    // z division never sees zero). Everything keys on user_id: daily
+    // rollup, stats rollup (≤ |days| rows per user), and the
+    // co-partitioned join back; nothing global, no windows.
+    "q119_daily_anomaly" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("user_id").agg(
+        sum("n").as("sn"), count(lit(1)).as("cd"),
+        sum(col("n") * col("n")).as("ssq"))
+      daily.join(stats, "user_id")
+        .withColumn("mu", col("sn").cast("double") / col("cd"))
+        .withColumn("sigma",
+          sqrt(col("ssq").cast("double") / col("cd") - col("mu") * col("mu")))
+        .where(col("n") > col("mu") + lit(2d) * col("sigma"))
+        .select(col("user_id"), col("day"), col("n"),
+          round((col("n") - col("mu")) / col("sigma"), 6).as("z"))
+        .orderBy("user_id", "day")
     })
   )
 
@@ -604,6 +631,19 @@ object ReferenceQueries {
         "SELECT from_type, to_type, n, " +
         "round(n / (sum(n) OVER (PARTITION BY from_type)), 6) AS p " +
         "FROM g ORDER BY from_type, to_type"),
+    "q119_daily_anomaly" ->
+      ("WITH daily AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS sn, " +
+        "count(*) AS cd, CAST(sum(n * n) AS BIGINT) AS ssq " +
+        "FROM daily GROUP BY 1), " +
+        "z AS (SELECT d.user_id, d.day, d.n, " +
+        "CAST(sn AS DOUBLE) / cd AS mu, " +
+        "sqrt(CAST(ssq AS DOUBLE) / cd - (CAST(sn AS DOUBLE) / cd) * " +
+        "(CAST(sn AS DOUBLE) / cd)) AS sigma " +
+        "FROM daily d JOIN st USING (user_id)) " +
+        "SELECT user_id, day, n, round((n - mu) / sigma, 6) AS z FROM z " +
+        "WHERE n > mu + 2 * sigma ORDER BY user_id, day"),
     "q1_scan_project" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q2_json_extract_cast" ->

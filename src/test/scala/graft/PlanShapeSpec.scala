@@ -364,4 +364,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"),
       s"q116 pays a global range sort:\n$p")
   }
+
+  test("weighted sample plans as TakeOrdered like its unweighted twin") {
+    val p = plan("q118_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q118 lost its top-k heap plan:\n$p")
+  }
+
+  test("ppjoin candidates come from the prefix join, verified without re-shuffling sets") {
+    val p = plan("q117_ppjoin_jaccard")
+    // shingle-frequency ordering is a partial-agg groupBy; the pair
+    // dedup is an aggregate over (a_id, b_id) — never a window or sort
+    // over the candidate stream
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q117 shingle df lost map-side partial aggregation:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"q117 reintroduced a window over candidates:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q117 plans a cartesian product:\n$p")
+  }
 }
