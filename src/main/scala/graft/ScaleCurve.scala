@@ -89,7 +89,10 @@ object ScaleCurve {
       "q104_bloom_decontaminate" -> "documents",
       // Pass-Join: constant keys per string; candidates must stay
       // near-linear for the pigeonhole blocking claim to hold
-      "q108_passjoin_editdist" -> "documents")
+      "q108_passjoin_editdist" -> "documents",
+      // PPJoin: candidate cost is Σ prefix-shingle df² — the prefix
+      // filter must keep the exact join off the all-pairs curve
+      "q117_ppjoin_jaccard" -> "documents")
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(

@@ -54,6 +54,41 @@ object PipelineQueries {
   private val dupCte =
     "SELECT doc_id, text FROM documents " +
       "UNION ALL SELECT doc_id + 100000, text FROM documents"
+
+  /** Distinct 3-shingle sets of the dup corpus ordered by GLOBAL
+    * shingle frequency (rarest first, shingle-string tiebreak):
+    * (doc_id, toks, sz). The shared front half of the prefix-filter
+    * joins (q117 Jaccard, q121 containment) — the frequency ordering
+    * is what makes their prefixes carry only rare, low-df shingles.
+    */
+  private def shingleOrdered(s: SparkSession, d: String): DataFrame = {
+    val sh = docsWithDups(s, d).select(col("doc_id"),
+      explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col("text")), 3))).as("t"))
+    val dfc = sh.groupBy("t").agg(count(lit(1)).as("df"))
+    sh.join(dfc, "t")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, x -> x.t)").as("toks"),
+        size(col("ord")).as("sz"))
+  }
+
+  // duckdb fragment mirroring shingleOrdered's DISTINCT shingle sets
+  // exploded to (doc_id, t) rows + per-doc set sizes, over a CTE
+  // named `d` (the dup corpus). A def, not a val: it interpolates
+  // duckNorm, which is declared further down — a val here would
+  // capture null at object-init time.
+  private def duckShingleSetCtes =
+    s"nn AS (SELECT doc_id, $duckNorm AS ntext FROM d), " +
+      "tkk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM nn), " +
+      "sh0 AS (SELECT doc_id, CASE WHEN len(toks) < 3 " +
+      "THEN [array_to_string(toks, ' ')] " +
+      "ELSE list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh " +
+      "FROM tkk), " +
+      "e AS (SELECT doc_id, unnest(list_distinct(sh)) AS t FROM sh0), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1)"
   // duckdb fragment mirroring TextOps.norm
   private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -683,16 +718,7 @@ object PipelineQueries {
     // never joins. Contrast q17/q18 (MinHash: probabilistic recall)
     // — this is the exact-recall member of the near-dup family.
     "q117_ppjoin_jaccard" -> ((s, d) => {
-      val sh = docsWithDups(s, d).select(col("doc_id"),
-        explode(array_distinct(
-          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("t"))
-      val dfc = sh.groupBy("t").agg(count(lit(1)).as("df"))
-      val ord = sh.join(dfc, "t")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ord"))
-        .select(col("doc_id"),
-          expr("transform(ord, x -> x.t)").as("toks"),
-          size(col("ord")).as("sz"))
+      val ord = shingleOrdered(s, d)
         .withColumn("plen", expr("sz - cast(ceil(0.8 * sz) AS INT) + 1"))
       val pre = ord.select(col("doc_id"),
         explode(expr("slice(toks, 1, plen)")).as("p"))
@@ -709,6 +735,40 @@ object PipelineQueries {
         .where(col("jr") >= 0.8)
         .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
           round(col("jr"), 6).as("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // q121 — CONTAINMENT join (asymmetric set-similarity):
+    // |A∩B|/|A| ≥ τ finds documents SUBSUMED by others — quoted
+    // passages, boilerplate wrappers, subset shards — which symmetric
+    // Jaccard (q117) misses when |B| ≫ |A|. Prefix filtering still
+    // applies but asymmetrically: only the probe side A prunes to its
+    // |A| − ceil(τ·|A|) + 1 rarest shingles (containment needs
+    // overlap ≥ ceil(τ|A|), so a pair sharing nothing in A's prefix
+    // cannot qualify — lossless); the indexed side B keeps ALL
+    // shingles, because a contained A may sit anywhere in B's
+    // frequency order. Candidate cost is Σ_{A-prefix shingles}
+    // df(t)² — still only RARE shingles get squared. Directional
+    // output (a ⊂ b and b ⊂ a both appear for identical sets).
+    "q121_containment_join" -> ((s, d) => {
+      val ord = shingleOrdered(s, d)
+        .withColumn("plen", expr("sz - cast(ceil(0.9 * sz) AS INT) + 1"))
+      val pre = ord.select(col("doc_id").as("a_id"),
+        explode(expr("slice(toks, 1, plen)")).as("t"))
+      val idx = ord.select(col("doc_id").as("b_id"),
+        explode(col("toks")).as("t"))
+      val cand = pre.join(idx, "t")
+        .where(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val sets = ord.select(col("doc_id"), col("toks"), col("sz"))
+      cand
+        .join(sets.toDF("a_id", "a_toks", "a_sz"), "a_id")
+        .join(sets.toDF("b_id", "b_toks", "b_sz"), "b_id")
+        .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+        .withColumn("cr", col("inter") / col("a_sz"))
+        .where(col("cr") >= 0.9)
+        .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+          round(col("cr"), 6).as("containment"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -1423,16 +1483,7 @@ object PipelineQueries {
     // lossless, so the oracle need not replicate it — exact Jaccard
     // over distinct shingle sets IS the full answer
     "q117_ppjoin_jaccard" ->
-      (s"WITH d AS ($dupCte), " +
-        s"nn AS (SELECT doc_id, $duckNorm AS ntext FROM d), " +
-        "tkk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM nn), " +
-        "sh0 AS (SELECT doc_id, CASE WHEN len(toks) < 3 " +
-        "THEN [array_to_string(toks, ' ')] " +
-        "ELSE list_transform(range(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh " +
-        "FROM tkk), " +
-        "e AS (SELECT doc_id, unnest(list_distinct(sh)) AS t FROM sh0), " +
-        "sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1), " +
+      (s"WITH d AS ($dupCte), $duckShingleSetCtes, " +
         "j AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
         "FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "f AS (SELECT a_id, b_id, inter, " +
@@ -1440,6 +1491,17 @@ object PipelineQueries {
         "JOIN sz sa ON j.a_id = sa.doc_id JOIN sz sb ON j.b_id = sb.doc_id) " +
         "SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter, " +
         "round(jr, 6) AS jacc FROM f WHERE jr >= 0.8 ORDER BY a_id, b_id"),
+    // naive all-ordered-pairs oracle: the asymmetric prefix filter is
+    // lossless, so exact containment over shared shingles IS the answer
+    "q121_containment_join" ->
+      (s"WITH d AS ($dupCte), $duckShingleSetCtes, " +
+        "j AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+        "FROM e a JOIN e b ON a.t = b.t AND a.doc_id <> b.doc_id GROUP BY 1, 2), " +
+        "f AS (SELECT a_id, b_id, inter, inter / sa.sz AS cr FROM j " +
+        "JOIN sz sa ON j.a_id = sa.doc_id) " +
+        "SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter, " +
+        "round(cr, 6) AS containment FROM f WHERE cr >= 0.9 " +
+        "ORDER BY a_id, b_id"),
     "q118_weighted_sample" ->
       ("SELECT doc_id, n_chars, " +
         "CAST(floor(k * 1e12) AS BIGINT) AS key_pico FROM " +

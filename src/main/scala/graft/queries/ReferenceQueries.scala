@@ -571,7 +571,25 @@ object ReferenceQueries {
         .select(col("user_id"), col("day"), col("n"),
           round((col("n") - col("mu")) / col("sigma"), 6).as("z"))
         .orderBy("user_id", "day")
-    })
+    }),
+
+    // Q120 — exponential TIME-DECAY engagement score: per-user
+    // Σ value·e^(−λ·age_days) against a FIXED anchor instant (half-
+    // life ≈ 7 days at λ=0.1) — the recency-weighted activity metric
+    // behind freshness ranking. Each term is floored to integer
+    // micro-units scan-side, so the per-user sum is order-exact
+    // across any shuffle/combine order (the q77/q114 trick — a
+    // double Σ would hash-differ between engines); one partial-agg
+    // groupBy, zero windows, zero joins.
+    "q120_decay_score" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"),
+          floor(col("value") *
+            exp(lit(-0.1) * ((lit(1706745600000000000L) - col("ts")) /
+              lit(86400000000000.0))) * 1000000d).cast("long").as("term"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("term").as("score_micro"))
+        .orderBy("user_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -644,6 +662,13 @@ object ReferenceQueries {
         "FROM daily d JOIN st USING (user_id)) " +
         "SELECT user_id, day, n, round((n - mu) / sigma, 6) AS z FROM z " +
         "WHERE n > mu + 2 * sigma ORDER BY user_id, day"),
+    "q120_decay_score" ->
+      ("WITH t AS (SELECT user_id, CAST(floor(value * " +
+        "exp(-0.1 * ((1706745600000000000 - epoch_ns(ts)) / " +
+        "86400000000000.0)) * 1000000) AS BIGINT) AS term FROM events) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(term) AS BIGINT) AS score_micro FROM t " +
+        "GROUP BY user_id ORDER BY user_id"),
     "q1_scan_project" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q2_json_extract_cast" ->
