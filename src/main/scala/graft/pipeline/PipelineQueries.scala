@@ -738,6 +738,40 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // q123 — PMI COLLOCATIONS: the top adjacent-token bigrams scored
+    // by pointwise mutual information ln(p(w1w2)/(p(w1)p(w2))) — the
+    // phrase-mining statistic that separates real collocations from
+    // chance adjacency of frequent words. PMI lands in integer micro
+    // units from all-integer count products (the q77/q114 libm-parity
+    // shape: both engines feed ln the identical double). Unigram and
+    // bigram vocabularies come from ONE corpus pass each (partial-agg
+    // groupBys); the per-bigram scoring joins the bounded vocabulary
+    // tables broadcast, and the top-20 is TakeOrdered — the corpus
+    // never re-shuffles and the bigram space never sorts globally.
+    "q123_pmi_collocations" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      val uni = base.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val bi = base.where(size(col("toks")) >= 2)
+        .select(explode(TextOps.shingles(col("toks"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      val tt = uni.agg(sum("c1").as("t"))
+      val bb = bi.agg(sum("c12").as("b"))
+      bi
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(broadcast(uni.toDF("w1", "ca")), "w1")
+        .join(broadcast(uni.toDF("w2", "cb")), "w2")
+        .crossJoin(broadcast(tt)).crossJoin(broadcast(bb))
+        .withColumn("pmi_micro",
+          floor(log((col("c12") * col("t") * col("t")) /
+            (col("b") * col("ca") * col("cb"))) * 1000000d).cast("long"))
+        .select(col("bigram"), col("c12"), col("pmi_micro"))
+        .orderBy(col("c12").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // q121 — CONTAINMENT join (asymmetric set-similarity):
     // |A∩B|/|A| ≥ τ finds documents SUBSUMED by others — quoted
     // passages, boilerplate wrappers, subset shards — which symmetric
@@ -1502,6 +1536,24 @@ object PipelineQueries {
         "SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter, " +
         "round(cr, 6) AS containment FROM f WHERE cr >= 0.9 " +
         "ORDER BY a_id, b_id"),
+    "q123_pmi_collocations" ->
+      (s"WITH dd AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "uni AS (SELECT w, count(*) AS c1 FROM " +
+        "(SELECT unnest(toks) AS w FROM dd) GROUP BY 1), " +
+        "bi AS (SELECT bigram, count(*) AS c12 FROM " +
+        "(SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS bigram " +
+        "FROM dd WHERE len(toks) >= 2) GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni), " +
+        "bb AS (SELECT CAST(sum(c12) AS BIGINT) AS b FROM bi) " +
+        "SELECT bigram, c12, " +
+        "CAST(FLOOR(ln((c12 * t * t) / (b * ca.c1 * cb.c1)) * 1000000) " +
+        "AS BIGINT) AS pmi_micro " +
+        "FROM bi JOIN uni ca ON string_split(bigram, ' ')[1] = ca.w " +
+        "JOIN uni cb ON string_split(bigram, ' ')[2] = cb.w " +
+        "CROSS JOIN tt CROSS JOIN bb " +
+        "ORDER BY c12 DESC, bigram LIMIT 20"),
     "q118_weighted_sample" ->
       ("SELECT doc_id, n_chars, " +
         "CAST(floor(k * 1e12) AS BIGINT) AS key_pico FROM " +

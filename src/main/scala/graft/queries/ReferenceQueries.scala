@@ -590,6 +590,35 @@ object ReferenceQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum("term").as("score_micro"))
         .orderBy("user_id"))
+,
+    // Q122 — SESSION PATH MINING: the top navigation paths (ordered
+    // event-type sequences within a session) — funnel discovery where
+    // q112 is funnel measurement. Session assignment reuses q42's
+    // exact gap rule (6 h idle, user-partitioned running sum — the
+    // windows stay bounded by per-user history); each session's path
+    // materializes via a per-session sorted collect (bounded by
+    // session length), and the path rollup + top-20 plan as a
+    // partial-agg groupBy + TakeOrdered — the unbounded path space
+    // never sorts globally.
+    "q122_session_paths" -> ((s, d) => {
+      val gapNs = 6L * 3600L * 1000000000L
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val brk = when(col("ts") - lag(col("ts"), 1).over(wOrd) > gapNs, 1)
+        .otherwise(0)
+      events(s, d)
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("__brk", brk)
+        .withColumn("sid", sum(col("__brk")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(ts, event_id, event_type))), " +
+          "x -> x.event_type), '>')").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -669,6 +698,20 @@ object ReferenceQueries {
         "SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(term) AS BIGINT) AS score_micro FROM t " +
         "GROUP BY user_id ORDER BY user_id"),
+    "q122_session_paths" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t, event_type " +
+        "FROM events), " +
+        "b AS (SELECT *, CASE WHEN t - lag(t) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) > 21600000000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM e), " +
+        "sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b), " +
+        "p AS (SELECT user_id, sid, " +
+        "string_agg(event_type, '>' ORDER BY t, event_id) AS path " +
+        "FROM sess GROUP BY 1, 2), " +
+        "g AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1) " +
+        "SELECT path, n_sessions FROM g " +
+        "ORDER BY n_sessions DESC, path LIMIT 20"),
     "q1_scan_project" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q2_json_extract_cast" ->
