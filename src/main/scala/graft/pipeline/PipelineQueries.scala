@@ -720,11 +720,16 @@ object PipelineQueries {
     "q117_ppjoin_jaccard" -> ((s, d) => {
       val ord = shingleOrdered(s, d)
         .withColumn("plen", expr("sz - cast(ceil(0.8 * sz) AS INT) + 1"))
-      val pre = ord.select(col("doc_id"),
+      val pre = ord.select(col("doc_id"), col("sz"),
         explode(expr("slice(toks, 1, plen)")).as("p"))
-      val cand = pre.select(col("doc_id").as("a_id"), col("p"))
-        .join(pre.select(col("doc_id").as("b_id"), col("p")), "p")
-        .where(col("a_id") < col("b_id"))
+      // length filter (standard PPJoin component): jacc ≥ τ forces
+      // τ·|B| ≤ |A| ≤ |B| — lossless, cuts candidates before the
+      // pair dedup ever shuffles them
+      val cand = pre.select(col("doc_id").as("a_id"), col("sz").as("a_szp"), col("p"))
+        .join(pre.select(col("doc_id").as("b_id"), col("sz").as("b_szp"), col("p")), "p")
+        .where(col("a_id") < col("b_id") &&
+          col("a_szp") >= lit(0.8) * col("b_szp") &&
+          col("b_szp") >= lit(0.8) * col("a_szp"))
         .select("a_id", "b_id").distinct()
       val sets = ord.select(col("doc_id"), col("toks"), col("sz"))
       cand
@@ -787,12 +792,14 @@ object PipelineQueries {
     "q121_containment_join" -> ((s, d) => {
       val ord = shingleOrdered(s, d)
         .withColumn("plen", expr("sz - cast(ceil(0.9 * sz) AS INT) + 1"))
-      val pre = ord.select(col("doc_id").as("a_id"),
+      val pre = ord.select(col("doc_id").as("a_id"), col("sz").as("a_szp"),
         explode(expr("slice(toks, 1, plen)")).as("t"))
-      val idx = ord.select(col("doc_id").as("b_id"),
+      val idx = ord.select(col("doc_id").as("b_id"), col("sz").as("b_szp"),
         explode(col("toks")).as("t"))
+      // length filter: |A∩B| ≥ τ·|A| needs |B| ≥ τ·|A| — lossless
       val cand = pre.join(idx, "t")
-        .where(col("a_id") =!= col("b_id"))
+        .where(col("a_id") =!= col("b_id") &&
+          col("b_szp") >= lit(0.9) * col("a_szp"))
         .select("a_id", "b_id").distinct()
       val sets = ord.select(col("doc_id"), col("toks"), col("sz"))
       cand
