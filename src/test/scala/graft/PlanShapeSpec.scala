@@ -371,6 +371,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q118 lost its top-k heap plan:\n$p")
   }
 
+  test("session path mining windows by user, top-k paths without a global sort") {
+    val p = plan("q122_session_paths")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"q122 session windows lost their user partitioning:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q122 path top-k lost its heap plan:\n$p")
+  }
+
+  test("pmi scoring joins the vocabulary broadcast, top-k without a global sort") {
+    val p = plan("q123_pmi_collocations")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q123 vocabulary join lost its broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q123 top-k lost its heap plan:\n$p")
+  }
+
   test("ppjoin candidates come from the prefix join, verified without re-shuffling sets") {
     val p = plan("q117_ppjoin_jaccard")
     // shingle-frequency ordering is a partial-agg groupBy; the pair
