@@ -26,8 +26,14 @@ object Tables {
   // session behavior.
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType != LongType)
+    if (name == "events" && df.schema("ts").dataType != LongType) {
+      // fail LOUDLY on a non-UTC session: the NTZ→LTZ cast below would
+      // silently shift every instant by the zone offset — corrupting
+      // day buckets, session gaps, and as-of joins with no error
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events.ts µs→ns normalization requires spark.sql.session.timeZone=UTC, got '$tz'")
       df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
-    else df
+    } else df
   }
 }

@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * Rank mass lives in units of 1e-12 (`SCALE`): r0 = SCALE div N,
   * each iteration r'(v) = (0.15·SCALE div N) + (85 · Σ_{u→v}
-  * (r(u)·w(u,v) div outw(u))) div 100 — all `div` integral with
+  * ((r(u) div outw(u))·w(u,v))) div 100 — all `div` integral with
   * positive operands, so truncation equals floor and the DuckDB
   * oracle's `//` agrees exactly; integer sums are order-independent,
   * so any shuffle/combine order yields the same ranks (the same trick
-  * q77/q103 use for log-prob sums). Dangling mass (nodes without
-  * out-edges) is dropped, mirrored by both engines.
+  * q77/q103 use for log-prob sums). The per-edge rate divides BEFORE
+  * multiplying by the edge weight: (r div outw)·w ≤ r never exceeds
+  * SCALE, where the r·w product form would overflow int64 once edge
+  * weights pass ~9e6 (real at warehouse scale); the truncation cost
+  * is < 1 rank unit (1e-12) per out-unit, identical in both engines.
+  * Dangling mass (nodes without out-edges) is dropped, mirrored by
+  * both engines.
   *
   * Scale shape: the edge table — the only big thing — shuffles ONCE
   * (the groupBy building it) and is then joined per iteration against
@@ -48,7 +53,7 @@ object PageRank {
       val contrib = e
         .join(broadcast(r.select(col("node").as("src"), col("r"))), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("r * w div outw")).as("__s"))
+        .agg(sum(expr("(r div outw) * w")).as("__s"))
       r = withN.join(contrib, Seq("node"), "left")
         .select(col("node"), col("__n"),
           (expr(s"${SCALE * 15L / 100L} div __n") +

@@ -655,13 +655,19 @@ object PipelineQueries {
     // setting q43/q99's rates (a source whose unigram distribution
     // diverges from the pool gets inspected, not blindly sampled).
     // KL(P_src‖Q) = Σ p·ln(p/q) over the source's tokens, computed as
-    // integer micro-units: term = c · floor(1e6·ln((c·T)/(C·T_s)))
-    // with every operand an exact count, so both engines feed ln the
-    // identical double and the sums are order-exact (the q77 trick).
-    // One corpus tokenization; the (source, token) groupBy is the
-    // only corpus-sized shuffle; token totals derive from THAT
-    // aggregate (never a second pass) and join back broadcast — the
-    // corpus never shuffles on a hot token. Output is the raw integer
+    // integer micro-units: term = c · floor(1e6·(ln c + ln T − ln C −
+    // ln T_s)) — the log of each EXACT count taken separately (every
+    // operand stays well inside double's 2^53 integer range, where
+    // the product form c·T would overflow int64 at a few billion
+    // corpus tokens), summed in a fixed order so both engines feed
+    // ln identical doubles and the integer sums stay order-exact
+    // (the q77 trick). One corpus tokenization; the (source, token)
+    // groupBy is the only corpus-sized shuffle; token totals derive
+    // from THAT aggregate (never a second pass) and join back on the
+    // token key — the planner broadcasts while the vocabulary fits
+    // and falls back to a shuffle join beyond (no forced-broadcast
+    // OOM at extreme vocabularies); the bounded |sources|-row and
+    // 1-row stats ARE forced broadcast. Output is the raw integer
     // sum (no final division — keeps negatives-safe integral
     // semantics engine-agnostic).
     "q114_kl_divergence" -> ((s, d) => {
@@ -671,12 +677,12 @@ object PipelineQueries {
       val ct = st.groupBy("tk").agg(sum("c").as("cc"))
       val srcTot = st.groupBy("source").agg(sum("c").as("ts"))
       val tot = srcTot.agg(sum("ts").as("tt"))
-      st.join(broadcast(ct), "tk")
+      st.join(ct, "tk")
         .join(broadcast(srcTot), "source")
         .crossJoin(broadcast(tot))
         .withColumn("term", col("c") *
-          floor(log((col("c") * col("tt")) / (col("cc") * col("ts")))
-            * 1000000d).cast("long"))
+          floor((log(col("c")) + log(col("tt")) - log(col("cc")) -
+            log(col("ts"))) * 1000000d).cast("long"))
         .groupBy("source")
         .agg(max("ts").as("n_tokens"), sum("term").as("kl_sum_micro"))
         .orderBy("source")
@@ -747,12 +753,16 @@ object PipelineQueries {
     // by pointwise mutual information ln(p(w1w2)/(p(w1)p(w2))) — the
     // phrase-mining statistic that separates real collocations from
     // chance adjacency of frequent words. PMI lands in integer micro
-    // units from all-integer count products (the q77/q114 libm-parity
-    // shape: both engines feed ln the identical double). Unigram and
-    // bigram vocabularies come from ONE corpus pass each (partial-agg
-    // groupBys); the per-bigram scoring joins the bounded vocabulary
-    // tables broadcast, and the top-20 is TakeOrdered — the corpus
-    // never re-shuffles and the bigram space never sorts globally.
+    // units from per-count logs summed in a fixed order — ln of each
+    // EXACT count separately (the q114 shape; the product form
+    // c12·T² would overflow int64 at a few billion corpus tokens),
+    // so both engines feed ln identical doubles. Unigram and bigram
+    // vocabularies come from ONE corpus pass each (partial-agg
+    // groupBys); the per-bigram scoring joins on the word key — the
+    // planner broadcasts while the vocabulary fits, shuffle join
+    // beyond (the 1-row totals ARE forced broadcast) — and the
+    // top-20 is TakeOrdered, so the corpus never re-shuffles and the
+    // bigram space never sorts globally.
     "q123_pmi_collocations" -> ((s, d) => {
       val base = docs(s, d).select(col("doc_id"),
         TextOps.tokens(col("text")).as("toks"))
@@ -766,12 +776,12 @@ object PipelineQueries {
       bi
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
         .withColumn("w2", split(col("bigram"), " ").getItem(1))
-        .join(broadcast(uni.toDF("w1", "ca")), "w1")
-        .join(broadcast(uni.toDF("w2", "cb")), "w2")
+        .join(uni.toDF("w1", "ca"), "w1")
+        .join(uni.toDF("w2", "cb"), "w2")
         .crossJoin(broadcast(tt)).crossJoin(broadcast(bb))
         .withColumn("pmi_micro",
-          floor(log((col("c12") * col("t") * col("t")) /
-            (col("b") * col("ca") * col("cb"))) * 1000000d).cast("long"))
+          floor((log(col("c12")) + lit(2d) * log(col("t")) - log(col("b")) -
+            log(col("ca")) - log(col("cb"))) * 1000000d).cast("long"))
         .select(col("bigram"), col("c12"), col("pmi_micro"))
         .orderBy(col("c12").desc, col("bigram"))
         .limit(20)
@@ -1484,8 +1494,8 @@ object PipelineQueries {
         "FROM st GROUP BY 1), " +
         "tot AS (SELECT CAST(sum(ts) AS BIGINT) AS tt FROM srct), " +
         "term AS (SELECT st.source, srct.ts, st.c * " +
-        "CAST(FLOOR(ln((st.c * tot.tt) / (ct.cc * srct.ts)) * 1000000) " +
-        "AS BIGINT) AS term " +
+        "CAST(FLOOR((ln(st.c) + ln(tot.tt) - ln(ct.cc) - ln(srct.ts)) " +
+        "* 1000000) AS BIGINT) AS term " +
         "FROM st JOIN ct USING (t) JOIN srct USING (source) CROSS JOIN tot) " +
         "SELECT source, max(ts) AS n_tokens, " +
         "CAST(sum(term) AS BIGINT) AS kl_sum_micro " +
@@ -1509,7 +1519,7 @@ object PipelineQueries {
           "CAST((150000000000 // n) + (85 * COALESCE(c.s, 0)) // 100 " +
           "AS BIGINT) AS r " +
           "FROM nodes CROSS JOIN nn LEFT JOIN " +
-          s"(SELECT e.dst, sum((p.r * e.w) // ow.outw) AS s " +
+          s"(SELECT e.dst, sum((p.r // ow.outw) * e.w) AS s " +
           s"FROM r${i - 1} p JOIN e ON p.node = e.src " +
           "JOIN ow ON e.src = ow.src GROUP BY e.dst) c " +
           "ON nodes.node = c.dst)"
@@ -1555,8 +1565,8 @@ object PipelineQueries {
         "tt AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni), " +
         "bb AS (SELECT CAST(sum(c12) AS BIGINT) AS b FROM bi) " +
         "SELECT bigram, c12, " +
-        "CAST(FLOOR(ln((c12 * t * t) / (b * ca.c1 * cb.c1)) * 1000000) " +
-        "AS BIGINT) AS pmi_micro " +
+        "CAST(FLOOR((ln(c12) + 2 * ln(t) - ln(b) - ln(ca.c1) - ln(cb.c1)) " +
+        "* 1000000) AS BIGINT) AS pmi_micro " +
         "FROM bi JOIN uni ca ON string_split(bigram, ' ')[1] = ca.w " +
         "JOIN uni cb ON string_split(bigram, ' ')[2] = cb.w " +
         "CROSS JOIN tt CROSS JOIN bb " +

@@ -23,6 +23,23 @@ object ReferenceQueries {
 
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
+  /** THE gap-session rule (6 h idle splits; ties broken by event_id),
+    * shared by every query that talks about "q42's sessions" (q42
+    * itself, q122 path mining) so the boundary rule can never drift
+    * between copies. Adds `__sid` (0-based per-user session index);
+    * requires `user_id`, `ts` (ns long), `event_id` columns.
+    */
+  private def withSessionId(df: DataFrame): DataFrame = {
+    val gapNs = 6L * 3600L * 1000000000L
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val brk = when(col("ts") - lag(col("ts"), 1).over(wOrd) > gapNs, 1)
+      .otherwise(0)
+    df.withColumn("__brk", brk)
+      .withColumn("__sid", sum(col("__brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk")
+  }
+
   /** JSON_VALUE semantics of the reference ingest job
     * (flink_json_to_iceberg.py:113,140): extract `$.k`, NULL on
     * missing/invalid; cast with NULL-on-error (Flink CAST, ANSI off) —
@@ -280,23 +297,15 @@ object ReferenceQueries {
     // Sessionize/flatMapGroupsWithState operator): a session breaks
     // when a user is idle > 6 h; all windows partitioned by user —
     // partition-local, skew-bounded by per-user history, no global sort
-    "q42_sessionize" -> ((s, d) => {
-      val gapNs = 6L * 3600L * 1000000000L
-      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val brk = when(col("ts") - lag(col("ts"), 1).over(wOrd) > gapNs, 1)
-        .otherwise(0)
-      events(s, d)
-        .withColumn("__brk", brk)
-        .withColumn("session_idx", sum(col("__brk")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_idx")
+    "q42_sessionize" -> ((s, d) =>
+      withSessionId(events(s, d))
+        .groupBy(col("user_id"), col("__sid").as("session_idx"))
         // project session bounds at µs: DuckDB's TIMESTAMP is
         // µs-precision, so ns-exact values cannot hash-match
         .agg(count(lit(1)).as("n_events"),
           expr("min(ts) div 1000").as("ts_start_us"),
           expr("max(ts) div 1000").as("ts_end_us"))
-        .orderBy("user_id", "session_idx")
-    }),
+        .orderBy("user_id", "session_idx")),
 
     // Q92 — the same gap sessions through Spark's NATIVE session-window
     // operator (`session_window` aggregation): q42 hand-rolls the gap
@@ -580,7 +589,13 @@ object ReferenceQueries {
     // micro-units scan-side, so the per-user sum is order-exact
     // across any shuffle/combine order (the q77/q114 trick — a
     // double Σ would hash-differ between engines); one partial-agg
-    // groupBy, zero windows, zero joins.
+    // groupBy, zero windows, zero joins. NOTE this extends the
+    // libm-parity assumption from ln (q77-proven) to exp: JVM
+    // Math.exp is ≤1 ulp but not correctly rounded, so a 1-ulp
+    // platform divergence landing a term within ~1e-10 of a micro
+    // boundary would flip one floor — the oracle gate is the
+    // detector; a red q120 with green q77/q114 means exp drift,
+    // not an operator bug.
     "q120_decay_score" -> ((s, d) =>
       events(s, d)
         .select(col("user_id"),
@@ -600,25 +615,17 @@ object ReferenceQueries {
     // session length), and the path rollup + top-20 plan as a
     // partial-agg groupBy + TakeOrdered — the unbounded path space
     // never sorts globally.
-    "q122_session_paths" -> ((s, d) => {
-      val gapNs = 6L * 3600L * 1000000000L
-      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val brk = when(col("ts") - lag(col("ts"), 1).over(wOrd) > gapNs, 1)
-        .otherwise(0)
-      events(s, d)
-        .select("user_id", "event_id", "ts", "event_type")
-        .withColumn("__brk", brk)
-        .withColumn("sid", sum(col("__brk")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sid")
+    "q122_session_paths" -> ((s, d) =>
+      withSessionId(events(s, d)
+          .select("user_id", "event_id", "ts", "event_type"))
+        .groupBy("user_id", "__sid")
         .agg(expr("array_join(transform(array_sort(" +
           "collect_list(struct(ts, event_id, event_type))), " +
           "x -> x.event_type), '>')").as("path"))
         .groupBy("path")
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path"))
-        .limit(20)
-    })
+        .limit(20))
   )
 
   val oracleSql: Map[String, String] = Map(
