@@ -625,7 +625,34 @@ object ReferenceQueries {
         .groupBy("path")
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path"))
-        .limit(20))
+        .limit(20)),
+
+    // Q124 — RECURSIVE CTE hierarchy closure (Spark 4's UnionLoop
+    // operator, the SQL-surface twin of q38's hand-rolled iterative
+    // closure): every customer walked up a synthetic decimal tree
+    // (parent of k is k div 10) to its root, carrying depth and root
+    // id. The recursion is a per-level equi-join — each UnionLoop
+    // step joins the PREVIOUS level only (never the accumulated
+    // result), so level width is bounded by the table and the level
+    // count by log₁₀(maxkey) (~7 levels at warehouse scale, the same
+    // bounded-iteration argument as q115/q38). All-integer output.
+    "q124_recursive_hierarchy" -> ((s, d) => {
+      Tables.load(s, d, "customer").select("c_custkey")
+        .createOrReplaceTempView("q124_customer")
+      s.sql(
+        "WITH RECURSIVE chain AS (" +
+          "SELECT c_custkey, 0 AS depth, c_custkey AS root " +
+          "FROM q124_customer WHERE c_custkey < 10 " +
+          "UNION ALL " +
+          // c_custkey >= 10 keeps roots out of the child side — key 0
+          // is its own decimal parent (0 div 10 = 0) and would
+          // otherwise recurse forever
+          "SELECT c.c_custkey, p.depth + 1, p.root " +
+          "FROM q124_customer c JOIN chain p ON c.c_custkey div 10 = p.c_custkey " +
+          "WHERE c.c_custkey >= 10) " +
+          "SELECT c_custkey, CAST(depth AS BIGINT) AS depth, root " +
+          "FROM chain ORDER BY c_custkey")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -719,6 +746,16 @@ object ReferenceQueries {
         "g AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1) " +
         "SELECT path, n_sessions FROM g " +
         "ORDER BY n_sessions DESC, path LIMIT 20"),
+    "q124_recursive_hierarchy" ->
+      ("WITH RECURSIVE chain AS (" +
+        "SELECT c_custkey, 0 AS depth, c_custkey AS root " +
+        "FROM customer WHERE c_custkey < 10 " +
+        "UNION ALL " +
+        "SELECT c.c_custkey, p.depth + 1, p.root " +
+        "FROM customer c JOIN chain p ON c.c_custkey // 10 = p.c_custkey " +
+        "WHERE c.c_custkey >= 10) " +
+        "SELECT c_custkey, CAST(depth AS BIGINT) AS depth, root " +
+        "FROM chain ORDER BY c_custkey"),
     "q1_scan_project" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q2_json_extract_cast" ->
