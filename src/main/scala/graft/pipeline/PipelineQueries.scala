@@ -787,6 +787,53 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // q125 — CO-OCCURRENCE mining (market-basket over documents):
+    // token pairs appearing together in ≥ minSup documents, ranked by
+    // document co-frequency — q123's PMI scores ADJACENT pairs, this
+    // finds topical association at document scope. The Apriori
+    // property does the pruning: a pair can reach support s only if
+    // BOTH tokens have df ≥ s, so the within-doc self-join runs over
+    // the support-filtered token stream (31 tokens here, never the
+    // raw vocabulary) and the pair space is C(frequent-per-doc, 2),
+    // not C(doc-length, 2). df comes from one partial-agg pass and
+    // gates scan-side; the pair rollup is the only pair-sized
+    // shuffle; top-30 is TakeOrdered.
+    "q125_cooccurrence" -> ((s, d) => {
+      val minSup = 10
+      val tk = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("t"))
+      val dfc = tk.groupBy("t").agg(count(lit(1)).as("df"))
+      val f = tk.join(dfc.where(col("df") >= minSup), "t")
+        .select("doc_id", "t")
+      f.toDF("doc_id", "t1")
+        .join(f.toDF("doc_id", "t2"), "doc_id")
+        .where(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= minSup)
+        .orderBy(col("n").desc, col("t1"), col("t2"))
+        .limit(30)
+    }),
+
+    // q126 — deterministic STRATIFIED train/val/test SPLIT: every
+    // document assigned to train/val/test by an md5-derived bucket
+    // (80/10/10) — the reproducible split a training run needs, with
+    // no RNG state, stable under corpus growth (a document's split
+    // never changes when others are added), and uniform within every
+    // source (the hash ignores source). Pure scan-side expression:
+    // zero shuffles beyond the output ordering.
+    "q126_train_split" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(concat(lit("split:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100).as("b"))
+        .select(col("doc_id"), col("source"),
+          when(col("b") < 80, "train")
+            .when(col("b") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
     // q121 — CONTAINMENT join (asymmetric set-similarity):
     // |A∩B|/|A| ≥ τ finds documents SUBSUMED by others — quoted
     // passages, boilerplate wrappers, subset shards — which symmetric
@@ -1571,6 +1618,23 @@ object PipelineQueries {
         "JOIN uni cb ON string_split(bigram, ' ')[2] = cb.w " +
         "CROSS JOIN tt CROSS JOIN bb " +
         "ORDER BY c12 DESC, bigram LIMIT 20"),
+    "q125_cooccurrence" ->
+      (s"WITH tk AS (SELECT doc_id, unnest(list_distinct(" +
+        s"string_split($duckNorm, ' '))) AS t FROM documents), " +
+        "dfc AS (SELECT t, count(*) AS df FROM tk GROUP BY 1), " +
+        "f AS (SELECT tk.doc_id, tk.t FROM tk JOIN dfc USING (t) " +
+        "WHERE dfc.df >= 10), " +
+        "p AS (SELECT a.t AS t1, b.t AS t2, count(*) AS n " +
+        "FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.t < b.t " +
+        "GROUP BY 1, 2) " +
+        "SELECT t1, t2, n FROM p WHERE n >= 10 " +
+        "ORDER BY n DESC, t1, t2 LIMIT 30"),
+    "q126_train_split" ->
+      ("SELECT doc_id, source, CASE WHEN b < 80 THEN 'train' " +
+        "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT doc_id, source, " +
+        "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))" +
+        "::BIGINT % 100 AS b FROM documents) ORDER BY doc_id"),
     "q118_weighted_sample" ->
       ("SELECT doc_id, n_chars, " +
         "CAST(floor(k * 1e12) AS BIGINT) AS key_pico FROM " +
