@@ -55,26 +55,7 @@ object PipelineQueries {
     "SELECT doc_id, text FROM documents " +
       "UNION ALL SELECT doc_id + 100000, text FROM documents"
 
-  /** Distinct 3-shingle sets of the dup corpus ordered by GLOBAL
-    * shingle frequency (rarest first, shingle-string tiebreak):
-    * (doc_id, toks, sz). The shared front half of the prefix-filter
-    * joins (q117 Jaccard, q121 containment) — the frequency ordering
-    * is what makes their prefixes carry only rare, low-df shingles.
-    */
-  private def shingleOrdered(s: SparkSession, d: String): DataFrame = {
-    val sh = docsWithDups(s, d).select(col("doc_id"),
-      explode(array_distinct(
-        TextOps.shingles(TextOps.tokens(col("text")), 3))).as("t"))
-    val dfc = sh.groupBy("t").agg(count(lit(1)).as("df"))
-    sh.join(dfc, "t")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ord"))
-      .select(col("doc_id"),
-        expr("transform(ord, x -> x.t)").as("toks"),
-        size(col("ord")).as("sz"))
-  }
-
-  // duckdb fragment mirroring shingleOrdered's DISTINCT shingle sets
+  // duckdb fragment mirroring SetSimJoin's DISTINCT shingle sets
   // exploded to (doc_id, t) rows + per-doc set sizes, over a CTE
   // named `d` (the dup corpus). A def, not a val: it interpolates
   // duckNorm, which is declared further down — a val here would
@@ -709,43 +690,19 @@ object PipelineQueries {
       PageRank.ranks(edges, iters = 5).orderBy("node")
     }),
 
-    // q117 — PPJOIN-style EXACT Jaccard similarity join: prefix
-    // filtering makes the exact (non-LSH) set-similarity join
-    // subquadratic. Each document's distinct 3-shingle set is ordered
-    // by GLOBAL shingle frequency (rarest first, shingle-string
-    // tiebreak); only the first |x| − ceil(τ·|x|) + 1 shingles — the
-    // PREFIX — generate join candidates. The prefix-filter lemma
-    // (Chaudhuri et al.; PPJoin) guarantees any pair with Jaccard ≥ τ
-    // shares a prefix shingle, so the block join is lossless and the
-    // verification (exact intersection over the full sets) never
-    // misses a pair. Scale: candidates cost Σ_prefix-shingles df² —
-    // prefixes hold only RARE shingles, so df is small exactly where
-    // it is squared; the frequent-shingle mass (where df² explodes)
-    // never joins. Contrast q17/q18 (MinHash: probabilistic recall)
-    // — this is the exact-recall member of the near-dup family.
+    // q117 — PPJOIN-style EXACT Jaccard similarity join over each
+    // document's distinct 3-shingle set — see [[SetSimJoin]] for the
+    // prefix-filter mechanics, the losslessness lemma, and the
+    // Σ prefix-df² scale argument (property-tested equivalent to
+    // brute force in SetSimJoinPropertySpec, measured in
+    // SCALE_CURVE.md). Contrast q17/q18 (MinHash: probabilistic
+    // recall) — this is the exact-recall member of the dedup family.
     "q117_ppjoin_jaccard" -> ((s, d) => {
-      val ord = shingleOrdered(s, d)
-        .withColumn("plen", expr("sz - cast(ceil(0.8 * sz) AS INT) + 1"))
-      val pre = ord.select(col("doc_id"), col("sz"),
-        explode(expr("slice(toks, 1, plen)")).as("p"))
-      // length filter (standard PPJoin component): jacc ≥ τ forces
-      // τ·|B| ≤ |A| ≤ |B| — lossless, cuts candidates before the
-      // pair dedup ever shuffles them
-      val cand = pre.select(col("doc_id").as("a_id"), col("sz").as("a_szp"), col("p"))
-        .join(pre.select(col("doc_id").as("b_id"), col("sz").as("b_szp"), col("p")), "p")
-        .where(col("a_id") < col("b_id") &&
-          col("a_szp") >= lit(0.8) * col("b_szp") &&
-          col("b_szp") >= lit(0.8) * col("a_szp"))
-        .select("a_id", "b_id").distinct()
-      val sets = ord.select(col("doc_id"), col("toks"), col("sz"))
-      cand
-        .join(sets.toDF("a_id", "a_toks", "a_sz"), "a_id")
-        .join(sets.toDF("b_id", "b_toks", "b_sz"), "b_id")
-        .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-        .withColumn("jr", col("inter") / (col("a_sz") + col("b_sz") - col("inter")))
-        .where(col("jr") >= 0.8)
-        .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
-          round(col("jr"), 6).as("jacc"))
+      val sets = docsWithDups(s, d).select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      SetSimJoin.jaccardPairs(sets, "doc_id", "sh", tau = 0.8)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          round(col("jacc"), 6).as("jacc"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -837,36 +794,17 @@ object PipelineQueries {
     // q121 — CONTAINMENT join (asymmetric set-similarity):
     // |A∩B|/|A| ≥ τ finds documents SUBSUMED by others — quoted
     // passages, boilerplate wrappers, subset shards — which symmetric
-    // Jaccard (q117) misses when |B| ≫ |A|. Prefix filtering still
-    // applies but asymmetrically: only the probe side A prunes to its
-    // |A| − ceil(τ·|A|) + 1 rarest shingles (containment needs
-    // overlap ≥ ceil(τ|A|), so a pair sharing nothing in A's prefix
-    // cannot qualify — lossless); the indexed side B keeps ALL
-    // shingles, because a contained A may sit anywhere in B's
-    // frequency order. Candidate cost is Σ_{A-prefix shingles}
-    // df(t)² — still only RARE shingles get squared. Directional
-    // output (a ⊂ b and b ⊂ a both appear for identical sets).
+    // Jaccard (q117) misses when |B| ≫ |A|. See
+    // [[SetSimJoin.containmentPairs]] for the asymmetric prefix
+    // filter (probe side only — lossless for containment) and the
+    // scale argument. Directional output (a ⊂ b and b ⊂ a both
+    // appear for identical sets).
     "q121_containment_join" -> ((s, d) => {
-      val ord = shingleOrdered(s, d)
-        .withColumn("plen", expr("sz - cast(ceil(0.9 * sz) AS INT) + 1"))
-      val pre = ord.select(col("doc_id").as("a_id"), col("sz").as("a_szp"),
-        explode(expr("slice(toks, 1, plen)")).as("t"))
-      val idx = ord.select(col("doc_id").as("b_id"), col("sz").as("b_szp"),
-        explode(col("toks")).as("t"))
-      // length filter: |A∩B| ≥ τ·|A| needs |B| ≥ τ·|A| — lossless
-      val cand = pre.join(idx, "t")
-        .where(col("a_id") =!= col("b_id") &&
-          col("b_szp") >= lit(0.9) * col("a_szp"))
-        .select("a_id", "b_id").distinct()
-      val sets = ord.select(col("doc_id"), col("toks"), col("sz"))
-      cand
-        .join(sets.toDF("a_id", "a_toks", "a_sz"), "a_id")
-        .join(sets.toDF("b_id", "b_toks", "b_sz"), "b_id")
-        .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-        .withColumn("cr", col("inter") / col("a_sz"))
-        .where(col("cr") >= 0.9)
-        .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
-          round(col("cr"), 6).as("containment"))
+      val sets = docsWithDups(s, d).select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      SetSimJoin.containmentPairs(sets, "doc_id", "sh", tau = 0.9)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          round(col("containment"), 6).as("containment"))
         .orderBy("a_id", "b_id")
     }),
 

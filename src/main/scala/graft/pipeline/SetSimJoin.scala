@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered EXACT set-similarity joins (PPJoin family,
+  * Chaudhuri et al. / Xiao et al.): the lossless, subquadratic way to
+  * find all pairs of sets with Jaccard ≥ τ (symmetric) or containment
+  * |A∩B|/|A| ≥ τ (directional) — the exact-recall twins of the
+  * MinHash/SimHash probabilistic dedup path (q17/q19).
+  *
+  * Mechanics: every set is ordered by GLOBAL element frequency
+  * (rarest first, element-string tiebreak); only the first
+  * |x| − ceil(τ·|x|) + 1 elements — the PREFIX — generate join
+  * candidates. The prefix-filter lemma guarantees a qualifying pair
+  * shares a prefix element (Jaccard: prefix-to-prefix; containment:
+  * probe-prefix-to-anything), so verification over the full sets
+  * never misses a pair. Length bounds (τ·|B| ≤ |A| ≤ |B| for
+  * Jaccard; |B| ≥ τ·|A| for containment) prune candidates before the
+  * pair dedup shuffles them.
+  *
+  * Scale: candidate cost is Σ_{prefix elements} df(t)² — prefixes
+  * hold only RARE elements, so df is small exactly where it is
+  * squared; the frequent-element mass (where df² explodes) never
+  * joins. The element-frequency pass and per-set ordering are
+  * partial-agg groupBys; per-set sorts are bounded by set size.
+  *
+  * Precondition: `setCol` holds the DISTINCT elements of each set,
+  * non-empty (an empty array produces no explode rows and the id
+  * silently drops out of the join — callers with possibly-empty sets
+  * must filter or sentinel them first).
+  */
+object SetSimJoin {
+
+  /** (__id, __toks ordered rarest-first, __sz) per input row. */
+  private def ordered(sets: DataFrame, idCol: String, setCol: String): DataFrame = {
+    val el = sets.select(col(idCol).as("__id"), explode(col(setCol)).as("__t"))
+    val dfc = el.groupBy("__t").agg(count(lit(1)).as("__df"))
+    el.join(dfc, "__t")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
+      .select(col("__id"),
+        expr("transform(__ord, x -> x.__t)").as("__toks"),
+        size(col("__ord")).as("__sz"))
+  }
+
+  private def withPrefixLen(ord: DataFrame, tau: Double): DataFrame =
+    ord.withColumn("__plen",
+      expr(s"__sz - cast(ceil($tau * __sz) AS INT) + 1"))
+
+  /** All unordered pairs (a_id < b_id) with Jaccard ≥ τ.
+    * @return a_id, b_id, inter (long), jacc (double, unrounded)
+    */
+  def jaccardPairs(sets: DataFrame, idCol: String, setCol: String,
+      tau: Double): DataFrame = {
+    val ord = withPrefixLen(ordered(sets, idCol, setCol), tau)
+    val pre = ord.select(col("__id"), col("__sz"),
+      explode(expr("slice(__toks, 1, __plen)")).as("__p"))
+    val cand = pre.toDF("a_id", "a_szp", "__p")
+      .join(pre.toDF("b_id", "b_szp", "__p"), "__p")
+      .where(col("a_id") < col("b_id") &&
+        col("a_szp") >= lit(tau) * col("b_szp") &&
+        col("b_szp") >= lit(tau) * col("a_szp"))
+      .select("a_id", "b_id").distinct()
+    verify(cand, ord)
+      .withColumn("jacc",
+        col("inter") / (col("a_sz") + col("b_sz") - col("inter")))
+      .where(col("jacc") >= tau)
+      .select(col("a_id"), col("b_id"),
+        col("inter").cast("long").as("inter"), col("jacc"))
+  }
+
+  /** All directional pairs (a_id ≠ b_id) with |A∩B|/|A| ≥ τ — A
+    * subsumed by B. Prefix filter applies only on the probe side A
+    * (containment needs overlap ≥ ceil(τ|A|), so a pair sharing
+    * nothing in A's prefix cannot qualify); the indexed side B keeps
+    * ALL elements, because a contained A may sit anywhere in B's
+    * frequency order.
+    * @return a_id, b_id, inter (long), containment (double, unrounded)
+    */
+  def containmentPairs(sets: DataFrame, idCol: String, setCol: String,
+      tau: Double): DataFrame = {
+    val ord = withPrefixLen(ordered(sets, idCol, setCol), tau)
+    val pre = ord.select(col("__id").as("a_id"), col("__sz").as("a_szp"),
+      explode(expr("slice(__toks, 1, __plen)")).as("__t"))
+    val idx = ord.select(col("__id").as("b_id"), col("__sz").as("b_szp"),
+      explode(col("__toks")).as("__t"))
+    val cand = pre.join(idx, "__t")
+      .where(col("a_id") =!= col("b_id") &&
+        col("b_szp") >= lit(tau) * col("a_szp"))
+      .select("a_id", "b_id").distinct()
+    verify(cand, ord)
+      .withColumn("containment", col("inter") / col("a_sz"))
+      .where(col("containment") >= tau)
+      .select(col("a_id"), col("b_id"),
+        col("inter").cast("long").as("inter"), col("containment"))
+  }
+
+  /** Join candidate id pairs back to full sets, exact intersection. */
+  private def verify(cand: DataFrame, ord: DataFrame): DataFrame = {
+    val sets = ord.select(col("__id"), col("__toks"), col("__sz"))
+    cand
+      .join(sets.toDF("a_id", "a_toks", "a_sz"), "a_id")
+      .join(sets.toDF("b_id", "b_toks", "b_sz"), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+  }
+}
