@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipeline.PipelineQueries
-import graft.queries.{ReferenceQueries, StoreQueries}
+import graft.pipeline.{CurationQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, ReferenceQueries, StoreQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,10 +24,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * LLM-training-data pipeline surface (dedup/similarity/text). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ PipelineQueries.queries ++ StoreQueries.queries
+    ReferenceQueries.queries ++ PipelineQueries.queries ++
+      StoreQueries.queries ++ AnalyticsQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql
+    ReferenceQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      StoreQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      CurationQueries.oracleSql
 }

@@ -1,0 +1,222 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 corpus-curation operators: per-domain caps, C4-style
+  * repeated-block removal, and perceptual-hash image dedup over the
+  * REAL image codec.
+  *
+  * Same contract as [[PipelineQueries]]: DuckDB oracle per query,
+  * identical column names and total ordering, integer arithmetic
+  * wherever a sum crosses engines.
+  */
+object CurationQueries {
+
+  import PipelineQueries.{docs, duckNorm}
+
+  /** q130's injected boilerplate: exactly one 5-token block, prepended
+    * to every third document, already in normalized form so the Spark
+    * and DuckDB normalizations agree on the concatenation.
+    */
+  private val Banner = "begin legal banner text here"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q129 — PER-DOMAIN CAP (top-k per source by length): the corpus
+    // balancing step that stops one crawl domain from dominating the
+    // mix. The naive shape — row_number() OVER (PARTITION BY source)
+    // on the raw corpus — sorts every source's full document set; at
+    // 100 TB with a handful of huge sources that is a skewed global
+    // sort. Instead: (1) one partial-agg pass builds the per-source
+    // VALUE HISTOGRAM (|source|×|distinct lengths| rows); (2) the
+    // exact k-th threshold per source falls out of a cumulative sum
+    // over that bounded aggregate (cum - cnt < k keeps every value
+    // whose rank range intersects the top k — lossless by
+    // construction); (3) thresholds broadcast back as a scan-side
+    // filter; (4) the exact row_number runs only on the ~k survivors
+    // per source. The ORACLE is the naive window formulation, so the
+    // gate proves the histogram pre-prune drops nothing.
+    "q129_domain_cap" -> ((s, d) => {
+      val k = 10
+      val dcs = docs(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+      val hist = dcs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      val wh = Window.partitionBy("source").orderBy(col("n_chars").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = hist
+        .withColumn("cum", sum("cnt").over(wh))
+        .where(col("cum") - col("cnt") < k)
+        .groupBy("source").agg(min("n_chars").as("thr"))
+      val wr = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      dcs.join(broadcast(thr), "source")
+        .where(col("n_chars") >= col("thr"))
+        .withColumn("rk", row_number().over(wr))
+        .where(col("rk") <= k)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // q130 — REPEATED-BLOCK REMOVAL (the C4/CCNet line-dedup rule in
+    // block form): any 5-token block appearing in >= 3 DISTINCT
+    // documents is boilerplate; documents are rebuilt from their
+    // surviving blocks in order. A deterministic banner on every
+    // third document plants the boilerplate the rule must find. Scale
+    // shape: blocks are non-overlapping (corpus token count total,
+    // not xN like shingles), the df count is one partial-agg groupBy
+    // over block HASHES' text (never full documents), and the rebuild
+    // groups by doc_id — text shuffles once, in blocks. Output keeps
+    // md5(new_text) (not the text) so result rows stay narrow.
+    "q130_block_dedup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(
+          when(col("doc_id") % 3 === 0, concat(lit(Banner + " "), col("text")))
+            .otherwise(col("text"))).as("toks"))
+        .withColumn("n_blocks", expr("(size(toks) + 4) div 5").cast("long"))
+      val blocks = base.select(col("doc_id"), col("n_blocks"),
+          posexplode(transform(
+            sequence(lit(0), col("n_blocks").cast("int") - 1),
+            i => array_join(slice(col("toks"), i * 5 + 1, lit(5)), " "))))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "b")
+      val dfc = blocks.groupBy("b")
+        .agg(countDistinct("doc_id").as("df"))
+      val kept = blocks.join(dfc, "b").where(col("df") < 3)
+      val rebuilt = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("b")))),
+          x => x.getField("b")), " ").as("t2"))
+      base.select(col("doc_id"), col("n_blocks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_blocks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("t2"), lit(""))).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // q131 — PERCEPTUAL-HASH IMAGE DEDUP over the REAL codec: each
+    // synthetic PNG (100 bases + 100 brightness-perturbed twins, see
+    // Multimodal.synthImagePngTwin) is decoded by the real
+    // javax.imageio reader, nearest-neighbor-reduced to 8×8, and
+    // hashed with aHash (bit j = 64·gray_j > Σgray — integer-only, no
+    // division); near-dups are pairs within Hamming distance 7,
+    // found via 8×8-bit band blocking (pigeonhole-complete for <= 7,
+    // the q19 SimHash argument at 64 bits) — never an all-pairs
+    // scan. The ORACLE recomputes decode → resize → hash → ALL-pairs
+    // Hamming from the closed-form pixel polynomial, so codec drift,
+    // resize-index drift, a hash bit off, or a band-recall loss all
+    // hash-mismatch.
+    "q131_image_phash" -> ((s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val hashed = ids.mapPartitions { it =>
+        it.flatMap { bid =>
+          Seq(
+            (bid, Multimodal.synthImagePng(bid)),
+            (bid + 100, Multimodal.synthImagePngTwin(bid))
+          ).map { case (id, png) =>
+            val raw = Multimodal.ImageCodec.decode(png, "png")
+            val small = Multimodal.ImageCodec.resize(raw, 8, 8)
+            val v = new Array[Long](64)
+            var s64 = 0L
+            var p = 0
+            while (p < 64) {
+              val o = 8 + p * 3
+              v(p) = (small(o) & 0xff) + (small(o + 1) & 0xff) +
+                (small(o + 2) & 0xff)
+              s64 += v(p)
+              p += 1
+            }
+            var hash = 0L
+            p = 0
+            while (p < 64) {
+              if (64L * v(p) > s64) hash |= (1L << p)
+              p += 1
+            }
+            (id, hash)
+          }
+        }
+      }.toDF("id", "hash")
+      val banded = hashed.select(col("id"), col("hash"),
+          explode(sequence(lit(0), lit(7))).as("band"))
+        .withColumn("bv", expr("shiftright(hash, band * 8) & 255"))
+      banded.select(col("id").as("a_id"), col("hash").as("a_hash"),
+          col("band"), col("bv"))
+        .join(banded.select(col("id").as("b_id"), col("hash").as("b_hash"),
+          col("band"), col("bv")), Seq("band", "bv"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(a_hash ^ b_hash)").cast("long").as("hamming"))
+        .where(col("hamming") <= 7)
+        .distinct()
+        .orderBy("a_id", "b_id")
+    }))
+
+  // q130's corpus CTEs: banner-injected normalized text, token lists,
+  // and non-overlapping 5-token blocks with their in-doc index
+  private def duckBlockCtes =
+    ("d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+      s"THEN '$Banner ' || text ELSE text END AS text FROM documents), " +
+      s"tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS l FROM d), " +
+      "tot AS (SELECT doc_id, (len(l) + 4) // 5 AS n_blocks FROM tk), " +
+      "bl AS (SELECT doc_id, i, " +
+      "array_to_string(l[(i * 5 + 1):(i * 5 + 5)], ' ') AS b " +
+      "FROM (SELECT doc_id, l, " +
+      "unnest(generate_series(0, CAST((len(l) + 4) // 5 AS INT) - 1)) AS i " +
+      "FROM tk))")
+
+  // q131's closed-form twin of decode→resize→aHash: pixel polynomial
+  // (+ the twin's clamped red shift on source columns x < 2), NN
+  // resize index arithmetic, integer aHash bits, all-pairs Hamming
+  private def duckPhashSql = {
+    val x = "((x8 * w) // 8)"
+    val y = "((y8 * h) // 8)"
+    val r0 = s"(bid * 31 + $x * 7 + $y * 13) % 256"
+    val v = s"(CASE WHEN tw AND $x < 2 THEN least($r0 + 8, 255) ELSE $r0 END) " +
+      s"+ (bid + $x * 3 + $y * 5) % 256 + (bid * 17 + $x + $y * 2) % 256"
+    "WITH ids AS (SELECT doc_id AS id, doc_id AS bid, FALSE AS tw " +
+      "FROM documents WHERE doc_id < 100 " +
+      "UNION ALL SELECT doc_id + 100, doc_id, TRUE " +
+      "FROM documents WHERE doc_id < 100), " +
+      "dims AS (SELECT id, bid, tw, 16 + bid % 16 AS w, 16 + bid % 8 AS h " +
+      "FROM ids), " +
+      "g8 AS (SELECT id, bid, tw, w, h, " +
+      "unnest(generate_series(0, 7)) AS y8 FROM dims), " +
+      "p8 AS (SELECT id, bid, tw, w, h, y8, " +
+      "unnest(generate_series(0, 7)) AS x8 FROM g8), " +
+      s"pv AS (SELECT id, y8 * 8 + x8 AS j, $v AS v FROM p8), " +
+      "s AS (SELECT id, sum(v) AS s64 FROM pv GROUP BY 1), " +
+      "bits AS (SELECT pv.id, j, " +
+      "CASE WHEN 64 * pv.v > s.s64 THEN 1 ELSE 0 END AS bit " +
+      "FROM pv JOIN s ON pv.id = s.id), " +
+      "hm AS (SELECT a.id AS a_id, b.id AS b_id, " +
+      "sum(abs(a.bit - b.bit)) AS hamming FROM bits a " +
+      "JOIN bits b ON a.j = b.j AND a.id < b.id GROUP BY 1, 2) " +
+      "SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM hm " +
+      "WHERE hamming <= 7 ORDER BY a_id, b_id"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    // the NAIVE full-window formulation — proves the histogram
+    // threshold pre-prune is lossless
+    "q129_domain_cap" ->
+      ("WITH r AS (SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk " +
+        "FROM documents) " +
+        "SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 10 " +
+        "ORDER BY source, doc_id"),
+    "q130_block_dedup" ->
+      (s"WITH $duckBlockCtes, " +
+        "dfc AS (SELECT b, count(DISTINCT doc_id) AS df FROM bl GROUP BY 1), " +
+        "kept AS (SELECT doc_id, i, bl.b FROM bl JOIN dfc USING (b) " +
+        "WHERE df < 3), " +
+        "agg AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(b, ' ' ORDER BY i) AS t2 FROM kept GROUP BY 1) " +
+        "SELECT tot.doc_id, CAST(tot.n_blocks AS BIGINT) AS n_blocks, " +
+        "COALESCE(agg.n_kept, 0) AS n_kept, " +
+        "md5(COALESCE(agg.t2, '')) AS text_md5 " +
+        "FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id"),
+    "q131_image_phash" -> duckPhashSql)
+}

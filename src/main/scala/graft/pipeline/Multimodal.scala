@@ -581,6 +581,36 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** q131 fixture: [[synthImagePng]]'s pixel polynomial on `bid` with
+    * the left 2-pixel column strip brightened (red channel +8, clamped
+    * at 255) — a NEAR-duplicate of the base image whose perceptual
+    * hash stays within a few bits, the re-encoded/re-cropped-asset
+    * case image dedup exists for. Closed form, so the DuckDB oracle
+    * recomputes the twin's pixels (and its aHash) from arithmetic.
+    */
+  def synthImagePngTwin(bid: Long): Array[Byte] = {
+    val w = 16 + (bid % 16).toInt
+    val h = 16 + (bid % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r0 = ((bid * 31 + x * 7 + y * 13) % 256).toInt
+        val r = if (x < 2) math.min(r0 + 8, 255) else r0
+        val g = ((bid + x * 3 + y * 5) % 256).toInt
+        val b = ((bid * 17 + x + y * 2) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Tuning knob: rows per in-partition batch (the Arrow batch-size
     * analog; bounds per-task memory for big payloads).
     */

@@ -22,7 +22,7 @@ object PipelineQueries {
   // per-row work so it uses every core; at warehouse scale the corpus
   // arrives in thousands of splits and this repartition is a cheap
   // guard against small/skewed file layouts.
-  private def docs(s: SparkSession, d: String) =
+  private[pipeline] def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
   private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
@@ -71,7 +71,7 @@ object PipelineQueries {
       "e AS (SELECT doc_id, unnest(list_distinct(sh)) AS t FROM sh0), " +
       "sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1)"
   // duckdb fragment mirroring TextOps.norm
-  private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private[pipeline] val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q13 — exact dedup: keep smallest doc_id per normalized-text md5

@@ -387,6 +387,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q123 top-k lost its heap plan:\n$p")
   }
 
+  test("SCD2 build and temporal join stay in one key-partitioned window domain") {
+    val p127 = plan("q127_scd2_build")
+    assert(p127.contains("windowspecdefinition(user_id"),
+      s"q127 version intervals lost their key partitioning:\n$p127")
+    val p128 = plan("q128_temporal_join")
+    // the point-in-time join must stay the carry-forward rewrite: one
+    // keyed window, never an interval range join (nested-loop fallback)
+    assert(p128.contains("windowspecdefinition(user_id"),
+      s"q128 temporal join lost its carry-forward window:\n$p128")
+    assert(!p128.contains("BroadcastNestedLoopJoin"),
+      s"q128 degenerated into an interval nested-loop join:\n$p128")
+  }
+
+  test("domain cap windows only survivors, thresholds broadcast back") {
+    val p = plan("q129_domain_cap")
+    // the histogram is a partial-agg groupBy; the per-source threshold
+    // comes back to the scan via broadcast, not a shuffle of the corpus
+    assert(p.contains("partial_count"),
+      s"q129 length histogram lost map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q129 threshold join lost its broadcast:\n$p")
+  }
+
+  test("rolling distinct fans out bounded days and broadcasts the day filter") {
+    val p = plan("q132_rolling_distinct")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q132 observed-days filter lost its broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"q132 reintroduced a sliding window over the event stream:\n$p")
+  }
+
   test("ppjoin candidates come from the prefix join, verified without re-shuffling sets") {
     val p = plan("q117_ppjoin_jaccard")
     // shingle-frequency ordering is a partial-agg groupBy; the pair
