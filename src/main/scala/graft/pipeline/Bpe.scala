@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training — the tokenizer-training step of
+  * an LLM data pipeline (Sennrich et al. 2016), trained the way the
+  * canonical implementation does: on the WORD-FREQUENCY table, never
+  * the raw corpus. The corpus is touched exactly once (the word count
+  * the caller aggregates); every merge round then runs over the
+  * vocabulary — thousands of rows at 100 TB, not billions.
+  *
+  * Round shape: symbol sequences live as `·a·b·c` strings (one
+  * separator before every symbol); adjacent-pair counts are one
+  * partial-agg groupBy over the vocabulary weighted by word count; the
+  * argmax pair is a 1-row TakeOrdered collect (bounded driver
+  * materialization, the k-means-centroid pattern); applying a merge is
+  * a scan-side `replace(seq, '·A·B', '·AB')` — plain left-to-right
+  * substring replacement IS the greedy non-overlapping merge order BPE
+  * specifies, and the leading separator makes symbol boundaries
+  * unambiguous (`·b·c` can never match inside `·ab·c`).
+  */
+object Bpe {
+
+  val Sep = "·"
+
+  /** A well-formed pair: two non-empty `[a-z0-9]` symbols around one
+    * separator — anything else means the vocabulary leaked characters
+    * that corrupt symbol boundaries (or would escape a SQL literal). */
+  private val SafePair = "[a-z0-9]+·[a-z0-9]+"
+
+  /** Train `steps` merges; returns (step, pair, merged, cnt) — one row
+    * per learned merge rule, in order.
+    *
+    * @param words vocabulary with counts; `wordCol` values must match
+    *              `^[a-z0-9]+$` (filter upstream — enforced loudly here
+    *              per-rule, since a `·` inside a word would corrupt
+    *              symbol boundaries)
+    */
+  def train(spark: SparkSession, words: DataFrame, wordCol: String,
+      cntCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, "bpe needs at least one merge step")
+    var seqs = words.select(col(cntCol).as("cnt"),
+      regexp_replace(col(wordCol), "(.)", s"$Sep$$1").as("seq"))
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val syms = split(expr("substring(seq, 2)"), Sep)
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(0), size(syms) - 2),
+          j => concat(element_at(syms, j + 1), lit(Sep),
+            element_at(syms, j + 2))))
+        .otherwise(array().cast("array<string>"))
+      val top = seqs.select(explode(pairs).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) {
+        // every word is a single symbol — nothing left to merge; stop
+        // early rather than emit degenerate rules
+        exhausted = true
+      } else {
+        val pair = top(0).getString(0)
+        val c = top(0).getLong(1)
+        require(pair.matches(SafePair),
+          s"bpe pair '$pair' outside the safe alphabet — filter the vocabulary " +
+            "to ^[a-z0-9]+$ before training")
+        val merged = pair.replace(Sep, "")
+        merges += ((step, pair, merged, c))
+        seqs = seqs.withColumn("seq",
+          expr(s"replace(seq, '$Sep$pair', '$Sep$merged')"))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "pair", "merged", "cnt")
+  }
+}

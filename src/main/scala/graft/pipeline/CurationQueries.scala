@@ -95,6 +95,25 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // q133 — BPE MERGE TRAINING: five byte-pair-encoding merges
+    // learned from the corpus's own word-frequency table — the
+    // tokenizer-training step of an LLM pipeline, trained the way the
+    // canonical implementation does (on the vocabulary, weighted by
+    // word count — see [[Bpe.train]] for the round shape and the
+    // 1-row argmax collect). The ORACLE replays all five rounds in
+    // SQL: pair counting, argmax with the same tie-break, and the
+    // left-to-right merge application via plain `replace` — so a
+    // wrong pair count, a tie broken differently, or an overlapping
+    // merge application diverges immediately and every later round
+    // amplifies the difference.
+    "q133_bpe_train" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      Bpe.train(s, words, "w", "cnt", steps = 5).orderBy("step")
+    }),
+
     // q131 — PERCEPTUAL-HASH IMAGE DEDUP over the REAL codec: each
     // synthetic PNG (100 bases + 100 brightness-perturbed twins, see
     // Multimodal.synthImagePngTwin) is decoded by the real
@@ -198,7 +217,37 @@ object CurationQueries {
       "WHERE hamming <= 7 ORDER BY a_id, b_id"
   }
 
+  // q133's five-round BPE replay: s0 holds the char-split sequences;
+  // each round i extracts adjacent pairs (e_i), picks the argmax with
+  // the engine's exact tie-break (t_i), and applies the merge with the
+  // same boundary-safe replace the Spark side uses (s_i)
+  private def duckBpeSql: String = {
+    val steps = 5
+    val sb = new StringBuilder
+    sb ++= "WITH wv AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM " +
+      s"(SELECT unnest(string_split($duckNorm, ' ')) AS w FROM documents) "
+    sb ++= "WHERE regexp_matches(w, '^[a-z0-9]+"
+    sb ++= "$') GROUP BY 1), "
+    sb ++= "s0 AS (SELECT cnt, regexp_replace(w, '(.)', '·\\1', 'g') AS seq FROM wv)"
+    for (i <- 1 to steps) {
+      sb ++= s", e$i AS (SELECT cnt, unnest(list_transform(range(1, len(sy)), " +
+        "j -> sy[j] || '·' || sy[j+1])) AS pair FROM " +
+        s"(SELECT cnt, string_split(seq, '·')[2:] AS sy FROM s${i - 1}))"
+      sb ++= s", t$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM e$i " +
+        "GROUP BY 1 ORDER BY c DESC, pair LIMIT 1)"
+      sb ++= s", s$i AS (SELECT cnt, replace(seq, '·' || (SELECT pair FROM t$i), " +
+        s"'·' || (SELECT replace(pair, '·', '') FROM t$i)) AS seq FROM s${i - 1})"
+    }
+    sb ++= " SELECT * FROM (" +
+      (1 to steps).map(i =>
+        s"SELECT $i AS step, pair, replace(pair, '·', '') AS merged, " +
+          s"c AS cnt FROM t$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q133_bpe_train" -> duckBpeSql,
     // the NAIVE full-window formulation — proves the histogram
     // threshold pre-prune is lossless
     "q129_domain_cap" ->

@@ -144,6 +144,117 @@ object AnalyticsQueries {
           floor(expr("percentile(c, 0.9)") * 1000000).cast("long").as("p90_micro"))
         .withColumn("skew_micro",
           expr("(max_c * n_keys * 1000000) div total"))
+    }),
+
+    // q136 — TRIANGLE COUNTING on the nation trade graph (q115's
+    // edge build, undirected): the clustering-coefficient/community
+    // primitive PageRank doesn't cover. Counted by DEGREE-ORIENTED
+    // wedge closure (the standard distributed algorithm): orient
+    // every edge from its (degree, id)-smaller endpoint, pair
+    // out-edges per source into wedges — Σ d_out² bounded by m^1.5
+    // under this orientation, never the naive Σ d² a hub would
+    // explode — and close each wedge with one hash join back against
+    // the canonical edge set. Each triangle counts exactly once (its
+    // order-smallest vertex owns it). The fact-table work is the same
+    // broadcast-dim join q115 pins; everything after aggregates
+    // |nations|²-bounded edges. The ORACLE is the naive a<b<c triple
+    // self-join — proving the orientation trick loses/double-counts
+    // nothing.
+    "q136_triangle_count" -> ((s, d) => {
+      val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables.load(s, d, "customer").select("c_custkey", "c_nationkey")
+      val su = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val und = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .select(
+          least(col("s_nationkey"), col("c_nationkey")).cast("long").as("lo"),
+          greatest(col("s_nationkey"), col("c_nationkey")).cast("long").as("hi"))
+        .distinct()
+      val deg = und.select(col("lo").as("n"))
+        .unionByName(und.select(col("hi").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val loFirst = // lo precedes hi in the (degree, id) total order
+        und.join(broadcast(deg.toDF("lo", "dlo")), "lo")
+          .join(broadcast(deg.toDF("hi", "dhi")), "hi")
+          .withColumn("lo_first",
+            col("dlo") < col("dhi") ||
+              (col("dlo") === col("dhi") && col("lo") < col("hi")))
+      val oriented = loFirst.select(
+        when(col("lo_first"), col("lo")).otherwise(col("hi")).as("src"),
+        when(col("lo_first"), col("hi")).otherwise(col("lo")).as("dst"))
+      val wedges = oriented.toDF("src", "b")
+        .join(oriented.toDF("src", "c"), "src")
+        .where(col("b") < col("c"))
+      wedges.join(und.toDF("b", "c"), Seq("b", "c"))
+        .agg(count(lit(1)).as("triangles"))
+    }),
+
+    // q137 — SKETCH SET ALGEBRA: exact user-set sizes for two event
+    // cohorts plus union and (inclusion-exclusion) intersection,
+    // hashed; the HLL++ estimates of the same four quantities
+    // asserted in-band as gated booleans (the q21 pattern — per
+    // round-6 advice the bands are deliberately wide multiples of the
+    // configured rsd, so a red flag means sketch DRIFT, not noise:
+    // union/singles at 3·rsd, the differenced intersection at
+    // 3·rsd·(|A|+|B|+|A∪B|) since subtraction compounds the three
+    // absolute errors). One pass over the fact table; conditional
+    // countDistinct plans as the standard two-level distinct
+    // aggregate.
+    "q137_hll_set_ops" -> ((s, d) => {
+      val isA = col("event_type") === "view"
+      val isB = col("event_type") === "purchase"
+      val u = col("user_id")
+      events(s, d)
+        .agg(
+          countDistinct(when(isA, u)).as("ua"),
+          countDistinct(when(isB, u)).as("ub"),
+          countDistinct(when(isA || isB, u)).as("uu"),
+          approx_count_distinct(when(isA, u)).as("ea"),
+          approx_count_distinct(when(isB, u)).as("eb"),
+          approx_count_distinct(when(isA || isB, u)).as("eu"))
+        .withColumn("ui", col("ua") + col("ub") - col("uu"))
+        .withColumn("ei", col("ea") + col("eb") - col("eu"))
+        .select(col("ua"), col("ub"), col("uu"), col("ui"),
+          (abs(col("ea") - col("ua")) <= col("ua") * 0.15 + 1).as("est_ok_a"),
+          (abs(col("eb") - col("ub")) <= col("ub") * 0.15 + 1).as("est_ok_b"),
+          (abs(col("eu") - col("uu")) <= col("uu") * 0.15 + 1).as("est_ok_u"),
+          (abs(col("ei") - col("ui")) <=
+            (col("ua") + col("ub") + col("uu")) * 0.15 + 1).as("est_ok_i"))
+    }),
+
+    // q138 — ANALYZE-style COLUMN STATISTICS: per-column row/null/NDV
+    // counts and min/max in ONE pass over the table — the stats a
+    // cost-based optimizer (and a data-quality monitor) needs.
+    // Multiple exact NDVs in one aggregation plan via Spark's Expand
+    // (one fact-table scan fans into the per-column distinct domains
+    // — the q109 grouping-sets machinery reused by multi-distinct
+    // aggregation); the 1-row result then melts to one row per
+    // column scan-side. Doubles fold to integer micro before min/max
+    // so the stringified extremes are engine-exact.
+    "q138_analyze_stats" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+      val cols = Seq("event_id", "user_id", "event_type", "ts", "vm", "props")
+      val aggs = cols.flatMap { cn =>
+        Seq(
+          sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"nn_$cn"),
+          countDistinct(col(cn)).as(s"ndv_$cn"),
+          min(col(cn)).cast("string").as(s"min_$cn"),
+          max(col(cn)).cast("string").as(s"max_$cn"))
+      }
+      val one = ev.agg(count(lit(1)).as("n"), aggs: _*)
+      // melt via explode ABOVE the aggregate — a union of per-column
+      // selects gets pushed through it and plans as six independent
+      // aggregates, i.e. six scans of the fact table
+      one.select(explode(array(cols.map { cn =>
+          struct(lit(cn).as("col_name"), col("n"),
+            col(s"nn_$cn").as("n_null"), col(s"ndv_$cn").as("ndv"),
+            col(s"min_$cn").as("min_s"), col(s"max_$cn").as("max_s"))
+        }: _*)).as("r"))
+        .select("r.*").orderBy("col_name")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -190,5 +301,49 @@ object AnalyticsQueries {
         "CAST(floor(quantile_cont(c, 0.5) * 1000000) AS BIGINT) AS p50_micro, " +
         "CAST(floor(quantile_cont(c, 0.9) * 1000000) AS BIGINT) AS p90_micro, " +
         "CAST(max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS BIGINT) " +
-        "AS skew_micro FROM c"))
+        "AS skew_micro FROM c"),
+    // the naive a<b<c triple self-join — the orientation trick must
+    // reproduce it exactly
+    "q136_triangle_count" ->
+      ("WITH ed AS (SELECT DISTINCT " +
+        "least(s_nationkey, c_nationkey) AS lo, " +
+        "greatest(s_nationkey, c_nationkey) AS hi " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE s_nationkey <> c_nationkey) " +
+        "SELECT count(*) AS triangles FROM ed e1 " +
+        "JOIN ed e2 ON e1.lo = e2.lo AND e1.hi < e2.hi " +
+        "JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi"),
+    // exact sizes recomputed; the est_ok flags are literal TRUE — the
+    // Spark side must land its sketch estimates inside the bands
+    "q137_hll_set_ops" ->
+      ("SELECT count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) " +
+        "AS ua, " +
+        "count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) " +
+        "AS ub, " +
+        "count(DISTINCT CASE WHEN event_type IN ('view', 'purchase') " +
+        "THEN user_id END) AS uu, " +
+        "count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) " +
+        "+ count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) " +
+        "- count(DISTINCT CASE WHEN event_type IN ('view', 'purchase') " +
+        "THEN user_id END) AS ui, " +
+        "TRUE AS est_ok_a, TRUE AS est_ok_b, TRUE AS est_ok_u, " +
+        "TRUE AS est_ok_i FROM events"),
+    "q138_analyze_stats" -> {
+      val specs = Seq( // (name, duckdb value expression)
+        "event_id" -> "event_id",
+        "user_id" -> "user_id",
+        "event_type" -> "event_type",
+        "ts" -> "epoch_ns(ts)",
+        "vm" -> "CAST(floor(value * 1000000) AS BIGINT)",
+        "props" -> "props")
+      "SELECT * FROM (" + specs.map { case (n, e) =>
+        s"SELECT '$n' AS col_name, count(*) AS n, " +
+          s"CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+          s"AS n_null, count(DISTINCT $e) AS ndv, " +
+          s"CAST(min($e) AS VARCHAR) AS min_s, " +
+          s"CAST(max($e) AS VARCHAR) AS max_s FROM events"
+      }.mkString(" UNION ALL ") + ") ORDER BY col_name"
+    })
 }

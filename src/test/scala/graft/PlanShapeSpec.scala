@@ -418,6 +418,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q132 reintroduced a sliding window over the event stream:\n$p")
   }
 
+  test("triangle counting joins broadcast dims, closes wedges with a hash join") {
+    val p = plan("q136_triangle_count")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q136 edge build lost its broadcast dim joins:\n$p")
+    assert(p.contains("partial_count"),
+      s"q136 edge aggregation lost its map-side partial:\n$p")
+  }
+
+  test("analyze stats plans multi-distinct NDVs via Expand in one scan") {
+    val p = plan("q138_analyze_stats")
+    assert(p.contains("Expand"),
+      s"q138 multi-distinct aggregation lost its Expand plan:\n$p")
+  }
+
   test("ppjoin candidates come from the prefix join, verified without re-shuffling sets") {
     val p = plan("q117_ppjoin_jaccard")
     // shingle-frequency ordering is a partial-agg groupBy; the pair
