@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.functions.{BloomContains, CmsSketch, DotProduct, MinHashSig, ShingleJaccard, SimHash32, TextStats, WinnowFps, WordShingles}
+import graft.functions.{BloomContains, CmsSketch, DotProduct, MinHashSig, ShingleJaccard, SimHash32, TextStats, TopKAgg, WinnowFps, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -84,6 +84,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CmsSketch(tok, d, w)
         case _ => throw new IllegalArgumentException(
           "usage: cms_sketch(token, depth int literal, width int literal)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (args: Seq[Expression]) => args match {
+        case Seq(score, id, IntegerLiteral(k)) => TopKAgg(score, id, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: top_k(score bigint, id bigint, k int literal)")
       }))
     extensions.injectFunction((
       new FunctionIdentifier("bloom_contains"),

@@ -114,6 +114,27 @@ object CurationQueries {
       Bpe.train(s, words, "w", "cnt", steps = 5).orderBy("step")
     }),
 
+    // q140 — NATIVE TOP-K AGGREGATE: q129's per-domain cap computed
+    // by the custom `top_k` TypedImperativeAggregate instead of the
+    // histogram-threshold + window composition — bounded 16·k-byte
+    // state per group at every point, partial-trimmed on the
+    // executors, at most k pairs per group on the exchange (see
+    // [[graft.functions.TopKAgg]] for why both idiomatic
+    // formulations — partition window, collect_list+slice — break on
+    // a skewed source). Same oracle shape as q129 at k=3, so the
+    // native aggregate is held to the exact window semantics
+    // including ties.
+    "q140_topk_agg" -> ((s, d) =>
+      docs(s, d)
+        // (score, id) = (n_chars, doc_id): top_k keeps score DESC,
+        // id ASC — exactly row_number's (n_chars DESC, doc_id) order
+        .groupBy("source")
+        .agg(expr("top_k(n_chars, doc_id, 3)").as("tk"))
+        .select(col("source"), posexplode(col("tk")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("doc_id"), col("col.score").as("n_chars"))
+        .orderBy("source", "rk")),
+
     // q131 — PERCEPTUAL-HASH IMAGE DEDUP over the REAL codec: each
     // synthetic PNG (100 bases + 100 brightness-perturbed twins, see
     // Multimodal.synthImagePngTwin) is decoded by the real
@@ -248,6 +269,13 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q133_bpe_train" -> duckBpeSql,
+    // the window formulation the native aggregate must reproduce
+    "q140_topk_agg" ->
+      ("WITH r AS (SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk " +
+        "FROM documents) " +
+        "SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 3 " +
+        "ORDER BY source, rk"),
     // the NAIVE full-window formulation — proves the histogram
     // threshold pre-prune is lossless
     "q129_domain_cap" ->

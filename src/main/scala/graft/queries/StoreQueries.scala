@@ -352,6 +352,59 @@ object StoreQueries {
       s.read.parquet(s"$base/out").orderBy("event_id")
     }),
 
+    // q139 — STREAMED TEMPORAL JOIN: q128's point-in-time enrichment
+    // run by a REAL StreamingQuery — purchases stream through two
+    // micro-batches and each batch joins the STATIC versioned
+    // dimension (the q127 SCD2 build) on the interval condition, the
+    // event-time temporal-table join (`FOR SYSTEM_TIME AS OF f.ts`)
+    // Flink runs against a versioned table. Stream-static with an
+    // equi key + interval residual plans as a hash join per batch —
+    // the dimension is the small side at any fact volume. Appended
+    // output must hash-match q128's batch oracle exactly, late-batch
+    // rows included (a version table is time-complete, so event-time
+    // correctness needs no watermark coordination — documented
+    // contrast with the buffered stream-stream case, q47/q87).
+    "q139_stream_temporal_join" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-temporal-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val facts = Tables.load(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+        .repartition(2) // 2 files -> 2 micro-batches
+      Topic.produce(facts, s"$base/topic")
+      val dim = graft.pipeline.Scd2.build(
+        Tables.load(s, d, "events")
+          .where(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("attr")),
+        "user_id", "ts", Seq("attr"))
+        .select(col("user_id").as("dk"), col("attr"),
+          col("valid_from"), col("valid_to"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, ts BIGINT")
+      val joined = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j"))
+        .select("j.*")
+        .join(dim,
+          col("user_id") === col("dk") &&
+            col("valid_from") <= col("ts") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")),
+          "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("attr"), 6).as("attr"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$base/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("event_id")
+    }),
+
     // q53 — the S6 CDC sink end-to-end under the oracle: events
     // re-serialized as Debezium-style envelopes (op/u|d, source.table
     // routing, lsn/txId ordering, after/before images), pushed through
@@ -1030,6 +1083,11 @@ object StoreQueries {
         "AND r.t >= l.t AND r.t < l.t + 43200000000 " +
         "AND l.event_id <> r.event_id " +
         "ORDER BY event_a, event_b NULLS FIRST"),
+
+    // the streamed temporal join must equal the batch point-in-time
+    // answer — same interval-form oracle as q128
+    "q139_stream_temporal_join" ->
+      AnalyticsQueries.oracleSql("q128_temporal_join"),
 
     // the per-batch stream-static join must equal the batch left join
     "q50_stream_static_join" ->
