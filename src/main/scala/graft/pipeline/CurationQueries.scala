@@ -135,6 +135,57 @@ object CurationQueries {
           col("col.id").as("doc_id"), col("col.score").as("n_chars"))
         .orderBy("source", "rk")),
 
+    // q141 — PER-GROUP DETERMINISTIC k-SAMPLE: exactly k uniform
+    // documents per source — the fixed-size-per-stratum draw q61's
+    // RATE sampling and q116's GLOBAL bottom-k both miss. Same
+    // RNG-free md5-key construction as those two, per-group bottom-k
+    // by running the negated key through the `top_k` aggregate —
+    // bounded state per group, no per-source window, no global sort;
+    // adding documents displaces at most one winner per source.
+    "q141_group_sample" -> ((s, d) =>
+      docs(s, d)
+        .select(col("source"), col("doc_id"),
+          conv(substring(md5(concat(lit("gs:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("source")
+        // k smallest hash keys == top_k of the negated key
+        .agg(expr("top_k(-h, doc_id, 5)").as("tk"))
+        .select(col("source"), posexplode(col("tk")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("doc_id"), (-col("col.score")).as("h"))
+        .orderBy("source", "rk")),
+
+    // q142 — DATA-QUALITY GATE REPORT (the dbt-test / expectation-
+    // suite role): per-rule checked/failed counts over the corpus in
+    // ONE pass — empty docs, unknown language, length-metadata drift,
+    // null source, duplicate ids (exact NDV vs row count). Rule
+    // violations are conditional sums in a single aggregate; the
+    // per-rule melt rides ABOVE the aggregate as an explode (the
+    // q138 lesson — a union melt re-plans as five scans). The zh/
+    // short-doc rows make the report prove it can fail, not just
+    // pass.
+    "q142_quality_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val one = dd.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("n_chars") <= 0, 1L).otherwise(0L)).as("f_empty"),
+        sum(when(!col("lang").isin("en", "de", "es", "fr"), 1L)
+          .otherwise(0L)).as("f_lang"),
+        sum(when(length(col("text")) =!= col("n_chars"), 1L)
+          .otherwise(0L)).as("f_len"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("f_src"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("f_dup"))
+      val rules = Seq("doc_nonempty" -> "f_empty", "lang_known" -> "f_lang",
+        "len_matches_meta" -> "f_len", "source_present" -> "f_src",
+        "doc_id_unique" -> "f_dup")
+      one.select(explode(array(rules.map { case (rn, fc) =>
+          struct(lit(rn).as("rule"), col("n").as("n_checked"),
+            col(fc).as("n_failed"))
+        }: _*)).as("r"))
+        .select("r.*").orderBy("rule")
+    }),
+
     // q131 — PERCEPTUAL-HASH IMAGE DEDUP over the REAL codec: each
     // synthetic PNG (100 bases + 100 brightness-perturbed twins, see
     // Multimodal.synthImagePngTwin) is decoded by the real
@@ -276,6 +327,33 @@ object CurationQueries {
         "FROM documents) " +
         "SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 3 " +
         "ORDER BY source, rk"),
+    // the window formulation again — per-group bottom-k must match it
+    "q141_group_sample" ->
+      ("WITH hx AS (SELECT source, doc_id, " +
+        "('0x' || substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT " +
+        "AS h FROM documents), " +
+        "r AS (SELECT source, doc_id, h, row_number() OVER " +
+        "(PARTITION BY source ORDER BY h, doc_id) AS rk FROM hx) " +
+        "SELECT source, rk, doc_id, h FROM r WHERE rk <= 5 " +
+        "ORDER BY source, rk"),
+    "q142_quality_report" ->
+      ("WITH a AS (SELECT count(*) AS n, " +
+        "CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS f_empty, " +
+        "CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS f_lang, " +
+        "CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS f_len, " +
+        "CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS f_src, " +
+        "count(*) - count(DISTINCT doc_id) AS f_dup FROM documents) " +
+        "SELECT * FROM (" +
+        "SELECT 'doc_nonempty' AS rule, n AS n_checked, f_empty AS n_failed FROM a " +
+        "UNION ALL SELECT 'lang_known', n, f_lang FROM a " +
+        "UNION ALL SELECT 'len_matches_meta', n, f_len FROM a " +
+        "UNION ALL SELECT 'source_present', n, f_src FROM a " +
+        "UNION ALL SELECT 'doc_id_unique', n, f_dup FROM a) ORDER BY rule"),
+
     // the NAIVE full-window formulation — proves the histogram
     // threshold pre-prune is lossless
     "q129_domain_cap" ->
