@@ -79,9 +79,13 @@ object CurationQueries {
             sequence(lit(0), col("n_blocks").cast("int") - 1),
             i => array_join(slice(col("toks"), i * 5 + 1, lit(5)), " "))))
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "b")
-      val dfc = blocks.groupBy("b")
+        // both the df rollup and the join back key on the 32-char md5
+        // fingerprint, never the block text — the block-sized shuffles
+        // carry fixed-width keys (the q65 incremental-dedup rule)
+        .withColumn("bh", md5(col("b")))
+      val dfc = blocks.groupBy("bh")
         .agg(countDistinct("doc_id").as("df"))
-      val kept = blocks.join(dfc, "b").where(col("df") < 3)
+      val kept = blocks.join(dfc, "bh").where(col("df") < 3)
       val rebuilt = kept.groupBy("doc_id").agg(
         count(lit(1)).as("n_kept"),
         array_join(transform(

@@ -697,14 +697,16 @@ object PipelineQueries {
     // brute force in SetSimJoinPropertySpec, measured in
     // SCALE_CURVE.md). Contrast q17/q18 (MinHash: probabilistic
     // recall) — this is the exact-recall member of the dedup family.
-    "q117_ppjoin_jaccard" -> ((s, d) => {
-      val sets = docsWithDups(s, d).select(col("doc_id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
-      SetSimJoin.jaccardPairs(sets, "doc_id", "sh", tau = 0.8)
+    "q117_ppjoin_jaccard" -> ((s, d) =>
+      // the shingle construction goes in as an EXPRESSION — see the
+      // SetSimJoin scaladoc for why a pre-materialized column triples
+      // the per-row regexp work via the inferred generate filter
+      SetSimJoin.jaccardPairs(docsWithDups(s, d), "doc_id",
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)),
+          tau = 0.8)
         .select(col("a_id"), col("b_id"), col("inter"),
           round(col("jacc"), 6).as("jacc"))
-        .orderBy("a_id", "b_id")
-    }),
+        .orderBy("a_id", "b_id")),
 
     // q123 — PMI COLLOCATIONS: the top adjacent-token bigrams scored
     // by pointwise mutual information ln(p(w1w2)/(p(w1)p(w2))) — the
@@ -799,14 +801,13 @@ object PipelineQueries {
     // filter (probe side only — lossless for containment) and the
     // scale argument. Directional output (a ⊂ b and b ⊂ a both
     // appear for identical sets).
-    "q121_containment_join" -> ((s, d) => {
-      val sets = docsWithDups(s, d).select(col("doc_id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
-      SetSimJoin.containmentPairs(sets, "doc_id", "sh", tau = 0.9)
+    "q121_containment_join" -> ((s, d) =>
+      SetSimJoin.containmentPairs(docsWithDups(s, d), "doc_id",
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)),
+          tau = 0.9)
         .select(col("a_id"), col("b_id"), col("inter"),
           round(col("containment"), 6).as("containment"))
-        .orderBy("a_id", "b_id")
-    }),
+        .orderBy("a_id", "b_id")),
 
     // q118 — WEIGHTED sample without replacement (Efraimidis-
     // Spirakis A-ES): rank every document by −ln(u)/w where u is a

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Prefix-filtered EXACT set-similarity joins (PPJoin family,
@@ -25,16 +25,29 @@ import org.apache.spark.sql.functions._
   * joins. The element-frequency pass and per-set ordering are
   * partial-agg groupBys; per-set sorts are bounded by set size.
   *
-  * Precondition: `setCol` holds the DISTINCT elements of each set,
-  * non-empty (an empty array produces no explode rows and the id
+  * Precondition: `setCol` evaluates to the DISTINCT elements of each
+  * set, non-empty (an empty array produces no explode rows and the id
   * silently drops out of the join — callers with possibly-empty sets
   * must filter or sentinel them first).
+  *
+  * `setCol` is a Column EXPRESSION exploded directly inside the
+  * Generate, on purpose: materializing it as a named column first
+  * looks equivalent, but Catalyst's infer-filters-from-generate rule
+  * then rewrites `explode(sh)` with an inferred `size(sh) > 0` filter
+  * that collapses through the projection — the full set-construction
+  * expression (tokenize + shingle + array_distinct on every document)
+  * gets re-evaluated in the Filter AND the Project, at each of its
+  * FOUR appearances in the plan (both prefix sides + both verify
+  * sides). Measured 3× wall-clock on q117/q121 at sf0.1. Exploding
+  * the expression itself leaves no named column for the rule to
+  * duplicate cheaply, and the plan evaluates the construction once
+  * per appearance.
   */
 object SetSimJoin {
 
   /** (__id, __toks ordered rarest-first, __sz) per input row. */
-  private def ordered(sets: DataFrame, idCol: String, setCol: String): DataFrame = {
-    val el = sets.select(col(idCol).as("__id"), explode(col(setCol)).as("__t"))
+  private def ordered(sets: DataFrame, idCol: String, setCol: Column): DataFrame = {
+    val el = sets.select(col(idCol).as("__id"), explode(setCol).as("__t"))
     val dfc = el.groupBy("__t").agg(count(lit(1)).as("__df"))
     el.join(dfc, "__t")
       .groupBy("__id")
@@ -51,7 +64,7 @@ object SetSimJoin {
   /** All unordered pairs (a_id < b_id) with Jaccard ≥ τ.
     * @return a_id, b_id, inter (long), jacc (double, unrounded)
     */
-  def jaccardPairs(sets: DataFrame, idCol: String, setCol: String,
+  def jaccardPairs(sets: DataFrame, idCol: String, setCol: Column,
       tau: Double): DataFrame = {
     val ord = withPrefixLen(ordered(sets, idCol, setCol), tau)
     val pre = ord.select(col("__id"), col("__sz"),
@@ -78,7 +91,7 @@ object SetSimJoin {
     * frequency order.
     * @return a_id, b_id, inter (long), containment (double, unrounded)
     */
-  def containmentPairs(sets: DataFrame, idCol: String, setCol: String,
+  def containmentPairs(sets: DataFrame, idCol: String, setCol: Column,
       tau: Double): DataFrame = {
     val ord = withPrefixLen(ordered(sets, idCol, setCol), tau)
     val pre = ord.select(col("__id").as("a_id"), col("__sz").as("a_szp"),

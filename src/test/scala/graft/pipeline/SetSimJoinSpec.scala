@@ -2,6 +2,8 @@ package graft.pipeline
 
 import scala.util.Random
 
+import org.apache.spark.sql.functions.col
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -51,7 +53,7 @@ class SetSimJoinSpec extends AnyFunSuite {
     } {
       val c = corpus(seed, n = 60, univ = univ)
       val df = c.toDF("id", "els")
-      val got = SetSimJoin.jaccardPairs(df, "id", "els", tau)
+      val got = SetSimJoin.jaccardPairs(df, "id", col("els"), tau)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got === bruteJacc(c, tau),
         s"jaccard mismatch at seed=$seed univ=$univ tau=$tau")
@@ -65,7 +67,7 @@ class SetSimJoinSpec extends AnyFunSuite {
     } {
       val c = corpus(seed, n = 60, univ = univ)
       val df = c.toDF("id", "els")
-      val got = SetSimJoin.containmentPairs(df, "id", "els", tau)
+      val got = SetSimJoin.containmentPairs(df, "id", col("els"), tau)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got === bruteCont(c, tau),
         s"containment mismatch at seed=$seed univ=$univ tau=$tau")
@@ -76,10 +78,10 @@ class SetSimJoinSpec extends AnyFunSuite {
     val c = Seq((1L, Seq("a", "b", "c")), (2L, Seq("c", "b", "a")),
       (3L, Seq("a", "b")))
     val df = c.toDF("id", "els")
-    val j = SetSimJoin.jaccardPairs(df, "id", "els", 1.0)
+    val j = SetSimJoin.jaccardPairs(df, "id", col("els"), 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(j === Set((1L, 2L)))
-    val ct = SetSimJoin.containmentPairs(df, "id", "els", 1.0)
+    val ct = SetSimJoin.containmentPairs(df, "id", col("els"), 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // 3 ⊂ 1 and 3 ⊂ 2 as well: containment is directional
     assert(ct === Set((1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L)))
