@@ -48,6 +48,25 @@ object AnnIvf {
       .select(col(idCol), col(vecCol), col("bucket"))
   }
 
+  /** Like [[assignBuckets]] but also carries the similarity to the
+    * assigned centroid — the per-vector signal the embedding-outlier
+    * filter (q146) thresholds on. Same max_by partial-agg shape: the
+    * broadcast fanout collapses map-side, the exchange carries one
+    * (id, bucket, sim) row per vector.
+    */
+  def assignWithSim(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "emb"): DataFrame = {
+    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cemb"))
+    corpus
+      .crossJoin(broadcast(c))
+      .withColumn("s", sim(vecCol, "cemb"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("s"), col("cid")),
+        struct(col("s"), (-col("cid")).as("nc"))).as("best"))
+      .select(col(idCol), col("best.cid").as("bucket"),
+        col("best.s").as("sim"))
+  }
+
   /** Lloyd-iteration centroid training (k-means-lite): seed with the
     * first k vectors by id, then `iters` rounds of assign + per-bucket
     * [[graft.functions.VectorMean]] (a typed Aggregator with

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  import PipelineQueries.{docs, duckNorm}
+  import PipelineQueries.{docs, duckNorm, embs, duckShingleCtes, duckSigBandCtes}
 
   /** q130's injected boilerplate: exactly one 5-token block, prepended
     * to every third document, already in normalized form so the Spark
@@ -247,6 +247,118 @@ object CurationQueries {
         .where(col("hamming") <= 7)
         .distinct()
         .orderBy("a_id", "b_id")
+    }),
+
+    // q143 — INCREMENTAL NEAR-DUP DEDUP (new batch vs indexed
+    // corpus): the shape a continuously-ingested corpus actually
+    // runs — q17/q38 dedup the corpus against itself; here an
+    // incoming batch (half exact dups of indexed docs, half fresh)
+    // is checked against the EXISTING index without ever re-pairing
+    // the index with itself. The index side's banded LSH buckets are
+    // write-once in production (a stored table keyed by (band,key));
+    // per-batch cost is |batch| signatures + a bucket equi-join +
+    // Jaccard verification on candidates only — index text is
+    // touched only for candidate rows, and index-index pairs are
+    // never generated. Survivors (kept=true) are the batch's novel
+    // documents; n_index_matches counts verified near-dup partners.
+    "q143_incr_neardup" -> ((s, d) => {
+      val index = docs(s, d).select(col("doc_id"), col("text"))
+      val batch = docs(s, d).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(lit("fresh "), col("doc_id").cast("string"),
+            lit(" standalone document content"))).as("text"))
+      val idxBuckets = NearDup.bands(index, "doc_id", "text")
+        .toDF("doc_a", "band", "key")
+      val newBuckets = NearDup.bands(batch, "doc_id", "text")
+        .toDF("doc_b", "band", "key")
+      val cand = newBuckets.join(idxBuckets, Seq("band", "key"))
+        .select("doc_a", "doc_b").distinct()
+      val matched = cand
+        .join(index.toDF("doc_a", "text_a"), "doc_a")
+        .join(batch.toDF("doc_b", "text_b"), "doc_b")
+        .withColumn("jacc",
+          round(expr("shingle_jaccard(text_a, text_b, 3)"), 6))
+        .where(col("jacc") >= 0.8)
+        .groupBy("doc_b").agg(countDistinct(col("doc_a")).as("nm"))
+      batch.join(matched, batch("doc_id") === matched("doc_b"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nm"), lit(0L)).as("n_index_matches"),
+          col("nm").isNull.as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // q144 — URL CANONICALIZATION + DEDUP (the Common-Crawl-style
+    // first-stage dedup that runs BEFORE any text is fetched or
+    // compared): scheme/case/www/query-string/trailing-slash variants
+    // of the same resource collapse to one canonical key. The URL
+    // variants are synthesized deterministically from (source,
+    // doc_id) so the rule has real work to do; canonicalization is a
+    // chain of anchored regexp_replace calls — pure scan-side
+    // codegen, zero shuffles before the one partial-agg groupBy on
+    // the canonical key (which carries only the canonical string,
+    // never documents). keeper_id = min(doc_id) is the
+    // first-crawled-wins survivorship rule.
+    "q144_url_dedup" -> ((s, d) => {
+      val raw = docs(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0, lit("HTTPS://WWW."))
+            .otherwise(lit("https://")),
+          col("source"), lit(".example.com/articles/"),
+          // path repeats every 40 ids — aligned with the 20-source
+          // cycle, so ~|corpus|/40 raw URLs collapse per canonical
+          // key; the %3/%7 decorations vary WITHIN each key, giving
+          // the canonicalizer real variants to strip
+          (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("?utm_source=feed&ref=home"))
+            .otherwise(lit(""))).as("url"))
+      raw
+        .withColumn("curl",
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            lower(col("url")),
+            "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/$", ""))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
+        .orderBy("curl")
+    }),
+
+    // q146 — EMBEDDING OUTLIER REMOVAL (per-cluster isolation
+    // filter): the embedding-space cleaning pass that drops vectors
+    // far from their own cluster's mass — mislabeled/garbage points
+    // SemDeDup-style dense-dup mining (q96) cannot see. Every vector
+    // is IVF-assigned (broadcast centroids, max_by partial agg — the
+    // q22 shape), its centroid similarity floored to integer
+    // microunits, and flagged iff sim < mean − z·σ of its OWN
+    // bucket. The mean/σ test is evaluated in EXACT integer
+    // arithmetic — (Σs − n·s) > 0 AND (Σs − n·s)² > z²(nΣs² − (Σs)²)
+    // — because float stddev accumulation differs across engines
+    // (the q119 rule); decimal(38) keeps the squared terms exact at
+    // any corpus size. z = 1 here: assignment sims are max-over-16-
+    // centroids statistics, whose distribution is compressed from
+    // below (the max of 16 near-independent cosines rarely sits 2σ
+    // under its bucket mean on this corpus), so z=1 exercises a real
+    // non-empty tail — production tightens z without changing the
+    // plan. Per-bucket stats are a |centroids|-row aggregate
+    // broadcast back; nothing but (id, bucket, smicro) shuffles.
+    "q146_embed_outlier" -> ((s, d) => {
+      val e0 = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val assigned = AnnIvf
+        .assignWithSim(e0, e0.where(col("vec_id") < 16))
+        .withColumn("smicro", floor(col("sim") * 1e6).cast("long"))
+      val dec = "decimal(38,0)"
+      val stats = assigned.groupBy("bucket").agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("smicro").cast(dec)).as("s1"),
+        sum((col("smicro") * col("smicro")).cast(dec)).as("s2"))
+      val dev = col("s1") - col("n") * col("smicro").cast(dec)
+      assigned.join(broadcast(stats), "bucket")
+        .select(col("vec_id"), col("bucket"), col("smicro"),
+          (dev > 0 && dev * dev >
+            col("n") * col("s2") - col("s1") * col("s1"))
+            .as("is_outlier"))
+        .orderBy("vec_id")
     }))
 
   // q130's corpus CTEs: banner-injected normalized text, token lists,
@@ -377,5 +489,73 @@ object CurationQueries {
         "COALESCE(agg.n_kept, 0) AS n_kept, " +
         "md5(COALESCE(agg.t2, '')) AS text_md5 " +
         "FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id"),
-    "q131_image_phash" -> duckPhashSql)
+    "q131_image_phash" -> duckPhashSql,
+
+    // mirrors the Spark batch synthesis, then pairs ONLY index-side ×
+    // batch-side bucket collisions (never index-index), verifies with
+    // the exact q18 Jaccard form, and left-joins the verified-match
+    // counts back onto the batch
+    "q143_incr_neardup" ->
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 100000, " +
+        "CASE WHEN doc_id % 2 = 0 THEN text " +
+        "ELSE 'fresh ' || CAST(doc_id AS VARCHAR) || " +
+        "' standalone document content' END FROM documents), " +
+        s"${duckShingleCtes("all_docs")}, $duckSigBandCtes, " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "WHERE a.doc_id < 100000 AND b.doc_id >= 100000), " +
+        "ver AS (SELECT doc_b, count(DISTINCT doc_a) AS nm FROM (" +
+        "SELECT c.doc_a, c.doc_b, " +
+        "round(len(list_intersect(sa.sh, sb.sh)) / " +
+        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
+        "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
+        "JOIN sh sb ON sb.doc_id = c.doc_b) " +
+        "WHERE jacc >= 0.8 GROUP BY doc_b) " +
+        "SELECT d.doc_id, COALESCE(v.nm, 0) AS n_index_matches, " +
+        "v.doc_b IS NULL AS kept " +
+        "FROM all_docs d LEFT JOIN ver v ON v.doc_b = d.doc_id " +
+        "WHERE d.doc_id >= 100000 ORDER BY doc_id"),
+
+    // the same synthesis + canonicalization regex chain; anchored
+    // patterns, so first-match (DuckDB) == all-match (Spark)
+    "q144_url_dedup" ->
+      ("WITH raw AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' " +
+        "ELSE 'https://' END) || source || '.example.com/articles/' || " +
+        "CAST(doc_id % 40 AS VARCHAR) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&ref=home' " +
+        "ELSE '' END) AS url FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "lower(url), '^https?://', ''), '^www\\.', ''), " +
+        "'[?#].*$', ''), '/$', '') AS curl FROM raw) " +
+        "SELECT curl, count(*) AS n_docs, min(doc_id) AS keeper_id " +
+        "FROM c GROUP BY curl ORDER BY curl"),
+
+    // replays assignment (row_number twin of max_by), integer-micro
+    // flooring, and the exact-integer outlier inequality; HUGEINT
+    // sums keep every squared term exact, mirroring decimal(38)
+    "q146_embed_outlier" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16), " +
+        "assign AS (SELECT vec_id, bucket, s FROM (" +
+        s"SELECT e.vec_id, c.cid AS bucket, ${cos("e.emb", "c.cemb")} AS s, " +
+        "row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn FROM e, c) " +
+        "WHERE rn = 1), " +
+        "m AS (SELECT vec_id, bucket, " +
+        "CAST(floor(s * 1000000) AS BIGINT) AS smicro FROM assign), " +
+        "st AS (SELECT bucket, count(*) AS n, sum(smicro) AS s1, " +
+        "sum(smicro * smicro) AS s2 FROM m GROUP BY bucket) " +
+        "SELECT m.vec_id, m.bucket, m.smicro, " +
+        "(st.s1 - st.n * m.smicro) > 0 AND " +
+        "(st.s1 - st.n * m.smicro) * (st.s1 - st.n * m.smicro) > " +
+        "st.n * st.s2 - st.s1 * st.s1 AS is_outlier " +
+        "FROM m JOIN st USING (bucket) ORDER BY vec_id"
+    })
 }

@@ -24,7 +24,7 @@ object PipelineQueries {
   // guard against small/skewed file layouts.
   private[pipeline] def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
-  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+  private[pipeline] def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
   /** documents ∪ (documents with shifted ids): the testdata has no
     * natural duplicates, so dedup queries run on a corpus where every
@@ -1215,7 +1215,7 @@ object PipelineQueries {
 
   // shared DuckDB CTE chain: normalize -> tokenize -> 3-gram shingles ->
   // 8 md5 minhashes -> 4 banded keys (mirrors NearDup exactly)
-  private def duckShingleCtes(source: String): String =
+  private[pipeline] def duckShingleCtes(source: String): String =
     s"n AS (SELECT doc_id, $duckNorm AS ntext FROM $source), " +
       "tk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM n), " +
       "sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 " +
@@ -1239,7 +1239,10 @@ object PipelineQueries {
       "cc(id, lbl) AS (SELECT doc_id, doc_id FROM all_docs " +
       "UNION SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id)"
 
-  private val duckSigBands: String =
+  // sig + bands only (no candidate pairing) — shared with the
+  // incremental-dedup oracle (q143), whose candidate join is
+  // index-side × batch-side instead of the all-docs a < b rule
+  private[pipeline] val duckSigBandCtes: String =
     "sig AS (SELECT doc_id, " +
       (0 until NearDup.NumHashes).map(i =>
         s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS m$i")
@@ -1248,7 +1251,10 @@ object PipelineQueries {
       "bands AS (" +
       (0 until NearDup.NumBands).map(b =>
         s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM sig")
-        .mkString(" UNION ALL ") + "), " +
+        .mkString(" UNION ALL ") + ")"
+
+  private val duckSigBands: String =
+    duckSigBandCtes + ", " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
       "AND a.doc_id < b.doc_id)"

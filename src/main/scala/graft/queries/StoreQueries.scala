@@ -238,6 +238,29 @@ object StoreQueries {
         .orderBy("event_type")
     }),
 
+    // q147 — STREAMED native top-k: q140's bounded `top_k`
+    // TypedImperativeAggregate accumulated by a real 2-micro-batch
+    // StreamingQuery (the q102 pattern applied to the second custom
+    // aggregate) — its k-pair buffer must serialize into the
+    // streaming state store after batch 1 and merge with batch 2's
+    // partials before the complete-mode emission hash-matches the
+    // batch window oracle. Scores are integer cents so the streamed
+    // ranking is bit-deterministic across engines.
+    "q147_stream_topk" -> ((s, d) =>
+      streamedEventAgg(s, d, "stream-topk",
+        Seq("event_id", "ts", "event_type", "value"),
+        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE") {
+        parsed =>
+          parsed
+            .withColumn("cents", round(col("value") * 100).cast("long"))
+            .groupBy("event_type")
+            .agg(expr("top_k(cents, event_id, 5)").as("tk"))
+      }
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("event_id"), col("col.score").as("cents"))
+        .orderBy("event_type", "rk")),
+
     // q100 — ORC at rest (SURVEY.md §2.1 S8's second format, until now
     // claimed-free but ungated): the events table written as ORC,
     // read back through the vectorized ORC reader with the filter
@@ -255,6 +278,35 @@ object StoreQueries {
         .where(col("event_type") === "click")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
+        .orderBy("user_id")
+    }),
+
+    // q145 — CSV at rest (S8's third format, after parquet and ORC
+    // q100), gated on the part CSV is actually hard at: QUOTING. The
+    // props column is JSON — every value carries quotes and commas —
+    // so a writer/reader asymmetry in quote or escape handling
+    // corrupts rows the oracle (which reads the parquet original)
+    // immediately catches via the per-user md5-distinct and length
+    // sums. The read-back uses an EXPLICIT schema: at 100 TB,
+    // inferSchema is a second full scan of the corpus before the
+    // first useful byte is processed. Doubles survive the text
+    // round-trip exactly (shortest-round-trip formatting both ways).
+    "q145_csv_roundtrip" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-csv-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      Tables.load(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").csv(base.toString)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, props STRING")
+        .csv(base.toString)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"),
+          sum(length(col("props"))).as("plen"),
+          countDistinct(md5(col("props"))).as("n_props"))
         .orderBy("user_id")
     }),
 
@@ -1050,6 +1102,26 @@ object StoreQueries {
     "q100_orc_roundtrip" ->
       ("SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events WHERE event_type = 'click' " +
+        "GROUP BY user_id ORDER BY user_id"),
+
+    // the batch window formulation the streamed top_k state must
+    // reproduce exactly (ties: cents DESC, event_id ASC)
+    "q147_stream_topk" ->
+      ("WITH x AS (SELECT event_type, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "r AS (SELECT event_type, event_id, cents, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY cents DESC, event_id) AS rk " +
+        "FROM x) " +
+        "SELECT event_type, rk, event_id, cents FROM r WHERE rk <= 5 " +
+        "ORDER BY event_type, rk"),
+
+    // over the parquet ORIGINAL — any CSV write/read asymmetry on the
+    // Spark side mismatches; length/md5 pin props byte fidelity
+    "q145_csv_roundtrip" ->
+      ("SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv, " +
+        "CAST(SUM(length(props)) AS BIGINT) AS plen, " +
+        "COUNT(DISTINCT md5(props)) AS n_props " +
+        "FROM events WHERE event_type = 'purchase' " +
         "GROUP BY user_id ORDER BY user_id"),
 
     // the stream-stream join must land exactly the batch answer over

@@ -444,4 +444,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"q117 plans a cartesian product:\n$p")
   }
+
+  test("incremental near-dup probes the index by bucket equi-join, no window") {
+    val p = plan("q143_incr_neardup")
+    // the batch is checked against the index's buckets and verified on
+    // candidates only — never a window, never an index-index pairing
+    assert(!p.contains("windowspecdefinition"),
+      s"q143 gained a window over the corpus:\n$p")
+    assert(p.contains("shingle_jaccard"),
+      s"q143 verification is no longer the fused scan-side expression:\n$p")
+  }
+
+  test("url canonicalization dedup is one partial-agg pass, no joins") {
+    val p = plan("q144_url_dedup")
+    assert(!p.contains("Join"), s"q144 gained a join:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"q144 gained a window:\n$p")
+    assert(p.contains("partial_count"),
+      s"q144 lost map-side partial aggregation:\n$p")
+  }
+
+  test("csv round-trip reads back through the csv scan with partial aggs") {
+    val p = plan("q145_csv_roundtrip")
+    assert(p.contains("csv") || p.contains("Csv"),
+      s"q145 no longer reads the csv files back:\n$p")
+    assert(p.contains("partial_count"),
+      s"q145 lost map-side partial aggregation:\n$p")
+  }
+
+  test("embedding outlier filter assigns via partial max_by, stats broadcast back") {
+    val p = plan("q146_embed_outlier")
+    assert(p.contains("partial_max_by"),
+      s"q146 bucket assignment lost partial aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q146 per-bucket stats join lost its broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"q146 gained a window exchange:\n$p")
+  }
 }

@@ -42,6 +42,36 @@ class NearDupSpec extends AnyFunSuite {
     assert(ham <= 8, s"hamming distance of near-dup too large: $ham")
   }
 
+  test("incremental bucket probe ≡ full pairing restricted to index × batch") {
+    // q143's soundness claim: probing the index's banded buckets with
+    // only the batch's bands finds exactly the verified index-batch
+    // pairs that pairing the whole union would — bucket collision is
+    // symmetric, so splitting the sides loses nothing
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.select((col("doc_id") + 100000).as("doc_id"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(concat(lit("fresh "), col("doc_id").cast("string"),
+          lit(" standalone document content"))).as("text"))
+    val probe = {
+      val ib = NearDup.bands(docs, "doc_id", "text").toDF("doc_a", "band", "key")
+      val bb = NearDup.bands(batch, "doc_id", "text").toDF("doc_b", "band", "key")
+      bb.join(ib, Seq("band", "key")).select("doc_a", "doc_b").distinct()
+        .join(docs.toDF("doc_a", "text_a"), "doc_a")
+        .join(batch.toDF("doc_b", "text_b"), "doc_b")
+        .where(round(expr("shingle_jaccard(text_a, text_b, 3)"), 6) >= 0.8)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val full = NearDup
+      .jaccardPairs(docs.unionByName(batch), "doc_id", "text", threshold = 0.8)
+      .where(col("doc_a") < 100000 && col("doc_b") >= 100000)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe === full)
+    assert(probe.nonEmpty, "the planted exact dups must match their originals")
+  }
+
   test("fused shingle_jaccard ≡ declarative array-ops jaccard") {
     val fast = NearDup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
