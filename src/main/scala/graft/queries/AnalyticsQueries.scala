@@ -35,6 +35,37 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // q148 — SINGLE-PASS PIPELINE OBSERVABILITY (`df.observe` /
+    // CollectMetrics): audit counters computed ON THE SAME SCAN that
+    // feeds the real query. At 100 TB a separate "profile the input"
+    // pass is a second full read of the corpus; observe rides the
+    // existing one — the metrics accumulate in the tasks as rows flow
+    // through, cost ~zero. The observation sits BEFORE the filter, so
+    // it audits everything the scan saw while the main aggregation
+    // consumes only its slice — the input-vs-output accounting a
+    // production pipeline alerts on. Integer cents keep every metric
+    // engine-exact; the gate hashes the metrics row itself.
+    "q148_observed_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("cents") > 10000, 1L).otherwise(0L)).as("n_large"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      // the main query the audited scan feeds; its result is
+      // discarded here — the gate is the metrics row
+      observed.where(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("n_large").asInstanceOf[Long],
+        m("min_cents").asInstanceOf[Long], m("max_cents").asInstanceOf[Long]))
+        .toDF("n_rows", "n_large", "min_cents", "max_cents")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -258,6 +289,14 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the full-scan profile the observed metrics must reproduce
+    "q148_observed_metrics" ->
+      ("SELECT count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 10000 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_large, " +
+        "min(CAST(round(value * 100) AS BIGINT)) AS min_cents, " +
+        "max(CAST(round(value * 100) AS BIGINT)) AS max_cents " +
+        "FROM events"),
     "q127_scd2_build" ->
       ("WITH ch AS (SELECT user_id, epoch_ns(ts) AS t, max(value) AS attr " +
         "FROM events WHERE event_type = 'signup' GROUP BY 1, 2) " +

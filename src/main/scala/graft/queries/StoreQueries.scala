@@ -238,6 +238,95 @@ object StoreQueries {
         .orderBy("event_type")
     }),
 
+    // q149 — RANGE-PARTITIONED SORTED-SHARD LAYOUT (the
+    // pay-the-shuffle-once write for downstream merge/range readers:
+    // Iceberg sort orders, ClickHouse ORDER BY, training shards read
+    // in key order): repartitionByRange + sortWithinPartitions, then
+    // a ONE-PASS per-partition audit (mapPartitions fold — the
+    // documented per-partition-imperative exception) proving the
+    // layout contract: every shard internally sorted, shard key
+    // ranges strictly disjoint, nothing lost. The disjointness check
+    // is an unpartitioned window over ≤|shards| rows — bounded by
+    // construction, the Rank.scala boundary-probe argument. Rows are
+    // hashed via the exact total count + contract booleans (range
+    // boundaries themselves are sampling-derived, so they are
+    // asserted against each other, not against the oracle — the q21
+    // in-band pattern).
+    "q149_range_shards" -> ((s, d) => {
+      import s.implicits._
+      val sharded = Tables.load(s, d, "events")
+        .select(col("user_id")).as[Long]
+        .repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions("user_id")
+      val parts = sharded.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var lo = Long.MaxValue; var hi = Long.MinValue
+          var cnt = 0L; var sorted = true; var prev = Long.MinValue
+          it.foreach { v =>
+            if (v < prev) sorted = false
+            prev = v
+            if (v < lo) lo = v
+            if (v > hi) hi = v
+            cnt += 1
+          }
+          Iterator.single(
+            (org.apache.spark.TaskContext.getPartitionId(), lo, hi, cnt,
+              sorted))
+        }
+      }.toDF("pid", "lo", "hi", "cnt", "sorted")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("pid")
+      parts
+        .withColumn("next_lo", lead("lo", 1).over(w))
+        .agg(sum("cnt").as("n_rows"),
+          every(col("sorted")).as("sorted_within"),
+          // equal keys never split across range partitions, so
+          // strict > is the honest disjointness bound
+          every(col("next_lo").isNull || col("next_lo") > col("hi"))
+            .as("disjoint"),
+          (count(lit(1)) >= 2 && count(lit(1)) <= 8).as("sharded"))
+    }),
+
+    // q150 — WATERMARK-BOUNDED STREAMING DEDUP
+    // (dropDuplicatesWithinWatermark): q69's exact-replay dedup keeps
+    // keys-seen state forever — the honest shape for full replays,
+    // but unbounded on an endless stream. This is the production
+    // variant: state is evicted once the watermark passes a key's
+    // event time, so memory is bounded by the disorder window, not
+    // the stream's lifetime. The delay exceeds the data's span here,
+    // so the full-replay second micro-batch must still be suppressed
+    // ENTIRELY by state carried across batches — same oracle as q69.
+    "q150_stream_dedup_ttl" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-dedup-ttl-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type").coalesce(1)
+      Topic.produce(ev, s"$base/topic") // original
+      Topic.produce(ev, s"$base/topic") // full replay -> 2nd micro-batch
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING")
+      val deduped = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j"))
+        .select("j.*")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("t", "40 days") // > the 30-day data span
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "user_id", "event_type")
+      val q = withShufflePartitions(s, 8) {
+        deduped.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("event_id")
+    }),
+
     // q147 — STREAMED native top-k: q140's bounded `top_k`
     // TypedImperativeAggregate accumulated by a real 2-micro-batch
     // StreamingQuery (the q102 pattern applied to the second custom
@@ -1103,6 +1192,18 @@ object StoreQueries {
       ("SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events WHERE event_type = 'click' " +
         "GROUP BY user_id ORDER BY user_id"),
+
+    // layout contract booleans + exact row conservation; the sampled
+    // range boundaries are asserted against each other in-band
+    "q149_range_shards" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "TRUE AS sorted_within, TRUE AS disjoint, TRUE AS sharded " +
+        "FROM events"),
+
+    // watermark-bounded dedup must still land exactly one row per key
+    "q150_stream_dedup_ttl" ->
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "ORDER BY event_id"),
 
     // the batch window formulation the streamed top_k state must
     // reproduce exactly (ties: cents DESC, event_id ASC)
