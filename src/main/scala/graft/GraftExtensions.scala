@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.functions.{BloomContains, CmsSketch, DotProduct, MinHashSig, ShingleJaccard, SimHash32, TextStats, TopKAgg, WinnowFps, WordShingles}
+import graft.functions.{BloomContains, CmsSketch, DotProduct, JaroWinkler, MinHashSig, ShingleJaccard, SimHash32, TextStats, TopKAgg, WinnowFps, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -66,6 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b, IntegerLiteral(len)) => ShingleJaccard(a, b, len)
         case _ => throw new IllegalArgumentException(
           "usage: shingle_jaccard(text_a, text_b, shingleLen int literal)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaroWinkler(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: jaro_winkler(a, b)")
       }))
     extensions.injectFunction((
       new FunctionIdentifier("winnow_fps"),

@@ -92,7 +92,10 @@ object ScaleCurve {
       "q108_passjoin_editdist" -> "documents",
       // PPJoin: candidate cost is Σ prefix-shingle df² — the prefix
       // filter must keep the exact join off the all-pairs curve
-      "q117_ppjoin_jaccard" -> "documents")
+      "q117_ppjoin_jaccard" -> "documents",
+      // incremental dedup: probe cost is Σ per-bucket |index|·|batch|
+      // — must track the batch+index scan, never index² re-pairing
+      "q143_incr_neardup" -> "documents")
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(

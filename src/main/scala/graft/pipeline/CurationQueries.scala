@@ -359,6 +359,33 @@ object CurationQueries {
             col("n") * col("s2") - col("s1") * col("s1"))
             .as("is_outlier"))
         .orderBy("vec_id")
+    }),
+
+    // q151 — ENTITY RESOLUTION with Jaro-Winkler (the fuzzy-match
+    // measure Spark lacks natively — q106/q108's edit-distance family
+    // covers typos by count; JW weights shared prefixes, the rule
+    // record-linkage actually uses for names/brands/titles).
+    // `jaro_winkler` is a codegen'd native expression whose semantics
+    // are pinned to DuckDB's builtin (including the both-empty → 0
+    // and boost-threshold-0.7 edge rules), so the oracle compares the
+    // IMPLEMENTATION, not just the query. Scale shape: classic
+    // blocking — candidate pairs only within (brand, size) blocks
+    // (one equi-join shuffle, Σblock² work, never all-pairs), the
+    // q106 pattern with a similarity the engine had to be taught.
+    "q151_jw_entity_match" -> ((s, d) => {
+      val p = graft.Tables.load(s, d, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"),
+          col("p_brand").as("brand"), col("p_size").as("size"))
+      val a = p.select(col("id").as("id_a"), col("name").as("name_a"),
+        col("brand"), col("size"))
+      val b = p.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("brand"), col("size"))
+      a.join(b, Seq("brand", "size"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("sim", round(expr("jaro_winkler(name_a, name_b)"), 6))
+        .where(col("sim") >= 0.85)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
     }))
 
   // q130's corpus CTEs: banner-injected normalized text, token lists,
@@ -533,6 +560,17 @@ object CurationQueries {
         "'[?#].*$', ''), '/$', '') AS curl FROM raw) " +
         "SELECT curl, count(*) AS n_docs, min(doc_id) AS keeper_id " +
         "FROM c GROUP BY curl ORDER BY curl"),
+
+    // DuckDB's own jaro_winkler_similarity — the native expression
+    // must reproduce it value-for-value on every surviving pair
+    "q151_jw_entity_match" ->
+      ("WITH p AS (SELECT p_partkey AS id, p_name AS name, " +
+        "p_brand AS brand, p_size AS size FROM part) " +
+        "SELECT id_a, id_b, sim FROM (" +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "round(jaro_winkler_similarity(a.name, b.name), 6) AS sim " +
+        "FROM p a JOIN p b ON a.brand = b.brand AND a.size = b.size " +
+        "AND a.id < b.id) WHERE sim >= 0.85 ORDER BY id_a, id_b"),
 
     // replays assignment (row_number twin of max_by), integer-micro
     // flooring, and the exact-integer outlier inequality; HUGEINT

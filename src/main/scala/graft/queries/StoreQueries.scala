@@ -238,6 +238,96 @@ object StoreQueries {
         .orderBy("event_type")
     }),
 
+    // q152 — JDBC UPSERT SINK (the relational serving tier a pipeline
+    // publishes into — Flink's JDBC sink role): each micro-batch is
+    // normalized to its per-key latest (max_by partial agg) and
+    // conditionally upserted into a REAL database (embedded Derby,
+    // the driver the Spark distribution bundles) under a strictly-
+    // monotonic (ts, event_id) guard — out-of-order batches and
+    // replays can never regress a row (the UpsertTable orderCol
+    // contract enforced on the database side). The topic is split
+    // into 2 UNORDERED files on purpose: batch 2 routinely carries
+    // rows older than batch 1's, so the guard is load-bearing. Read
+    // back via spark.read.jdbc, hash-matched against the changelog-
+    // normalize oracle. (local[] note: executors share the driver
+    // JVM, so jdbc:derby:memory is reachable; on a cluster the url
+    // is a real server and nothing else changes.)
+    "q152_jdbc_sink" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-jdbc-sink-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val url = s"jdbc:derby:memory:graftsink${math.abs(d.hashCode)};create=true"
+      val setup = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = setup.createStatement()
+        try st.execute("DROP TABLE user_latest")
+        catch { case _: java.sql.SQLException => () } // first run
+        st.execute("CREATE TABLE user_latest (user_id BIGINT PRIMARY KEY, " +
+          "event_id BIGINT, ts BIGINT, cents BIGINT)")
+      } finally setup.close()
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(2)
+      Topic.produce(ev, s"$base/topic")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, cents BIGINT")
+      val parsed = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j")).select("j.*")
+      val q = withShufflePartitions(s, 8) {
+        parsed.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val latest = b.groupBy("user_id")
+              .agg(max_by(struct(col("ts"), col("event_id"), col("cents")),
+                struct(col("ts"), col("event_id"))).as("r"))
+              .select(col("user_id"), col("r.ts").as("ts"),
+                col("r.event_id").as("event_id"), col("r.cents").as("cents"))
+            latest.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+              if (rows.hasNext) {
+                val c = java.sql.DriverManager.getConnection(url)
+                try {
+                  val sel = c.prepareStatement(
+                    "SELECT ts, event_id FROM user_latest WHERE user_id = ?")
+                  val upd = c.prepareStatement("UPDATE user_latest SET " +
+                    "event_id = ?, ts = ?, cents = ? WHERE user_id = ?")
+                  val ins = c.prepareStatement(
+                    "INSERT INTO user_latest VALUES (?, ?, ?, ?)")
+                  rows.foreach { r =>
+                    val uid = r.getLong(0); val ts = r.getLong(1)
+                    val eid = r.getLong(2); val cents = r.getLong(3)
+                    sel.setLong(1, uid)
+                    val rs = sel.executeQuery()
+                    if (!rs.next()) {
+                      ins.setLong(1, uid); ins.setLong(2, eid)
+                      ins.setLong(3, ts); ins.setLong(4, cents)
+                      ins.executeUpdate()
+                    } else {
+                      val ots = rs.getLong(1); val oeid = rs.getLong(2)
+                      if (ots < ts || (ots == ts && oeid < eid)) {
+                        upd.setLong(1, eid); upd.setLong(2, ts)
+                        upd.setLong(3, cents); upd.setLong(4, uid)
+                        upd.executeUpdate()
+                      }
+                    }
+                    rs.close()
+                  }
+                } finally c.close()
+              }
+            }
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.format("jdbc").option("url", url)
+        .option("dbtable", "user_latest").load()
+        .select(col("user_id").as("user_id"),
+          col("event_id").as("event_id"), col("cents").as("cents"))
+        .orderBy("user_id")
+    }),
+
     // q149 — RANGE-PARTITIONED SORTED-SHARD LAYOUT (the
     // pay-the-shuffle-once write for downstream merge/range readers:
     // Iceberg sort orders, ClickHouse ORDER BY, training shards read
@@ -1192,6 +1282,16 @@ object StoreQueries {
       ("SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events WHERE event_type = 'click' " +
         "GROUP BY user_id ORDER BY user_id"),
+
+    // the changelog-normalize rule the database must hold after both
+    // unordered micro-batches land
+    "q152_jdbc_sink" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "SELECT user_id, event_id, cents FROM r WHERE rn = 1 " +
+        "ORDER BY user_id"),
 
     // layout contract booleans + exact row conservation; the sampled
     // range boundaries are asserted against each other in-band
