@@ -181,6 +181,71 @@ object ReferenceQueries {
         .limit(10)
     }),
 
+    // Q154 — STAR-SCHEMA JOIN (TPC-H Q5 shape, one rung up from
+    // q24's Q3): six tables, selective region + date-window filter,
+    // revenue per nation. Join planning is the point at 100 TB:
+    // region/nation broadcast (hinted; tiny dims must never shuffle
+    // the fact side), customer⋈orders⋈lineitem⋈supplier shuffle on
+    // their keys under AQE, the date filter pushed to the orders
+    // scan. Revenue folds to integer cents BEFORE the sum (the
+    // product of two doubles is the same IEEE value in both engines;
+    // cent-rounded longs then sum exactly in any order — the q119
+    // rule applied to money).
+    "q154_star_join" -> ((s, d) => {
+      val revCents =
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")
+      Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.load(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revCents).as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+
+    // Q155 — NULL-SAFE EQUALITY JOIN (`<=>` / IS NOT DISTINCT FROM):
+    // the join-matrix cell where NULL keys must MATCH each other —
+    // a plain equi-join silently drops every null-keyed row, the
+    // classic bug when a "no value" bucket is a legitimate group.
+    // Both sides aggregate first (≤|event types| rows each), so the
+    // null-safe exchange carries group rows, never events.
+    "q155_nullsafe_join" -> ((s, d) => {
+      val l = events(s, d)
+        .select(expr("nullif(event_type, 'error')").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_l"))
+      val r = events(s, d)
+        .select(expr("nullif(event_type, 'click')").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_r"))
+      l.join(r, l("k") <=> r("k"))
+        .select(l("k").as("k"), col("n_l"), col("n_r"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // Q156 — EXCEPT ALL (bag semantics, completing q71's set-form
+    // EXCEPT and q31's INTERSECT): each occurrence on the right
+    // cancels ONE occurrence on the left. Spark plans exceptAll as a
+    // counted anti-cancellation (Generate over per-key count deltas)
+    // — one grouped shuffle, never a row-by-row sort-merge.
+    "q156_except_all" -> ((s, d) => {
+      val l = Tables.load(s, d, "lineitem").select(col("l_orderkey").as("k"))
+      val r = Tables.load(s, d, "lineitem")
+        .where(col("l_linenumber") <= 2).select(col("l_orderkey").as("k"))
+      l.exceptAll(r)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
     // Q29 — grouping-set aggregate (ROLLUP): subtotal rows + grand
     // total in one pass (Expand + hash agg)
     "q29_rollup" -> ((s, d) =>
@@ -907,6 +972,38 @@ object ReferenceQueries {
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
         "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
         "ORDER BY o_custkey"),
+    // revenue in integer cents: the double product is IEEE-identical
+    // across engines, the cent sum exact in any order
+    "q154_star_join" ->
+      ("SELECT n_name, CAST(SUM(CAST(round(l_extendedprice * " +
+        "(1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
+        "COUNT(*) AS n_items " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue_cents DESC, n_name"),
+    // the (NULL, NULL) group must survive the join — IS NOT DISTINCT
+    // FROM is DuckDB's spelling of Spark's <=>
+    "q155_nullsafe_join" ->
+      ("WITH l AS (SELECT nullif(event_type, 'error') AS k, " +
+        "count(*) AS n_l FROM events GROUP BY 1), " +
+        "r AS (SELECT nullif(event_type, 'click') AS k, " +
+        "count(*) AS n_r FROM events GROUP BY 1) " +
+        "SELECT l.k AS k, l.n_l, r.n_r FROM l JOIN r " +
+        "ON l.k IS NOT DISTINCT FROM r.k " +
+        "ORDER BY k NULLS FIRST"),
+    "q156_except_all" ->
+      ("SELECT k, COUNT(*) AS n FROM (" +
+        "SELECT l_orderkey AS k FROM lineitem " +
+        "EXCEPT ALL SELECT l_orderkey FROM lineitem " +
+        "WHERE l_linenumber <= 2) " +
+        "GROUP BY k ORDER BY k"),
     "q72_exists_semijoin" ->
       ("SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
         "WHERE EXISTS (SELECT 1 FROM lineitem l " +

@@ -238,6 +238,75 @@ object StoreQueries {
         .orderBy("event_type")
     }),
 
+    // q153 — WATERMARK LATE-DATA DROP (the negative path q44/q87/q90
+    // deliberately avoid): a streaming engine's watermark contract is
+    // only proven when late data is actually DISCARDED. Batch 1
+    // carries the RECENT half of the stream (advancing the watermark
+    // near the end of the span); the OLD half then arrives late —
+    // every row's day-window end sits far below the watermark, so
+    // the aggregation must drop all of it, not fold it into state.
+    // Spark's late filter is deliberately CONSERVATIVE: batch N
+    // drops against batch N−1's watermark (eviction uses batch N's),
+    // so data late by exactly one batch is still accepted — a
+    // watermark-refresher batch therefore sits between the recent
+    // and old halves, making the old rows late by TWO batches (this
+    // two-watermark rule is load-bearing here and probed empirically;
+    // remove the refresher and every old row legally survives). Two
+    // far-future sentinel batches flush surviving windows through
+    // append mode (watermark computed at batch N's end drives
+    // emission in batch N+1 — the q87 sentinel rule). The oracle
+    // aggregates ONLY the recent half: any late row that leaks into
+    // state hash-mismatches. At 100 TB this is the semantics that
+    // bounds state: without the drop, day-window state grows with
+    // stream lifetime.
+    "q153_stream_late_drop" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-late-drop-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000").as("t_us"))
+      val bounds = ev.agg(min("t_us"), max("t_us")).head() // 1-row collect
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val cut = minUs + (maxUs - minUs) / 2
+      val hourUs = 3600L * 1000000L
+      Topic.produce(ev.where(col("t_us") >= cut).coalesce(1), s"$base/topic")
+      // watermark refresher: propagates batch 1's watermark into the
+      // LATE-filter slot before the old half arrives
+      Topic.produce(Seq((-1L, "sentinel", maxUs))
+        .toDF("event_id", "event_type", "t_us"), s"$base/topic")
+      Topic.produce(ev.where(col("t_us") < cut).coalesce(1), s"$base/topic")
+      Topic.produce(Seq((-1L, "sentinel", maxUs + 48 * hourUs))
+        .toDF("event_id", "event_type", "t_us"), s"$base/topic")
+      Topic.produce(Seq((-1L, "sentinel", maxUs + 72 * hourUs))
+        .toDF("event_id", "event_type", "t_us"), s"$base/topic")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, t_us BIGINT")
+      val agg = Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j")).select("j.*")
+        .withColumn("t", timestamp_micros(col("t_us")))
+        .withWatermark("t", "1 hour")
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("w_start"),
+          col("event_type"), col("n"))
+      val q = withShufflePartitions(s, 8) {
+        agg.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .where(col("event_type") =!= "sentinel")
+        .orderBy("w_start", "event_type")
+    }),
+
     // q152 — JDBC UPSERT SINK (the relational serving tier a pipeline
     // publishes into — Flink's JDBC sink role): each micro-batch is
     // normalized to its per-key latest (max_by partial agg) and
@@ -1282,6 +1351,17 @@ object StoreQueries {
       ("SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events WHERE event_type = 'click' " +
         "GROUP BY user_id ORDER BY user_id"),
+
+    // ONLY the recent half may be counted — a late row leaking into
+    // the streamed aggregation state hash-mismatches here
+    "q153_stream_late_drop" ->
+      ("WITH e AS (SELECT epoch_ns(ts) // 1000 AS t_us, event_type " +
+        "FROM events), " +
+        "b AS (SELECT min(t_us) AS mn, max(t_us) AS mx FROM e) " +
+        "SELECT (t_us // 86400000000) * 86400000000 AS w_start, " +
+        "event_type, COUNT(*) AS n FROM e, b " +
+        "WHERE t_us >= mn + (mx - mn) // 2 " +
+        "GROUP BY 1, 2 ORDER BY w_start, event_type"),
 
     // the changelog-normalize rule the database must hold after both
     // unordered micro-batches land

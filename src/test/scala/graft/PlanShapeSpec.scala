@@ -471,6 +471,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q145 lost map-side partial aggregation:\n$p")
   }
 
+  test("star join broadcasts the dims and pushes the date window to the orders scan") {
+    val p = plan("q154_star_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q154 lost the dimension broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"q154 date filter no longer reaches the orders scan:\n$p")
+  }
+
   test("embedding outlier filter assigns via partial max_by, stats broadcast back") {
     val p = plan("q146_embed_outlier")
     assert(p.contains("partial_max_by"),
