@@ -125,8 +125,18 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (onKeys.toSet != store.keyCols.toSet)
       fail(s"ON must cover exactly the key columns ${store.keyCols.mkString(", ")}")
 
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    // full-sync form: target keys the source no longer carries are
+    // deleted. This is the ONE merge branch that must look at the
+    // target — and it reads KEY COLUMNS only (left-anti against the
+    // batch keys), never full target rows. Conditional / UPDATE
+    // by-source variants would force a full-row target scan, so they
+    // stay unsupported (fail loudly).
+    val pruneUnmatched = m.notMatchedBySourceActions match {
+      case Seq() => false
+      case Seq(d: DeleteAction) if d.condition.isEmpty => true
+      case _ => fail("WHEN NOT MATCHED BY SOURCE supports exactly one " +
+        "unconditional THEN DELETE")
+    }
 
     val insert = m.notMatchedActions match {
       case Seq(i: InsertAction) => i
@@ -184,17 +194,39 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     val batch = Project(
       store.schema.fieldNames.toSeq.map(n => Alias(insertVals(n), n)()) ++ opCol,
       m.sourceTable)
-    GraftMergeCommand(store.location, batch, opCol.map(_.name))
+    GraftMergeCommand(store.location, batch, opCol.map(_.name), pruneUnmatched)
   }
 }
 
 /** Driver command executing the translated merge through the store. */
 case class GraftMergeCommand(location: String, batch: LogicalPlan,
-    opCol: Option[String]) extends LeafRunnableCommand {
+    opCol: Option[String], deleteUnmatchedTarget: Boolean = false)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(batch)
   override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
     val df = org.apache.spark.sql.GraftSqlShims.ofRows(session, batch)
-    UpsertTable(session, location).merge(df, opCol = opCol)
+    val store = UpsertTable(session, location)
+    if (!deleteUnmatchedTarget) {
+      store.merge(df, opCol = opCol)
+    } else {
+      // WHEN NOT MATCHED BY SOURCE THEN DELETE: target keys absent
+      // from the batch become delete rows in the same changelog —
+      // one key-projected target scan + left-anti join, then the
+      // ordinary keyed merge applies upserts and prunes in one commit
+      val keys = store.keyCols
+      val op = opCol.getOrElse("__merge_op")
+      val upserts =
+        if (opCol.isDefined) df else df.withColumn(op, lit("u"))
+      val victims = store.read().select(keys.map(col): _*)
+        .join(df.select(keys.map(col): _*), keys, "left_anti")
+      val fields = store.schema.fields.toSeq
+      val dels = victims.select(fields.map { f =>
+        if (keys.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*).withColumn(op, lit("d"))
+      store.merge(upserts.unionByName(dels), opCol = Some(op))
+    }
     Seq.empty
   }
 }

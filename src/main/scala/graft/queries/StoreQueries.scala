@@ -1197,6 +1197,42 @@ object StoreQueries {
         s"FROM $CatalogName.dml.$tbl ORDER BY o_orderkey")
     }),
 
+    // q157 — MERGE full-sync (WHEN NOT MATCHED BY SOURCE THEN
+    // DELETE, the Delta-style "source is the whole truth" form):
+    // after the merge the table must hold EXACTLY the source's rows —
+    // upserts applied AND seed-only keys pruned. This is the one
+    // merge branch that must look at the target, and the translation
+    // reads target KEY COLUMNS only (left-anti against the batch
+    // keys) before the ordinary keyed merge applies everything in
+    // one commit; a leaked seed row or a lost upsert both
+    // hash-mismatch.
+    "q157_merge_sync" -> ((s, d) => {
+      ensureCatalog(s)
+      val tbl = "orders_sync_" + math.abs(d.hashCode).toString
+      deleteRecursively(Paths.get(warehouse, "dml", tbl))
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.dml")
+      s.sql(s"CREATE TABLE $CatalogName.dml.$tbl (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES('keys'='o_orderkey')")
+      val orders = Tables.load(s, d, "orders")
+      orders.where(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("sync_seed")
+      s.sql(s"INSERT INTO $CatalogName.dml.$tbl SELECT * FROM sync_seed")
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 5).as("o_totalprice"))
+        .createOrReplaceTempView("sync_src")
+      s.sql(s"""MERGE INTO $CatalogName.dml.$tbl t USING sync_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      s.sql(s"SELECT o_orderkey, o_custkey, " +
+        s"round(o_totalprice, 6) AS o_totalprice " +
+        s"FROM $CatalogName.dml.$tbl ORDER BY o_orderkey")
+    }),
+
     // q89 — SQL UPDATE + DELETE lifecycle (the row-level DML next to
     // q85's MERGE): seed from events (event_id is the unique key),
     // UPDATE one value band, DELETE another, read the final state
@@ -1351,6 +1387,13 @@ object StoreQueries {
       ("SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events WHERE event_type = 'click' " +
         "GROUP BY user_id ORDER BY user_id"),
+
+    // the table after a full-sync merge IS the source: every %2 key
+    // at the bumped price, nothing else
+    "q157_merge_sync" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "round(o_totalprice + 5, 6) AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"),
 
     // ONLY the recent half may be counted — a late row leaking into
     // the streamed aggregation state hash-mismatches here
