@@ -369,18 +369,20 @@ object CurationQueries {
     // are pinned to DuckDB's builtin (including the both-empty → 0
     // and boost-threshold-0.7 edge rules), so the oracle compares the
     // IMPLEMENTATION, not just the query. Scale shape: classic
-    // blocking — candidate pairs only within (brand, size) blocks
-    // (one equi-join shuffle, Σblock² work, never all-pairs), the
-    // q106 pattern with a similarity the engine had to be taught.
+    // blocking — candidate pairs only within size blocks (one
+    // equi-join shuffle, Σblock² ≈ N²/|sizes| work, never all-pairs),
+    // the q106 pattern with a similarity the engine had to be
+    // taught; production adds more blocking attributes as
+    // cardinality grows, which only tightens the same plan.
     "q151_jw_entity_match" -> ((s, d) => {
       val p = graft.Tables.load(s, d, "part")
         .select(col("p_partkey").as("id"), col("p_name").as("name"),
-          col("p_brand").as("brand"), col("p_size").as("size"))
+          col("p_size").as("size"))
       val a = p.select(col("id").as("id_a"), col("name").as("name_a"),
-        col("brand"), col("size"))
+        col("size"))
       val b = p.select(col("id").as("id_b"), col("name").as("name_b"),
-        col("brand"), col("size"))
-      a.join(b, Seq("brand", "size"))
+        col("size"))
+      a.join(b, Seq("size"))
         .where(col("id_a") < col("id_b"))
         .withColumn("sim", round(expr("jaro_winkler(name_a, name_b)"), 6))
         .where(col("sim") >= 0.85)
@@ -565,11 +567,11 @@ object CurationQueries {
     // must reproduce it value-for-value on every surviving pair
     "q151_jw_entity_match" ->
       ("WITH p AS (SELECT p_partkey AS id, p_name AS name, " +
-        "p_brand AS brand, p_size AS size FROM part) " +
+        "p_size AS size FROM part) " +
         "SELECT id_a, id_b, sim FROM (" +
         "SELECT a.id AS id_a, b.id AS id_b, " +
         "round(jaro_winkler_similarity(a.name, b.name), 6) AS sim " +
-        "FROM p a JOIN p b ON a.brand = b.brand AND a.size = b.size " +
+        "FROM p a JOIN p b ON a.size = b.size " +
         "AND a.id < b.id) WHERE sim >= 0.85 ORDER BY id_a, id_b"),
 
     // replays assignment (row_number twin of max_by), integer-micro

@@ -66,6 +66,47 @@ object AnalyticsQueries {
         .toDF("n_rows", "n_large", "min_cents", "max_cents")
     }),
 
+    // q158 — FORWARD-FILL IMPUTATION (`last_value ... IGNORE NULLS`):
+    // the missing-data repair step a feature pipeline runs before
+    // training — gaps carry the last observed value forward within
+    // each entity's timeline. A deterministic null mask (event_id %
+    // 3 = 0) plants the gaps; the window is PARTITIONED BY user (the
+    // q42 rule: bounded per-partition sort, never a global order).
+    // Cents keep the filled values engine-exact; rows before a
+    // user's first observation legitimately stay NULL and the oracle
+    // must agree on those too.
+    "q158_fill_forward" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_id") % 3 === 0, lit(null))
+            .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("filled", last(col("cents"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("cents"), col("filled"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // q159 — RELATIVE-RANK ANALYTICS (percent_rank + cume_dist): the
+    // normalized-position signals curation thresholds use ("drop the
+    // bottom 5% by quality score" is a cume_dist cut). Grouped by
+    // event_type so every window is key-partitioned; value ties are
+    // real (2-decimal cents collide) and both functions' tie rules
+    // must match the oracle's exactly. Rounded to 6 dp — a ratio of
+    // small integers, identical in both engines.
+    "q159_rank_analytics" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("cents")
+      events(s, d)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .orderBy("event_type", "event_id")
+        .select("event_type", "event_id", "cents", "pr", "cd")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -289,6 +330,31 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // same null mask, same per-user frame; DuckDB spells the option
+    // inside the aggregate call
+    "q158_fill_forward" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, " +
+        "CASE WHEN event_id % 3 = 0 THEN NULL " +
+        "ELSE CAST(round(value * 100) AS BIGINT) END AS cents " +
+        "FROM events) " +
+        "SELECT user_id, event_id, cents, " +
+        "last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY tns, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
+        "FROM e ORDER BY user_id, event_id"),
+
+    // tie-heavy relative ranks: both engines must agree on the
+    // (rank-1)/(n-1) and peers-inclusive definitions
+    "q159_rank_analytics" ->
+      ("WITH e AS (SELECT event_type, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+        "SELECT event_type, event_id, cents, " +
+        "round(percent_rank() OVER (PARTITION BY event_type " +
+        "ORDER BY cents), 6) AS pr, " +
+        "round(cume_dist() OVER (PARTITION BY event_type " +
+        "ORDER BY cents), 6) AS cd " +
+        "FROM e ORDER BY event_type, event_id"),
+
     // the full-scan profile the observed metrics must reproduce
     "q148_observed_metrics" ->
       ("SELECT count(*) AS n_rows, " +
