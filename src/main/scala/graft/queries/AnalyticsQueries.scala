@@ -107,6 +107,75 @@ object AnalyticsQueries {
         .select("event_type", "event_id", "cents", "pr", "cd")
     }),
 
+    // q160 — LINEAR INTERPOLATION (q158's forward-fill upgraded to
+    // the two-sided repair): gaps take the value linearly implied by
+    // the surrounding observations, time-weighted by the ns
+    // timestamps. Two frames per user — backward last-non-null and
+    // forward first-non-null (both value and observation time via
+    // IGNORE NULLS) — then one scan-side formula. The fractional
+    // term is evaluated in double ON EXACT INTEGER INPUTS in the
+    // same expression order both engines use (ns deltas < 2^53 stay
+    // exactly representable), then floored back to integer cents, so
+    // the hash compare is safe. Head/tail gaps (no neighbor on one
+    // side) stay NULL — the honest contract; equal-timestamp
+    // neighbors fall back to the previous observation.
+    "q160_interpolate" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wb = W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wf = W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(0, W.unboundedFollowing)
+      val obsT = when(col("cents").isNotNull, col("ts"))
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_id") % 3 === 0, lit(null))
+            .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wb))
+        .withColumn("pt", last(obsT, ignoreNulls = true).over(wb))
+        .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wf))
+        .withColumn("nt", first(obsT, ignoreNulls = true).over(wf))
+        .withColumn("interp",
+          when(col("cents").isNotNull, col("cents"))
+            .when(col("pc").isNull || col("nc").isNull, lit(null))
+            .when(col("nt") === col("pt"), col("pc"))
+            .otherwise(col("pc") + floor(
+              (col("nc") - col("pc")).cast("double") *
+                (col("ts") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")).cast("long")))
+        .select(col("user_id"), col("event_id"), col("cents"), col("interp"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // q161 — TWO-PROPORTION Z-TEST (experiment analysis): success =
+    // a purchase event, variants split by user hash. Shape: one
+    // partial-agg pass collapses the event stream to two (n, c) arm
+    // rows, folded to a single row by conditional sums — the z
+    // statistic is double math over exact integer counts in a pinned
+    // expression order, rounded to 6 dp (the q154-cents argument
+    // applied to a statistic). Per-user collapse is deliberately NOT
+    // used: with ~60 events per user every user "converts", which
+    // saturates p at 1 and zeroes the variance.
+    "q161_ab_ztest" -> ((s, d) => {
+      val one = events(s, d)
+        .select((col("user_id") % 2).as("variant"),
+          (col("event_type") === "purchase").cast("long").as("conv"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        .agg(
+          sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 0, col("c"))).as("c0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          sum(when(col("variant") === 1, col("c"))).as("c1"))
+      val p0 = col("c0").cast("double") / col("n0").cast("double")
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val pp = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      one.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round((p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n0").cast("double") +
+            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -330,6 +399,51 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // same mask, same two frames, same pinned double expression
+    // order; floor back to integer cents before the hash
+    "q160_interpolate" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, " +
+        "CASE WHEN event_id % 3 = 0 THEN NULL " +
+        "ELSE CAST(round(value * 100) AS BIGINT) END AS cents " +
+        "FROM events), " +
+        "w AS (SELECT user_id, event_id, tns, cents, " +
+        "last_value(cents IGNORE NULLS) OVER wb AS pc, " +
+        "last_value(CASE WHEN cents IS NOT NULL THEN tns END IGNORE NULLS) " +
+        "OVER wb AS pt, " +
+        "first_value(cents IGNORE NULLS) OVER wf AS nc, " +
+        "first_value(CASE WHEN cents IS NOT NULL THEN tns END IGNORE NULLS) " +
+        "OVER wf AS nt FROM e WINDOW " +
+        "wb AS (PARTITION BY user_id ORDER BY tns, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY user_id ORDER BY tns, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, event_id, cents, " +
+        "CASE WHEN cents IS NOT NULL THEN cents " +
+        "WHEN pc IS NULL OR nc IS NULL THEN NULL " +
+        "WHEN nt = pt THEN pc " +
+        "ELSE pc + CAST(floor(CAST(nc - pc AS DOUBLE) * " +
+        "CAST(tns - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) AS BIGINT) " +
+        "END AS interp FROM w ORDER BY user_id, event_id"),
+
+    // exact integer counts into the pinned z formula
+    "q161_ab_ztest" ->
+      ("WITH a AS (SELECT user_id % 2 AS variant, count(*) AS n, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS c FROM events GROUP BY 1), " +
+        "o AS (SELECT " +
+        "CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c0, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c1 " +
+        "FROM a) " +
+        "SELECT n0, c0, n1, c1, " +
+        "round((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - " +
+        "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / " +
+        "sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * " +
+        "(1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * " +
+        "(1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z " +
+        "FROM o"),
+
     // same null mask, same per-user frame; DuckDB spells the option
     // inside the aggregate call
     "q158_fill_forward" ->

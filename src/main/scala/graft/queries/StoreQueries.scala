@@ -326,14 +326,7 @@ object StoreQueries {
         s"graft-jdbc-sink-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
       deleteRecursively(base)
       val url = s"jdbc:derby:memory:graftsink${math.abs(d.hashCode)};create=true"
-      val setup = java.sql.DriverManager.getConnection(url)
-      try {
-        val st = setup.createStatement()
-        try st.execute("DROP TABLE user_latest")
-        catch { case _: java.sql.SQLException => () } // first run
-        st.execute("CREATE TABLE user_latest (user_id BIGINT PRIMARY KEY, " +
-          "event_id BIGINT, ts BIGINT, cents BIGINT)")
-      } finally setup.close()
+      graft.cdc.JdbcUpsert.ensureTable(url, "user_latest")
       val ev = Tables.load(s, d, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           round(col("value") * 100).cast("long").as("cents"))
@@ -349,43 +342,7 @@ object StoreQueries {
           .option("checkpointLocation", s"$base/cp")
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val latest = b.groupBy("user_id")
-              .agg(max_by(struct(col("ts"), col("event_id"), col("cents")),
-                struct(col("ts"), col("event_id"))).as("r"))
-              .select(col("user_id"), col("r.ts").as("ts"),
-                col("r.event_id").as("event_id"), col("r.cents").as("cents"))
-            latest.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-              if (rows.hasNext) {
-                val c = java.sql.DriverManager.getConnection(url)
-                try {
-                  val sel = c.prepareStatement(
-                    "SELECT ts, event_id FROM user_latest WHERE user_id = ?")
-                  val upd = c.prepareStatement("UPDATE user_latest SET " +
-                    "event_id = ?, ts = ?, cents = ? WHERE user_id = ?")
-                  val ins = c.prepareStatement(
-                    "INSERT INTO user_latest VALUES (?, ?, ?, ?)")
-                  rows.foreach { r =>
-                    val uid = r.getLong(0); val ts = r.getLong(1)
-                    val eid = r.getLong(2); val cents = r.getLong(3)
-                    sel.setLong(1, uid)
-                    val rs = sel.executeQuery()
-                    if (!rs.next()) {
-                      ins.setLong(1, uid); ins.setLong(2, eid)
-                      ins.setLong(3, ts); ins.setLong(4, cents)
-                      ins.executeUpdate()
-                    } else {
-                      val ots = rs.getLong(1); val oeid = rs.getLong(2)
-                      if (ots < ts || (ots == ts && oeid < eid)) {
-                        upd.setLong(1, eid); upd.setLong(2, ts)
-                        upd.setLong(3, cents); upd.setLong(4, uid)
-                        upd.executeUpdate()
-                      }
-                    }
-                    rs.close()
-                  }
-                } finally c.close()
-              }
-            }
+            graft.cdc.JdbcUpsert.applyBatch(url, "user_latest", b)
           }
           .start()
       }
