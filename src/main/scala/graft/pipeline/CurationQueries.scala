@@ -160,6 +160,92 @@ object CurationQueries {
           col("col.id").as("doc_id"), (-col("col.score")).as("h"))
         .orderBy("source", "rk")),
 
+    // q165 — ZIPF POWER-LAW FIT (distributed closed-form OLS): the
+    // corpus-health diagnostic a tokenizer/mix pass reads before
+    // training — fit ln(freq) = slope·ln(rank) + intercept over the
+    // vocabulary and report the exponent (healthy natural text sits
+    // near slope ≈ −1). Shape: one explode + partial-agg count builds
+    // the vocabulary; ranks come from a window over the VOCAB
+    // AGGREGATE only, capped at the top 1000 terms (bounded at any
+    // corpus size — the head is where Zipf lives); ln values floor to
+    // integer micro (the q77 convention) so Σx, Σy, Σxy, Σx² are
+    // exact integer sums; the OLS closed form runs on decimal(38)
+    // cross-products (k·Σxy overflows a long) cast to double in a
+    // pinned order. The regression itself never sees row volume —
+    // it is four sums over ≤1000 points.
+    "q165_zipf_fit" -> ((s, d) => {
+      val wv = Window.orderBy(col("n").desc, col("token"))
+      val pts = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wv))
+        .where(col("rk") <= 1000)
+        .select(
+          floor(log(col("rk").cast("double")) * 1000000).cast("long").as("x"),
+          floor(log(col("n").cast("double")) * 1000000).cast("long").as("y"))
+      pts
+        .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_raw",
+          (col("k").cast("decimal(38,0)") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+            (col("k").cast("decimal(38,0)") * col("sxx") -
+              col("sx").cast("decimal(38,0)") * col("sx")).cast("double"))
+        .select(col("k"), col("sx"), col("sy"),
+          round(col("slope_raw"), 6).as("slope"),
+          round((col("sy").cast("double") -
+            col("slope_raw") * col("sx").cast("double")) /
+            (col("k").cast("double") * 1000000.0), 6).as("intercept"))
+    }),
+
+    // q166 — NAIVE-BAYES LANGUAGE CLASSIFIER (train + infer at
+    // scale): the supervised twin of q15's marker heuristic — a
+    // multinomial NB model TRAINED on the corpus's own labels, then
+    // applied back, reported as a confusion matrix. Everything is
+    // counting: class-token counts and class totals are partial-agg
+    // groupBys; the model is a |vocab|×|langs| grid (bounded — vocab
+    // is top-K-able, langs is small) whose add-one log-likelihoods
+    // floor to integer micro (q103's convention) so per-doc score
+    // sums are order-exact; scoring joins the token stream to the
+    // model ON TOKEN (the one volume-bearing shuffle — token-keyed,
+    // the classifier's natural partitioning), fans ×|langs|, and
+    // argmax is max-score + min-lang tie-break, both engine-portable.
+    // The corpus text never moves: only (doc, token) pairs shuffle.
+    "q166_nb_classify" -> ((s, d) => {
+      val dd = docs(s, d)
+      val tok = dd.select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val clt = tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      val cls = clt.groupBy("lang").agg(sum("c").as("tl"))
+      val pri = dd.groupBy("lang").agg(count(lit(1)).as("nd"))
+        .crossJoin(dd.agg(count(lit(1)).as("ntot")))
+        .select(col("lang"),
+          floor((log(col("nd").cast("double")) -
+            log(col("ntot").cast("double"))) * 1000000)
+            .cast("long").as("prior"))
+      val vocabV = tok.agg(countDistinct("token").as("v"))
+      val model = clt.select("token").distinct()
+        .crossJoin(broadcast(cls.crossJoin(vocabV)))
+        .join(clt, Seq("lang", "token"), "left")
+        .select(col("lang"), col("token"),
+          floor((log(coalesce(col("c"), lit(0L)).cast("double") + 1.0) -
+            log((col("tl") + col("v")).cast("double"))) * 1000000)
+            .cast("long").as("ll"))
+      val sc = tok.join(model.withColumnRenamed("lang", "cand"), "token")
+        .groupBy("doc_id", "cand").agg(sum("ll").as("sll"))
+        .join(broadcast(pri.withColumnRenamed("lang", "cand")), "cand")
+        .select(col("doc_id"), col("cand"),
+          (col("sll") + col("prior")).as("score"))
+      val best = sc.groupBy("doc_id").agg(max("score").as("b"))
+      val pred = sc.join(best, "doc_id")
+        .where(col("score") === col("b"))
+        .groupBy("doc_id").agg(min("cand").as("lang_pred"))
+      pred.join(dd.select(col("doc_id"), col("lang").as("lang_true")), "doc_id")
+        .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_true", "lang_pred")
+    }),
+
     // q142 — DATA-QUALITY GATE REPORT (the dbt-test / expectation-
     // suite role): per-rule checked/failed counts over the corpus in
     // ONE pass — empty docs, unknown language, length-metadata drift,
@@ -464,6 +550,58 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same micro-floored ln points, same HUGEINT-safe closed form,
+    // same pinned double order
+    "q165_zipf_fit" ->
+      (s"WITH t AS (SELECT unnest(string_split($duckNorm, ' ')) AS token " +
+        "FROM documents), " +
+        "v AS (SELECT token, count(*) AS n FROM t GROUP BY token), " +
+        "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk " +
+        "FROM v), " +
+        "p AS (SELECT CAST(floor(ln(rk) * 1000000) AS BIGINT) AS x, " +
+        "CAST(floor(ln(n) * 1000000) AS BIGINT) AS y FROM r WHERE rk <= 1000), " +
+        "s AS (SELECT count(*) AS k, CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * y) AS sxy, " +
+        "sum(CAST(x AS HUGEINT) * x) AS sxx FROM p), " +
+        "f AS (SELECT k, sx, sy, " +
+        "CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) " +
+        "/ CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) " +
+        "AS slope_raw FROM s) " +
+        "SELECT k, sx, sy, round(slope_raw, 6) AS slope, " +
+        "round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) / " +
+        "(CAST(k AS DOUBLE) * 1000000.0), 6) AS intercept FROM f"),
+
+    // the same counting model end-to-end: add-one micro log-liks,
+    // micro log priors, max-score/min-lang argmax
+    "q166_nb_classify" ->
+      (s"WITH nd AS (SELECT doc_id, lang, $duckNorm AS ntext FROM documents), " +
+        "tok AS (SELECT doc_id, lang, unnest(string_split(ntext, ' ')) " +
+        "AS token FROM nd), " +
+        "clt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "cls AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl FROM clt " +
+        "GROUP BY 1), " +
+        "tot AS (SELECT count(DISTINCT token) AS v FROM tok), " +
+        "pri AS (SELECT d.lang, CAST(floor((ln(count(*)) - " +
+        "ln((SELECT count(*) FROM documents))) * 1000000) AS BIGINT) " +
+        "AS prior FROM documents d GROUP BY 1), " +
+        "vocab AS (SELECT DISTINCT token FROM clt), " +
+        "model AS (SELECT g.lang, g.token, " +
+        "CAST(floor((ln(COALESCE(c.c, 0) + 1) - ln(g.tl + g.v)) * 1000000) " +
+        "AS BIGINT) AS ll FROM " +
+        "(SELECT l.lang, l.tl, t.v, vb.token FROM cls l " +
+        "CROSS JOIN tot t CROSS JOIN vocab vb) g " +
+        "LEFT JOIN clt c ON c.lang = g.lang AND c.token = g.token), " +
+        "sc AS (SELECT t.doc_id, m.lang AS cand, " +
+        "CAST(sum(m.ll) AS BIGINT) + min(p.prior) AS score " +
+        "FROM tok t JOIN model m ON m.token = t.token " +
+        "JOIN pri p ON p.lang = m.lang GROUP BY 1, 2), " +
+        "best AS (SELECT doc_id, max(score) AS b FROM sc GROUP BY 1), " +
+        "pred AS (SELECT s.doc_id, min(s.cand) AS lang_pred FROM sc s " +
+        "JOIN best ON s.doc_id = best.doc_id AND s.score = best.b " +
+        "GROUP BY 1) " +
+        "SELECT d.lang AS lang_true, p.lang_pred, count(*) AS n " +
+        "FROM pred p JOIN documents d ON d.doc_id = p.doc_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q133_bpe_train" -> duckBpeSql,
     // the window formulation the native aggregate must reproduce
     "q140_topk_agg" ->

@@ -176,6 +176,99 @@ object AnalyticsQueries {
             lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // q162 — CEP PATTERN MATCH (Flink MATCH_RECOGNIZE role): detect
+    // `click{2,} purchase` per user — two-or-more CONSECUTIVE clicks
+    // immediately followed by a purchase within 24 h of the last
+    // click. The pattern compiles away to run-length encoding (the
+    // standard MATCH_RECOGNIZE lowering for patterns over maximal
+    // greedy runs): lag() marks run starts, a running sum assigns run
+    // ids, runs aggregate to (type, len, start, end), and lead() over
+    // the RUN stream pairs each click-run with its successor. Every
+    // window is PARTITIONED BY user (the q42 rule — bounded
+    // per-partition sorts, never a global order); the run aggregate
+    // is a partial-agg groupBy on (user, run); the run-level window
+    // sees per-user RUN counts, already collapsed below event volume.
+    // Matches carry (first/last click, click count, purchase time) —
+    // exactly MATCH_RECOGNIZE's MEASURES clause. `error`/`view` rows
+    // between clicks break the run, as consecutive-pattern semantics
+    // require.
+    "q162_cep_pattern" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val we = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val wr = W.partitionBy("user_id").orderBy("run_id")
+      val runs = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("nr",
+          when(lag(col("event_type"), 1).over(we).isNull ||
+            lag(col("event_type"), 1).over(we) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("nr")).over(we))
+        .groupBy("user_id", "run_id")
+        .agg(max(col("event_type")).as("etype"), count(lit(1)).as("len"),
+          min(col("ts")).as("run_start"), max(col("ts")).as("run_end"))
+      runs
+        .withColumn("next_type", lead(col("etype"), 1).over(wr))
+        .withColumn("next_start", lead(col("run_start"), 1).over(wr))
+        .where(col("etype") === "click" && col("len") >= 2 &&
+          col("next_type") === "purchase" &&
+          col("next_start") - col("run_end") <= 86400000000000L)
+        .select(col("user_id"), col("run_start").as("first_click_ts"),
+          col("run_end").as("last_click_ts"), col("len").as("n_clicks"),
+          col("next_start").as("purchase_ts"))
+        .orderBy("user_id", "first_click_ts")
+    }),
+
+    // q163 — TABLE FINGERPRINT (anti-entropy checksum): the
+    // order-independent content digest replication validation runs on
+    // both sides of a 100 TB copy — per shard: row count, a
+    // commutative SUM of 48-bit row digests (accumulated in
+    // decimal(38) so 10^12 rows cannot overflow; the GATE hashes its
+    // 60-bit residue — both engines' pandas/parquet bridges flatten a
+    // 38-digit decimal lossily, the residue is exact), and their
+    // bitwise XOR. One partial-agg pass, no sort, no row movement
+    // beyond the 8-row aggregate; a single flipped byte anywhere
+    // flips both accumulators. Row canonicalization pins column order
+    // and folds the double to cents; concat_ws null-skipping matches
+    // across engines.
+    "q163_fingerprint" -> ((s, d) => {
+      val rowStr = concat_ws("|",
+        col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long"), col("props"))
+      events(s, d)
+        .select((col("user_id") % 8).as("shard"),
+          conv(substring(md5(rowStr), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(h as decimal(38,0))) % 1152921504606846976 " +
+            "as long)").as("fp_sum"),
+          expr("bit_xor(h)").as("fp_xor"))
+        .orderBy("shard")
+    }),
+
+    // q164 — WINSORIZED MEAN (outlier-clamped statistics): per-type
+    // value sums with the tails clamped to the exact p05/p95 — the
+    // robust aggregate a feature pipeline uses where a plain mean
+    // would let one corrupt row dominate. Thresholds come from one
+    // exact-percentile pass over the |types| groups (the q135
+    // floor-to-micro convention keeps the interpolated cut
+    // engine-exact), broadcast back, and the clamp + sum is
+    // all-integer micro arithmetic — partial-agg, order-free.
+    "q164_winsorize" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val th = ev.groupBy("event_type").agg(
+        floor(expr("percentile(cents, 0.05)") * 1000000).cast("long").as("lo"),
+        floor(expr("percentile(cents, 0.95)") * 1000000).cast("long").as("hi"))
+      ev.join(broadcast(th), "event_type")
+        .withColumn("wm",
+          greatest(col("lo"), least(col("hi"), col("cents") * 1000000L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("lo")).as("p05_micro"),
+          min(col("hi")).as("p95_micro"), sum(col("wm")).as("wsum_micro"))
+        .orderBy("event_type")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -399,6 +492,55 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the identical run-length lowering — lag/cumsum/lead over the
+    // same (ts, event_id) total order
+    "q162_cep_pattern" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t, event_type " +
+        "FROM events), " +
+        "r AS (SELECT *, CASE WHEN lag(event_type) OVER w " +
+        "IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS nr FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "r2 AS (SELECT *, sum(nr) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) AS run_id FROM r), " +
+        "ra AS (SELECT user_id, run_id, max(event_type) AS etype, " +
+        "count(*) AS len, min(t) AS run_start, max(t) AS run_end " +
+        "FROM r2 GROUP BY 1, 2), " +
+        "m AS (SELECT *, lead(etype) OVER w2 AS next_type, " +
+        "lead(run_start) OVER w2 AS next_start FROM ra " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)) " +
+        "SELECT user_id, run_start AS first_click_ts, " +
+        "run_end AS last_click_ts, len AS n_clicks, " +
+        "next_start AS purchase_ts FROM m " +
+        "WHERE etype = 'click' AND len >= 2 AND next_type = 'purchase' " +
+        "AND next_start - run_end <= 86400000000000 " +
+        "ORDER BY user_id, first_click_ts"),
+
+    // same canonical row string, same 48-bit digest; DECIMAL(38,0)
+    // keeps the commutative sum dtype-aligned with Spark's decimal
+    "q163_fingerprint" ->
+      ("WITH h AS (SELECT user_id % 8 AS shard, " +
+        "('0x' || substr(md5(concat_ws('|', event_id, user_id, event_type, " +
+        "epoch_ns(ts), CAST(round(value * 100) AS BIGINT), props)), " +
+        "1, 12))::BIGINT AS h FROM events) " +
+        "SELECT shard, count(*) AS n, " +
+        "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
+        "bit_xor(h) AS fp_xor " +
+        "FROM h GROUP BY shard ORDER BY shard"),
+
+    // same micro-floored interpolated thresholds, same integer clamp
+    "q164_winsorize" ->
+      ("WITH e AS (SELECT event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "t AS (SELECT event_type, " +
+        "CAST(floor(quantile_cont(cents, 0.05) * 1000000) AS BIGINT) AS lo, " +
+        "CAST(floor(quantile_cont(cents, 0.95) * 1000000) AS BIGINT) AS hi " +
+        "FROM e GROUP BY 1) " +
+        "SELECT e.event_type, count(*) AS n, min(lo) AS p05_micro, " +
+        "min(hi) AS p95_micro, " +
+        "CAST(sum(greatest(lo, least(hi, cents * 1000000))) AS BIGINT) " +
+        "AS wsum_micro " +
+        "FROM e JOIN t ON e.event_type = t.event_type " +
+        "GROUP BY e.event_type ORDER BY e.event_type"),
     // same mask, same two frames, same pinned double expression
     // order; floor back to integer cents before the hash
     "q160_interpolate" ->
