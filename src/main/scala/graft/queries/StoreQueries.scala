@@ -1063,6 +1063,65 @@ object StoreQueries {
     // AvailableNow's watermark-drain batches. The right side is the
     // pmod-8 half of the left's pmod-4 users — half the left users
     // can never match.
+    // q167 — STREAMING CEP (Flink-CEP / MATCH_RECOGNIZE on a live
+    // stream): q162's `click{2,} purchase within 24h` pattern detected
+    // by a REAL checkpointed StreamingQuery through the Cep automaton
+    // (flatMapGroupsWithState, O(1) run state per user, eager match
+    // emission, event-time-timeout state TTL). The topic is time-split
+    // at the midpoint so runs and click→purchase completions STRADDLE
+    // the micro-batch boundary — the persisted CepRun must carry them;
+    // a far-future sentinel advances the watermark so the TTL eviction
+    // path runs before the query drains. Output must hash-match the
+    // batch run-length lowering (q162's oracle shape in µs).
+    "q167_stream_cep" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-cep-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"))
+      val bounds = ev.agg(min(col("t_us")), max(col("t_us"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val cut = minUs + (maxUs - minUs) / 2
+      val hourUs = 3600L * 1000000L
+      Topic.produce(ev.where(col("t_us") < cut).coalesce(1), s"$base/topic")
+      Topic.produce(ev.where(col("t_us") >= cut).coalesce(1), s"$base/topic")
+      // sentinel batches: bump the watermark past every TTL horizon,
+      // then fire the timeouts in a following batch (the q87 rule)
+      Topic.produce(Seq((-1L, -1L, maxUs + 48 * hourUs, "view"))
+        .toDF("user_id", "event_id", "t_us", "event_type"), s"$base/topic")
+      Topic.produce(Seq((-1L, -2L, maxUs + 49 * hourUs, "view"))
+        .toDF("user_id", "event_id", "t_us", "event_type"), s"$base/topic")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, t_us BIGINT, event_type STRING")
+      val matches = graft.streaming.Cep.matches(
+        Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+          .select(from_json(col("value"), schema).as("j"))
+          .select(col("j.user_id").as("user_id"),
+            col("j.event_id").as("event_id"), col("j.t_us").as("t_us"),
+            timestamp_micros(col("j.t_us")).as("ts"),
+            col("j.event_type").as("etype"))
+          .as[graft.streaming.CepEvent],
+        watermarkDelay = "1 hour")
+      val q = withShufflePartitions(s, 8) {
+        matches.toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("first_click_us"), col("last_click_us"),
+          col("n_clicks"), col("purchase_us"))
+        .orderBy("user_id", "first_click_us")
+    }),
+
     "q87_stream_outer_join" -> ((s, d) => {
       val base = Paths.get(sys.props("java.io.tmpdir"),
         s"graft-stream-louter-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
@@ -1426,6 +1485,29 @@ object StoreQueries {
 
     // the streamed outer join must land exactly the batch LEFT JOIN:
     // matched pairs plus a null row per never-matched left event
+    // the streamed automaton must equal the batch run-length lowering
+    // (q162's shape) over the same µs-truncated total order
+    "q167_stream_cep" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t, " +
+        "event_type FROM events), " +
+        "r AS (SELECT *, CASE WHEN lag(event_type) OVER w " +
+        "IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS nr FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "r2 AS (SELECT *, sum(nr) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) AS run_id FROM r), " +
+        "ra AS (SELECT user_id, run_id, max(event_type) AS etype, " +
+        "count(*) AS len, min(t) AS run_start, max(t) AS run_end " +
+        "FROM r2 GROUP BY 1, 2), " +
+        "m AS (SELECT *, lead(etype) OVER w2 AS next_type, " +
+        "lead(run_start) OVER w2 AS next_start FROM ra " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)) " +
+        "SELECT user_id, run_start AS first_click_us, " +
+        "run_end AS last_click_us, len AS n_clicks, " +
+        "next_start AS purchase_us FROM m " +
+        "WHERE etype = 'click' AND len >= 2 AND next_type = 'purchase' " +
+        "AND next_start - run_end <= 86400000000 " +
+        "ORDER BY user_id, first_click_us"),
+
     "q87_stream_outer_join" ->
       ("WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t " +
         "FROM events WHERE user_id % 4 = 0), " +

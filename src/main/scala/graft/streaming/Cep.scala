@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event in a keyed CEP stream: `ts` drives the watermark (and is
+  * always `timestamp_micros(t_us)`); `t_us` is the exact µs-epoch the
+  * automaton computes with; `event_id` breaks timestamp ties the same
+  * way the batch twin does.
+  */
+case class CepEvent(
+    user_id: Long, event_id: Long, t_us: Long, ts: Timestamp, etype: String)
+
+/** Per-key automaton state: the CURRENT maximal run of equal-typed
+  * events (top level: the state encoder needs a publicly
+  * constructible case class).
+  */
+case class CepRun(curType: String, len: Long, startUs: Long, endUs: Long)
+
+/** One detected pattern match — MATCH_RECOGNIZE's MEASURES row. */
+case class CepMatch(
+    user_id: Long, first_click_us: Long, last_click_us: Long,
+    n_clicks: Long, purchase_us: Long)
+
+/** Streaming CEP — the Flink-CEP / MATCH_RECOGNIZE role on
+  * `flatMapGroupsWithState`: detect `click{2,} purchase` (two-or-more
+  * consecutive clicks immediately followed by a purchase within
+  * [[Cep.PatternGapUs]] of the last click) per user, on a LIVE stream.
+  *
+  * The pattern over maximal greedy runs needs only O(1) state per key
+  * — the current run's (type, length, start, end) — because a match
+  * completes the moment its final event arrives: matches emit EAGERLY,
+  * no watermark coordination gates the output (contrast q87/q90, where
+  * emission itself waits on eviction). The watermark's job here is
+  * purely state TTL: an event-time timeout clears idle users' run
+  * state, so state size tracks ACTIVE keys, not stream lifetime — the
+  * Flink `within()`-clause analog that keeps a 100 TB/day stream's
+  * state bounded.
+  *
+  * Ordering contract: within a batch the group sorts by (t_us,
+  * event_id) — the batch twin's exact total order; across batches the
+  * harness feeds time-split topic files (a replayable log partitioned
+  * by time), so batch N+1 never carries an event older than batch N.
+  * Cross-batch run continuity is exactly what the persisted [[CepRun]]
+  * provides: a run that straddles the boundary extends seamlessly, and
+  * a purchase arriving in the next batch still completes its
+  * click-run. Output equivalence with the batch run-length lowering
+  * (q162's shape) is driver-gated by q167.
+  *
+  * Semantics pinned to the reference surface: Flink MATCH_RECOGNIZE
+  * (flink-docs: dev/table/sql/queries/match_recognize) — PATTERN
+  * (A{2,} B) WITHIN INTERVAL, ONE ROW PER MATCH, AFTER MATCH SKIP PAST
+  * LAST ROW (runs are maximal, so matches can never overlap).
+  */
+object Cep extends Serializable {
+
+  /** `B` must arrive within 24 h of the last `A` — the WITHIN clause. */
+  val PatternGapUs: Long = 86400000000L
+
+  /** State-TTL horizon: a run untouched for this long can never
+    * complete a match, so its state is evicted. */
+  private val TtlMs: Long = PatternGapUs / 1000
+
+  /** The shared automaton step: absorb `sorted` (ascending (t_us,
+    * event_id)) into `acc0`, returning (completed matches, live run).
+    * Package-visible so CepSpec can drive it directly.
+    */
+  private[streaming] def fold(key: Long, acc0: CepRun,
+      sorted: Seq[CepEvent]): (Seq[CepMatch], CepRun) = {
+    val out = scala.collection.mutable.ListBuffer.empty[CepMatch]
+    var acc = acc0
+    sorted.foreach { e =>
+      acc match {
+        case null =>
+          acc = CepRun(e.etype, 1, e.t_us, e.t_us)
+        case r if r.curType == e.etype => // run extends
+          acc = r.copy(len = r.len + 1, endUs = e.t_us)
+        case r => // run boundary: the one place a match can complete
+          if (e.etype == "purchase" && r.curType == "click" &&
+            r.len >= 2 && e.t_us - r.endUs <= PatternGapUs)
+            out += CepMatch(key, r.startUs, r.endUs, r.len, e.t_us)
+          acc = CepRun(e.etype, 1, e.t_us, e.t_us)
+      }
+    }
+    (out.toSeq, acc)
+  }
+
+  def matches(events: Dataset[CepEvent], watermarkDelay: String)
+      : Dataset[CepMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[CepEvent],
+        state: GroupState[CepRun]): Iterator[CepMatch] = {
+      if (state.hasTimedOut) {
+        // no emission on timeout — matches already emitted eagerly;
+        // this is pure state eviction (the bounded-state guarantee)
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.t_us, e.event_id))
+        val (found, acc) = fold(userId, state.getOption.orNull, sorted)
+        state.update(acc)
+        // TTL must sit strictly above the current watermark or Spark
+        // rejects it; an already-cold run just evicts next batch
+        state.setTimeoutTimestamp(
+          math.max(acc.endUs / 1000 + TtlMs,
+            state.getCurrentWatermarkMs() + 1))
+        found.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

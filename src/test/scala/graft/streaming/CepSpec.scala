@@ -1,0 +1,163 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The CEP automaton ([[Cep.fold]]) pinned on hand-computed scripts,
+  * plus the crash/restart proof for the streaming operator: the kill
+  * lands with a click-run OPEN in state, and the purchase that
+  * completes it only arrives after the restart — the match must still
+  * emit exactly once.
+  */
+class CepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val hourUs = 3600L * 1000000L
+
+  private def ev(u: Long, id: Long, tUs: Long, t: String): CepEvent =
+    CepEvent(u, id, tUs, new java.sql.Timestamp(tUs / 1000), t)
+
+  // ---- automaton fold ----
+
+  test("fold: click{2,} purchase within 24h emits one match") {
+    val (out, acc) = Cep.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "purchase")))
+    assert(out === Seq(CepMatch(1L, 0, hourUs, 2, 2 * hourUs)))
+    assert(acc === CepRun("purchase", 1, 2 * hourUs, 2 * hourUs))
+  }
+
+  test("fold: a single click does not match; an intervening event breaks the run") {
+    assert(Cep.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "purchase")))._1.isEmpty)
+    assert(Cep.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "view"),
+      ev(1, 4, 3 * hourUs, "purchase")))._1.isEmpty)
+  }
+
+  test("fold: purchase later than the WITHIN horizon does not match") {
+    assert(Cep.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, hourUs + Cep.PatternGapUs + 1, "purchase")))._1.isEmpty)
+    // exactly at the horizon: inclusive, matches
+    assert(Cep.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, hourUs + Cep.PatternGapUs, "purchase")))._1.size === 1)
+  }
+
+  test("fold: state carries a run across calls (the batch-boundary contract)") {
+    val (out1, acc1) = Cep.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click")))
+    assert(out1.isEmpty && acc1 === CepRun("click", 2, 0, hourUs))
+    // next batch: one more click extends, then the purchase completes
+    val (out2, acc2) = Cep.fold(1L, acc1, Seq(
+      ev(1, 3, 2 * hourUs, "click"), ev(1, 4, 3 * hourUs, "purchase")))
+    assert(out2 === Seq(CepMatch(1L, 0, 2 * hourUs, 3, 3 * hourUs)))
+    assert(acc2.curType === "purchase")
+  }
+
+  test("fold: maximal runs never overlap matches (AFTER MATCH SKIP PAST LAST ROW)") {
+    // click click purchase click click purchase -> exactly two matches
+    val (out, _) = Cep.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, 1 * hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "purchase"),
+      ev(1, 4, 3 * hourUs, "click"), ev(1, 5, 4 * hourUs, "click"),
+      ev(1, 6, 5 * hourUs, "purchase")))
+    assert(out.map(_.purchase_us) === Seq(2 * hourUs, 5 * hourUs))
+  }
+
+  // ---- streaming kill/restart ----
+
+  private def cepQuery(topic: String, cp: String, out: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, event_id BIGINT, t_us BIGINT, event_type STRING")
+    val matches = Cep.matches(
+      Topic.stream(spark, topic, maxFilesPerTrigger = Some(1))
+        .select(from_json(col("value"), schema).as("j"))
+        .select(col("j.user_id").as("user_id"),
+          col("j.event_id").as("event_id"), col("j.t_us").as("t_us"),
+          timestamp_micros(col("j.t_us")).as("ts"),
+          col("j.event_type").as("etype"))
+        .as[CepEvent],
+      watermarkDelay = "1 hour")
+    val q = matches.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  private def cepResult(out: String): Seq[(Long, Long, Long, Long, Long)] =
+    spark.read.parquet(out).where(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+
+  test("streaming CEP: kill with a click-run open, restart completes the match once") {
+    val base = Files.createTempDirectory("graft-restart-cep")
+    // D offsets everything off epoch 0: a first-batch event at
+    // exactly ts=0 sits at the INITIAL watermark and gets dropped by
+    // the stateful operator's late-event filter — a watermark-origin
+    // artifact, not CEP semantics (real event times are nowhere near
+    // epoch 0).
+    // user 1: clicks at 0,1h — purchase at 3h (MATCH, straddles cut);
+    // user 2: click 0h, view 1h, purchase 3h (no match);
+    // user 3: clicks 0,1h, purchase at 1h+24h+1h (outside WITHIN);
+    // user 4: clicks at 3,4h, purchase 5h (match entirely in phase 2)
+    val D = 24L * hourUs
+    val rows = Seq(
+      (1L, 10L, D, "click"), (1L, 11L, D + hourUs, "click"),
+      (1L, 12L, D + 3 * hourUs, "purchase"),
+      (2L, 20L, D, "click"), (2L, 21L, D + hourUs, "view"),
+      (2L, 22L, D + 3 * hourUs, "purchase"),
+      (3L, 30L, D, "click"), (3L, 31L, D + hourUs, "click"),
+      (3L, 32L, D + hourUs + Cep.PatternGapUs + hourUs, "purchase"),
+      (4L, 40L, D + 3 * hourUs, "click"), (4L, 41L, D + 4 * hourUs, "click"),
+      (4L, 42L, D + 5 * hourUs, "purchase"))
+    val df = rows.toDF("user_id", "event_id", "t_us", "event_type")
+    val cutUs = D + 2 * hourUs
+    val maxUs = rows.map(_._3).max
+    def sentinels(topic: String): Unit = (48 to 49).foreach { h =>
+      Topic.produce(Seq((-1L, -h.toLong, maxUs + h * hourUs, "view"))
+        .toDF("user_id", "event_id", "t_us", "event_type"), topic)
+    }
+
+    locally { // uninterrupted twin
+      val topic = s"$base/full/topic"
+      Topic.produce(df.where(col("t_us") < cutUs).coalesce(1), topic)
+      Topic.produce(df.where(col("t_us") >= cutUs).coalesce(1), topic)
+      sentinels(topic)
+      cepQuery(topic, s"$base/full/cp", s"$base/full/out")
+    }
+    val expected = cepResult(s"$base/full/out")
+    assert(expected === Seq(
+      (1L, D, D + hourUs, 2L, D + 3 * hourUs),
+      (4L, D + 3 * hourUs, D + 4 * hourUs, 2L, D + 5 * hourUs)))
+
+    // kill/restart: phase 1 ends with user 1's (and 3's) click-runs
+    // open in state; the completing purchase arrives after the restart
+    val topic = s"$base/kr/topic"
+    Topic.produce(df.where(col("t_us") < cutUs).coalesce(1), topic)
+    cepQuery(topic, s"$base/kr/cp", s"$base/kr/out") // phase 1, then die
+    assert(cepResult(s"$base/kr/out").isEmpty,
+      "no match can complete before the cut")
+    Topic.produce(df.where(col("t_us") >= cutUs).coalesce(1), topic)
+    sentinels(topic)
+    cepQuery(topic, s"$base/kr/cp", s"$base/kr/out") // restart, same cp
+    assert(cepResult(s"$base/kr/out") === expected,
+      "restarted run must reload the open run state and emit each match exactly once")
+  }
+}
