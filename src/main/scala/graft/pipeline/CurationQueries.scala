@@ -246,6 +246,85 @@ object CurationQueries {
         .orderBy("lang_true", "lang_pred")
     }),
 
+    // q170 — GOLDEN-RECORD SURVIVORSHIP (master-data management):
+    // the end product of entity resolution — q151's Jaro-Winkler
+    // match pairs closed into entities by connected components, then
+    // ONE merged record per entity: mode-per-attribute survivorship
+    // (most frequent value; deterministic min tie-break) and a max
+    // price. The pipeline a warehouse runs to collapse duplicate
+    // catalog rows. Scale: pair generation is blocked (q151), the
+    // closure is the diameter-bounded label propagation (q38), and
+    // every survivorship rule is a partial-agg groupBy on cluster
+    // keys — mode is counts + max-count filter, never a sort of the
+    // cluster's rows.
+    "q170_golden_record" -> ((s, d) => {
+      val p = graft.Tables.load(s, d, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"),
+          col("p_brand").as("brand"), col("p_type").as("ptype"),
+          col("p_size").as("size"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val a = p.select(col("id").as("id_a"), col("name").as("name_a"),
+        col("size"))
+      val b = p.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("size"))
+      val pairs = a.join(b, Seq("size"))
+        .where(col("id_a") < col("id_b"))
+        .where(round(expr("jaro_winkler(name_a, name_b)"), 6) >= 0.85)
+        .select("id_a", "id_b")
+      val labels = Cluster.connectedComponents(
+        p.select("id"), pairs, "id", "id_a", "id_b")
+      val m = p.join(labels, "id")
+      def goldenMode(attr: String): DataFrame = {
+        val c = m.groupBy("cluster", attr).agg(count(lit(1)).as("cnt"))
+        val mx = c.groupBy("cluster").agg(max("cnt").as("mx"))
+        c.join(mx, "cluster").where(col("cnt") === col("mx"))
+          .groupBy("cluster").agg(min(attr).as(s"golden_$attr"))
+      }
+      m.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), max("cents").as("max_cents"))
+        .join(goldenMode("brand"), "cluster")
+        .join(goldenMode("ptype"), "cluster")
+        .select(col("cluster").as("entity_id"), col("n_members"),
+          col("golden_brand"), col("golden_ptype"), col("max_cents"))
+        .orderBy("entity_id")
+    }),
+
+    // q171 — RE-AGGREGABLE SKETCH ROLLING DISTINCT: q132's weekly-
+    // active metric re-planned the way a 100 TB stream actually ships
+    // it — per-day DataSketches HLL sketches built in ONE pass
+    // (`hll_sketch_agg`), then the 7-day windows merge SKETCHES
+    // (`hll_union_agg`), not user ids: the ×7 fan-out moves |days|
+    // fixed-size sketch blobs where q132's exact form moves every
+    // distinct (user, day) pair. This is the sketch family's fourth
+    // member (q21 HLL distinct, q95 CMS counts, q97 GK ranks) and the
+    // first REAGGREGATED one. Gate: the exact dau7 is hashed; each
+    // window's sketch estimate is asserted in-band (q21/q137's rule —
+    // wide multiple of the configured accuracy, so red = sketch
+    // drift, not noise).
+    "q171_hll_rolling_distinct" -> ((s, d) => {
+      val ev = graft.Tables.load(s, d, "events")
+      val ud = ev.select(col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      val days = ud.select("day").distinct()
+      val exact = ud.distinct()
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .join(broadcast(days), "day")
+        .groupBy("day").agg(countDistinct("user_id").as("dau7"))
+      val daily = ud.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val est = daily
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("sk"))
+        .join(broadcast(days), "day")
+        .groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      exact.join(est, "day")
+        .select(col("day"), col("dau7"),
+          (abs(col("est") - col("dau7")) <= col("dau7") * 0.15 + 1)
+            .as("est_ok"))
+        .orderBy("day")
+    }),
+
     // q142 — DATA-QUALITY GATE REPORT (the dbt-test / expectation-
     // suite role): per-rule checked/failed counts over the corpus in
     // ONE pass — empty docs, unknown language, length-metadata drift,
@@ -550,6 +629,49 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the same match rule, recursive closure, and two-phase mode
+    // survivorship
+    "q170_golden_record" ->
+      ("WITH RECURSIVE p AS (SELECT p_partkey AS id, p_name AS name, " +
+        "p_brand AS brand, p_type AS ptype, p_size AS size, " +
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part), " +
+        "pr AS (SELECT a.id AS ia, b.id AS ib FROM p a " +
+        "JOIN p b ON a.size = b.size AND a.id < b.id " +
+        "WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.85), " +
+        "edges AS (SELECT ia AS src, ib AS dst FROM pr " +
+        "UNION SELECT ib, ia FROM pr), " +
+        "cc(id, lbl) AS (SELECT id, id FROM p " +
+        "UNION SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id), " +
+        "lab AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id), " +
+        "m AS (SELECT p.*, lab.cluster FROM p JOIN lab USING (id)), " +
+        "nm AS (SELECT cluster, count(*) AS n_members, " +
+        "max(cents) AS max_cents FROM m GROUP BY cluster), " +
+        "bc AS (SELECT cluster, brand, count(*) AS cnt FROM m GROUP BY 1, 2), " +
+        "bmx AS (SELECT cluster, max(cnt) AS mx FROM bc GROUP BY 1), " +
+        "gb AS (SELECT bc.cluster, min(brand) AS golden_brand FROM bc " +
+        "JOIN bmx ON bc.cluster = bmx.cluster AND bc.cnt = bmx.mx " +
+        "GROUP BY 1), " +
+        "tc AS (SELECT cluster, ptype, count(*) AS cnt FROM m GROUP BY 1, 2), " +
+        "tmx AS (SELECT cluster, max(cnt) AS mx FROM tc GROUP BY 1), " +
+        "gt AS (SELECT tc.cluster, min(ptype) AS golden_ptype FROM tc " +
+        "JOIN tmx ON tc.cluster = tmx.cluster AND tc.cnt = tmx.mx " +
+        "GROUP BY 1) " +
+        "SELECT nm.cluster AS entity_id, n_members, golden_brand, " +
+        "golden_ptype, max_cents FROM nm " +
+        "JOIN gb ON gb.cluster = nm.cluster " +
+        "JOIN gt ON gt.cluster = nm.cluster ORDER BY entity_id"),
+
+    // the exact interval-join dau7 (q132's oracle); est_ok is literal
+    // TRUE — the Spark side must land its merged-sketch estimates
+    // inside the band
+    "q171_hll_rolling_distinct" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, " +
+        "epoch_ns(ts) // 86400000000000 AS day FROM events), " +
+        "days AS (SELECT DISTINCT day FROM ud) " +
+        "SELECT d.day, count(DISTINCT u.user_id) AS dau7, TRUE AS est_ok " +
+        "FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day " +
+        "GROUP BY d.day ORDER BY d.day"),
+
     // same micro-floored ln points, same HUGEINT-safe closed form,
     // same pinned double order
     "q165_zipf_fit" ->

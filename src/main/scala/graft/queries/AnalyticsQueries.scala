@@ -269,6 +269,60 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q168 — MAD ROBUST OUTLIERS: the median-absolute-deviation
+    // flagging pass — q119's z-score with the mean/stddev swapped for
+    // median/MAD, so a heavy tail cannot drag its own threshold (the
+    // robust-statistics cell of the quality family). Two bounded
+    // percentile passes over per-type groups (the q41 exact-quantile
+    // contract: low-cardinality groups; the sketch path is q97),
+    // thresholds broadcast back both times, and the flag itself is
+    // exact integer arithmetic: |x−med|·10⁴ > 3·1.4826·10⁴·MAD —
+    // no float stddev accumulation anywhere.
+    "q168_mad_outliers" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val med = ev.groupBy("event_type").agg(
+        floor(expr("percentile(cents, 0.5)") * 1000000)
+          .cast("long").as("med_micro"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adm",
+          abs(col("cents") * 1000000L - col("med_micro")))
+      val mad = dev.groupBy("event_type").agg(
+        min(col("med_micro")).as("med_micro"),
+        floor(expr("percentile(adm, 0.5)")).cast("long").as("mad_micro"))
+      dev.drop("med_micro").join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("med_micro")).as("med_micro"),
+          min(col("mad_micro")).as("mad_micro"),
+          sum(when(col("adm") * 10000L > lit(44478L) * col("mad_micro"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // q169 — CUMULATE WINDOW (Flink's third window TVF, closing the
+    // family: TUMBLE = q44, HOP = q94): expanding daily windows that
+    // fire every 6 h — [day, 06:00), [day, 12:00), [day, 18:00),
+    // [day, 24:00) — the "today so far, refreshed periodically"
+    // dashboard aggregate. Lowered the HOP way: each event fans
+    // scan-side into the ≤4 cumulate steps whose expanding window
+    // contains it (`explode(sequence(first_step, 4))`), then one
+    // partial-agg groupBy on (day, step). Fan-out is bounded by
+    // day/step = 4, not by data; integer cents keep sums exact.
+    "q169_cumulate_window" -> ((s, d) => {
+      val dayNs = 86400000000000L
+      val stepNs = dayNs / 4
+      events(s, d)
+        .select(expr(s"ts div $dayNs").as("day"),
+          (expr(s"(ts % $dayNs) div $stepNs") + 1).as("first_step"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("day"),
+          explode(sequence(col("first_step"), lit(4L))).as("step"),
+          col("cents"))
+        .groupBy("day", "step")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("day", "step")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -526,6 +580,38 @@ object AnalyticsQueries {
         "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
         "bit_xor(h) AS fp_xor " +
         "FROM h GROUP BY shard ORDER BY shard"),
+
+    // same two quantile passes, same exact integer flag rule
+    "q168_mad_outliers" ->
+      ("WITH e AS (SELECT event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "med AS (SELECT event_type, " +
+        "CAST(floor(quantile_cont(cents, 0.5) * 1000000) AS BIGINT) " +
+        "AS med_micro FROM e GROUP BY 1), " +
+        "dev AS (SELECT e.event_type, med.med_micro, " +
+        "abs(cents * 1000000 - med_micro) AS adm FROM e " +
+        "JOIN med ON e.event_type = med.event_type), " +
+        "mad AS (SELECT event_type, min(med_micro) AS med_micro, " +
+        "CAST(floor(quantile_cont(adm, 0.5)) AS BIGINT) AS mad_micro " +
+        "FROM dev GROUP BY 1) " +
+        "SELECT d.event_type, count(*) AS n, min(m.med_micro) AS med_micro, " +
+        "min(m.mad_micro) AS mad_micro, " +
+        "CAST(sum(CASE WHEN d.adm * 10000 > 44478 * m.mad_micro " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM dev d JOIN mad m ON d.event_type = m.event_type " +
+        "GROUP BY d.event_type ORDER BY d.event_type"),
+
+    // the same ≤4-step expanding-window fan-out via generate_series
+    "q169_cumulate_window" ->
+      ("WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, " +
+        "(epoch_ns(ts) % 86400000000000) // 21600000000000 + 1 " +
+        "AS first_step, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "x AS (SELECT day, unnest(generate_series(first_step, 4)) AS step, " +
+        "cents FROM e) " +
+        "SELECT day, step, count(*) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM x " +
+        "GROUP BY day, step ORDER BY day, step"),
 
     // same micro-floored interpolated thresholds, same integer clamp
     "q164_winsorize" ->
