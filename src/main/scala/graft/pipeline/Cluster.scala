@@ -116,4 +116,68 @@ object Cluster {
     */
   def survivors(assignment: DataFrame, idCol: String): DataFrame =
     assignment.where(col(idCol) === col("cluster")).select(idCol)
+
+  /** Single-source BFS hop distances over an undirected edge list —
+    * the reachability/shortest-hops primitive next to
+    * [[connectedComponents]] (same propagation engine: one bounded
+    * edge⋈label shuffle + one partial-agg min per round; rounds =
+    * the source's ECCENTRICITY, not graph size; lineage truncated
+    * per round). Unreachable nodes come back with a null `hop`.
+    * Convergence is the same monotone-sum rule: hops only ever
+    * decrease (unknown = a sentinel above any real distance, valid
+    * while rounds < sentinel), so an unchanged sum ⇔ fixpoint.
+    */
+  def bfsHops(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      srcCol: String,
+      dstCol: String,
+      sourceId: Long,
+      maxRounds: Int = 50): DataFrame = {
+    val Unreached = 1000000000L // sentinel > any real hop count
+    require(maxRounds < Unreached, "round budget must stay below the sentinel")
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .transform(truncate)
+    val universe = nodes.select(col(idCol).as("id"))
+      .unionByName(sym.select(col("src").as("id")))
+      .distinct()
+
+    def hopSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("hop").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s")).head().getDecimal(0)
+
+    var labels = universe
+      .select(col("id"),
+        when(col("id") === sourceId, 0L).otherwise(Unreached).as("hop"))
+      .transform(truncate)
+    var current = hopSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val pushed = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), (col("hop") + 1L).as("hop"))
+      val next = labels.unionByName(pushed)
+        .groupBy("id")
+        .agg(min("hop").as("hop"))
+        .transform(truncate)
+      val nextSum = hopSum(next)
+      converged = nextSum.compareTo(current) == 0
+      labels.unpersist()
+      labels = next
+      current = nextSum
+      round += 1
+    }
+    require(converged,
+      s"BFS did not converge in $maxRounds rounds — a reachable node " +
+        "beyond the budget exists; raise maxRounds")
+    labels
+      .join(nodes.select(col(idCol).as("id")).distinct(), "id")
+      .select(col("id").as(idCol),
+        when(col("hop") === Unreached, lit(null).cast("long"))
+          .otherwise(col("hop")).as("hop"))
+  }
 }

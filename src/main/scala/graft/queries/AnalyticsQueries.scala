@@ -33,6 +33,26 @@ object AnalyticsQueries {
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("attr"))
 
+  /** The nation trade graph (q115's edge build, undirected, distinct):
+    * fact table joined to two broadcast dims, collapsed to ≤|nations|²
+    * (lo, hi) edges — shared by triangle counting (q136) and BFS
+    * (q172).
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, d, "customer").select("c_custkey", "c_nationkey")
+    val su = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .where(col("s_nationkey") =!= col("c_nationkey"))
+      .select(
+        least(col("s_nationkey"), col("c_nationkey")).cast("long").as("lo"),
+        greatest(col("s_nationkey"), col("c_nationkey")).cast("long").as("hi"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // q148 — SINGLE-PASS PIPELINE OBSERVABILITY (`df.observe` /
@@ -323,6 +343,23 @@ object AnalyticsQueries {
         .orderBy("day", "step")
     }),
 
+    // q172 — BFS HOP DISTANCE (single-source shortest paths,
+    // unweighted): the reachability primitive completing the graph
+    // family — q115 ranks (PageRank), q136 counts local structure
+    // (triangles), q38/q96 partition (components); this measures
+    // DISTANCE. Same propagation engine as connectedComponents: one
+    // bounded edge⋈label shuffle + partial-agg min per round, rounds
+    // = the source's eccentricity, monotone-sum convergence, fail-
+    // loud round cap. Nations absent from the trade graph surface as
+    // hop = NULL (unreachable) — the honest contract, gated too.
+    "q172_bfs_hops" -> ((s, d) => {
+      val nodes = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nation"))
+      graft.pipeline.Cluster
+        .bfsHops(nodes, tradeEdges(s, d), "nation", "lo", "hi", sourceId = 0L)
+        .orderBy("nation")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -449,18 +486,7 @@ object AnalyticsQueries {
     // self-join — proving the orientation trick loses/double-counts
     // nothing.
     "q136_triangle_count" -> ((s, d) => {
-      val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-      val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
-      val c = Tables.load(s, d, "customer").select("c_custkey", "c_nationkey")
-      val su = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
-      val und = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .where(col("s_nationkey") =!= col("c_nationkey"))
-        .select(
-          least(col("s_nationkey"), col("c_nationkey")).cast("long").as("lo"),
-          greatest(col("s_nationkey"), col("c_nationkey")).cast("long").as("hi"))
-        .distinct()
+      val und = tradeEdges(s, d)
       val deg = und.select(col("lo").as("n"))
         .unionByName(und.select(col("hi").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -580,6 +606,26 @@ object AnalyticsQueries {
         "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
         "bit_xor(h) AS fp_xor " +
         "FROM h GROUP BY shard ORDER BY shard"),
+
+    // hop-bounded recursive exploration, min(hop) per node, LEFT JOIN
+    // keeps unreachable nations as NULL
+    "q172_bfs_hops" ->
+      ("WITH RECURSIVE ed AS (SELECT DISTINCT " +
+        "CAST(least(s_nationkey, c_nationkey) AS BIGINT) AS lo, " +
+        "CAST(greatest(s_nationkey, c_nationkey) AS BIGINT) AS hi " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE s_nationkey <> c_nationkey), " +
+        "edges AS (SELECT lo AS src, hi AS dst FROM ed " +
+        "UNION SELECT hi, lo FROM ed), " +
+        "bfs(id, hop) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) " +
+        "UNION SELECT e.dst, b.hop + 1 FROM bfs b " +
+        "JOIN edges e ON e.src = b.id WHERE b.hop < 30), " +
+        "lab AS (SELECT id, min(hop) AS hop FROM bfs GROUP BY id) " +
+        "SELECT CAST(n_nationkey AS BIGINT) AS nation, lab.hop " +
+        "FROM nation LEFT JOIN lab ON lab.id = n_nationkey " +
+        "ORDER BY nation"),
 
     // same two quantile passes, same exact integer flag rule
     "q168_mad_outliers" ->
