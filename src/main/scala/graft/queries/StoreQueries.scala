@@ -980,6 +980,73 @@ object StoreQueries {
       tgt.read().orderBy("event_type")
     }),
 
+    // q173 — INCREMENTAL JOIN-VIEW MAINTENANCE (the delta-join next
+    // to q76's delta-aggregate): `fact LEFT JOIN dim` kept fresh from
+    // BOTH tables' change feeds — fact changes re-join the current
+    // dim, dim changes fan back through the affected fact rows (the
+    // reverse index), deletes on either side land as target deletes /
+    // null attrs. Two commits per table: fact inserts+updates+deletes
+    // (q76's pattern) and dim attr updates + dim-row deletions — the
+    // dim delete is the interesting leg: its facts must flip to null
+    // attrs without anyone re-joining the unaffected rows. The final
+    // maintained table must hash-match the from-scratch LEFT JOIN of
+    // the two final states.
+    "q173_incremental_join" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ijoin-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val users = ev.select("user_id").distinct()
+        .withColumn("attr", col("user_id") * 10 + 1)
+      val a = UpsertTable(s, s"$base/a")
+      val b = UpsertTable(s, s"$base/b")
+      val m = UpsertTable(s, s"$base/m")
+      // commit A1 (even event ids) + B1 (even users)
+      a.merge(ev.where(col("event_id") % 2 === 0),
+        autoCreateKeys = Seq("event_id"), delta = true)
+      val vA1 = a.currentSnapshot.get.version
+      b.merge(users.where(col("user_id") % 2 === 0),
+        autoCreateKeys = Seq("user_id"), delta = true)
+      val vB1 = b.currentSnapshot.get.version
+      graft.store.IncrementalJoin.refreshLeftJoin(s, a, b, m,
+        vA1 - 1, vA1, vB1 - 1, vB1, "event_id", "user_id", "user_id")
+      // commit A2: odds inserted; evens < 1000 get cents+10; evens in
+      // [1000, 2000) deleted (q76's fact pattern)
+      val batchA2 = ev.where(col("event_id") % 2 === 1)
+        .withColumn("__op", lit("u"))
+        .unionByName(ev
+          .where(col("event_id") % 2 === 0 && col("event_id") < 1000)
+          .withColumn("cents", col("cents") + 10L)
+          .withColumn("__op", lit("u")))
+        .unionByName(ev
+          .where(col("event_id") % 2 === 0
+            && col("event_id") >= 1000 && col("event_id") < 2000)
+          .withColumn("__op", lit("d")))
+      a.merge(batchA2, opCol = Some("__op"), delta = true)
+      val vA2 = a.currentSnapshot.get.version
+      // commit B2 (disjoint legs): odd users inserted (u%5 != 0),
+      // existing u%6 == 0 users' attr bumped, u%5 == 0 users DELETED
+      val batchB2 = users
+        .where(col("user_id") % 2 === 1 && col("user_id") % 5 =!= 0)
+        .withColumn("__op", lit("u"))
+        .unionByName(users
+          .where(col("user_id") % 6 === 0 && col("user_id") % 5 =!= 0)
+          .withColumn("attr", col("attr") + 5L)
+          .withColumn("__op", lit("u")))
+        .unionByName(users
+          .where(col("user_id") % 2 === 0 && col("user_id") % 5 === 0)
+          .withColumn("__op", lit("d")))
+      b.merge(batchB2, opCol = Some("__op"), delta = true)
+      val vB2 = b.currentSnapshot.get.version
+      graft.store.IncrementalJoin.refreshLeftJoin(s, a, b, m,
+        vA1, vA2, vB1, vB2, "event_id", "user_id", "user_id")
+      m.read()
+        .select("event_id", "user_id", "cents", "attr")
+        .orderBy("event_id")
+    }),
+
     // q90 — CHAINED stateful aggregations in ONE streaming query
     // (multi-stateful-operator support): per-(day, type) counts/sums
     // re-aggregated into epoch-aligned weekly windows via
@@ -1592,6 +1659,24 @@ object StoreQueries {
 
     // the incrementally-maintained view must equal the from-scratch
     // aggregate of the final state
+    // the maintained join must equal the from-scratch LEFT JOIN of
+    // the two final states (dim-deleted users' facts carry NULL attr)
+    "q173_incremental_join" ->
+      ("WITH ae AS (SELECT event_id, user_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "af AS (SELECT event_id, user_id, " +
+        "CASE WHEN event_id % 2 = 0 AND event_id < 1000 THEN cents + 10 " +
+        "ELSE cents END AS cents FROM ae " +
+        "WHERE NOT (event_id % 2 = 0 AND event_id >= 1000 " +
+        "AND event_id < 2000)), " +
+        "bf AS (SELECT user_id, user_id * 10 + 1 + " +
+        "CASE WHEN user_id % 6 = 0 THEN 5 ELSE 0 END AS attr " +
+        "FROM (SELECT DISTINCT user_id FROM events) " +
+        "WHERE user_id % 5 <> 0) " +
+        "SELECT af.event_id, af.user_id, af.cents, bf.attr " +
+        "FROM af LEFT JOIN bf ON af.user_id = bf.user_id " +
+        "ORDER BY af.event_id"),
+
     "q76_incremental_view" ->
       ("WITH base AS (SELECT event_id, event_type, " +
         "CAST(FLOOR(value) AS BIGINT) AS vi FROM events), " +

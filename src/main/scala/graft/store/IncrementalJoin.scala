@@ -1,0 +1,113 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental JOIN-view maintenance over two change feeds — the
+  * delta-join next to [[IncrementalAgg]]'s delta-aggregate: keep
+  * `target = SELECT a.*, b.attrs FROM a LEFT JOIN b ON a.fk = b.key`
+  * fresh in O(changes + dim-fanout) per refresh instead of re-joining
+  * a 100 TB fact table (the Flink-SQL continuous-join /
+  * Materialize-style maintained join on batch Spark).
+  *
+  * Algorithm per refresh over fact range `(fromA, toA]` and dimension
+  * range `(fromB, toB]`:
+  *  1. net fact change per fact key = the feed's LAST image in range
+  *     (earlier intra-range images superseded; same rule as
+  *     [[IncrementalAgg.netChanges]]);
+  *  2. fact upserts re-join the CURRENT dimension (left join — a
+  *     missing/deleted dim row legitimately yields null attrs), fact
+  *     deletes become target deletes;
+  *  3. fact rows REFERENCING a changed dimension key — the reverse
+  *     fan-out — are re-read from the current fact table via a
+  *     semi-join on the changed dim keys, minus the keys leg 2
+  *     already rebuilt (those used the current dimension anyway),
+  *     and re-joined the same way.
+  *
+  * Cost model, stated honestly: legs 1-2 are bounded by the fact
+  * change volume; leg 3 is bounded by |changed dim keys| × join
+  * fan-out, and its fact-side read is a SCAN + semi-join here — on a
+  * production layout the fact table would be bucketed/partitioned by
+  * `fk` so the semi-join prunes to the affected buckets (this store
+  * buckets by primary key; the scan is the documented price of a
+  * secondary access path, not an algorithmic flaw — the join itself
+  * never rebuilds unaffected rows).
+  *
+  * FP caveat: none — rows are REPLACED wholesale (not numerically
+  * accumulated), so unlike retraction-based aggregate maintenance the
+  * maintained join is bit-exact against a from-scratch join at every
+  * version.
+  */
+object IncrementalJoin {
+
+  /** Refresh `target` (keyed by `aKey`, schema = fact columns + the
+    * dimension's non-key columns) with the fact changes in
+    * `(fromA, toA]` and dimension changes in `(fromB, toB]`. Pass
+    * `from == to` for a side with no new commits.
+    */
+  def refreshLeftJoin(spark: SparkSession,
+      a: UpsertTable, b: UpsertTable, target: UpsertTable,
+      fromA: Long, toA: Long, fromB: Long, toB: Long,
+      aKey: String, fkCol: String, bKey: String): Unit = {
+    val bCur = b.read()
+    val bAttrs = bCur.columns.filterNot(_ == bKey).toSeq
+    require(!bCur.columns.contains(fkCol) || fkCol == bKey,
+      s"dimension column name collision on $fkCol")
+
+    def joinDim(facts: DataFrame): DataFrame =
+      facts.join(bCur, facts(fkCol) === bCur(bKey), "left")
+        .drop(bCur(bKey))
+
+    // 1. last fact image per key in range (max version wins; within
+    // one commit a key appears once — merge normalized it)
+    val netA: DataFrame =
+      if (fromA == toA) null
+      else {
+        val ch = a.readChanges(fromA, toA)
+        val dataCols = ch.columns
+          .filterNot(c => c == aKey || c == "_commit_version").map(col)
+        ch.groupBy(col(aKey))
+          .agg(max_by(struct(dataCols: _*), col("_commit_version"))
+            .as("__last"))
+          .select(col(aKey), col("__last.*"))
+          .cache() // feeds legs 2 AND 3's anti-join
+      }
+    try {
+      val legs = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      if (netA != null) {
+        // 2. fact upserts re-joined to the current dimension; fact
+        // deletes delete the target row (attrs null-filled to align)
+        legs += joinDim(netA.where(col("_change_op") =!= "d")
+          .drop("_change_op"))
+          .withColumn("__op", lit("u"))
+        legs += netA.where(col("_change_op") === "d")
+          .drop("_change_op")
+          .select(col(aKey) +: (a.read().columns.filterNot(_ == aKey)
+            .map(c => lit(null).as(c)) ++
+            bAttrs.map(c => lit(null).as(c)) :+ lit("d").as("__op")): _*)
+      }
+      if (fromB != toB) {
+        // 3. reverse fan-out: current fact rows referencing a changed
+        // dim key, minus the fact keys leg 2 already rebuilt
+        val changedDim = b.readChanges(fromB, toB)
+          .select(col(bKey)).distinct()
+        val aCur = a.read()
+        var affected = aCur
+          .join(changedDim, aCur(fkCol) === changedDim(bKey), "left_semi")
+        if (netA != null)
+          affected = affected
+            .join(netA.select(aKey), Seq(aKey), "left_anti")
+        legs += joinDim(affected).withColumn("__op", lit("u"))
+      }
+      if (legs.nonEmpty)
+        target.merge(legs.reduce(_ unionByName _), opCol = Some("__op"),
+          autoCreateKeys = Seq(aKey))
+    } finally if (netA != null) netA.unpersist()
+  }
+
+  /** From-scratch twin — the correctness oracle for
+    * [[refreshLeftJoin]] (and the bootstrap for an empty target). */
+  def fullLeftJoin(a: DataFrame, b: DataFrame,
+      fkCol: String, bKey: String): DataFrame =
+    a.join(b, a(fkCol) === b(bKey), "left").drop(b(bKey))
+}
