@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
@@ -360,6 +360,81 @@ object AnalyticsQueries {
         .orderBy("nation")
     }),
 
+    // q174 — EMA SMOOTHING (recursive per-entity fold): the
+    // exponential moving average ema_i = 0.2·x_i + 0.8·ema_{i−1} —
+    // a true RECURRENCE, inexpressible as any window frame, so it
+    // runs as a bounded per-user ordered fold: collect the user's
+    // series (sorted by the (ts, event_id) total order — per-entity
+    // state, the q122 bounded-collect rule), seed at the first
+    // observation, fold in INTEGER hundredth-cents with truncating
+    // division so every intermediate is engine-exact (positive
+    // domain, so trunc ≡ floor). One groupBy shuffle, fold runs
+    // scan-side on the aggregated row.
+    "q174_ema_smoothing" -> ((s, d) => {
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("cents")))).as("seq"))
+        .select(col("user_id"), size(col("seq")).cast("long").as("n"),
+          expr("aggregate(" +
+            "slice(transform(seq, s -> s.cents * 100), 2, size(seq) - 1), " +
+            "element_at(seq, 1).cents * 100, " +
+            "(acc, x) -> (2 * x + 8 * acc) div 10)").as("ema_c100"))
+        .orderBy("user_id")
+    }),
+
+    // q175 — CUPED VARIANCE REDUCTION (the experimentation-platform
+    // companion to q161's z-test): adjust the experiment metric with
+    // the PRE-period covariate — y_adj = y − θ(x − x̄), θ =
+    // cov(x,y)/var(x) pooled — so pre-existing user differences stop
+    // inflating variance. Per-user pre/post sums are one partial-agg
+    // pass; θ and the per-variant adjusted means are closed forms
+    // over EXACT integer sums (Σx, Σy, Σxy, Σx² in decimal(38) —
+    // q165's overflow rule), evaluated in one pinned double order.
+    "q175_cuped" -> ((s, d) => {
+      val ev = events(s, d)
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      val per = ev
+        .select(col("user_id"), (col("user_id") % 2).as("variant"),
+          when(col("ts") < cut, round(col("value") * 100).cast("long"))
+            .otherwise(0L).as("xc"),
+          when(col("ts") >= cut, round(col("value") * 100).cast("long"))
+            .otherwise(0L).as("yc"))
+        .groupBy(col("user_id"), col("variant"))
+        .agg(sum("xc").as("x"), sum("yc").as("y"))
+      val d38 = "decimal(38,0)"
+      val sums = per.agg(
+        count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("x"))).as("x0"),
+        sum(when(col("variant") === 0, col("y"))).as("y0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("x"))).as("x1"),
+        sum(when(col("variant") === 1, col("y"))).as("y1"))
+      val theta =
+        (col("k").cast(d38) * col("sxy") -
+          col("sx").cast(d38) * col("sy")).cast("double") /
+          (col("k").cast(d38) * col("sxx") -
+            col("sx").cast(d38) * col("sx")).cast("double")
+      val xbar = col("sx").cast("double") / col("k").cast("double")
+      def adjMean(n: Column, sxv: Column, syv: Column): Column =
+        (syv.cast("double") - col("__theta") *
+          (sxv.cast("double") - n.cast("double") * col("__xbar"))) /
+          n.cast("double")
+      sums
+        .withColumn("__theta", theta)
+        .withColumn("__xbar", xbar)
+        .select(col("n0"), col("n1"), col("y0"), col("y1"),
+          round(col("__theta"), 6).as("theta"),
+          round(adjMean(col("n1"), col("x1"), col("y1")) -
+            adjMean(col("n0"), col("x0"), col("y0")), 6).as("adj_lift"))
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -626,6 +701,53 @@ object AnalyticsQueries {
         "SELECT CAST(n_nationkey AS BIGINT) AS nation, lab.hop " +
         "FROM nation LEFT JOIN lab ON lab.id = n_nationkey " +
         "ORDER BY nation"),
+
+    // same ordered series, same seeded integer fold (list_reduce
+    // seeds at the first element exactly like the Spark aggregate's
+    // explicit init; // ≡ div on the positive domain)
+    "q174_ema_smoothing" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "a AS (SELECT user_id, count(*) AS n, " +
+        "list(cents * 100 ORDER BY tns, event_id) AS seq " +
+        "FROM e GROUP BY 1) " +
+        "SELECT user_id, n, " +
+        "list_reduce(seq, (acc, x) -> (2 * x + 8 * acc) // 10) AS ema_c100 " +
+        "FROM a ORDER BY user_id"),
+
+    // same per-user pre/post sums, same HUGEINT-safe θ closed form,
+    // same pinned double order for the adjusted means
+    "q175_cuped" ->
+      ("WITH cut AS (SELECT min(epoch_ns(ts)) + " +
+        "(max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS c FROM events), " +
+        "per AS (SELECT user_id, user_id % 2 AS variant, " +
+        "CAST(sum(CASE WHEN epoch_ns(ts) < (SELECT c FROM cut) " +
+        "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN epoch_ns(ts) >= (SELECT c FROM cut) " +
+        "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y " +
+        "FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT count(*) AS k, CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(sum(y) AS BIGINT) AS sy, " +
+        "sum(CAST(x AS HUGEINT) * y) AS sxy, " +
+        "sum(CAST(x AS HUGEINT) * x) AS sxx, " +
+        "CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS x0, " +
+        "CAST(sum(CASE WHEN variant = 0 THEN y END) AS BIGINT) AS y0, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS x1, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN y END) AS BIGINT) AS y1 " +
+        "FROM per), " +
+        "t AS (SELECT *, " +
+        "CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) " +
+        "/ CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) " +
+        "AS theta_raw, " +
+        "CAST(sx AS DOUBLE) / CAST(k AS DOUBLE) AS xbar FROM s) " +
+        "SELECT n0, n1, y0, y1, round(theta_raw, 6) AS theta, " +
+        "round((CAST(y1 AS DOUBLE) - theta_raw * (CAST(x1 AS DOUBLE) - " +
+        "CAST(n1 AS DOUBLE) * xbar)) / CAST(n1 AS DOUBLE) - " +
+        "(CAST(y0 AS DOUBLE) - theta_raw * (CAST(x0 AS DOUBLE) - " +
+        "CAST(n0 AS DOUBLE) * xbar)) / CAST(n0 AS DOUBLE), 6) AS adj_lift " +
+        "FROM t"),
 
     // same two quantile passes, same exact integer flag rule
     "q168_mad_outliers" ->
