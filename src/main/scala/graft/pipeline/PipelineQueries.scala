@@ -196,6 +196,37 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // q176 — kNN-GRAPH CONSTRUCTION: every vector's top-3 in-bucket
+    // neighbors — the preprocessing pass graph-based ANN indexes
+    // (HNSW/NN-descent) and graph-clustering pipelines start from,
+    // distinct from q16/q22's few-queries-vs-corpus search: here the
+    // QUERY SET IS THE CORPUS, so the skew-safe per-node truncation
+    // matters. Candidates come only from IVF buckets (q25's rule —
+    // never all-pairs); per-node top-3 runs through the bounded
+    // `top_k` aggregate (q140), so the exchange carries ≤3 pairs per
+    // node instead of a per-node window sorting every candidate
+    // list. Scores are micro-cosine longs; top_k's (score DESC, id
+    // ASC) tie rule is exactly the oracle's row_number order.
+    "q176_knn_graph" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val assigned = AnnIvf.assignBuckets(e, e.where(col("vec_id") < 16))
+      val l = assigned.toDF("id_a", "emb_a", "bucket")
+      val r = assigned.toDF("id_b", "emb_b", "bucket")
+      l.join(r, Seq("bucket"))
+        .where(col("id_a") =!= col("id_b"))
+        .withColumn("sm",
+          round(Similarity.cosine(col("emb_a"), col("emb_b")) * 1000000)
+            .cast("long"))
+        .groupBy("id_a")
+        .agg(expr("top_k(sm, id_b, 3)").as("tk"))
+        .select(col("id_a"), posexplode(col("tk")))
+        .select(col("id_a").as("vec_id"),
+          (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("nn_id"), col("col.score").as("sim_micro"))
+        .orderBy("vec_id", "rk")
+    }),
+
     // q36 — IVF probe search over a TRAINED index at k≈√N: the scale
     // rule exercised end-to-end. With k ~ √N the in-bucket work
     // Σ bucket² ≈ N·√N stays subquadratic as the corpus grows (q22's
@@ -1743,6 +1774,33 @@ object PipelineQueries {
         "WHERE n_tokens BETWEEN 20 AND 400 " +
         "AND round(n_stop / CAST(n_tokens AS DOUBLE), 6) >= 0.05 " +
         "AND s_en > 0 ORDER BY doc_id"),
+    // same IVF assignment, same in-bucket candidates, row_number's
+    // (sim DESC, id ASC) ≡ top_k's tie rule
+    "q176_knn_graph" -> {
+      val cos = (a: String, b: String) =>
+        s"CAST(round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) " +
+          "* 1000000) AS BIGINT)"
+      val cosRaw = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16), " +
+        "assign AS (SELECT vec_id, emb, cid AS bucket FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER " +
+        "(PARTITION BY e.vec_id " +
+        s"ORDER BY ${cosRaw("e.emb", "c.cemb")} DESC, c.cid) AS rn " +
+        "FROM e, c) WHERE rn = 1), " +
+        "cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cos("a.emb", "b.emb")} AS sm " +
+        "FROM assign a JOIN assign b ON a.bucket = b.bucket " +
+        "AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT id_a, id_b, sm, row_number() OVER " +
+        "(PARTITION BY id_a ORDER BY sm DESC, id_b) AS rk FROM cand) " +
+        "SELECT id_a AS vec_id, CAST(rk AS BIGINT) AS rk, id_b AS nn_id, " +
+        "sm AS sim_micro FROM r WHERE rk <= 3 ORDER BY vec_id, rk"
+    },
+
     "q25_embedding_neardup" -> {
       val cos = (a: String, b: String) =>
         s"round(list_dot_product($a, $b) / " +
