@@ -518,6 +518,86 @@ object PipelineQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // q177 — VIDEO SCENE-CUT DETECTION: the first real PROCESSING op
+    // on top of the real video codec (q80 proves decode; this uses
+    // it) — per-frame luminance-proxy sums from the RIFF demux, then
+    // a frame-to-frame difference per media with a per-pixel-scaled
+    // threshold marks the cuts, reduced to per-clip segment counts.
+    // The diff window is partitioned by media (frame counts bounded
+    // per clip); payloads never shuffle — only (media, frame, fsum)
+    // rows leave the decode stage. The oracle recomputes every frame
+    // sum from the closed-form pixel polynomial and applies the same
+    // lag rule, so demux, sampling, decode, AND the cut logic all sit
+    // under the hash.
+    "q177_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).where(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 2 + (id % 4)
+          Multimodal.Media(id, "video", Multimodal.synthAvi(id),
+            0, 0, 0, n * 40L, "avi")
+        })
+      val frames = Multimodal
+        .frameSample(media, everyMs = 40L, codec = Multimodal.VideoCodec)
+        .mapPartitions(_.map { fr =>
+          val bb = java.nio.ByteBuffer.wrap(fr.payload)
+          val (w, h) = (bb.getInt(0), bb.getInt(4))
+          var sum = 0L
+          var p = 0
+          while (p < w * h) {
+            val o = 8 + p * 3
+            sum += (fr.payload(o) & 0xff) + (fr.payload(o + 1) & 0xff) +
+              (fr.payload(o + 2) & 0xff)
+            p += 1
+          }
+          (fr.media_id, fr.frame_idx.toLong, w.toLong, h.toLong, sum)
+        })
+        .toDF("media_id", "frame_idx", "width", "height", "fsum")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("frame_idx")
+      frames
+        .withColumn("pd", abs(col("fsum") - lag(col("fsum"), 1).over(w)))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("pd") > col("width") * col("height") * 30, 1L)
+            .otherwise(0L)).as("n_cuts"))
+        .orderBy("media_id")
+    }),
+
+    // q178 — AUDIO ENERGY / VAD WINDOWS: the first real processing op
+    // on top of the real WAV codec (q79 proves decode) — decoded PCM
+    // split into 20 ms (160-sample) windows, per-window absolute
+    // energy in exact integer arithmetic, voiced-activity flag at the
+    // uniform-noise midpoint threshold. The silence-trimming /
+    // speech-segmentation pass an audio training pipeline runs before
+    // transcription. Clip lengths are whole multiples of the window
+    // (the generator guarantees it), so the window grid is exact;
+    // only (media, window, energy) rows leave the decode stage.
+    "q178_audio_vad" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.Media(
+          id, "audio", Multimodal.synthWav(id), 0, 0, 0, 0L, "wav")))
+      media.mapPartitions { it =>
+        it.grouped(Multimodal.DefaultBatchSize).flatMap(_.flatMap { m =>
+          val raw = Multimodal.AudioCodec.decode(m.payload, m.format)
+          val (_, n) = Multimodal.AudioCodec.rawDims(raw)
+          (0 until n / 160).map { wi =>
+            var sum = 0L
+            var i = wi * 160
+            while (i < (wi + 1) * 160) {
+              sum += math.abs(Multimodal.AudioCodec.rawSample(raw, i).toLong)
+              i += 1
+            }
+            (m.media_id, wi.toLong, sum, sum > 160L * 16384L)
+          }
+        })
+      }.toDF("media_id", "win_idx", "energy", "voiced")
+        .orderBy("media_id", "win_idx")
+    }),
+
     // q52 — eval-set DECONTAMINATION: training documents sharing any
     // 4-gram shingle with the (small) eval set — the pre-training
     // hygiene pass that keeps benchmark text out of the corpus. Eval
@@ -1343,6 +1423,41 @@ object PipelineQueries {
         "SELECT ps.id AS media_id, CAST(8000 AS BIGINT) AS sample_rate, " +
         "CAST(ps.n AS BIGINT) AS n_samples, ps.bucket, ps.ssum, r.rsum " +
         "FROM ps JOIN r USING (id) ORDER BY media_id, bucket"),
+    // same pixel polynomial, same lag rule — the engine must reach
+    // these numbers through the REAL demux/decode
+    "q177_scene_cuts" ->
+      ("WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w, " +
+        "8 + doc_id % 4 AS h, 2 + doc_id % 4 AS n " +
+        "FROM documents WHERE doc_id < 150), " +
+        "fs AS (SELECT id, w, h, unnest(generate_series(0, n - 1)) AS f " +
+        "FROM dims), " +
+        "ys AS (SELECT id, w, h, f, unnest(generate_series(0, h - 1)) AS y " +
+        "FROM fs), " +
+        "px AS (SELECT id, w, h, f, y, unnest(generate_series(0, w - 1)) AS x " +
+        "FROM ys), " +
+        "v AS (SELECT id, w, h, f, " +
+        "(id*31 + f*11 + x*7 + y*13) % 256 + (id + f*19 + x*3 + y*5) % 256 " +
+        "+ (id*17 + f*7 + x + y*2) % 256 AS s FROM px), " +
+        "fr AS (SELECT id, f, w, h, CAST(SUM(s) AS BIGINT) AS fsum " +
+        "FROM v GROUP BY id, f, w, h), " +
+        "dd AS (SELECT id, f, w, h, abs(fsum - lag(fsum) OVER " +
+        "(PARTITION BY id ORDER BY f)) AS pd FROM fr) " +
+        "SELECT id AS media_id, count(*) AS n_frames, " +
+        "CAST(sum(CASE WHEN pd > w * h * 30 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_cuts FROM dd GROUP BY id ORDER BY media_id"),
+
+    // same PCM polynomial, same exact 160-sample energy grid
+    "q178_audio_vad" ->
+      ("WITH dims AS (SELECT doc_id AS id, 800 + (doc_id % 5) * 160 AS n " +
+        "FROM documents WHERE doc_id < 200), " +
+        "sm AS (SELECT id, n, unnest(generate_series(0, n - 1)) AS i " +
+        "FROM dims), " +
+        "w AS (SELECT id, i // 160 AS win_idx, " +
+        "abs((id*7919 + i*31) % 65536 - 32768) AS a FROM sm) " +
+        "SELECT id AS media_id, win_idx, CAST(sum(a) AS BIGINT) AS energy, " +
+        "CAST(sum(a) AS BIGINT) > 160 * 16384 AS voiced " +
+        "FROM w GROUP BY id, win_idx ORDER BY media_id, win_idx"),
+
     // mirrors synthAvi's per-frame pixel polynomial; the Spark side
     // must reach the same numbers through a real RIFF demux +
     // frameSample over the real container
