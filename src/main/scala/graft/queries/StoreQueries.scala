@@ -1189,6 +1189,53 @@ object StoreQueries {
         .orderBy("user_id", "first_click_us")
     }),
 
+    // q179 — STREAMING OVER AGGREGATION (Flink SQL's unbounded OVER
+    // window on a stream): every arriving event emits one row with
+    // its per-user running rank and running cents sum — the per-ROW
+    // result surface streaming groupBy cannot produce. State = two
+    // longs per key (the minimum possible); emission eager, append
+    // mode, no watermark machinery at all. Batches are time-split so
+    // the carried state makes per-key order global; the output must
+    // hash-match the batch ROWS UNBOUNDED PRECEDING window.
+    "q179_stream_over" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-over-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("t_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val bounds = ev.agg(min(col("t_us")), max(col("t_us"))).head()
+      val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      Topic.produce(ev.where(col("t_us") < cut).coalesce(1), s"$base/topic")
+      Topic.produce(ev.where(col("t_us") >= cut).coalesce(1), s"$base/topic")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, t_us BIGINT, cents BIGINT")
+      val running = graft.streaming.OverAgg.running(
+        Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+          .select(from_json(col("value"), schema).as("j"))
+          .select(col("j.user_id").as("user_id"),
+            col("j.event_id").as("event_id"), col("j.t_us").as("t_us"),
+            timestamp_micros(col("j.t_us")).as("ts"),
+            col("j.cents").as("cents"))
+          .as[graft.streaming.OverEvent])
+      val q = withShufflePartitions(s, 8) {
+        running.toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("user_id", "event_id", "rn", "rsum")
+        .orderBy("user_id", "rn")
+    }),
+
     "q87_stream_outer_join" -> ((s, d) => {
       val base = Paths.get(sys.props("java.io.tmpdir"),
         s"graft-stream-louter-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
@@ -1552,6 +1599,18 @@ object StoreQueries {
 
     // the streamed outer join must land exactly the batch LEFT JOIN:
     // matched pairs plus a null row per never-matched left event
+    // the streamed per-row running totals must equal the batch
+    // unbounded-preceding window over the same µs total order
+    "q179_stream_over" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+        "SELECT user_id, event_id, " +
+        "CAST(row_number() OVER w AS BIGINT) AS rn, " +
+        "CAST(sum(cents) OVER w AS BIGINT) AS rsum FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, rn"),
+
     // the streamed automaton must equal the batch run-length lowering
     // (q162's shape) over the same µs-truncated total order
     "q167_stream_cep" ->
