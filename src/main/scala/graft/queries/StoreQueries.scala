@@ -1047,6 +1047,77 @@ object StoreQueries {
         .orderBy("event_id")
     }),
 
+    // q180 — CRASH-SAFE CATCH-UP MAINTENANCE (q173 run the way
+    // production runs it): the maintained join advanced by
+    // `catchUpLeftJoin` — cursor packed into the target commit's
+    // replay-guard batchId, so data + cursor move atomically and a
+    // replayed call is a store-level no-op. The script interleaves
+    // redundant catch-up calls between rounds (each must change
+    // nothing) and ends with a DIM-ONLY round — the cursor must
+    // advance on one side while the other stands still. Final state
+    // hash-matches the closed-form LEFT JOIN.
+    "q180_catchup_join" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-catchup-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val users = ev.select("user_id").distinct()
+        .withColumn("attr", col("user_id") * 10 + 1)
+      val a = UpsertTable(s, s"$base/a")
+      val b = UpsertTable(s, s"$base/b")
+      val m = UpsertTable(s, s"$base/m")
+      // round 1
+      a.merge(ev.where(col("event_id") % 2 === 0),
+        autoCreateKeys = Seq("event_id"), delta = true)
+      b.merge(users.where(col("user_id") % 2 === 0),
+        autoCreateKeys = Seq("user_id"), delta = true)
+      val bootA = a.currentSnapshot.get.version - 1
+      val bootB = b.currentSnapshot.get.version - 1
+      def catchUp(): Boolean = graft.store.IncrementalJoin.catchUpLeftJoin(
+        s, a, b, m, "event_id", "user_id", "user_id", bootA, bootB)
+      require(catchUp(), "round-1 catch-up must refresh")
+      require(!catchUp(), "caught-up catch-up must be a no-op")
+      // round 2: the q173 fact + dim churn
+      val batchA2 = ev.where(col("event_id") % 2 === 1)
+        .withColumn("__op", lit("u"))
+        .unionByName(ev
+          .where(col("event_id") % 2 === 0 && col("event_id") < 1000)
+          .withColumn("cents", col("cents") + 10L)
+          .withColumn("__op", lit("u")))
+        .unionByName(ev
+          .where(col("event_id") % 2 === 0
+            && col("event_id") >= 1000 && col("event_id") < 2000)
+          .withColumn("__op", lit("d")))
+      a.merge(batchA2, opCol = Some("__op"), delta = true)
+      val batchB2 = users
+        .where(col("user_id") % 2 === 1 && col("user_id") % 5 =!= 0)
+        .withColumn("__op", lit("u"))
+        .unionByName(users
+          .where(col("user_id") % 6 === 0 && col("user_id") % 5 =!= 0)
+          .withColumn("attr", col("attr") + 5L)
+          .withColumn("__op", lit("u")))
+        .unionByName(users
+          .where(col("user_id") % 2 === 0 && col("user_id") % 5 === 0)
+          .withColumn("__op", lit("d")))
+      b.merge(batchB2, opCol = Some("__op"), delta = true)
+      require(catchUp(), "round-2 catch-up must refresh")
+      // round 3: DIM-ONLY — +7 for surviving u%7 users (closed form:
+      // attr = 10u+1 +5 if u%6==0, +7 here)
+      b.merge(users
+        .where(col("user_id") % 7 === 0 && col("user_id") % 5 =!= 0)
+        .withColumn("attr", col("user_id") * 10 + 1 +
+          when(col("user_id") % 6 === 0, 5L).otherwise(0L) + 7L)
+        .withColumn("__op", lit("u")),
+        opCol = Some("__op"), delta = true)
+      require(catchUp(), "dim-only catch-up must refresh")
+      require(!catchUp(), "final catch-up must be a no-op")
+      m.read()
+        .select("event_id", "user_id", "cents", "attr")
+        .orderBy("event_id")
+    }),
+
     // q90 — CHAINED stateful aggregations in ONE streaming query
     // (multi-stateful-operator support): per-(day, type) counts/sums
     // re-aggregated into epoch-aligned weekly windows via
@@ -1718,6 +1789,24 @@ object StoreQueries {
 
     // the incrementally-maintained view must equal the from-scratch
     // aggregate of the final state
+    // q173's closed form + the dim-only +7 round
+    "q180_catchup_join" ->
+      ("WITH ae AS (SELECT event_id, user_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "af AS (SELECT event_id, user_id, " +
+        "CASE WHEN event_id % 2 = 0 AND event_id < 1000 THEN cents + 10 " +
+        "ELSE cents END AS cents FROM ae " +
+        "WHERE NOT (event_id % 2 = 0 AND event_id >= 1000 " +
+        "AND event_id < 2000)), " +
+        "bf AS (SELECT user_id, user_id * 10 + 1 + " +
+        "CASE WHEN user_id % 6 = 0 THEN 5 ELSE 0 END + " +
+        "CASE WHEN user_id % 7 = 0 THEN 7 ELSE 0 END AS attr " +
+        "FROM (SELECT DISTINCT user_id FROM events) " +
+        "WHERE user_id % 5 <> 0) " +
+        "SELECT af.event_id, af.user_id, af.cents, bf.attr " +
+        "FROM af LEFT JOIN bf ON af.user_id = bf.user_id " +
+        "ORDER BY af.event_id"),
+
     // the maintained join must equal the from-scratch LEFT JOIN of
     // the two final states (dim-deleted users' facts carry NULL attr)
     "q173_incremental_join" ->

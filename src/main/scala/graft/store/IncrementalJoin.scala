@@ -44,11 +44,17 @@ object IncrementalJoin {
     * dimension's non-key columns) with the fact changes in
     * `(fromA, toA]` and dimension changes in `(fromB, toB]`. Pass
     * `from == to` for a side with no new commits.
+    *
+    * `streamId`/`batchId`: when set, the single target commit carries
+    * the store's exactly-once replay guard (C4) — [[catchUpLeftJoin]]
+    * packs both source cursors into the batchId so data and cursor
+    * commit ATOMICALLY.
     */
   def refreshLeftJoin(spark: SparkSession,
       a: UpsertTable, b: UpsertTable, target: UpsertTable,
       fromA: Long, toA: Long, fromB: Long, toB: Long,
-      aKey: String, fkCol: String, bKey: String): Unit = {
+      aKey: String, fkCol: String, bKey: String,
+      streamId: Option[String] = None, batchId: Option[Long] = None): Unit = {
     val bCur = b.read()
     val bAttrs = bCur.columns.filterNot(_ == bKey).toSeq
     require(!bCur.columns.contains(fkCol) || fkCol == bKey,
@@ -101,8 +107,48 @@ object IncrementalJoin {
       }
       if (legs.nonEmpty)
         target.merge(legs.reduce(_ unionByName _), opCol = Some("__op"),
+          streamId = streamId, batchId = batchId,
           autoCreateKeys = Seq(aKey))
     } finally if (netA != null) netA.unpersist()
+  }
+
+  /** Crash-safe CONTINUOUS maintenance: advance the maintained join
+    * from its persisted cursor to the sources' current versions, with
+    * exactly-once semantics — both source cursors are packed into the
+    * target commit's replay-guard batchId, so the cursor advances in
+    * THE SAME atomic commit as the data. A crash before the commit
+    * re-runs the refresh from the old cursor; a replay after it is a
+    * store-level no-op (bid ≤ last). This is the Delta-CDF-consumer /
+    * Flink-checkpointed-sink loop as a pull-based catch-up: call it on
+    * any schedule — every call either lands the target on the current
+    * source versions or does nothing, and no interleaving of
+    * crashes/retries can double-apply or skip a range.
+    *
+    * Returns true when a refresh ran, false when already caught up.
+    * `bootstrap` versions seed the cursor for a fresh target (usually
+    * table-creation versions). Versions must stay below 2^31 (the
+    * pack bound — fail-loud).
+    */
+  def catchUpLeftJoin(spark: SparkSession,
+      a: UpsertTable, b: UpsertTable, target: UpsertTable,
+      aKey: String, fkCol: String, bKey: String,
+      bootstrapA: Long, bootstrapB: Long,
+      streamId: String = "graft-ijoin"): Boolean = {
+    val curA = a.currentSnapshot.get.version
+    val curB = b.currentSnapshot.get.version
+    require(curA < (1L << 31) && curB < (1L << 31),
+      "catchUpLeftJoin: source version beyond the 2^31 cursor pack bound")
+    val (fromA, fromB) = target.currentSnapshot
+      .flatMap(_.committed.get(streamId))
+      .map(packed => (packed >> 31, packed & ((1L << 31) - 1)))
+      .getOrElse((bootstrapA, bootstrapB))
+    if (fromA == curA && fromB == curB) false
+    else {
+      refreshLeftJoin(spark, a, b, target, fromA, curA, fromB, curB,
+        aKey, fkCol, bKey,
+        streamId = Some(streamId), batchId = Some((curA << 31) | curB))
+      true
+    }
   }
 
   /** From-scratch twin — the correctness oracle for

@@ -89,4 +89,50 @@ class IncrementalJoinSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("catchUp: exactly-once cursor, idempotent replays, one-sided advances") {
+    val base = Files.createTempDirectory("graft-ijoin-catchup")
+    val a = UpsertTable(spark, s"$base/a")
+    val b = UpsertTable(spark, s"$base/b")
+    val m = UpsertTable(spark, s"$base/m")
+    a.create(StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("cents", LongType))), keys = Seq("event_id"))
+    b.create(StructType(Seq(
+      StructField("user_id", LongType), StructField("attr", LongType))),
+      keys = Seq("user_id"))
+    val (bootA, bootB) =
+      (a.currentSnapshot.get.version, b.currentSnapshot.get.version)
+    def catchUp(): Boolean = IncrementalJoin.catchUpLeftJoin(
+      spark, a, b, m, "event_id", "user_id", "user_id", bootA, bootB)
+    def assertCaughtUp(): Unit =
+      assert(result(m.read()) === result(
+        IncrementalJoin.fullLeftJoin(a.read(), b.read(), "user_id", "user_id")))
+
+    a.merge(Seq((1L, 10L, 100L), (2L, 11L, 200L))
+      .toDF("event_id", "user_id", "cents"), delta = true)
+    b.merge(Seq((10L, 7L)).toDF("user_id", "attr"), delta = true)
+    assert(catchUp());
+    assertCaughtUp()
+    assert(!catchUp(), "second catch-up with no new commits must be a no-op")
+
+    // crash-replay simulation: re-running the SAME refresh (same
+    // packed batchId) must be swallowed by the store's replay guard
+    val (vA, vB) =
+      (a.currentSnapshot.get.version, b.currentSnapshot.get.version)
+    IncrementalJoin.refreshLeftJoin(spark, a, b, m,
+      bootA, vA, bootB, vB, "event_id", "user_id", "user_id",
+      streamId = Some("graft-ijoin"), batchId = Some((vA << 31) | vB))
+    assertCaughtUp()
+
+    // one-sided advance: only the dimension moves
+    b.merge(Seq((10L, 8L), (11L, 9L)).toDF("user_id", "attr"), delta = true)
+    assert(catchUp()); assertCaughtUp()
+    // one-sided advance: only the fact side moves (incl. a delete)
+    a.merge(Seq((2L, 11L, 250L, "u"), (1L, 10L, 0L, "d"))
+      .toDF("event_id", "user_id", "cents", "op"),
+      opCol = Some("op"), delta = true)
+    assert(catchUp()); assertCaughtUp()
+    assert(!catchUp())
+  }
 }
