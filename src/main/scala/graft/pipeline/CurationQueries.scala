@@ -325,6 +325,30 @@ object CurationQueries {
         .orderBy("day")
     }),
 
+    // q182 — TOKEN-ENTROPY LEXICAL DIVERSITY: per-document Shannon
+    // entropy of the token distribution — the vocabulary-richness
+    // quality signal next to q56's repetition ratios (repetition
+    // catches local loops; entropy catches globally degenerate text).
+    // Exact-integer form: H·n = Σ c_t·(ln n − ln c_t) with
+    // micro-floored logs of exact integers (q77's rule), summed as
+    // longs, ONE integer division at the end — order-exact across
+    // engines. Per-(doc, token) counts are one partial-agg pass; the
+    // per-doc reduce is another; text never shuffles.
+    "q182_token_entropy" -> ((s, d) => {
+      val tc = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * floor(log(col("c").cast("double")) * 1000000)
+            .cast("long")).as("sclnc"))
+        .withColumn("lnn",
+          floor(log(col("n").cast("double")) * 1000000).cast("long"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          expr("(n * lnn - sclnc) div n").as("entropy_micro"))
+        .orderBy("doc_id")
+    }),
+
     // q142 — DATA-QUALITY GATE REPORT (the dbt-test / expectation-
     // suite role): per-rule checked/failed counts over the corpus in
     // ONE pass — empty docs, unknown language, length-metadata drift,
@@ -629,6 +653,19 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same micro logs, same single trailing integer division
+    "q182_token_entropy" ->
+      (s"WITH t AS (SELECT doc_id, unnest(string_split($duckNorm, ' ')) " +
+        "AS token FROM documents), " +
+        "tc AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2), " +
+        "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, " +
+        "count(*) AS n_distinct, " +
+        "CAST(sum(c * CAST(floor(ln(c) * 1000000) AS BIGINT)) AS BIGINT) " +
+        "AS sclnc FROM tc GROUP BY 1) " +
+        "SELECT doc_id, n, n_distinct, " +
+        "(n * CAST(floor(ln(n) * 1000000) AS BIGINT) - sclnc) // n " +
+        "AS entropy_micro FROM a ORDER BY doc_id"),
+
     // the same match rule, recursive closure, and two-phase mode
     // survivorship
     "q170_golden_record" ->

@@ -435,6 +435,34 @@ object AnalyticsQueries {
             adjMean(col("n0"), col("x0"), col("y0")), 6).as("adj_lift"))
     }),
 
+    // q181 — PER-GROUP TREND REGRESSION (segmented OLS): a daily-
+    // count slope per event type — the drift detector that flags
+    // growing/shrinking segments without a forecasting stack. q165's
+    // closed form GROUPED: daily counts are one partial-agg pass
+    // (|types|×|days| rows), the five OLS sums another, slope in
+    // decimal(38)-safe pinned double per group. The regression never
+    // sees event volume — only the bounded daily aggregate.
+    "q181_trend_slopes" -> ((s, d) => {
+      val d38 = "decimal(38,0)"
+      val daily = events(s, d)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      daily
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("k"), sum("day").as("sx"), sum("y").as("sy"),
+          sum(col("day").cast(d38) * col("y")).as("sxy"),
+          sum(col("day").cast(d38) * col("day")).as("sxx"))
+        .withColumn("slope_raw",
+          (col("k").cast(d38) * col("sxy") -
+            col("sx").cast(d38) * col("sy")).cast("double") /
+            (col("k").cast(d38) * col("sxx") -
+              col("sx").cast(d38) * col("sx")).cast("double"))
+        .select(col("event_type"), col("k"), col("sy"),
+          round(col("slope_raw"), 6).as("slope"),
+          (col("slope_raw") > 0).as("growing"))
+        .orderBy("event_type")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -681,6 +709,22 @@ object AnalyticsQueries {
         "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
         "bit_xor(h) AS fp_xor " +
         "FROM h GROUP BY shard ORDER BY shard"),
+
+    // same daily aggregate, same HUGEINT-safe grouped closed form
+    "q181_trend_slopes" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, count(*) AS y " +
+        "FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, count(*) AS k, " +
+        "CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "sum(CAST(day AS HUGEINT) * y) AS sxy, " +
+        "sum(CAST(day AS HUGEINT) * day) AS sxx FROM daily GROUP BY 1), " +
+        "f AS (SELECT event_type, k, sy, " +
+        "CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) " +
+        "/ CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) " +
+        "AS slope_raw FROM s) " +
+        "SELECT event_type, k, sy, round(slope_raw, 6) AS slope, " +
+        "slope_raw > 0 AS growing FROM f ORDER BY event_type"),
 
     // hop-bounded recursive exploration, min(hop) per node, LEFT JOIN
     // keeps unreachable nations as NULL
