@@ -349,6 +349,60 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // q183 — NEGATIVE SAMPLING (contrastive-training pair
+    // generation): k=4 deterministic pseudo-random negatives per
+    // document — md5-derived indices into the corpus id space (the
+    // RNG-free q61/q118 rule: reproducible across engines, retries,
+    // and corpus growth by id), self-pairs dropped, each negative
+    // resolved to its document's text fingerprint through an id-keyed
+    // join (the only volume shuffle; the corpus never fans out). The
+    // id-space modulus comes from a 1-row count broadcast, and the
+    // existence semi-check rides the resolving join itself — sparse
+    // id spaces simply yield fewer pairs, never wrong ones.
+    "q183_negative_sample" -> ((s, d) => {
+      val dd = docs(s, d)
+      val base = dd.select(col("doc_id"))
+        .crossJoin(broadcast(dd.agg(count(lit(1)).as("cnt"))))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("t"), col("cnt"))
+        .select(col("doc_id"), col("t"),
+          (conv(substring(md5(concat(lit("neg:"), col("doc_id"),
+            lit(":"), col("t"))), 1, 8), 16, 10)
+            .cast("long") % col("cnt")).as("neg_id"))
+        .where(col("neg_id") =!= col("doc_id"))
+      base.join(dd.select(col("doc_id").as("neg_id"),
+          md5(col("text")).as("neg_md5")), "neg_id")
+        .select("doc_id", "t", "neg_id", "neg_md5")
+        .orderBy("doc_id", "t")
+    }),
+
+    // q184 — PSEUDONYMIZATION + K-ANONYMITY REPORT: the privacy pass
+    // next to q57's redaction — user ids replaced by a salted keyed
+    // hash (deterministic, join-preserving, irreversible without the
+    // salt), then the quasi-identifier audit: per (event_type, day)
+    // cell, how many distinct pseudonyms — cells below k=3 are
+    // re-identification risks a release gate must count. One
+    // partial-agg cascade; the pseudonym map is injective on this
+    // corpus and that claim is ASSERTED in-band (distinct pseudonyms
+    // == distinct users), not assumed.
+    "q184_k_anonymity" -> ((s, d) => {
+      val ev = graft.Tables.load(s, d, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          substring(md5(concat(lit("salt1:"), col("user_id"))), 1, 16)
+            .as("pseud"), col("user_id"))
+      val inj = ev.agg((countDistinct(col("pseud")) ===
+        countDistinct(col("user_id"))).as("injective"))
+      val cells = ev.groupBy("event_type", "day")
+        .agg(countDistinct("pseud").as("k_cell"))
+      cells.groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("k_cell") < 3, 1L).otherwise(0L)).as("n_risky"),
+          min("k_cell").as("min_k"))
+        .crossJoin(broadcast(inj))
+        .orderBy("event_type")
+    }),
+
     // q142 — DATA-QUALITY GATE REPORT (the dbt-test / expectation-
     // suite role): per-rule checked/failed counts over the corpus in
     // ONE pass — empty docs, unknown language, length-metadata drift,
@@ -653,6 +707,34 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same md5 index derivation, same self-pair drop, same resolve
+    "q183_negative_sample" ->
+      ("WITH cnt AS (SELECT count(*) AS c FROM documents), " +
+        "pairs AS (SELECT d.doc_id, t.t, " +
+        "('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR) || ':' " +
+        "|| CAST(t.t AS VARCHAR)), 1, 8))::BIGINT % (SELECT c FROM cnt) " +
+        "AS neg_id FROM documents d, " +
+        "(SELECT unnest(generate_series(0, 3)) AS t) t) " +
+        "SELECT p.doc_id, p.t, p.neg_id, md5(n.text) AS neg_md5 " +
+        "FROM pairs p JOIN documents n ON n.doc_id = p.neg_id " +
+        "WHERE p.neg_id <> p.doc_id ORDER BY p.doc_id, p.t"),
+
+    // same salted hash, same cell audit, injectivity recomputed
+    "q184_k_anonymity" ->
+      ("WITH e AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "substr(md5('salt1:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseud, " +
+        "user_id FROM events), " +
+        "inj AS (SELECT count(DISTINCT pseud) = count(DISTINCT user_id) " +
+        "AS injective FROM e), " +
+        "cells AS (SELECT event_type, day, count(DISTINCT pseud) AS k_cell " +
+        "FROM e GROUP BY 1, 2) " +
+        "SELECT event_type, count(*) AS n_cells, " +
+        "CAST(sum(CASE WHEN k_cell < 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_risky, min(k_cell) AS min_k, " +
+        "(SELECT injective FROM inj) AS injective " +
+        "FROM cells GROUP BY event_type ORDER BY event_type"),
+
     // same micro logs, same single trailing integer division
     "q182_token_entropy" ->
       (s"WITH t AS (SELECT doc_id, unnest(string_split($duckNorm, ' ')) " +
