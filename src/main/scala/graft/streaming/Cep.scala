@@ -119,3 +119,57 @@ object Cep extends Serializable {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 }
+
+/** The same CEP automaton on `transformWithState` — the API-parity
+  * twin ([[graft.streaming.SessionizeTws]]'s pattern applied to
+  * pattern matching): typed `ValueState[CepRun]`, explicit event-time
+  * timers for the TTL eviction (stale timers deleted on every
+  * update), RocksDB-backed state. Shares [[Cep.fold]] verbatim, so
+  * the two engines cannot drift; proven output-equivalent in CepSpec.
+  */
+object CepTws {
+
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  class PatternProcessor
+      extends StatefulProcessor[Long, CepEvent, CepMatch] {
+    @transient private var state: ValueState[CepRun] = _
+    private val ttlMs = Cep.PatternGapUs / 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CepRun]("run",
+        Encoders.product[CepRun], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CepEvent],
+        tv: TimerValues): Iterator[CepMatch] = {
+      val sorted = rows.toSeq.sortBy(e => (e.t_us, e.event_id))
+      val prev = if (state.exists()) state.get() else null
+      if (prev != null) getHandle.deleteTimer(
+        math.max(prev.endUs / 1000 + ttlMs, tv.getCurrentWatermarkInMs() + 1))
+      val (found, acc) = Cep.fold(key, prev, sorted)
+      state.update(acc)
+      getHandle.registerTimer(
+        math.max(acc.endUs / 1000 + ttlMs, tv.getCurrentWatermarkInMs() + 1))
+      found.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[CepMatch] = {
+      // pure state TTL — matches were emitted eagerly
+      state.clear()
+      Iterator.empty
+    }
+  }
+
+  def matches(events: Dataset[CepEvent], watermarkDelay: String)
+      : Dataset[CepMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

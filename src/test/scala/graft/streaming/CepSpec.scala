@@ -77,18 +77,20 @@ class CepSpec extends AnyFunSuite {
 
   // ---- streaming kill/restart ----
 
-  private def cepQuery(topic: String, cp: String, out: String): Unit = {
+  private def cepQuery(topic: String, cp: String, out: String,
+      tws: Boolean = false): Unit = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "user_id BIGINT, event_id BIGINT, t_us BIGINT, event_type STRING")
-    val matches = Cep.matches(
-      Topic.stream(spark, topic, maxFilesPerTrigger = Some(1))
-        .select(from_json(col("value"), schema).as("j"))
-        .select(col("j.user_id").as("user_id"),
-          col("j.event_id").as("event_id"), col("j.t_us").as("t_us"),
-          timestamp_micros(col("j.t_us")).as("ts"),
-          col("j.event_type").as("etype"))
-        .as[CepEvent],
-      watermarkDelay = "1 hour")
+    val events = Topic.stream(spark, topic, maxFilesPerTrigger = Some(1))
+      .select(from_json(col("value"), schema).as("j"))
+      .select(col("j.user_id").as("user_id"),
+        col("j.event_id").as("event_id"), col("j.t_us").as("t_us"),
+        timestamp_micros(col("j.t_us")).as("ts"),
+        col("j.event_type").as("etype"))
+      .as[CepEvent]
+    val matches =
+      if (tws) CepTws.matches(events, watermarkDelay = "1 hour")
+      else Cep.matches(events, watermarkDelay = "1 hour")
     val q = matches.toDF().writeStream
       .outputMode("append")
       .option("checkpointLocation", cp)
@@ -159,5 +161,24 @@ class CepSpec extends AnyFunSuite {
     cepQuery(topic, s"$base/kr/cp", s"$base/kr/out") // restart, same cp
     assert(cepResult(s"$base/kr/out") === expected,
       "restarted run must reload the open run state and emit each match exactly once")
+
+    // transformWithState twin: same script through CepTws (RocksDB
+    // provider) must produce the same matches
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t2 = s"$base/tws/topic"
+      Topic.produce(df.where(col("t_us") < cutUs).coalesce(1), t2)
+      Topic.produce(df.where(col("t_us") >= cutUs).coalesce(1), t2)
+      sentinels(t2)
+      cepQuery(t2, s"$base/tws/cp", s"$base/tws/out", tws = true)
+      assert(cepResult(s"$base/tws/out") === expected,
+        "the transformWithState twin must emit the same matches")
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
   }
 }
