@@ -165,9 +165,11 @@ object CurationQueries {
     // training — fit ln(freq) = slope·ln(rank) + intercept over the
     // vocabulary and report the exponent (healthy natural text sits
     // near slope ≈ −1). Shape: one explode + partial-agg count builds
-    // the vocabulary; ranks come from a window over the VOCAB
-    // AGGREGATE only, capped at the top 1000 terms (bounded at any
-    // corpus size — the head is where Zipf lives); ln values floor to
+    // the vocabulary; the head is CUT FIRST by orderBy+limit —
+    // TakeOrderedAndProject, per-partition heaps, so no single node
+    // ever ranks the full vocabulary — and only then ranked by a
+    // window over the ≤1000 surviving rows (the head is where Zipf
+    // lives); ln values floor to
     // integer micro (the q77 convention) so Σx, Σy, Σxy, Σx² are
     // exact integer sums; the OLS closed form runs on decimal(38)
     // cross-products (k·Σxy overflows a long) cast to double in a
@@ -178,8 +180,8 @@ object CurationQueries {
       val pts = docs(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(1000)
         .withColumn("rk", row_number().over(wv))
-        .where(col("rk") <= 1000)
         .select(
           floor(log(col("rk").cast("double")) * 1000000).cast("long").as("x"),
           floor(log(col("n").cast("double")) * 1000000).cast("long").as("y"))

@@ -145,12 +145,13 @@ object CepTws {
         tv: TimerValues): Iterator[CepMatch] = {
       val sorted = rows.toSeq.sortBy(e => (e.t_us, e.event_id))
       val prev = if (state.exists()) state.get() else null
-      if (prev != null) getHandle.deleteTimer(
-        math.max(prev.endUs / 1000 + ttlMs, tv.getCurrentWatermarkInMs() + 1))
+      // raw end+TTL timestamps on purpose (no above-watermark guard —
+      // that is an fMGWS-only constraint): delete/register then always
+      // name the SAME instant, so no stale timer can survive an update
+      if (prev != null) getHandle.deleteTimer(prev.endUs / 1000 + ttlMs)
       val (found, acc) = Cep.fold(key, prev, sorted)
       state.update(acc)
-      getHandle.registerTimer(
-        math.max(acc.endUs / 1000 + ttlMs, tv.getCurrentWatermarkInMs() + 1))
+      getHandle.registerTimer(acc.endUs / 1000 + ttlMs)
       found.iterator
     }
 
