@@ -463,6 +463,37 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q185 — POINT-IN-TIME FEATURE ASSEMBLY (the feature-store read
+    // path): a training row per purchase with every feature AS OF
+    // purchase time — no leakage from the future: running activity
+    // counts/spend from a per-user window ending at 1 PRECEDING, the
+    // profile attribute through the SCD2 temporal join (q128's as-of
+    // rewrite), and a calendar feature. This is the join Feast/Tecton
+    // call "point-in-time correct": label at t, features strictly
+    // before t. All windows user-partitioned; the dim join is the one
+    // union + key shuffle of the as-of plan.
+    "q185_feature_assembly" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val facts = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("prior_n", count(lit(1)).over(w))
+        .withColumn("prior_cents",
+          coalesce(sum(col("cents")).over(w), lit(0L)))
+        .where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "cents", "prior_n",
+          "prior_cents")
+      Scd2.temporalJoin(facts, dimChanges(s, d), "user_id",
+          col("ts"), col("ts"), "attr")
+        .select(col("event_id"), col("user_id"),
+          col("cents").as("label_cents"), col("prior_n"),
+          col("prior_cents"), round(col("attr"), 6).as("profile_attr"),
+          ((expr("ts div 86400000000000") + 4) % 7).as("dow"))
+        .orderBy("event_id")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -709,6 +740,30 @@ object AnalyticsQueries {
         "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
         "bit_xor(h) AS fp_xor " +
         "FROM h GROUP BY shard ORDER BY shard"),
+
+    // strictly-before windows + the INTERVAL form of the as-of join
+    // (q128's rule) — leakage on either side hash-mismatches
+    "q185_feature_assembly" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t, " +
+        "event_type, CAST(round(value * 100) AS BIGINT) AS cents " +
+        "FROM events), " +
+        "f AS (SELECT *, count(*) OVER wp AS prior_n, " +
+        "COALESCE(sum(cents) OVER wp, 0) AS prior_cents FROM e " +
+        "WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "p AS (SELECT * FROM f WHERE event_type = 'purchase'), " +
+        "ch AS (SELECT user_id, epoch_ns(ts) AS t, max(value) AS attr " +
+        "FROM events WHERE event_type = 'signup' GROUP BY 1, 2), " +
+        "v AS (SELECT user_id, attr, t AS vf, " +
+        "lead(t) OVER (PARTITION BY user_id ORDER BY t) AS vt FROM ch) " +
+        "SELECT p.event_id, p.user_id, p.cents AS label_cents, " +
+        "CAST(p.prior_n AS BIGINT) AS prior_n, " +
+        "CAST(p.prior_cents AS BIGINT) AS prior_cents, " +
+        "round(v.attr, 6) AS profile_attr, " +
+        "(p.t // 86400000000000 + 4) % 7 AS dow " +
+        "FROM p LEFT JOIN v ON p.user_id = v.user_id " +
+        "AND v.vf <= p.t AND (v.vt IS NULL OR p.t < v.vt) " +
+        "ORDER BY p.event_id"),
 
     // same daily aggregate, same HUGEINT-safe grouped closed form
     "q181_trend_slopes" ->
