@@ -95,7 +95,11 @@ object ScaleCurve {
       "q117_ppjoin_jaccard" -> "documents",
       // incremental dedup: probe cost is Σ per-bucket |index|·|batch|
       // — must track the batch+index scan, never index² re-pairing
-      "q143_incr_neardup" -> "documents")
+      "q143_incr_neardup" -> "documents",
+      // kNN graph: query set == corpus, so Σ bucket² is the whole
+      // cost — the in-bucket pairing must stay off the n² curve and
+      // the top_k truncation must keep the exchange at 3 pairs/node
+      "q176_knn_graph" -> "embeddings")
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(

@@ -201,8 +201,10 @@ object PipelineQueries {
     // (HNSW/NN-descent) and graph-clustering pipelines start from,
     // distinct from q16/q22's few-queries-vs-corpus search: here the
     // QUERY SET IS THE CORPUS, so the skew-safe per-node truncation
-    // matters. Candidates come only from IVF buckets (q25's rule —
-    // never all-pairs); per-node top-3 runs through the bounded
+    // matters. Candidates come only from IVF buckets with k ≈ √N
+    // anchors (q36's scale rule — Σ bucket² ≈ N·√N stays
+    // subquadratic as the corpus grows; a fixed k would drift to n²;
+    // measured in SCALE_CURVE.md); per-node top-3 runs through the bounded
     // `top_k` aggregate (q140), so the exchange carries ≤3 pairs per
     // node instead of a per-node window sorting every candidate
     // list. Scores are micro-cosine longs; top_k's (score DESC, id
@@ -210,7 +212,8 @@ object PipelineQueries {
     "q176_knn_graph" -> ((s, d) => {
       val e = embs(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val assigned = AnnIvf.assignBuckets(e, e.where(col("vec_id") < 16))
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      val assigned = AnnIvf.assignBuckets(e, e.where(col("vec_id") < k))
       val l = assigned.toDF("id_a", "emb_a", "bucket")
       val r = assigned.toDF("id_b", "emb_b", "bucket")
       l.join(r, Seq("bucket"))
@@ -1900,7 +1903,8 @@ object PipelineQueries {
         s"round(list_dot_product($a, $b) / " +
           s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
       "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < " +
+        "CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)), " +
         "assign AS (SELECT vec_id, emb, cid AS bucket FROM (" +
         "SELECT e.vec_id, e.emb, c.cid, row_number() OVER " +
         "(PARTITION BY e.vec_id " +
