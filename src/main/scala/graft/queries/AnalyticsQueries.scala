@@ -494,6 +494,72 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // q186 — LARGEST-REMAINDER ALLOCATION: distribute each order's
+    // total price across its line items proportionally to quantity,
+    // with the financial-exactness contract a float split cannot give
+    // — per-order allocations are INTEGERS that sum EXACTLY to the
+    // order total (Hamilton's method: integer base shares, the
+    // remainder distributed +1 to the largest fractional parts in a
+    // deterministic order). All integer arithmetic; every window is
+    // partitioned by order (≤7 lines — bounded), so the whole
+    // computation is one key shuffle.
+    "q186_allocation" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wo = W.partitionBy("l_orderkey")
+      val wr = W.partitionBy("l_orderkey")
+        .orderBy(col("frac").desc, col("l_linenumber"))
+      Tables.load(s, d, "lineitem")
+        // collapse to the (order, line) grain first: the synthetic
+        // lineitem repeats line numbers, and allocation needs a
+        // unique deterministic line identity
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .join(Tables.load(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("total_cents")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("qsum", sum("qty").over(wo))
+        .withColumn("base", expr("total_cents * qty div qsum"))
+        .withColumn("frac", expr("(total_cents * qty) % qsum"))
+        .withColumn("rk", row_number().over(wr))
+        .withColumn("rem", col("total_cents") - sum("base").over(wo))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+            .as("alloc_cents"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // q187 — LAST-TOUCH ATTRIBUTION: each purchase's revenue credited
+    // to the user's most recent click at-or-before it (24 h lookback;
+    // outside the window → the unattributed bucket) — the marketing-
+    // analytics join, planned as the carry-forward as-of rewrite (one
+    // union + one key shuffle, q35's operator — never a per-purchase
+    // range join), then rolled up to revenue by click hour-of-day.
+    // The ORACLE computes the naive greatest-(t, id)-click-per-
+    // purchase form, so the as-of rewrite's tie rules sit under the
+    // hash.
+    "q187_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          struct(col("event_id").as("id"), col("ts").as("t")).as("touch"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "cents")
+      graft.pipeline.AsofJoin
+        .backward(purchases, clicks, "user_id", col("ts"), col("ts"), "touch")
+        .select(
+          when(col("touch").isNotNull &&
+            col("ts") - col("touch.t") <= 86400000000000L,
+            expr("(touch.t % 86400000000000) div 3600000000000"))
+            .otherwise(-1L).as("click_hour"),
+          col("cents"))
+        .groupBy("click_hour")
+        .agg(count(lit(1)).as("n"), sum("cents").as("rev_cents"))
+        .orderBy("click_hour")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -740,6 +806,48 @@ object AnalyticsQueries {
         "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
         "bit_xor(h) AS fp_xor " +
         "FROM h GROUP BY shard ORDER BY shard"),
+
+    // same integer Hamilton shares — // and % on the positive domain
+    "q186_allocation" ->
+      ("WITH li AS (SELECT l_orderkey, l_linenumber, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "j AS (SELECT l_orderkey, l_linenumber, qty, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents " +
+        "FROM li JOIN orders ON l_orderkey = o_orderkey), " +
+        "w AS (SELECT *, CAST(sum(qty) OVER (PARTITION BY l_orderkey) " +
+        "AS BIGINT) AS qsum FROM j), " +
+        "b AS (SELECT *, total_cents * qty // qsum AS base, " +
+        "(total_cents * qty) % qsum AS frac FROM w), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey " +
+        "ORDER BY frac DESC, l_linenumber) AS rk, " +
+        "total_cents - CAST(sum(base) OVER (PARTITION BY l_orderkey) " +
+        "AS BIGINT) AS rem FROM b) " +
+        "SELECT l_orderkey, l_linenumber, " +
+        "CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS alloc_cents FROM r ORDER BY l_orderkey, l_linenumber"),
+
+    // the naive greatest-(t, id)-click-per-purchase form — the as-of
+    // rewrite must reproduce its tie rules exactly
+    "q187_attribution" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t, " +
+        "event_type, CAST(round(value * 100) AS BIGINT) AS cents " +
+        "FROM events), " +
+        "p AS (SELECT user_id, event_id, t, cents FROM e " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, event_id, t FROM e " +
+        "WHERE event_type = 'click'), " +
+        "j AS (SELECT p.event_id AS pid, p.cents, p.t AS pt, " +
+        "c.t AS ct, row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.t DESC, c.event_id DESC) AS rn " +
+        "FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t), " +
+        "a AS (SELECT pid, cents, " +
+        "CASE WHEN ct IS NOT NULL AND pt - ct <= 86400000000000 " +
+        "THEN (ct % 86400000000000) // 3600000000000 ELSE -1 END " +
+        "AS click_hour FROM j WHERE rn = 1) " +
+        "SELECT click_hour, count(*) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS rev_cents FROM a " +
+        "GROUP BY 1 ORDER BY 1"),
 
     // strictly-before windows + the INTERVAL form of the as-of join
     // (q128's rule) — leakage on either side hash-mismatches
