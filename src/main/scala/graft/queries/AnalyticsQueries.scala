@@ -560,6 +560,28 @@ object AnalyticsQueries {
         .orderBy("click_hour")
     }),
 
+    // q189 — CLAMPED BALANCE FOLD: the NON-LINEAR recurrence next to
+    // q174's EMA — bal' = max(0, bal + δ), the no-negative-stock /
+    // prepaid-balance rule. Clamping destroys the prefix-sum
+    // decomposition (no window can express it), so it runs as the
+    // same bounded per-entity ordered fold: purchases debit, other
+    // events credit, all integer cents. One groupBy shuffle; the
+    // fold is scan-side on the aggregated row.
+    "q189_clamped_balance" -> ((s, d) => {
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase",
+            -round(col("value") * 100).cast("long"))
+            .otherwise(round(col("value") * 100).cast("long")).as("delta"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("delta")))).as("seq"))
+        .select(col("user_id"), size(col("seq")).cast("long").as("n"),
+          expr("aggregate(transform(seq, s -> s.delta), 0L, " +
+            "(acc, x) -> greatest(0L, acc + x))").as("final_bal"))
+        .orderBy("user_id")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -806,6 +828,21 @@ object AnalyticsQueries {
         "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
         "bit_xor(h) AS fp_xor " +
         "FROM h GROUP BY shard ORDER BY shard"),
+
+    // same ordered deltas; list_prepend(0, …) supplies the explicit
+    // zero init Spark's aggregate() takes directly
+    "q189_clamped_balance" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, " +
+        "CASE WHEN event_type = 'purchase' " +
+        "THEN -CAST(round(value * 100) AS BIGINT) " +
+        "ELSE CAST(round(value * 100) AS BIGINT) END AS delta " +
+        "FROM events), " +
+        "a AS (SELECT user_id, count(*) AS n, " +
+        "list(delta ORDER BY tns, event_id) AS seq FROM e GROUP BY 1) " +
+        "SELECT user_id, n, " +
+        "list_reduce(list_prepend(0, seq), " +
+        "(acc, x) -> greatest(0, acc + x)) AS final_bal " +
+        "FROM a ORDER BY user_id"),
 
     // same integer Hamilton shares — // and % on the positive domain
     "q186_allocation" ->

@@ -1118,6 +1118,47 @@ object StoreQueries {
         .orderBy("event_id")
     }),
 
+    // q188 — BITEMPORAL QUERY (system time × valid time): the two
+    // time axes the engine already has — store snapshot versioning
+    // (q66/q70) and SCD2 validity intervals (q127/q128) — COMPOSED:
+    // "as the dimension table stood at commit 1 (system time), what
+    // attribute was valid at each purchase's timestamp (valid
+    // time)?" next to the same probe against the current version.
+    // The dim-change stream lands in two commits split at the median
+    // change time; `readVersion` pins system time, the as-of rewrite
+    // answers valid time. Late-arriving commit-2 changes with
+    // EARLIER valid times are exactly what makes the two columns
+    // differ — the retroactive-correction case bitemporal modeling
+    // exists for.
+    "q188_bitemporal" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-bitemporal-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+      val changes = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("attr"))
+      val bounds = changes.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      val t = UpsertTable(s, s"$base/dim")
+      t.merge(changes.where(col("ts") < cut),
+        autoCreateKeys = Seq("user_id", "ts"), delta = true)
+      val v1 = t.currentSnapshot.get.version
+      t.merge(changes.where(col("ts") >= cut), delta = true)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      def asOf(dim: DataFrame, name: String) =
+        graft.pipeline.Scd2.temporalJoin(purchases, dim, "user_id",
+            col("ts"), col("ts"), "attr")
+          .select(col("event_id"), round(col("attr"), 6).as(name))
+      asOf(t.readVersion(v1), "attr_v1")
+        .join(asOf(t.read(), "attr_now"), "event_id")
+        .join(purchases, "event_id")
+        .select(col("event_id"), col("user_id"), col("attr_v1"),
+          col("attr_now"))
+        .orderBy("event_id")
+    }),
+
     // q90 — CHAINED stateful aggregations in ONE streaming query
     // (multi-stateful-operator support): per-(day, type) counts/sums
     // re-aggregated into epoch-aligned weekly windows via
@@ -1789,6 +1830,28 @@ object StoreQueries {
 
     // the incrementally-maintained view must equal the from-scratch
     // aggregate of the final state
+    // both axes recomputed closed-form: v1 = the pre-cut change
+    // subset, now = all changes; valid time = the interval rule
+    "q188_bitemporal" ->
+      ("WITH ch AS (SELECT user_id, epoch_ns(ts) AS t, max(value) AS attr " +
+        "FROM events WHERE event_type = 'signup' GROUP BY 1, 2), " +
+        "cut AS (SELECT min(t) + (max(t) - min(t)) // 2 AS c FROM ch), " +
+        "v1 AS (SELECT user_id, attr, t AS vf, " +
+        "lead(t) OVER (PARTITION BY user_id ORDER BY t) AS vt " +
+        "FROM ch WHERE t < (SELECT c FROM cut)), " +
+        "vn AS (SELECT user_id, attr, t AS vf, " +
+        "lead(t) OVER (PARTITION BY user_id ORDER BY t) AS vt FROM ch), " +
+        "p AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.event_id, p.user_id, " +
+        "round(a.attr, 6) AS attr_v1, round(b.attr, 6) AS attr_now " +
+        "FROM p " +
+        "LEFT JOIN v1 a ON p.user_id = a.user_id AND a.vf <= p.t " +
+        "AND (a.vt IS NULL OR p.t < a.vt) " +
+        "LEFT JOIN vn b ON p.user_id = b.user_id AND b.vf <= p.t " +
+        "AND (b.vt IS NULL OR p.t < b.vt) " +
+        "ORDER BY p.event_id"),
+
     // q173's closed form + the dim-only +7 round
     "q180_catchup_join" ->
       ("WITH ae AS (SELECT event_id, user_id, " +
