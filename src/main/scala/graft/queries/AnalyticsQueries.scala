@@ -582,6 +582,66 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // q191 — FUNNEL LATENCY (time-to-convert distribution): for every
+    // converting user, minutes from first view to the first purchase
+    // STRICTLY after it — the latency percentiles growth teams read
+    // next to q112's conversion counts. Two user-keyed partial-agg
+    // passes (first-view, then conditional first-purchase — never a
+    // window over the event stream); the distribution reduces over
+    // |users| values (the q41 bounded-percentile contract), deltas in
+    // exact integer minutes.
+    "q191_funnel_latency" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val tv = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .join(tv, "user_id")
+        .where(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min(col("ts") - col("tv")).as("delta_ns"))
+        .select(expr("delta_ns div 60000000000").as("delta_min"))
+      conv.agg(count(lit(1)).as("n_conv"),
+        expr("sum(delta_min) div count(1)").as("mean_min"),
+        floor(expr("percentile(delta_min, 0.5)") * 1000000)
+          .cast("long").as("p50_micro"),
+        floor(expr("percentile(delta_min, 0.9)") * 1000000)
+          .cast("long").as("p90_micro"))
+    }),
+
+    // q192 — SHARE-OF-PARENT HIERARCHY ROLLUP: revenue shares along
+    // region → nation → total (the drill-down report every BI layer
+    // ships): leaf revenue is one partial-agg pass over the fact
+    // join; parent totals aggregate the BOUNDED leaf table; shares
+    // are exact integer micro via div. Dims broadcast; nothing but
+    // the leaf aggregate shuffles twice.
+    "q192_share_of_parent" -> ((s, d) => {
+      val leaf = Tables.load(s, d, "orders")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(Tables.load(s, d, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")
+          .select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum("cents").as("rev_cents"))
+      val byRegion = leaf.groupBy("r_name")
+        .agg(sum("rev_cents").as("region_cents"))
+      val total = leaf.agg(sum("rev_cents").as("total_cents"))
+      leaf.join(broadcast(byRegion), "r_name")
+        .crossJoin(broadcast(total))
+        .select(col("r_name"), col("n_name"), col("rev_cents"),
+          expr("rev_cents * 1000000 div region_cents")
+            .as("share_of_region_micro"),
+          expr("region_cents * 1000000 div total_cents")
+            .as("region_share_micro"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -828,6 +888,41 @@ object AnalyticsQueries {
         "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
         "bit_xor(h) AS fp_xor " +
         "FROM h GROUP BY shard ORDER BY shard"),
+
+    // same two-pass conditional minimum, same bounded percentile
+    "q191_funnel_latency" ->
+      ("WITH tv AS (SELECT user_id, min(epoch_ns(ts)) AS tv FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, " +
+        "min(epoch_ns(e.ts) - tv.tv) // 60000000000 AS delta_min " +
+        "FROM events e JOIN tv ON e.user_id = tv.user_id " +
+        "WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > tv.tv " +
+        "GROUP BY 1) " +
+        "SELECT count(*) AS n_conv, " +
+        "CAST(sum(delta_min) // count(*) AS BIGINT) AS mean_min, " +
+        "CAST(floor(quantile_cont(delta_min, 0.5) * 1000000) AS BIGINT) " +
+        "AS p50_micro, " +
+        "CAST(floor(quantile_cont(delta_min, 0.9) * 1000000) AS BIGINT) " +
+        "AS p90_micro FROM c"),
+
+    // same leaf aggregate, same integer-micro share arithmetic
+    "q192_share_of_parent" ->
+      ("WITH leaf AS (SELECT r_name, n_name, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS rev_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY 1, 2), " +
+        "rg AS (SELECT r_name, CAST(sum(rev_cents) AS BIGINT) " +
+        "AS region_cents FROM leaf GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents " +
+        "FROM leaf) " +
+        "SELECT leaf.r_name, n_name, rev_cents, " +
+        "rev_cents * 1000000 // region_cents AS share_of_region_micro, " +
+        "region_cents * 1000000 // total_cents AS region_share_micro " +
+        "FROM leaf JOIN rg ON leaf.r_name = rg.r_name CROSS JOIN tt " +
+        "ORDER BY leaf.r_name, n_name"),
 
     // same ordered deltas; list_prepend(0, …) supplies the explicit
     // zero init Spark's aggregate() takes directly

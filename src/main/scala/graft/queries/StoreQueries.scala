@@ -1159,6 +1159,46 @@ object StoreQueries {
         .orderBy("event_id")
     }),
 
+    // q190 — GDPR ERASURE (right-to-be-forgotten): every row
+    // belonging to a set of users deleted from a keyed store table —
+    // the compliance op a mutable table store exists for (plain
+    // parquet can only rewrite everything). The erasure lands as one
+    // keyed delete-merge commit; the AUDIT rides in-band: the
+    // commit's own change feed must contain exactly the erased rows,
+    // all as op 'd' (the evidence a DPO files), and compaction then
+    // physically rewrites the current files. The reverse lookup
+    // (user → their row keys) is a scan + filter here; a production
+    // layout partitions/buckets the fact table by user so erasure
+    // prunes (the q173 reverse-index note). The gate reads the
+    // post-erasure table per user — one surviving erased row
+    // hash-mismatches.
+    "q190_gdpr_erasure" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-gdpr-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val t = UpsertTable(s, s"$base/t")
+      t.merge(ev, autoCreateKeys = Seq("event_id"), delta = true)
+      val victims = ev.where(col("user_id") % 10 === 0)
+      t.merge(victims.withColumn("__op", lit("d")),
+        opCol = Some("__op"), delta = true)
+      val v2 = t.currentSnapshot.get.version
+      t.compact() // physically fold the tombstones out of current files
+      val nVictims = victims.count()
+      val feed = t.readChanges(v2 - 1, v2)
+      val audit = feed.agg(
+        (count(lit(1)) === nVictims).as("feed_complete"),
+        (sum(when(col("_change_op") =!= "d", 1L).otherwise(0L)) === 0L)
+          .as("feed_all_deletes"))
+      t.read()
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .crossJoin(broadcast(audit))
+        .orderBy("user_id")
+    }),
+
     // q90 — CHAINED stateful aggregations in ONE streaming query
     // (multi-stateful-operator support): per-(day, type) counts/sums
     // re-aggregated into epoch-aligned weekly windows via
@@ -1830,6 +1870,15 @@ object StoreQueries {
 
     // the incrementally-maintained view must equal the from-scratch
     // aggregate of the final state
+    // the erased users simply never existed; the audit flags are
+    // literal TRUE — the engine's feed must earn them
+    "q190_gdpr_erasure" ->
+      ("SELECT user_id, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_cents, TRUE AS feed_complete, TRUE AS feed_all_deletes " +
+        "FROM events WHERE user_id % 10 <> 0 " +
+        "GROUP BY user_id ORDER BY user_id"),
+
     // both axes recomputed closed-form: v1 = the pre-cut change
     // subset, now = all changes; valid time = the interval rule
     "q188_bitemporal" ->
