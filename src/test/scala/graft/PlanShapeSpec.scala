@@ -489,4 +489,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"),
       s"q146 gained a window exchange:\n$p")
   }
+
+  test("CEP run-length lowering: every window is user-partitioned") {
+    val p = plan("q162_cep_pattern")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"q162 lost its per-user window partitioning:\n$p")
+    // the run aggregate must partial-agg before its (user, run) shuffle
+    assert(p.contains("partial_max") || p.contains("partial_min"),
+      s"q162 run aggregation lost map-side partials:\n$p")
+  }
+
+  test("kNN graph: partial max_by assignment, bounded top_k aggregate, no window") {
+    val p = plan("q176_knn_graph")
+    assert(p.contains("partial_max_by"),
+      s"q176 bucket assignment lost partial aggregation:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q176 top_k no longer plans as an object hash aggregate:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"q176 reintroduced a per-node window sort:\n$p")
+  }
+
+  test("allocation windows are order-partitioned (bounded per-order sorts only)") {
+    val p = plan("q186_allocation")
+    assert(p.contains("windowspecdefinition(l_orderkey"),
+      s"q186 allocation windows lost their per-order partitioning:\n$p")
+  }
+
+  test("attribution plans the as-of union, never a per-purchase range join") {
+    val p = plan("q187_attribution")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"q187 as-of carry-forward lost its per-user window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin("),
+      s"q187 degraded to a non-equi join:\n$p")
+  }
 }
