@@ -405,6 +405,33 @@ object CurationQueries {
         .orderBy("event_type")
     }),
 
+    // q193 — SOURCE-OVERLAP MATRIX: pairwise vocabulary Jaccard
+    // between sources — the corpus-level similarity report a mix
+    // designer reads before weighting (doc-level near-dup says two
+    // DOCUMENTS collide; this says two SOURCES cover the same
+    // language). Distinct (source, token) pairs are one partial-agg
+    // pass; the matrix is a token-keyed self-join of that bounded
+    // table (|sources|·|vocab| rows, never documents), intersections
+    // roll up to |sources|² cells, unions by inclusion-exclusion
+    // from broadcast per-source sizes.
+    "q193_source_overlap" -> ((s, d) => {
+      val st = docs(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = st.toDF("src_a", "token")
+        .join(st.toDF("src_b", "token"), "token")
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.toDF("src_a", "sz_a")), "src_a")
+        .join(broadcast(sizes.toDF("src_b", "sz_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          expr("inter * 1000000 div (sz_a + sz_b - inter)")
+            .as("jaccard_micro"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // q142 — DATA-QUALITY GATE REPORT (the dbt-test / expectation-
     // suite role): per-rule checked/failed counts over the corpus in
     // ONE pass — empty docs, unknown language, length-metadata drift,
@@ -709,6 +736,19 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same distinct pair table, same inclusion-exclusion micro shares
+    "q193_source_overlap" ->
+      (s"WITH st AS (SELECT DISTINCT source, " +
+        s"unnest(string_split($duckNorm, ' ')) AS token FROM documents), " +
+        "sz AS (SELECT source, count(*) AS sz FROM st GROUP BY 1), " +
+        "i AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "count(*) AS inter FROM st a JOIN st b ON a.token = b.token " +
+        "AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, inter, " +
+        "inter * 1000000 // (za.sz + zb.sz - inter) AS jaccard_micro " +
+        "FROM i JOIN sz za ON za.source = src_a " +
+        "JOIN sz zb ON zb.source = src_b ORDER BY src_a, src_b"),
+
     // same md5 index derivation, same self-pair drop, same resolve
     "q183_negative_sample" ->
       ("WITH cnt AS (SELECT count(*) AS c FROM documents), " +

@@ -642,6 +642,62 @@ object AnalyticsQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // q194 — SAMPLE-RATIO-MISMATCH CHECK (experiment hygiene,
+    // completing the family: q161 z-test, q175 CUPED): a broken
+    // bucketing function silently biases every experiment, so the
+    // platform's first gate is the chi-square of observed variant
+    // counts against the expected 50/50 — per-USER counts (the
+    // randomization unit), one partial-agg pass, the statistic a
+    // pinned double over exact integers.
+    "q194_srm_check" -> ((s, d) => {
+      val one = events(s, d)
+        .select(col("user_id")).distinct()
+        .select((col("user_id") % 2).as("variant"))
+        .groupBy("variant").agg(count(lit(1)).as("n"))
+        .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"))
+      val e = (col("n0") + col("n1")).cast("double") / 2.0
+      one.select(col("n0"), col("n1"),
+        round((col("n0").cast("double") - e) * (col("n0").cast("double") - e)
+          / e +
+          (col("n1").cast("double") - e) * (col("n1").cast("double") - e)
+            / e, 6).as("chi2"),
+        // chi2(1dof) > 3.841 ⇔ p < 0.05: the ship/no-ship flag
+        (((col("n0").cast("double") - e) * (col("n0").cast("double") - e)
+          / e +
+          (col("n1").cast("double") - e) * (col("n1").cast("double") - e)
+            / e) > 3.841).as("srm_flag"))
+    }),
+
+    // q195 — MUTUAL INFORMATION (dependency mining / feature
+    // selection): MI(event_type; day-of-week) from the contingency
+    // table — does behavior depend on weekday? Joint and marginal
+    // counts are one partial-agg pass; each cell's term
+    // c·(ln(c·N) − ln(r·s)) is exact-integer micro-log arithmetic
+    // (the q114 KL machinery pointed at a different statistic), the
+    // only division a single trailing integer div by N.
+    "q195_mutual_info" -> ((s, d) => {
+      val cells = events(s, d)
+        .select(col("event_type"),
+          ((expr("ts div 86400000000000") + 4) % 7).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("c"))
+      val rows = cells.groupBy("event_type").agg(sum("c").as("r"))
+      val cols_ = cells.groupBy("dow").agg(sum("c").as("s"))
+      val tot = cells.agg(sum("c").as("nn"))
+      cells
+        .join(broadcast(rows), "event_type")
+        .join(broadcast(cols_), "dow")
+        .crossJoin(broadcast(tot))
+        .select((col("c") *
+          (floor((log(col("c").cast("double")) +
+            log(col("nn").cast("double"))) * 1000000).cast("long") -
+            floor((log(col("r").cast("double")) +
+              log(col("s").cast("double"))) * 1000000).cast("long")))
+          .as("term"), col("nn"))
+        .agg(expr("sum(term) div min(nn)").as("mi_micro"),
+          count(lit(1)).as("n_cells"))
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -888,6 +944,42 @@ object AnalyticsQueries {
         "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
         "bit_xor(h) AS fp_xor " +
         "FROM h GROUP BY shard ORDER BY shard"),
+
+    // same per-user counts, same pinned chi-square expression
+    "q194_srm_check" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "v AS (SELECT user_id % 2 AS variant, count(*) AS n FROM u " +
+        "GROUP BY 1), " +
+        "o AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) " +
+        "AS n0, CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1 " +
+        "FROM v), " +
+        "t AS (SELECT n0, n1, CAST(n0 + n1 AS DOUBLE) / 2.0 AS e FROM o) " +
+        "SELECT n0, n1, " +
+        "round((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e + " +
+        "(CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e, 6) " +
+        "AS chi2, " +
+        "((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e + " +
+        "(CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e) > 3.841 " +
+        "AS srm_flag FROM t"),
+
+    // same contingency cells, same single-floor micro-log terms,
+    // one trailing integer division
+    "q195_mutual_info" ->
+      ("WITH cells AS (SELECT event_type, " +
+        "(epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow, count(*) AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS r FROM cells " +
+        "GROUP BY 1), " +
+        "s AS (SELECT dow, CAST(sum(c) AS BIGINT) AS s FROM cells " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells), " +
+        "terms AS (SELECT c * " +
+        "(CAST(floor((ln(c) + ln(nn)) * 1000000) AS BIGINT) - " +
+        "CAST(floor((ln(r.r) + ln(s.s)) * 1000000) AS BIGINT)) AS term, nn " +
+        "FROM cells JOIN r ON cells.event_type = r.event_type " +
+        "JOIN s ON cells.dow = s.dow CROSS JOIN t) " +
+        "SELECT CAST(sum(term) // min(nn) AS BIGINT) AS mi_micro, " +
+        "count(*) AS n_cells FROM terms"),
 
     // same two-pass conditional minimum, same bounded percentile
     "q191_funnel_latency" ->
