@@ -75,6 +75,42 @@ class CepSpec extends AnyFunSuite {
     assert(out.map(_.purchase_us) === Seq(2 * hourUs, 5 * hourUs))
   }
 
+  test("fold is split-invariant: any batch boundary yields the whole-stream result") {
+    // the exact contract the streaming operator stands on: folding a
+    // time-ordered script in one call ≡ folding any prefix, carrying
+    // the run state, then folding the rest — for EVERY split point
+    // and random scripts (types, tie-heavy timestamps, gap jumps)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val types = Seq("click", "purchase", "view", "error")
+    val genScript: Gen[List[CepEvent]] = for {
+      n <- Gen.choose(0, 14)
+      steps <- Gen.listOfN(n, for {
+        t <- Gen.oneOf(types)
+        // mostly small steps, occasionally beyond the WITHIN horizon
+        dt <- Gen.frequency(
+          6 -> Gen.choose(0L, 2 * hourUs),
+          1 -> Gen.const(Cep.PatternGapUs + hourUs))
+      } yield (t, dt))
+    } yield {
+      var ts = 0L
+      steps.zipWithIndex.map { case ((t, dt), i) =>
+        ts += dt
+        ev(1, i.toLong, ts, t)
+      }
+    }
+    val prop = Prop.forAll(genScript) { script =>
+      val (whole, wAcc) = Cep.fold(1L, null, script)
+      (0 to script.size).forall { cut =>
+        val (m1, acc1) = Cep.fold(1L, null, script.take(cut))
+        val (m2, acc2) = Cep.fold(1L, acc1, script.drop(cut))
+        m1 ++ m2 == whole && acc2 == wAcc
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- streaming kill/restart ----
 
   private def cepQuery(topic: String, cp: String, out: String,
