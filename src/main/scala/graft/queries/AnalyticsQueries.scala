@@ -698,6 +698,74 @@ object AnalyticsQueries {
           count(lit(1)).as("n_cells"))
     }),
 
+    // q196 — DAY-OVER-DAY BURN-RATE ALERTS: per-type daily volumes
+    // with the previous day's ratio in exact integer micro and a
+    // ±30% alert flag — the ops-monitoring sweep a pipeline runs on
+    // its own outputs. Windows touch only the bounded (type, day)
+    // aggregate; first days honestly carry NULL ratios.
+    "q196_burn_rate" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("event_type").orderBy("day")
+      events(s, d)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .withColumn("prev", lag(col("n"), 1).over(w))
+        .select(col("event_type"), col("day"), col("n"),
+          expr("n * 1000000 div prev").as("ratio_micro"),
+          (col("prev").isNotNull &&
+            (expr("n * 1000000 div prev") > 1300000L ||
+              expr("n * 1000000 div prev") < 700000L)).as("alert"))
+        .orderBy("event_type", "day")
+    }),
+
+    // q197 — WEIGHTED MEDIAN: the robust weighted center (median
+    // where each row counts `weight` times) Spark has no built-in
+    // for — lower weighted median = the smallest value whose running
+    // weight reaches half the total. Per-type value rollup first
+    // (the only event-volume shuffle), then cumulative weights over
+    // the BOUNDED per-type value domain; all-integer comparisons
+    // (2·cum ≥ tot avoids the halving division).
+    "q197_weighted_median" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val vals = events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("wt"))
+      val wc = W.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wt = W.partitionBy("event_type")
+      vals
+        .withColumn("cum", sum("wt").over(wc))
+        .withColumn("tot", sum("wt").over(wt))
+        .where(col("cum") * 2 >= col("tot"))
+        .groupBy("event_type")
+        .agg(min("cents").as("wmedian_cents"), min("tot").as("total_wt"))
+        .orderBy("event_type")
+    }),
+
+    // q198 — BENFORD FIRST-DIGIT AUDIT: the fraud/synthetic-data
+    // screen — observed first-significant-digit shares of the value
+    // column against Benford's log10(1+1/d) expectation, deviations
+    // in exact integer micro, the max-deviation digit called out.
+    // One digit-extraction scan (string form of the cents integer —
+    // no float logs), a 9-row aggregate, broadcast total.
+    "q198_benford_audit" -> ((s, d) => {
+      val digits = events(s, d)
+        .select(substring(round(col("value") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .where(col("digit") >= 1)
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum("n").as("tot"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div tot").as("share_micro"),
+          floor(expr("log10(1.0D + 1.0D / cast(digit as double))")
+            * 1000000).cast("long").as("benford_micro"))
+        .withColumn("dev_micro",
+          abs(col("share_micro") - col("benford_micro")))
+        .orderBy("digit")
+    }),
+
     // q127 — SCD2 BUILD: the signup change stream versioned into
     // half-open validity intervals per user (the warehouse
     // dimension-table shape; Iceberg/Delta users materialize exactly
@@ -944,6 +1012,47 @@ object AnalyticsQueries {
         "CAST(sum(h) % 1152921504606846976 AS BIGINT) AS fp_sum, " +
         "bit_xor(h) AS fp_xor " +
         "FROM h GROUP BY shard ORDER BY shard"),
+
+    // same bounded daily aggregate, same integer ratio + band
+    "q196_burn_rate" ->
+      ("WITH dly AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, day, n, lag(n) OVER " +
+        "(PARTITION BY event_type ORDER BY day) AS prev FROM dly) " +
+        "SELECT event_type, day, n, " +
+        "n * 1000000 // prev AS ratio_micro, " +
+        "prev IS NOT NULL AND (n * 1000000 // prev > 1300000 " +
+        "OR n * 1000000 // prev < 700000) AS alert " +
+        "FROM r ORDER BY event_type, day"),
+
+    // same value rollup, same doubled-cumulative rule
+    "q197_weighted_median" ->
+      ("WITH v AS (SELECT event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS wt " +
+        "FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT *, CAST(sum(wt) OVER (PARTITION BY event_type " +
+        "ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum, " +
+        "CAST(sum(wt) OVER (PARTITION BY event_type) AS BIGINT) AS tot " +
+        "FROM v) " +
+        "SELECT event_type, min(cents) AS wmedian_cents, " +
+        "min(tot) AS total_wt FROM c WHERE cum * 2 >= tot " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    // same string-form digit extraction, same micro expectation
+    "q198_benford_audit" ->
+      ("WITH dg AS (SELECT CAST(substr(CAST(CAST(round(value * 100) " +
+        "AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM events), " +
+        "c AS (SELECT digit, count(*) AS n FROM dg WHERE digit >= 1 " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c) " +
+        "SELECT digit, n, n * 1000000 // tot AS share_micro, " +
+        "CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT) " +
+        "AS benford_micro, " +
+        "abs(n * 1000000 // tot - " +
+        "CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)) " +
+        "AS dev_micro FROM c CROSS JOIN t ORDER BY digit"),
 
     // same per-user counts, same pinned chi-square expression
     "q194_srm_check" ->
