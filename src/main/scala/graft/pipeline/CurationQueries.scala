@@ -254,7 +254,8 @@ object CurationQueries {
     // ONE merged record per entity: mode-per-attribute survivorship
     // (most frequent value; deterministic min tie-break) and a max
     // price. The pipeline a warehouse runs to collapse duplicate
-    // catalog rows. Scale: pair generation is blocked (q151), the
+    // catalog rows. Scale: pair generation is composite-blocked on
+    // (brand, size) with q151's lossless length-ratio cut, the
     // closure is the diameter-bounded label propagation (q38), and
     // every survivorship rule is a partial-agg groupBy on cluster
     // keys — mode is counts + max-count filter, never a sort of the
@@ -266,11 +267,13 @@ object CurationQueries {
           col("p_size").as("size"),
           round(col("p_retailprice") * 100).cast("long").as("cents"))
       val a = p.select(col("id").as("id_a"), col("name").as("name_a"),
-        col("size"))
+        col("brand"), col("size"))
       val b = p.select(col("id").as("id_b"), col("name").as("name_b"),
-        col("size"))
-      val pairs = a.join(b, Seq("size"))
+        col("brand"), col("size"))
+      val pairs = a.join(b, Seq("brand", "size"))
         .where(col("id_a") < col("id_b"))
+        .where(greatest(length(col("name_a")), length(col("name_b"))) <=
+          least(length(col("name_a")), length(col("name_b"))) * 4)
         .where(round(expr("jaro_winkler(name_a, name_b)"), 6) >= 0.85)
         .select("id_a", "id_b")
       val labels = Cluster.connectedComponents(
@@ -633,6 +636,24 @@ object CurationQueries {
         .orderBy("vec_id")
     }),
 
+    // q199 — SUFFIX-ARRAY SUBSTRING DEDUP (Lee et al. ACL'22): every
+    // maximal per-document span covered by a duplicated substring of
+    // ≥ 8 tokens, via genuine Manber–Myers prefix doubling — see
+    // [[SuffixDup]] for the machinery, the N·log L payload argument
+    // vs brute-force window hashing, and the covered-iff-covered-by-
+    // a-duplicated-L-window identity. The ORACLE is the brute-force
+    // 8-gram union (enumerate windows, keep those occurring ≥ 2×,
+    // merge to maximal islands), so the gate proves the suffix
+    // ranking finds exactly the true duplicated regions — real
+    // duplicates (every reported token is inside a repeated window)
+    // AND maximal (the hash match kills any under- or over-extension)
+    // — while the two plans share nothing.
+    "q199_suffix_dup_spans" -> ((s, d) =>
+      SuffixDup.dupSpans(docs(s, d), "doc_id",
+          TextOps.tokens(col("text")), 8)
+        .withColumnRenamed("__id", "doc_id")
+        .orderBy("doc_id", "span_start")),
+
     // q151 — ENTITY RESOLUTION with Jaro-Winkler (the fuzzy-match
     // measure Spark lacks natively — q106/q108's edit-distance family
     // covers typos by count; JW weights shared prefixes, the rule
@@ -641,21 +662,29 @@ object CurationQueries {
     // are pinned to DuckDB's builtin (including the both-empty → 0
     // and boost-threshold-0.7 edge rules), so the oracle compares the
     // IMPLEMENTATION, not just the query. Scale shape: classic
-    // blocking — candidate pairs only within size blocks (one
-    // equi-join shuffle, Σblock² ≈ N²/|sizes| work, never all-pairs),
-    // the q106 pattern with a similarity the engine had to be
-    // taught; production adds more blocking attributes as
-    // cardinality grows, which only tightens the same plan.
+    // composite blocking — candidate pairs only within (brand, size)
+    // blocks (one equi-join shuffle, Σblock² ≈ N²/(|brands|·|sizes|)
+    // work, never all-pairs — the q106 pattern with a similarity the
+    // engine had to be taught), further cut by a LOSSLESS length
+    // ratio: JW = J + ℓp(1−J) with ℓ ≤ 4, p = 0.1 gives
+    // JW ≤ 0.4 + 0.6J, and matches m ≤ min(|a|,|b|) bounds
+    // J ≤ (2 + min/max)/3, so JW ≥ 0.85 forces min·4 ≥ max — pairs
+    // failing it cannot clear the threshold (integer lengths leave
+    // ≥ 9e-4 of margin over the 6-dp rounding). Production adds more
+    // blocking attributes as cardinality grows, which only tightens
+    // the same plan.
     "q151_jw_entity_match" -> ((s, d) => {
       val p = graft.Tables.load(s, d, "part")
         .select(col("p_partkey").as("id"), col("p_name").as("name"),
-          col("p_size").as("size"))
+          col("p_brand").as("brand"), col("p_size").as("size"))
       val a = p.select(col("id").as("id_a"), col("name").as("name_a"),
-        col("size"))
+        col("brand"), col("size"))
       val b = p.select(col("id").as("id_b"), col("name").as("name_b"),
-        col("size"))
-      a.join(b, Seq("size"))
+        col("brand"), col("size"))
+      a.join(b, Seq("brand", "size"))
         .where(col("id_a") < col("id_b"))
+        .where(greatest(length(col("name_a")), length(col("name_b"))) <=
+          least(length(col("name_a")), length(col("name_b"))) * 4)
         .withColumn("sim", round(expr("jaro_winkler(name_a, name_b)"), 6))
         .where(col("sim") >= 0.85)
         .select("id_a", "id_b", "sim")
@@ -797,7 +826,10 @@ object CurationQueries {
         "p_brand AS brand, p_type AS ptype, p_size AS size, " +
         "CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part), " +
         "pr AS (SELECT a.id AS ia, b.id AS ib FROM p a " +
-        "JOIN p b ON a.size = b.size AND a.id < b.id " +
+        "JOIN p b ON a.brand = b.brand AND a.size = b.size " +
+        "AND a.id < b.id " +
+        "AND greatest(length(a.name), length(b.name)) <= " +
+        "least(length(a.name), length(b.name)) * 4 " +
         "WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.85), " +
         "edges AS (SELECT ia AS src, ib AS dst FROM pr " +
         "UNION SELECT ib, ia FROM pr), " +
@@ -984,16 +1016,41 @@ object CurationQueries {
         "SELECT curl, count(*) AS n_docs, min(doc_id) AS keeper_id " +
         "FROM c GROUP BY curl ORDER BY curl"),
 
+    // the brute-force twin: all 8-token windows, keep those occurring
+    // twice anywhere in the corpus, merge covered positions into
+    // maximal islands (starts ≤ 8 apart chain) — value-identical to
+    // the suffix-ranking result by the covering identity, plan-
+    // disjoint from it
+    "q199_suffix_dup_spans" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS l " +
+        "FROM documents), " +
+        "pos AS (SELECT doc_id, i, array_to_string(l[i+1:i+8], ' ') AS w " +
+        "FROM tk, unnest(generate_series(0, CAST(len(l) AS INT) - 8)) " +
+        "AS u(i)), " +
+        "dup AS (SELECT w FROM pos GROUP BY w HAVING count(*) >= 2), " +
+        "dp AS (SELECT doc_id, i FROM pos JOIN dup USING (w)), " +
+        "mk AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER " +
+        "(PARTITION BY doc_id ORDER BY i) <= 8 THEN 0 ELSE 1 END AS brk " +
+        "FROM dp), " +
+        "isl AS (SELECT doc_id, i, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY i) AS g FROM mk) " +
+        "SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start, " +
+        "CAST(max(i) + 8 AS BIGINT) AS span_end FROM isl " +
+        "GROUP BY doc_id, g ORDER BY doc_id, span_start"),
+
     // DuckDB's own jaro_winkler_similarity — the native expression
     // must reproduce it value-for-value on every surviving pair
     "q151_jw_entity_match" ->
       ("WITH p AS (SELECT p_partkey AS id, p_name AS name, " +
-        "p_size AS size FROM part) " +
+        "p_brand AS brand, p_size AS size FROM part) " +
         "SELECT id_a, id_b, sim FROM (" +
         "SELECT a.id AS id_a, b.id AS id_b, " +
         "round(jaro_winkler_similarity(a.name, b.name), 6) AS sim " +
-        "FROM p a JOIN p b ON a.size = b.size " +
-        "AND a.id < b.id) WHERE sim >= 0.85 ORDER BY id_a, id_b"),
+        "FROM p a JOIN p b ON a.brand = b.brand AND a.size = b.size " +
+        "AND a.id < b.id " +
+        "AND greatest(length(a.name), length(b.name)) <= " +
+        "least(length(a.name), length(b.name)) * 4) " +
+        "WHERE sim >= 0.85 ORDER BY id_a, id_b"),
 
     // replays assignment (row_number twin of max_by), integer-micro
     // flooring, and the exact-integer outlier inequality; HUGEINT

@@ -62,18 +62,34 @@ object SetSimJoin {
       expr(s"__sz - cast(ceil($tau * __sz) AS INT) + 1"))
 
   /** All unordered pairs (a_id < b_id) with Jaccard ≥ τ.
+    *
+    * Candidates carry their PPJoin positional filter (Xiao et al.,
+    * WWW'08 §3.2): a shared prefix element at (1-based) positions
+    * (i, j) bounds the overlap by ub = 1 + min(|A|−i, |B|−j), and
+    * Jaccard ≥ τ needs overlap ≥ ⌈τ(|A|+|B|)/(1+τ)⌉. Dropping rows
+    * with ub below that is LOSSLESS: for a qualifying pair the FIRST
+    * common element (which the prefix lemma places inside both
+    * prefixes) has no common element before it on either side, so its
+    * ub ≥ the true overlap ≥ the threshold — the pair always keeps at
+    * least that row. The cut lands BEFORE the distinct and the verify
+    * join, which is where full token arrays shuffle — the expensive
+    * stage the filter starves. (The 1e-9 slack only loosens the prune
+    * at float boundaries; verification re-checks exactly.)
     * @return a_id, b_id, inter (long), jacc (double, unrounded)
     */
   def jaccardPairs(sets: DataFrame, idCol: String, setCol: Column,
       tau: Double): DataFrame = {
     val ord = withPrefixLen(ordered(sets, idCol, setCol), tau)
     val pre = ord.select(col("__id"), col("__sz"),
-      explode(expr("slice(__toks, 1, __plen)")).as("__p"))
-    val cand = pre.toDF("a_id", "a_szp", "__p")
-      .join(pre.toDF("b_id", "b_szp", "__p"), "__p")
+      posexplode(expr("slice(__toks, 1, __plen)")).as(Seq("__i", "__p")))
+    val cand = pre.toDF("a_id", "a_szp", "a_i", "__p")
+      .join(pre.toDF("b_id", "b_szp", "b_i", "__p"), "__p")
       .where(col("a_id") < col("b_id") &&
         col("a_szp") >= lit(tau) * col("b_szp") &&
-        col("b_szp") >= lit(tau) * col("a_szp"))
+        col("b_szp") >= lit(tau) * col("a_szp") &&
+        least(col("a_szp") - col("a_i"), col("b_szp") - col("b_i")) >=
+          ceil(lit(tau) * (col("a_szp") + col("b_szp")) / (1.0 + tau)
+            - 1e-9))
       .select("a_id", "b_id").distinct()
     verify(cand, ord)
       .withColumn("jacc",

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Suffix-array substring deduplication (Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better", ACL'22): find every
+  * MAXIMAL span of tokens covered by a substring of length ≥ L that
+  * occurs more than once in the corpus — the memorization-removal
+  * pass that fixed-n-gram span operators (q86/q101/q130) only
+  * approximate, built on the real machinery: Manber–Myers prefix
+  * doubling over per-document suffixes.
+  *
+  * Mechanics: round 0 ranks every position by its token (one global
+  * dense enumeration of the VOCABULARY); round k re-ranks by the pair
+  * (rank_k[p], rank_k[p + 2^k]) — `lead` over the per-document window,
+  * −1 past the end — so after ⌈log₂ L⌉ rounds two positions share a
+  * rank iff their length-L windows are equal (−1 sentinels make a
+  * truncated suffix unequal to any position with ≥ L tokens left, so
+  * filtering to remaining ≥ L keeps the equivalence exact). A position
+  * is DUPLICATED iff its final rank is shared; the duplicated-window
+  * union collapses to maximal per-document spans by gaps-and-islands.
+  *
+  * Correctness identity the oracle gates: a position range is covered
+  * by a duplicated substring of length ≥ L iff it is covered by a
+  * duplicated L-window (any duplicated run [p, p+d), d ≥ L, makes
+  * every start in p..p+d−L a duplicated L-window, and their union
+  * rebuilds [p, p+d) exactly) — so the DuckDB brute-force L-gram
+  * union is value-identical to the suffix-ranking result while
+  * sharing none of its plan.
+  *
+  * Scale: the reason for prefix doubling over brute-force L-gram
+  * hashing is payload: hashing windows shuffles N·L tokens (and
+  * re-shuffles from scratch for every L a pipeline sweeps); doubling
+  * shuffles N fixed-width (rank, rank) longs per round, log₂ L
+  * rounds, independent of token width — the standard suffix-array-on-
+  * MapReduce bound of O(N log L) small tuples. Rank enumeration is
+  * distinct → range-partitioned sort → zipWithIndex (two-pass
+  * distributed enumeration, no single-partition window); per-document
+  * windows (`lead`, islands) are bounded by document length. No
+  * driver-side loop depends on data: the round count is the constant
+  * ⌈log₂ L⌉.
+  */
+object SuffixDup {
+
+  /** Order-preserving dense enumeration of the DISTINCT rows of
+    * `df.select(cols)` under their lexicographic order: appends
+    * `__rank` (0-based, consecutive). orderBy range-partitions the
+    * sort; zipWithIndex adds per-partition offsets in a second pass —
+    * the distributed enumeration idiom, never a global window.
+    */
+  private def denseRanks(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val d = df.select(cols.map(col): _*).distinct()
+      .orderBy(cols.map(col): _*)
+    val schema = StructType(
+      d.schema.fields :+ StructField("__rank", LongType, nullable = false))
+    val rdd = d.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Maximal merged spans `[span_start, span_end)` (token offsets) per
+    * document covered by duplicated substrings of length ≥ `minLen`
+    * tokens. `minLen` must be a power of two: the final doubling round
+    * compares prefixes of exactly that length. Spans whose gap is
+    * ≤ minLen merge (overlapping or touching duplicated regions are
+    * one region of duplicated text).
+    *
+    * @param docsDf  one row per document
+    * @param idCol   document id column name
+    * @param toksCol expression yielding the token array
+    * @return (doc_id = idCol value, span_start, span_end) — both longs
+    */
+  def dupSpans(docsDf: DataFrame, idCol: String, toksCol: Column,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2 && (minLen & (minLen - 1)) == 0,
+      s"minLen must be a power of two, got $minLen")
+
+    val toks = docsDf.select(col(idCol).as("__id"),
+      posexplode(toksCol).as(Seq("__pos", "__tok")))
+    val wDoc = Window.partitionBy("__id").orderBy("__pos")
+
+    // round 0: rank = dense vocabulary rank of the token at __pos
+    var ranks = toks
+      .join(denseRanks(toks, Seq("__tok")), "__tok")
+      .select(col("__id"), col("__pos"), col("__rank").as("__r"))
+
+    var span = 1
+    while (span < minLen) {
+      val paired = ranks
+        .withColumn("__r2", lead(col("__r"), span, -1L).over(wDoc))
+      ranks = paired
+        .join(denseRanks(paired, Seq("__r", "__r2")), Seq("__r", "__r2"))
+        .select(col("__id"), col("__pos"), col("__rank").as("__r"))
+      span *= 2
+    }
+
+    // duplicated position = shared final rank among positions with a
+    // full L-window left (partial-agg count, then a semi-style join —
+    // never a corpus-wide window)
+    val full = ranks.join(
+      toks.groupBy("__id").agg(count(lit(1)).as("__len")), "__id")
+      .where(col("__pos") + minLen <= col("__len"))
+      .select("__id", "__pos", "__r")
+    val shared = full.groupBy("__r").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).select("__r")
+    val dupPos = full.join(shared, "__r").select("__id", "__pos")
+
+    // gaps-and-islands: window starts ≤ minLen apart merge
+    dupPos
+      .withColumn("__brk",
+        when(col("__pos") - lag("__pos", 1).over(wDoc) <= minLen, 0)
+          .otherwise(1))
+      .withColumn("__isl", sum("__brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min("__pos").cast("long").as("span_start"),
+        (max("__pos") + minLen).cast("long").as("span_end"))
+      .select(col("__id"), col("span_start"), col("span_end"))
+  }
+}

@@ -747,11 +747,13 @@ object AnalyticsQueries {
     // screen — observed first-significant-digit shares of the value
     // column against Benford's log10(1+1/d) expectation, deviations
     // in exact integer micro, the max-deviation digit called out.
-    // One digit-extraction scan (string form of the cents integer —
-    // no float logs), a 9-row aggregate, broadcast total.
+    // One digit-extraction scan (string form of |cents| — abs first,
+    // so negative values contribute their significant digit instead
+    // of a sign character that Spark would NULL-cast and DuckDB would
+    // reject; no float logs), a 9-row aggregate, broadcast total.
     "q198_benford_audit" -> ((s, d) => {
       val digits = events(s, d)
-        .select(substring(round(col("value") * 100).cast("long")
+        .select(substring(abs(round(col("value") * 100).cast("long"))
           .cast("string"), 1, 1).cast("long").as("digit"))
         .where(col("digit") >= 1)
         .groupBy("digit").agg(count(lit(1)).as("n"))
@@ -1042,8 +1044,8 @@ object AnalyticsQueries {
 
     // same string-form digit extraction, same micro expectation
     "q198_benford_audit" ->
-      ("WITH dg AS (SELECT CAST(substr(CAST(CAST(round(value * 100) " +
-        "AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM events), " +
+      ("WITH dg AS (SELECT CAST(substr(CAST(abs(CAST(round(value * 100) " +
+        "AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM events), " +
         "c AS (SELECT digit, count(*) AS n FROM dg WHERE digit >= 1 " +
         "GROUP BY 1), " +
         "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c) " +

@@ -59,6 +59,15 @@ object IncrementalJoin {
     val bAttrs = bCur.columns.filterNot(_ == bKey).toSeq
     require(!bCur.columns.contains(fkCol) || fkCol == bKey,
       s"dimension column name collision on $fkCol")
+    // Any dim attribute sharing a name with a fact column would
+    // duplicate after joinDim and surface later as an ambiguous
+    // reference; fail loudly at the contract boundary instead.
+    locally {
+      val clash = bAttrs.intersect(a.read().columns.toSeq)
+      require(clash.isEmpty,
+        "dimension attribute columns collide with fact columns: " +
+          clash.mkString(", "))
+    }
 
     def joinDim(facts: DataFrame): DataFrame =
       facts.join(bCur, facts(fkCol) === bCur(bKey), "left")

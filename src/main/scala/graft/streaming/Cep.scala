@@ -37,7 +37,10 @@ case class CepMatch(
   * purely state TTL: an event-time timeout clears idle users' run
   * state, so state size tracks ACTIVE keys, not stream lifetime — the
   * Flink `within()`-clause analog that keeps a 100 TB/day stream's
-  * state bounded.
+  * state bounded. Equivalence with the batch lowering holds under the
+  * time-split-topic contract — see the [[TtlMs]] note for the exact
+  * boundary (a key idle past the TTL between batches restarts its
+  * run; the batch twin has no such expiry).
   *
   * Ordering contract: within a batch the group sorts by (t_us,
   * event_id) — the batch twin's exact total order; across batches the
@@ -59,8 +62,24 @@ object Cep extends Serializable {
   /** `B` must arrive within 24 h of the last `A` — the WITHIN clause. */
   val PatternGapUs: Long = 86400000000L
 
-  /** State-TTL horizon: a run untouched for this long can never
-    * complete a match, so its state is evicted. */
+  /** State-TTL horizon. A `click` run idle past the WITHIN gap can no
+    * longer be COMPLETED by a purchase (purchase − last click would
+    * exceed [[PatternGapUs]]) — but the batch lowering places no time
+    * bound on run EXTENSION: a later click may still extend the run,
+    * and a purchase after that would match with `n_clicks` /
+    * `first_click_us` covering the evicted prefix. Eviction therefore
+    * trades exact batch equivalence for bounded state, and the
+    * equivalence contract is correspondingly NARROW: streaming output
+    * matches the batch lowering whenever each key's idle gap ACROSS
+    * micro-batch boundaries stays under this TTL (the time-split-topic
+    * replay contract the harness feeds — batch N+1 never jumps a key
+    * past its TTL while same-type events are still coming). A key that
+    * goes TTL-cold between batches restarts its run from the next
+    * event; CepSpec's `ttl eviction` case pins that divergence
+    * explicitly so it is a tested contract, not a silent gap. The
+    * alternative — never evicting click runs — is unbounded state on a
+    * 100 TB/day stream; re-defining the batch oracle with run expiry
+    * would silently change q162's published semantics. */
   private val TtlMs: Long = PatternGapUs / 1000
 
   /** The shared automaton step: absorb `sorted` (ascending (t_us,

@@ -200,6 +200,60 @@ class CepSpec extends AnyFunSuite {
 
     // transformWithState twin: same script through CepTws (RocksDB
     // provider) must produce the same matches
+    runTwsTwin(base.toString, df, cutUs, expected, sentinels)
+  }
+
+  /** Pins the TTL-eviction boundary the Cep.TtlMs note documents: a
+    * key whose idle gap ACROSS micro-batches exceeds the TTL restarts
+    * its run, so streaming diverges from the batch fold (which has no
+    * run expiry) EXACTLY by the evicted prefix. This is the contract
+    * edge, asserted from both sides — outside it (q167's time-split
+    * contract) equivalence holds; past it, divergence is this shape
+    * and no other.
+    */
+  test("streaming CEP: TTL-cold key restarts its run — the documented batch-divergence edge") {
+    val base = Files.createTempDirectory("graft-cep-ttl")
+    val D = 24L * hourUs
+    val ttlUs = Cep.PatternGapUs
+    // phase 1: two clicks; phase 2: watermark-advancing sentinels from
+    // another user push user 5 past its TTL with no data (two files →
+    // the eviction fires in the second's batch); phase 3: two more
+    // clicks + a purchase, all within WITHIN of each other
+    val p1 = Seq((5L, 50L, D, "click"), (5L, 51L, D + hourUs, "click"))
+    val sent = Seq((-1L, -1L, D + ttlUs + 6 * hourUs, "view"),
+      (-1L, -2L, D + ttlUs + 7 * hourUs, "view"))
+    val p3 = Seq((5L, 52L, D + ttlUs + 16 * hourUs, "click"),
+      (5L, 53L, D + ttlUs + 17 * hourUs, "click"),
+      (5L, 54L, D + ttlUs + 18 * hourUs, "purchase"))
+    val topic = s"$base/topic"
+    Topic.produce(p1.toDF("user_id", "event_id", "t_us", "event_type")
+      .coalesce(1), topic)
+    sent.foreach { r =>
+      Topic.produce(Seq(r).toDF("user_id", "event_id", "t_us", "event_type"),
+        topic)
+    }
+    Topic.produce(p3.toDF("user_id", "event_id", "t_us", "event_type")
+      .coalesce(1), topic)
+    cepQuery(topic, s"$base/cp", s"$base/out")
+    // streaming: the evicted prefix is gone — the match counts ONLY
+    // the post-eviction clicks
+    assert(cepResult(s"$base/out") === Seq(
+      (5L, D + ttlUs + 16 * hourUs, D + ttlUs + 17 * hourUs, 2L,
+        D + ttlUs + 18 * hourUs)))
+    // batch fold over the same total order: no expiry, the run spans
+    // all four clicks (same-type events never break a run) and the
+    // purchase is within WITHIN of the LAST click — 4 clicks from D
+    val script = (p1 ++ p3).map { case (u, id, t, ty) => ev(u, id, t, ty) }
+    val (batchOut, _) = Cep.fold(5L, null, script)
+    assert(batchOut === Seq(CepMatch(5L, D, D + ttlUs + 17 * hourUs, 4L,
+      D + ttlUs + 18 * hourUs)))
+  }
+
+  private def runTwsTwin(base: String, df: DataFrame, cutUs: Long,
+      expected: Seq[(Long, Long, Long, Long, Long)],
+      sentinels: String => Unit): Unit = {
+    // transformWithState twin: same script through CepTws (RocksDB
+    // provider) must produce the same matches
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
