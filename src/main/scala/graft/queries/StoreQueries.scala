@@ -1341,6 +1341,62 @@ object StoreQueries {
         .orderBy("user_id", "first_click_us")
     }),
 
+    // q200 — STREAMING CEP WITH ALTERNATION + OPTIONAL STEP
+    // (MATCH_RECOGNIZE `PATTERN (A{2,} (B|C)? D) WITHIN t`): q167's
+    // harness, [[graft.streaming.Cep2]]'s automaton — ≥2 consecutive
+    // clicks, optionally ONE view-or-error event between them and the
+    // purchase, purchase within 24 h of the last click. Look-behind is
+    // exactly one extra run in state (still O(1) per key); the oracle
+    // is the run-length lowering extended by a second lead() over the
+    // run stream, so direct and via paths must both land value-exact,
+    // `via_type` NULL ⇔ the optional element did not fire.
+    "q200_stream_cep_alt" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-stream-cep2-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"))
+      val bounds = ev.agg(min(col("t_us")), max(col("t_us"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val cut = minUs + (maxUs - minUs) / 2
+      val hourUs = 3600L * 1000000L
+      Topic.produce(ev.where(col("t_us") < cut).coalesce(1), s"$base/topic")
+      Topic.produce(ev.where(col("t_us") >= cut).coalesce(1), s"$base/topic")
+      Topic.produce(Seq((-1L, -1L, maxUs + 48 * hourUs, "view"))
+        .toDF("user_id", "event_id", "t_us", "event_type"), s"$base/topic")
+      Topic.produce(Seq((-1L, -2L, maxUs + 49 * hourUs, "view"))
+        .toDF("user_id", "event_id", "t_us", "event_type"), s"$base/topic")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, t_us BIGINT, event_type STRING")
+      val matches = graft.streaming.Cep2.matches(
+        Topic.stream(s, s"$base/topic", maxFilesPerTrigger = Some(1))
+          .select(from_json(col("value"), schema).as("j"))
+          .select(col("j.user_id").as("user_id"),
+            col("j.event_id").as("event_id"), col("j.t_us").as("t_us"),
+            timestamp_micros(col("j.t_us")).as("ts"),
+            col("j.event_type").as("etype"))
+          .as[graft.streaming.CepEvent],
+        watermarkDelay = "1 hour")
+      val q = withShufflePartitions(s, 8) {
+        matches.toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .start()
+      }
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("first_click_us"), col("last_click_us"),
+          col("n_clicks"), col("via_type"), col("purchase_us"))
+        .orderBy("user_id", "first_click_us")
+    }),
+
     // q179 — STREAMING OVER AGGREGATION (Flink SQL's unbounded OVER
     // window on a stream): every arriving event emits one row with
     // its per-user running rank and running cents sum — the per-ROW
@@ -1784,6 +1840,35 @@ object StoreQueries {
         "next_start AS purchase_us FROM m " +
         "WHERE etype = 'click' AND len >= 2 AND next_type = 'purchase' " +
         "AND next_start - run_end <= 86400000000 " +
+        "ORDER BY user_id, first_click_us"),
+
+    // the run-length lowering with one more lead(): direct path =
+    // next run is the purchase; via path = next run is a single
+    // view/error and the run after it is the purchase — same WITHIN
+    // anchor (purchase start − last click) on both
+    "q200_stream_cep_alt" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t, " +
+        "event_type FROM events), " +
+        "r AS (SELECT *, CASE WHEN lag(event_type) OVER w " +
+        "IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS nr FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "r2 AS (SELECT *, sum(nr) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) AS run_id FROM r), " +
+        "ra AS (SELECT user_id, run_id, max(event_type) AS etype, " +
+        "count(*) AS len, min(t) AS run_start, max(t) AS run_end " +
+        "FROM r2 GROUP BY 1, 2), " +
+        "m AS (SELECT *, lead(etype, 1) OVER w2 AS t1, " +
+        "lead(len, 1) OVER w2 AS l1, lead(run_start, 1) OVER w2 AS s1, " +
+        "lead(etype, 2) OVER w2 AS t2, lead(run_start, 2) OVER w2 AS s2 " +
+        "FROM ra WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)) " +
+        "SELECT user_id, run_start AS first_click_us, " +
+        "run_end AS last_click_us, len AS n_clicks, " +
+        "CASE WHEN t1 = 'purchase' THEN NULL ELSE t1 END AS via_type, " +
+        "CASE WHEN t1 = 'purchase' THEN s1 ELSE s2 END AS purchase_us " +
+        "FROM m WHERE etype = 'click' AND len >= 2 AND (" +
+        "(t1 = 'purchase' AND s1 - run_end <= 86400000000) OR " +
+        "(t1 IN ('view', 'error') AND l1 = 1 AND t2 = 'purchase' " +
+        "AND s2 - run_end <= 86400000000)) " +
         "ORDER BY user_id, first_click_us"),
 
     "q87_stream_outer_join" ->

@@ -139,6 +139,107 @@ object Cep extends Serializable {
   }
 }
 
+/** Two-run automaton state for [[Cep2]]: the current maximal run plus
+  * the one before it (the optional middle element needs exactly one
+  * run of look-behind — still O(1) per key). `prevType` is "" while no
+  * previous run exists (Spark state encoders want a flat,
+  * null-free-by-construction product).
+  */
+case class Cep2State(
+    prevType: String, prevLen: Long, prevStartUs: Long, prevEndUs: Long,
+    curType: String, curLen: Long, curStartUs: Long, curEndUs: Long)
+
+/** A [[Cep2]] match: `via_type` is null for the direct
+  * click-run→purchase path, or the middle event's type ("view" /
+  * "error") when the optional element matched.
+  */
+case class Cep2Match(
+    user_id: Long, first_click_us: Long, last_click_us: Long,
+    n_clicks: Long, via_type: String, purchase_us: Long)
+
+/** CEP with ALTERNATION and an OPTIONAL step — Flink MATCH_RECOGNIZE
+  * `PATTERN (A{2,} (B|C)? D) WITHIN t`: two-or-more consecutive
+  * clicks, optionally ONE intervening view-or-error event (a single
+  * event, so over maximal runs the middle run must have length 1),
+  * then a purchase within [[Cep.PatternGapUs]] of the LAST CLICK (the
+  * WITHIN clause spans the whole tail of the match, middle included).
+  *
+  * Compiled to the same run-state fold as [[Cep.fold]], extended by
+  * one run of look-behind: a match can only complete at a run
+  * boundary whose incoming event is a purchase, and the two paths are
+  * disjoint by construction — the finished run is either the click
+  * run itself (direct) or a length-1 view/error run whose PREDECESSOR
+  * is the click run (via). Matches stay non-overlapping
+  * (AFTER MATCH SKIP PAST LAST ROW falls out of run maximality), and
+  * the same TTL/batch-equivalence contract as [[Cep.TtlMs]] applies.
+  */
+object Cep2 extends Serializable {
+
+  private val Empty = ""
+  private def isMiddle(t: String): Boolean = t == "view" || t == "error"
+
+  /** Shared automaton step over ascending (t_us, event_id) events —
+    * the streaming operator and the split-invariance property drive
+    * this directly.
+    */
+  private[streaming] def fold(key: Long, acc0: Cep2State,
+      sorted: Seq[CepEvent]): (Seq[Cep2Match], Cep2State) = {
+    val out = scala.collection.mutable.ListBuffer.empty[Cep2Match]
+    var acc = acc0
+    sorted.foreach { e =>
+      acc match {
+        case null =>
+          acc = Cep2State(Empty, 0, 0, 0, e.etype, 1, e.t_us, e.t_us)
+        case s if s.curType == e.etype => // run extends
+          acc = s.copy(curLen = s.curLen + 1, curEndUs = e.t_us)
+        case s => // run boundary — the only place a match can complete
+          if (e.etype == "purchase") {
+            if (s.curType == "click" && s.curLen >= 2 &&
+              e.t_us - s.curEndUs <= Cep.PatternGapUs)
+              out += Cep2Match(key, s.curStartUs, s.curEndUs, s.curLen,
+                null, e.t_us)
+            else if (isMiddle(s.curType) && s.curLen == 1 &&
+              s.prevType == "click" && s.prevLen >= 2 &&
+              e.t_us - s.prevEndUs <= Cep.PatternGapUs)
+              out += Cep2Match(key, s.prevStartUs, s.prevEndUs, s.prevLen,
+                s.curType, e.t_us)
+          }
+          acc = Cep2State(s.curType, s.curLen, s.curStartUs, s.curEndUs,
+            e.etype, 1, e.t_us, e.t_us)
+      }
+    }
+    (out.toSeq, acc)
+  }
+
+  def matches(events: Dataset[CepEvent], watermarkDelay: String)
+      : Dataset[Cep2Match] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[CepEvent],
+        state: GroupState[Cep2State]): Iterator[Cep2Match] = {
+      if (state.hasTimedOut) {
+        state.remove() // pure state TTL — matches were emitted eagerly
+        Iterator.empty
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.t_us, e.event_id))
+        val (found, acc) = fold(userId, state.getOption.orNull, sorted)
+        state.update(acc)
+        state.setTimeoutTimestamp(
+          math.max(acc.curEndUs / 1000 + Cep.PatternGapUs / 1000,
+            state.getCurrentWatermarkMs() + 1))
+        found.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}
+
 /** The same CEP automaton on `transformWithState` — the API-parity
   * twin ([[graft.streaming.SessionizeTws]]'s pattern applied to
   * pattern matching): typed `ValueState[CepRun]`, explicit event-time

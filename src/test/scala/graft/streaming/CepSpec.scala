@@ -111,6 +111,81 @@ class CepSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- Cep2: click{2,} (view|error)? purchase ----
+
+  test("fold2: direct path, via-view, via-error — disjoint and exact") {
+    // direct: no middle run
+    val (d0, _) = Cep2.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "purchase")))
+    assert(d0 === Seq(Cep2Match(1L, 0, hourUs, 2, null, 2 * hourUs)))
+    // via a single view
+    val (d1, _) = Cep2.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "view"), ev(1, 4, 3 * hourUs, "purchase")))
+    assert(d1 === Seq(Cep2Match(1L, 0, hourUs, 2, "view", 3 * hourUs)))
+    // via a single error
+    val (d2, _) = Cep2.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "error"), ev(1, 4, 3 * hourUs, "purchase")))
+    assert(d2 === Seq(Cep2Match(1L, 0, hourUs, 2, "error", 3 * hourUs)))
+  }
+
+  test("fold2: middle run longer than one event, or two middle runs, kill the match") {
+    assert(Cep2.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "view"), ev(1, 4, 3 * hourUs, "view"),
+      ev(1, 5, 4 * hourUs, "purchase")))._1.isEmpty)
+    assert(Cep2.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "view"), ev(1, 4, 3 * hourUs, "error"),
+      ev(1, 5, 4 * hourUs, "purchase")))._1.isEmpty)
+  }
+
+  test("fold2: WITHIN anchors on the last click, middle included") {
+    // purchase 24h+1µs after the last click, via a middle view: no match
+    assert(Cep2.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "view"),
+      ev(1, 4, hourUs + Cep.PatternGapUs + 1, "purchase")))._1.isEmpty)
+    // exactly at the horizon: inclusive
+    assert(Cep2.fold(1L, null, Seq(
+      ev(1, 1, 0, "click"), ev(1, 2, hourUs, "click"),
+      ev(1, 3, 2 * hourUs, "view"),
+      ev(1, 4, hourUs + Cep.PatternGapUs, "purchase")))._1.size === 1)
+  }
+
+  test("fold2 is split-invariant: any batch boundary yields the whole-stream result") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val types = Seq("click", "purchase", "view", "error")
+    val genScript: Gen[List[CepEvent]] = for {
+      n <- Gen.choose(0, 14)
+      steps <- Gen.listOfN(n, for {
+        t <- Gen.oneOf(types)
+        dt <- Gen.frequency(
+          6 -> Gen.choose(0L, 2 * hourUs),
+          1 -> Gen.const(Cep.PatternGapUs + hourUs))
+      } yield (t, dt))
+    } yield {
+      var ts = 0L
+      steps.zipWithIndex.map { case ((t, dt), i) =>
+        ts += dt
+        ev(1, i.toLong, ts, t)
+      }
+    }
+    val prop = Prop.forAll(genScript) { script =>
+      val (whole, wAcc) = Cep2.fold(1L, null, script)
+      (0 to script.size).forall { cut =>
+        val (m1, acc1) = Cep2.fold(1L, null, script.take(cut))
+        val (m2, acc2) = Cep2.fold(1L, acc1, script.drop(cut))
+        m1 ++ m2 == whole && acc2 == wAcc
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- streaming kill/restart ----
 
   private def cepQuery(topic: String, cp: String, out: String,
