@@ -1167,9 +1167,12 @@ object StoreQueries {
     // commit's own change feed must contain exactly the erased rows,
     // all as op 'd' (the evidence a DPO files), and compaction then
     // physically rewrites the current files. The reverse lookup
-    // (user → their row keys) is a scan + filter here; a production
-    // layout partitions/buckets the fact table by user so erasure
-    // prunes (the q173 reverse-index note). The gate reads the
+    // (user → their rows) runs through the per-file Bloom index on the
+    // declared `user_id` lookup column ([[UpsertTable.readLookup]]):
+    // erasure opens only the files whose bloom admits a victim, never
+    // the whole fact table (LookupBloomSpec proves the pruning; this
+    // gate proves the result). The victim id list is the request
+    // payload — bounded driver-side by nature. The gate reads the
     // post-erasure table per user — one surviving erased row
     // hash-mismatches.
     "q190_gdpr_erasure" -> ((s, d) => {
@@ -1179,9 +1182,16 @@ object StoreQueries {
       val ev = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"),
           round(col("value") * 100).cast("long").as("cents"))
-      val t = UpsertTable(s, s"$base/t")
-      t.merge(ev, autoCreateKeys = Seq("event_id"), delta = true)
-      val victims = ev.where(col("user_id") % 10 === 0)
+      s.conf.set(UpsertTable.LookupBloomsConf, "user_id")
+      val t = try {
+        val t0 = UpsertTable(s, s"$base/t")
+        t0.merge(ev, autoCreateKeys = Seq("event_id"), delta = true)
+        t0
+      } finally s.conf.unset(UpsertTable.LookupBloomsConf)
+      val victimIds = ev.where(col("user_id") % 10 === 0)
+        .select("user_id").distinct()
+        .collect().map(_.getLong(0)).toSeq // the erasure request payload
+      val victims = t.readLookup("user_id", victimIds)
       t.merge(victims.withColumn("__op", lit("d")),
         opCol = Some("__op"), delta = true)
       val v2 = t.currentSnapshot.get.version

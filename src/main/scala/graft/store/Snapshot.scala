@@ -29,6 +29,13 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   *                    "rollback"; "" on manifests written before the
   *                    field existed) — drives the change feed's
   *                    servability check and commit-history inspection
+  * @param lookupCols  declared secondary-lookup columns: every commit
+  *                    records a per-file Bloom filter for each (see
+  *                    [[FileEntry.blooms]]), so reverse lookups (GDPR
+  *                    erasure's user → rows) prune files instead of
+  *                    scanning the table. Persisted so maintenance
+  *                    commits (compaction) keep collecting in sessions
+  *                    that never set the conf.
   */
 case class Snapshot(
     version: Long,
@@ -38,7 +45,8 @@ case class Snapshot(
     files: Seq[FileEntry],
     committed: Map[String, Long],
     timestampMs: Long,
-    operation: String = "")
+    operation: String = "",
+    lookupCols: Seq[String] = Nil)
 
 /** One data file: manifest-relative path, key-hash bucket, per-column
   * bounds for planning-time file skipping (see [[FileStats]]; empty
@@ -51,10 +59,17 @@ case class Snapshot(
   *    `__seq` (the committing snapshot version). Readers overlay
   *    deltas on base by latest-`__seq`-per-key (base rows rank 0);
   *    [[UpsertTable.compact]] collapses them back into base.
+  *
+  * `blooms` maps each declared lookup column (see
+  * [[Snapshot.lookupCols]]) to the base64 of a spark-sketch
+  * BloomFilter over the file's non-null values — the Iceberg
+  * puffin-blob analog. No false negatives ever, so pruning by bloom is
+  * always sound; absence of an entry means "cannot prune this file".
   */
 case class FileEntry(path: String, bucket: Int,
     stats: Map[String, ColStats] = Map.empty,
-    kind: String = FileEntry.Base, seq: Long = 0L)
+    kind: String = FileEntry.Base, seq: Long = 0L,
+    blooms: Map[String, String] = Map.empty)
 
 object FileEntry {
   val Base = "base"
@@ -91,8 +106,10 @@ object SnapshotLog {
       committed = (s.committed: Map[String, Any]).map { case (k, v) =>
         k -> v.asInstanceOf[Number].longValue() },
       operation = if (s.operation == null) "" else s.operation,
+      lookupCols = if (s.lookupCols == null) Nil else s.lookupCols,
       files = s.files.map { f0 =>
-        val f = if (f0.stats == null) f0.copy(stats = Map.empty) else f0
+        val f1 = if (f0.stats == null) f0.copy(stats = Map.empty) else f0
+        val f = if (f1.blooms == null) f1.copy(blooms = Map.empty) else f1
         if (f.kind == null) f.copy(kind = FileEntry.Base) else f
       })
   }

@@ -69,7 +69,10 @@ class UpsertTable(spark: SparkSession, val location: String) {
       files = Seq.empty,
       committed = Map.empty,
       timestampMs = System.currentTimeMillis(),
-      operation = "create"))
+      operation = "create",
+      lookupCols = spark.conf.getOption(LookupBloomsConf)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)))
   }
 
   /** Current-state read: a plain vectorized scan when the snapshot is
@@ -206,6 +209,49 @@ class UpsertTable(spark: SparkSession, val location: String) {
         mergedView(snap.files.filter(_.bucket == b), schema, snap.keyCols)
       case None => read()
     }
+
+  /** The file subset a reverse lookup `column IN values` must read:
+    * every DELTA file (recent commits — always kept, so tombstones and
+    * re-keyed updates can never be skipped into staleness) plus the
+    * BASE files whose Bloom filter admits at least one value (no bloom
+    * recorded = kept). Bloom no-false-negatives makes the prune sound
+    * unconditionally: a base key at most once per bucket means a
+    * pruned base file can only hide row versions that either don't
+    * match the lookup or are superseded by a delta that IS read.
+    */
+  def lookupFiles(column: String, values: Seq[Any]): Seq[FileEntry] = {
+    val snap = snapshotOrFail
+    snap.files.filter { f =>
+      FileEntry.isDelta(f) || (f.blooms.get(column) match {
+        case None => true
+        case Some(b64) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64)))
+          values.exists {
+            case l: Long => bf.mightContainLong(l)
+            case i: Int => bf.mightContainLong(i.toLong)
+            case s: String => bf.mightContainString(s)
+            case other => bf.mightContain(other)
+          }
+      })
+    }
+  }
+
+  /** Reverse lookup by a declared secondary column (the GDPR
+    * user→rows path): the merged current-state view restricted to
+    * [[lookupFiles]] with the residual predicate re-applied — exactly
+    * `read().where(column IN values)`, at the cost of the admitted
+    * files instead of the table. At 100 TB with per-user blooms an
+    * erasure request opens the handful of files that ever stored the
+    * user, not the fact table.
+    */
+  def readLookup(column: String, values: Seq[Any]): DataFrame = {
+    val snap = snapshotOrFail
+    val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    mergedView(lookupFiles(column, values), sch, snap.keyCols)
+      .where(col(column).isin(values: _*))
+  }
 
   /** Absolute data-file paths of a snapshot (current when `version` is
     * None), restricted to the single key bucket when a full
@@ -761,15 +807,57 @@ class UpsertTable(spark: SparkSession, val location: String) {
 
   /** Manifest entries for a commit's freshly written files, with
     * column bounds harvested from each footer (metadata-only reads,
-    * bounded by the commit's own file count).
+    * bounded by the commit's own file count) and, for declared lookup
+    * columns, a per-file Bloom filter (one single-column scan of each
+    * freshly written file — the same bounded-by-the-commit cost class
+    * as the footer reads; Iceberg pays it in the same place for its
+    * puffin blobs).
     */
   private def newFileEntries(outDir: String, schema: StructType): Seq[FileEntry] = {
     val conf = spark.sessionState.newHadoopConf()
+    val lookups = effectiveLookupCols(schema)
     listBucketFiles(outDir).map { case (rel, b) =>
       FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b,
-        FileStats.collect(conf, s"$outDir/$rel", schema))
+        FileStats.collect(conf, s"$outDir/$rel", schema),
+        blooms = collectBlooms(s"$outDir/$rel", lookups))
     }
   }
+
+  /** Declared lookup columns present in `schema` at a bloomable type:
+    * the manifest's persisted declaration plus any session-conf
+    * additions (so an existing table can start collecting without a
+    * schema change).
+    */
+  private def effectiveLookupCols(schema: StructType): Seq[String] = {
+    val declared = currentSnapshot.map(_.lookupCols).getOrElse(Nil) ++
+      spark.conf.getOption(LookupBloomsConf)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    declared.distinct.filter(c => schema.fields.exists(f =>
+      f.name == c && (f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType)))
+  }
+
+  /** Base64 spark-sketch blooms over one file's non-null values per
+    * lookup column. Any anomaly → entry omitted (blooms are an
+    * optimization; absence always reads as "cannot prune").
+    */
+  private def collectBlooms(absPath: String,
+      cols: Seq[String]): Map[String, String] =
+    if (cols.isEmpty) Map.empty
+    else scala.util.Try {
+      val df = spark.read.parquet(absPath)
+      cols.filter(df.columns.contains).flatMap { c =>
+        scala.util.Try {
+          val vals = df.select(c).where(col(c).isNotNull)
+          val n = math.max(vals.count(), 64L)
+          val bf = vals.stat.bloomFilter(c, n, LookupBloomFpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+        }.toOption
+      }.toMap
+    }.getOrElse(Map.empty)
 }
 
 object UpsertTable {
@@ -777,6 +865,20 @@ object UpsertTable {
     * created tables (the manifest records it per table thereafter).
     */
   val BucketsConf = "graft.store.numBuckets"
+
+  /** Session conf declaring secondary-lookup columns (comma-separated)
+    * for newly created tables: every commit then records a per-file
+    * Bloom filter on each, so reverse lookups ([[UpsertTable.readLookup]])
+    * prune files at planning time. The declaration persists in the
+    * manifest ([[Snapshot.lookupCols]]).
+    */
+  val LookupBloomsConf = "graft.store.lookupBloomCols"
+
+  /** False-positive rate for per-file lookup blooms: at 0.01 a
+    * reverse lookup over F files admits the ~true files + 0.01·F noise
+    * — each bloom is ~1.2 KiB per 1000 rows in the manifest.
+    */
+  val LookupBloomFpp = 0.01
 
   /** Changelog-op column stored in delta files (`u` upsert / `d`
     * tombstone) — also the in-flight op column name inside [[merge]].
