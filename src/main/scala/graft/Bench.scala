@@ -120,8 +120,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $out: $e") }
     println(json)
-    // compact trailer: a tail-capture keeps the LAST lines, so the
-    // totals survive even when the long per-query line is cut short
+    // per-query record in SHORT self-contained chunk lines (values at
+    // ms precision): the driver's round file keeps a bounded TAIL of
+    // this output, and one 8 KB map line was historically cut mid-JSON
+    // (BENCH_r06/r07 carry "parsed": null) — 40-query chunks keep each
+    // line ~1.5 KB so round-over-round per-query comparison parses
+    // from the round file alone, no target/bench dependency
+    def fmt3(d: Double): String =
+      if (d.isInfinity) "\"failed\"" else f"$d%.3f"
+    names.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
+      val m = chunk.map(n => "\"" + n + "\":" + fmt3(best(n)))
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","chunk":$i,"n_chunks":${(names.size + 39) / 40},"queries":$m}""")
+    }
+    // compact trailer LAST: a tail-capture keeps the final lines, so
+    // the totals survive even when earlier lines are cut short
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"n_failed":${failed.size},"full_record":${jstr(out)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }

@@ -332,6 +332,12 @@ object Multimodal {
     private def fourcc(b: Array[Byte], o: Int): String =
       new String(b, o, 4, "US-ASCII")
 
+    /** `BITMAPINFOHEADER.biCompression` little-endian value of the
+      * 'MJPG' fourcc — each movi chunk is then a complete baseline
+      * JPEG (Motion-JPEG), decoded per frame via javax.imageio.
+      */
+    private val MjpgFourcc = 0x47504A4D
+
     def decode(payload: Array[Byte], format: String): Array[Byte] = {
       require(payload.length >= 12 && fourcc(payload, 0) == "RIFF"
         && fourcc(payload, 8) == "AVI ",
@@ -339,6 +345,7 @@ object Multimodal {
           s"(${payload.length} bytes, not a RIFF/AVI container)")
       var usPerFrame = 0
       var w = 0; var h = 0
+      var compression = 0
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       // generic RIFF chunk walk; LIST chunks recurse into their body
       def walk(from: Int, to: Int): Unit = {
@@ -362,9 +369,11 @@ object Multimodal {
               require(le32(payload, o + 8) == 40,
                 "VideoCodec: unexpected BITMAPINFOHEADER size")
               w = le32(payload, o + 12); h = le32(payload, o + 16)
-              require(le16(payload, o + 22) == 24
-                && le32(payload, o + 24) == 0,
-                "VideoCodec: only 24-bit uncompressed DIB (BI_RGB) frames")
+              compression = le32(payload, o + 24)
+              require((le16(payload, o + 22) == 24 && compression == 0)
+                || compression == MjpgFourcc,
+                "VideoCodec: only 24-bit uncompressed DIB (BI_RGB) " +
+                  "or MJPG (JPEG-in-AVI) frames")
             case "00db" | "00dc" => frames += ((o + 8, sz))
             case _ => () // strh, idx1, JUNK, ...
           }
@@ -374,11 +383,27 @@ object Multimodal {
       walk(12, payload.length)
       require(w > 0 && h > 0 && frames.nonEmpty,
         "VideoCodec: no video stream header or frames in container")
-      val rowBytes = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
       val out = new Array[Byte](16 + frames.size * w * h * 3)
       val bb = java.nio.ByteBuffer.wrap(out)
       bb.putInt(0, w); bb.putInt(4, h)
       bb.putInt(8, frames.size); bb.putInt(12, usPerFrame)
+      if (compression == MjpgFourcc) {
+        // MJPEG: every chunk is an independent baseline JPEG —
+        // per-frame decode through the image codec (pure javax.imageio,
+        // the same path q78 gates), already top-down RGB behind its
+        // 8-byte header
+        frames.zipWithIndex.foreach { case ((off, sz), f) =>
+          val img = ImageCodec.decode(
+            java.util.Arrays.copyOfRange(payload, off, off + sz), "jpeg")
+          val ib = java.nio.ByteBuffer.wrap(img)
+          require(ib.getInt(0) == w && ib.getInt(4) == h,
+            s"VideoCodec: MJPG frame $f is ${ib.getInt(0)}x${ib.getInt(4)}, " +
+              s"stream header says ${w}x$h")
+          System.arraycopy(img, 8, out, 16 + f * w * h * 3, w * h * 3)
+        }
+        return out
+      }
+      val rowBytes = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
       frames.zipWithIndex.foreach { case ((off, sz), f) =>
         require(sz >= rowBytes * h, s"VideoCodec: frame $f truncated")
         var y = 0
@@ -523,6 +548,90 @@ object Multimodal {
       list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))))
     val movi = list("movi", Array.concat(frames: _*))
     val body = Array.concat(cc("AVI "), hdrl, movi)
+    bos.write(cc("RIFF")); bos.write(le32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** The closed-form pixel of [[synthMjpegAvi]]'s frame `f` at (x, y):
+    * SMOOTH linear ramps (not synthAvi's mod-256 noise) because the
+    * frames are JPEG-encoded — DCT reproduces low-frequency gradients
+    * almost exactly at high quality, so a tight tolerance band is an
+    * honest decode gate where per-pixel equality cannot be (JPEG is
+    * lossy by definition).
+    */
+  def mjpegPixel(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
+    math.min(255, x * 6 + f * 10 + (id % 16).toInt),
+    math.min(255, y * 6 + f * 6),
+    math.min(255, (x + y) * 3 + (id % 32).toInt))
+
+  /** Deterministic Motion-JPEG clip: the same RIFF/AVI container as
+    * [[synthAvi]] but `biCompression = 'MJPG'` and every movi chunk a
+    * complete baseline JPEG (javax.imageio writer, explicit 1.0
+    * quality — measured round-trip error on the ramps: ±5 at 1.0,
+    * ±6+ at 0.95, the residual being chroma subsampling). Same
+    * dims/frame-count formulas as synthAvi.
+    */
+  def synthMjpegAvi(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 4).toInt
+    val nFrames = 2 + (id % 4).toInt
+    val usPerFrame = 40000
+
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      Array.concat(cc(id4), le32(body.length), body, pad)
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      Array.concat(cc("LIST"), le32(body.length + 4), cc(typ), body)
+
+    def encodeJpeg(f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = mjpegPixel(id, f, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(1.0f)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose(); ios.close()
+      out.toByteArray
+    }
+
+    val jpegs = (0 until nFrames).map(encodeJpeg)
+    val maxBytes = jpegs.map(_.length).max
+    val avih = Array.concat(le32(usPerFrame), le32(maxBytes * 25),
+      le32(0), le32(0), le32(nFrames), le32(0), le32(1), le32(maxBytes),
+      le32(w), le32(h), le32(0), le32(0), le32(0), le32(0))
+    val strh = Array.concat(cc("vids"), cc("MJPG"), le32(0), le16(0),
+      le16(0), le32(0), le32(1), le32(25), le32(0), le32(nFrames),
+      le32(maxBytes), le32(0), le32(0), le16(0), le16(0), le16(w), le16(h))
+    val strf = Array.concat(le32(40), le32(w), le32(h), le16(1), le16(24),
+      cc("MJPG"), le32(maxBytes), le32(0), le32(0), le32(0), le32(0))
+
+    val hdrl = list("hdrl", Array.concat(chunk("avih", avih),
+      list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", Array.concat(jpegs.map(chunk("00dc", _)): _*))
+    val body = Array.concat(cc("AVI "), hdrl, movi)
+    val bos = new java.io.ByteArrayOutputStream()
     bos.write(cc("RIFF")); bos.write(le32(body.length)); bos.write(body)
     bos.toByteArray
   }

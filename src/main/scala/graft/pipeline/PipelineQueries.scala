@@ -521,6 +521,55 @@ object PipelineQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // q201 — MOTION-JPEG DECODE (the first COMPRESSED format through
+    // the codec seam): real RIFF/AVI containers whose movi chunks are
+    // complete baseline JPEGs (biCompression = 'MJPG'), demuxed by the
+    // same RIFF walk as q80 and decoded per frame by javax.imageio.
+    // JPEG is lossy, so per-pixel equality is not an honest gate —
+    // frames are SMOOTH linear ramps (DCT reproduces low-frequency
+    // content almost exactly at 1.0 quality) and the gate is the
+    // q21/q171 in-band rule: every decoded pixel must land within ±8
+    // of the closed-form ramp, asserted as a boolean the oracle pins
+    // to TRUE, with container metadata (dims, frame enumeration,
+    // timestamps) exact-matched. MultimodalSpec pins the observed
+    // error tighter (≤6; measured ±5) against regression.
+    "q201_mjpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 2 + (id % 4)
+          Multimodal.Media(id, "video", Multimodal.synthMjpegAvi(id),
+            0, 0, 0, n * 40L, "avi")
+        })
+      Multimodal
+        .frameSample(media, everyMs = 40L, codec = Multimodal.VideoCodec)
+        .mapPartitions(_.map { fr =>
+          val bb = java.nio.ByteBuffer.wrap(fr.payload)
+          val (w, h) = (bb.getInt(0), bb.getInt(4))
+          var maxErr = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = 8 + (y * w + x) * 3
+              val (er, eg, eb) =
+                Multimodal.mjpegPixel(fr.media_id, fr.frame_idx, x, y)
+              maxErr = math.max(maxErr, math.max(
+                math.abs((fr.payload(o) & 0xff) - er), math.max(
+                  math.abs((fr.payload(o + 1) & 0xff) - eg),
+                  math.abs((fr.payload(o + 2) & 0xff) - eb))))
+              x += 1
+            }
+            y += 1
+          }
+          (fr.media_id, fr.frame_idx.toLong, fr.ts_ms,
+            w.toLong, h.toLong, maxErr <= 8)
+        })
+        .toDF("media_id", "frame_idx", "ts_ms", "width", "height", "band_ok")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // q177 — VIDEO SCENE-CUT DETECTION: the first real PROCESSING op
     // on top of the real video codec (q80 proves decode; this uses
     // it) — per-frame luminance-proxy sums from the RIFF demux, then
@@ -1481,6 +1530,19 @@ object PipelineQueries {
         "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
         "CAST(SUM(s) AS BIGINT) AS fsum " +
         "FROM v GROUP BY id, f, w, h ORDER BY media_id, frame_idx"),
+
+    // the container metadata and frame enumeration are exact; the
+    // lossy pixel content is gated in-band — band_ok literal TRUE, so
+    // one out-of-band decoded pixel anywhere hash-mismatches
+    "q201_mjpeg_decode" ->
+      ("WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w, " +
+        "8 + doc_id % 4 AS h, 2 + doc_id % 4 AS n " +
+        "FROM documents WHERE doc_id < 100) " +
+        "SELECT id AS media_id, unnest(generate_series(0, n - 1)) " +
+        "AS frame_idx, unnest(generate_series(0, n - 1)) * 40 AS ts_ms, " +
+        "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "TRUE AS band_ok FROM dims ORDER BY media_id, frame_idx"),
+
     "q55_doc_chunks" ->
       (s"WITH n0 AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
         "FROM documents), " +

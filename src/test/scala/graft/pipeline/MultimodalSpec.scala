@@ -129,6 +129,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undecodable"))
   }
 
+  test("VideoCodec demuxes MJPG AVI and decodes frames within a tight band of the source ramps") {
+    // tighter than q201's gated ±8: observed javax JPEG error on these
+    // linear ramps at 1.0 quality is ±5 (residual chroma subsampling)
+    // — a codec/regression canary at ±6
+    (0L until 12L).foreach { id =>
+      val raw = Multimodal.VideoCodec.decode(
+        Multimodal.synthMjpegAvi(id), "avi")
+      val (w, h, n, us) = Multimodal.VideoCodec.rawDims(raw)
+      assert((w, h, n, us) ===
+        ((8 + (id % 8).toInt, 8 + (id % 4).toInt, 2 + (id % 4).toInt, 40000)))
+      var maxErr = 0
+      for (f <- 0 until n; y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.VideoCodec.rawPixel(raw, f, x, y)
+        val (er, eg, eb) = Multimodal.mjpegPixel(id, f, x, y)
+        maxErr = math.max(maxErr, math.max(math.abs(r - er),
+          math.max(math.abs(g - eg), math.abs(b - eb))))
+      }
+      assert(maxErr <= 6, s"clip $id decoded ±$maxErr from the source ramps")
+    }
+  }
+
   test("AudioCodec decodes a real WAV back to the exact generated samples") {
     val id = 23L
     val wav = synthWav(id)
