@@ -56,6 +56,22 @@ object ScaleCurve {
         col("label"))
     }.reduce(_ unionByName _)
     embsX4.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // part replicas keep brand/size/type VERBATIM (the catalog blocking
+    // attributes are a fixed-cardinality domain — replication grows the
+    // blocks, exactly what a bigger catalog does to attribute blocking)
+    // and rotate names bijectively (within-replica JW/edit structure
+    // preserved, cross-replica names decorrelated)
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
+    val partX4 = (0 until 4).map { r =>
+      if (r == 0) part
+      else part.select(
+        (col("p_partkey") + r * 10000000L).as("p_partkey"),
+        translate(col("p_name"),
+          "abcdefghijklmnopqrstuvwxyz", rot(7 * r % 26)).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }.reduce(_ unionByName _)
+    partX4.write.mode("overwrite").parquet(s"$outDir/part.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,12 +115,29 @@ object ScaleCurve {
       // kNN graph: query set == corpus, so Σ bucket² is the whole
       // cost — the in-bucket pairing must stay off the n² curve and
       // the top_k truncation must keep the exchange at 3 pairs/node
-      "q176_knn_graph" -> "embeddings")
+      "q176_knn_graph" -> "embeddings",
+      // containment PPJoin: probe-prefix × full-index candidates —
+      // same Σ df² shape as q117 with the one-sided filter
+      "q121_containment_join" -> "documents",
+      // attribute-blocked pair families: candidate cost is Σ block²
+      // over the CATALOG's (brand[, type|size]) domain — a
+      // fixed-cardinality blocking, so the ×4 replication grows every
+      // block 4× and the candidate count 16×; the measured tail is the
+      // blocked-pairing price at constant blocking cardinality (a real
+      // catalog re-blocks on more attributes as it grows — SURVEY's
+      // documented contract), reported honestly rather than dressed up
+      "q106_editdist_pairs" -> "part",
+      "q151_jw_entity_match" -> "part",
+      "q170_golden_record" -> "part",
+      // suffix-array dedup: log L rounds of rank sorts — must track
+      // n log n, never the pairing curve
+      "q199_suffix_dup_spans" -> "documents")
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(
         "documents" -> spark.read.parquet(s"$dir/documents.parquet").count(),
-        "embeddings" -> spark.read.parquet(s"$dir/embeddings.parquet").count())
+        "embeddings" -> spark.read.parquet(s"$dir/embeddings.parquet").count(),
+        "part" -> spark.read.parquet(s"$dir/part.parquet").count())
     }.toMap
 
     def time(name: String, dir: String): Double = {
@@ -141,6 +174,16 @@ object ScaleCurve {
       "is the\nsf0.1 → sf0.1×4 slope (fixed costs amortized — the " +
       "number that predicts\nthe next 10×). All-pairs behavior would " +
       "be α ≈ 2.\n\n"
+    md ++= "Caveat for the ATTRIBUTE-BLOCKED family (q106/q151/q170): their\n" +
+      "blocking keys are catalog attributes with FIXED cardinality\n" +
+      "(brand×size = 1250, brand×type = 3750), so replicating the corpus\n" +
+      "grows every block linearly and the candidate count quadratically —\n" +
+      "the measured tail is the honest price of attribute blocking at\n" +
+      "constant key cardinality, not an implementation defect. A catalog\n" +
+      "that grows 100× grows its blocking vocabulary too (more brands,\n" +
+      "more attributes in the key); the content-derived operators\n" +
+      "(q108 PassJoin, q117/q121 prefix-filter joins) are the measured\n" +
+      "scale path when it does not.\n\n"
     md ++= "| operator | n (rows) | t sf0.01 | t sf0.1 | t sf0.1x4 | alpha_fit | alpha_tail |\n"
     md ++= "|---|---|---|---|---|---|---|\n"
     results.foreach { case (name, ts, ns, fit, tail) =>
