@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge training — the tokenizer-training step of
@@ -77,4 +77,17 @@ object Bpe {
     import spark.implicits._
     merges.result().toDF("step", "pair", "merged", "cnt")
   }
+
+  /** Scan-side ENCODE: apply trained merge rules (in training order)
+    * to a word column, returning the `·`-separated symbol sequence.
+    * Pure codegen'd string replaces — the corpus-wide application is
+    * one projection, no shuffle, no per-row rule lookup; the rule list
+    * is bounded (= the trained step count), embedded as literals like
+    * the training rounds embed them.
+    */
+  def encodeExpr(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(regexp_replace(word, "(.)", s"$Sep$$1")) {
+      case (acc, (pair, merged)) =>
+        replace(acc, lit(Sep + pair), lit(Sep + merged))
+    }
 }

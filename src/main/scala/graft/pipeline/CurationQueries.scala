@@ -118,6 +118,37 @@ object CurationQueries {
       Bpe.train(s, words, "w", "cnt", steps = 5).orderBy("step")
     }),
 
+    // q202 — BPE ENCODE (tokenizer APPLICATION, q133's pair): the
+    // trained merges applied to every word occurrence in the corpus,
+    // reduced to per-document BPE token counts — the "how many tokens
+    // is my corpus" question every training-data budget starts from,
+    // answered with the corpus's OWN tokenizer. The rule list is the
+    // bounded training output (5 rows — the q133 argmax-collect
+    // pattern); application is [[Bpe.encodeExpr]]'s scan-side replace
+    // chain (no shuffle, no per-row lookup), and the only aggregation
+    // is one per-doc partial-agg groupBy. The ORACLE replays training
+    // AND applies the same 5 replaces to every word per document, so
+    // a drifted rule, a wrong application order, or an off-by-one in
+    // the symbol count diverges the hash.
+    "q202_bpe_encode" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val merges = Bpe.train(s, words, "w", "cnt", steps = 5)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w").rlike("^[a-z0-9]+$"))
+        .select(col("doc_id"),
+          (size(split(Bpe.encodeExpr(col("w"), merges), Bpe.Sep)) - 1)
+            .cast("long").as("toks"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("toks").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // q140 — NATIVE TOP-K AGGREGATE: q129's per-domain cap computed
     // by the custom `top_k` TypedImperativeAggregate instead of the
     // histogram-threshold + window composition — bounded 16·k-byte
@@ -739,8 +770,11 @@ object CurationQueries {
   // each round i extracts adjacent pairs (e_i), picks the argmax with
   // the engine's exact tie-break (t_i), and applies the merge with the
   // same boundary-safe replace the Spark side uses (s_i)
-  private def duckBpeSql: String = {
-    val steps = 5
+  /** The shared training replay: word-frequency vocabulary, symbol
+    * sequences, and `steps` rounds of (pair count, argmax, replace) —
+    * the WITH-body both BPE oracles start from.
+    */
+  private def duckBpeCtes(steps: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH wv AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM " +
       s"(SELECT unnest(string_split($duckNorm, ' ')) AS w FROM documents) "
@@ -756,11 +790,40 @@ object CurationQueries {
       sb ++= s", s$i AS (SELECT cnt, replace(seq, '·' || (SELECT pair FROM t$i), " +
         s"'·' || (SELECT replace(pair, '·', '') FROM t$i)) AS seq FROM s${i - 1})"
     }
-    sb ++= " SELECT * FROM (" +
+    sb.toString
+  }
+
+  private def duckBpeSql: String = {
+    val steps = 5
+    duckBpeCtes(steps) + " SELECT * FROM (" +
       (1 to steps).map(i =>
         s"SELECT $i AS step, pair, replace(pair, '·', '') AS merged, " +
           s"c AS cnt FROM t$i").mkString(" UNION ALL ") +
       ") ORDER BY step"
+  }
+
+  /** q202's twin: the SAME training rounds, then the five learned
+    * replaces applied to every word occurrence per document, symbols
+    * counted as separators.
+    */
+  private def duckBpeEncodeSql: String = {
+    val steps = 5
+    val sb = new StringBuilder
+    sb ++= duckBpeCtes(steps)
+    sb ++= s", dw AS (SELECT doc_id, unnest(string_split($duckNorm, ' ')) " +
+      "AS w FROM documents)"
+    sb ++= ", dq0 AS (SELECT doc_id, regexp_replace(w, '(.)', '·\\1', 'g') " +
+      "AS seq FROM dw WHERE regexp_matches(w, '^[a-z0-9]+"
+    sb ++= "$'))"
+    for (i <- 1 to steps) {
+      sb ++= s", dq$i AS (SELECT doc_id, replace(seq, " +
+        s"'·' || (SELECT pair FROM t$i), " +
+        s"'·' || (SELECT replace(pair, '·', '') FROM t$i)) AS seq " +
+        s"FROM dq${i - 1})"
+    }
+    sb ++= s" SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(len(string_split(seq, '·')) - 1) AS BIGINT) AS n_tokens " +
+      s"FROM dq$steps GROUP BY doc_id ORDER BY doc_id"
     sb.toString
   }
 
@@ -918,6 +981,7 @@ object CurationQueries {
         "FROM pred p JOIN documents d ON d.doc_id = p.doc_id " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q133_bpe_train" -> duckBpeSql,
+    "q202_bpe_encode" -> duckBpeEncodeSql,
     // the window formulation the native aggregate must reproduce
     "q140_topk_agg" ->
       ("WITH r AS (SELECT source, doc_id, n_chars, row_number() OVER " +

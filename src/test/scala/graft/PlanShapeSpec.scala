@@ -522,4 +522,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin("),
       s"q187 degraded to a non-equi join:\n$p")
   }
+
+  test("suffix dedup: every window is document-partitioned, never corpus-wide") {
+    val p = plan("q199_suffix_dup_spans")
+    // lead()s per doubling round + the islands pass — all keyed by doc
+    assert(p.contains("windowspecdefinition(__id"),
+      s"q199 lost its per-document window partitioning:\n$p")
+    assert(!p.contains("windowspecdefinition()") &&
+      !p.contains("SinglePartition"),
+      s"q199 introduced a corpus-wide single-partition stage:\n$p")
+  }
+
+  test("BPE encode is scan-side replaces + one per-doc partial agg, no window") {
+    val p = plan("q202_bpe_encode")
+    assert(!p.contains("windowspecdefinition"),
+      s"q202 reintroduced a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q202 lost map-side partial aggregation:\n$p")
+  }
 }
