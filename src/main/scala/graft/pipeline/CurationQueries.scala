@@ -685,6 +685,22 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id", "span_start")),
 
+    // q203 — SUFFIX DEDUP APPLICATION (q199's removal step — what Lee
+    // et al. actually do to the corpus): every duplicated ≥8-token
+    // window keeps its corpus-first occurrence (min (doc, pos) of the
+    // rank group); tokens covered by any NON-keeper duplicated window
+    // are cut and each document is rebuilt from the survivors. Output
+    // is (n_tokens, n_kept, md5 of the rebuilt text) per document, so
+    // the gate pins the exact surviving BYTES, not just counts. The
+    // ORACLE replays keeper selection and removal over brute-force
+    // windows (row_number per window group), plan-disjoint from the
+    // rank tables.
+    "q203_suffix_dedup_apply" -> ((s, d) =>
+      SuffixDup.applyDedup(docs(s, d), "doc_id",
+          TextOps.tokens(col("text")), 8)
+        .withColumnRenamed("__id", "doc_id")
+        .orderBy("doc_id")),
+
     // q151 — ENTITY RESOLUTION with Jaro-Winkler (the fuzzy-match
     // measure Spark lacks natively — q106/q108's edit-distance family
     // covers typos by count; JW weights shared prefixes, the rule
@@ -1101,6 +1117,39 @@ object CurationQueries {
         "SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start, " +
         "CAST(max(i) + 8 AS BIGINT) AS span_end FROM isl " +
         "GROUP BY doc_id, g ORDER BY doc_id, span_start"),
+
+    // keeper = first (doc, pos) per duplicated window (row_number);
+    // non-keeper starts merge to spans; survivors rebuild the text
+    "q203_suffix_dedup_apply" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS l " +
+        "FROM documents), " +
+        "pos AS (SELECT doc_id, i, array_to_string(l[i+1:i+8], ' ') AS w " +
+        "FROM tk, unnest(generate_series(0, CAST(len(l) AS INT) - 8)) " +
+        "AS u(i)), " +
+        "dp AS (SELECT doc_id, i FROM (SELECT doc_id, i, " +
+        "row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn, " +
+        "count(*) OVER (PARTITION BY w) AS c FROM pos) " +
+        "WHERE c >= 2 AND rn > 1), " +
+        "mk AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER " +
+        "(PARTITION BY doc_id ORDER BY i) <= 8 THEN 0 ELSE 1 END AS brk " +
+        "FROM dp), " +
+        "isl AS (SELECT doc_id, i, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY i) AS g FROM mk), " +
+        "spans AS (SELECT doc_id, min(i) AS s, max(i) + 8 AS e FROM isl " +
+        "GROUP BY doc_id, g), " +
+        "tok AS (SELECT doc_id, i - 1 AS p, l[i] AS t FROM tk, " +
+        "unnest(generate_series(1, CAST(len(l) AS INT))) AS v(i)), " +
+        "kept AS (SELECT tok.doc_id, p, t FROM tok WHERE NOT EXISTS (" +
+        "SELECT 1 FROM spans s WHERE s.doc_id = tok.doc_id " +
+        "AND tok.p >= s.s AND tok.p < s.e)), " +
+        "rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "md5(string_agg(t, ' ' ORDER BY p)) AS m FROM kept GROUP BY 1), " +
+        "nt AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM tk) " +
+        "SELECT nt.doc_id, nt.n_tokens, " +
+        "coalesce(rb.n_kept, 0) AS n_kept, " +
+        "coalesce(rb.m, md5('')) AS text_md5 " +
+        "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
+        "ORDER BY nt.doc_id"),
 
     // DuckDB's own jaro_winkler_similarity — the native expression
     // must reproduce it value-for-value on every surviving pair

@@ -63,6 +63,57 @@ object SuffixDup {
     spark.createDataFrame(rdd, schema)
   }
 
+  private val wDoc = Window.partitionBy("__id").orderBy("__pos")
+
+  /** (__id, __pos, __tok) — the exploded corpus. */
+  private def tokens(docsDf: DataFrame, idCol: String,
+      toksCol: Column): DataFrame =
+    docsDf.select(col(idCol).as("__id"),
+      posexplode(toksCol).as(Seq("__pos", "__tok")))
+
+  /** Manber–Myers rank table truncated at window length `minLen` (a
+    * power of two), restricted to FULL-window positions: two rows
+    * share `__r` iff their length-minLen token windows are equal.
+    * Returns (__id, __pos, __r).
+    */
+  private def rankedFullPositions(toks: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2 && (minLen & (minLen - 1)) == 0,
+      s"minLen must be a power of two, got $minLen")
+    // round 0: rank = dense vocabulary rank of the token at __pos
+    var ranks = toks
+      .join(denseRanks(toks, Seq("__tok")), "__tok")
+      .select(col("__id"), col("__pos"), col("__rank").as("__r"))
+    var span = 1
+    while (span < minLen) {
+      val paired = ranks
+        .withColumn("__r2", lead(col("__r"), span, -1L).over(wDoc))
+      ranks = paired
+        .join(denseRanks(paired, Seq("__r", "__r2")), Seq("__r", "__r2"))
+        .select(col("__id"), col("__pos"), col("__rank").as("__r"))
+      span *= 2
+    }
+    ranks.join(
+      toks.groupBy("__id").agg(count(lit(1)).as("__len")), "__id")
+      .where(col("__pos") + minLen <= col("__len"))
+      .select("__id", "__pos", "__r")
+  }
+
+  /** Gaps-and-islands merge of window-start positions (__id, __pos)
+    * into maximal `[span_start, span_end)` spans; starts ≤ minLen
+    * apart chain.
+    */
+  private def mergeSpans(dupPos: DataFrame, minLen: Int): DataFrame =
+    dupPos
+      .withColumn("__brk",
+        when(col("__pos") - lag("__pos", 1).over(wDoc) <= minLen, 0)
+          .otherwise(1))
+      .withColumn("__isl", sum("__brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min("__pos").cast("long").as("span_start"),
+        (max("__pos") + minLen).cast("long").as("span_end"))
+      .select(col("__id"), col("span_start"), col("span_end"))
+
   /** Maximal merged spans `[span_start, span_end)` (token offsets) per
     * document covered by duplicated substrings of length ≥ `minLen`
     * tokens. `minLen` must be a power of two: the final doubling round
@@ -77,49 +128,60 @@ object SuffixDup {
     */
   def dupSpans(docsDf: DataFrame, idCol: String, toksCol: Column,
       minLen: Int): DataFrame = {
-    require(minLen >= 2 && (minLen & (minLen - 1)) == 0,
-      s"minLen must be a power of two, got $minLen")
-
-    val toks = docsDf.select(col(idCol).as("__id"),
-      posexplode(toksCol).as(Seq("__pos", "__tok")))
-    val wDoc = Window.partitionBy("__id").orderBy("__pos")
-
-    // round 0: rank = dense vocabulary rank of the token at __pos
-    var ranks = toks
-      .join(denseRanks(toks, Seq("__tok")), "__tok")
-      .select(col("__id"), col("__pos"), col("__rank").as("__r"))
-
-    var span = 1
-    while (span < minLen) {
-      val paired = ranks
-        .withColumn("__r2", lead(col("__r"), span, -1L).over(wDoc))
-      ranks = paired
-        .join(denseRanks(paired, Seq("__r", "__r2")), Seq("__r", "__r2"))
-        .select(col("__id"), col("__pos"), col("__rank").as("__r"))
-      span *= 2
-    }
-
-    // duplicated position = shared final rank among positions with a
-    // full L-window left (partial-agg count, then a semi-style join —
-    // never a corpus-wide window)
-    val full = ranks.join(
-      toks.groupBy("__id").agg(count(lit(1)).as("__len")), "__id")
-      .where(col("__pos") + minLen <= col("__len"))
-      .select("__id", "__pos", "__r")
+    val toks = tokens(docsDf, idCol, toksCol)
+    val full = rankedFullPositions(toks, minLen)
+    // duplicated position = shared final rank (partial-agg count, then
+    // a semi-style join — never a corpus-wide window)
     val shared = full.groupBy("__r").agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1).select("__r")
-    val dupPos = full.join(shared, "__r").select("__id", "__pos")
+    mergeSpans(full.join(shared, "__r").select("__id", "__pos"), minLen)
+  }
 
-    // gaps-and-islands: window starts ≤ minLen apart merge
-    dupPos
-      .withColumn("__brk",
-        when(col("__pos") - lag("__pos", 1).over(wDoc) <= minLen, 0)
-          .otherwise(1))
-      .withColumn("__isl", sum("__brk").over(
-        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("__id"), col("__isl"))
-      .agg(min("__pos").cast("long").as("span_start"),
-        (max("__pos") + minLen).cast("long").as("span_end"))
-      .select(col("__id"), col("span_start"), col("span_end"))
+  /** Dedup APPLICATION (Lee et al.'s removal step): every duplicated
+    * length-minLen window keeps its corpus-FIRST occurrence (min
+    * (doc, pos) of the rank group — the deterministic keeper rule);
+    * tokens covered by any NON-keeper duplicated window are removed
+    * and each document is rebuilt from its surviving tokens in order.
+    *
+    * The removal geometry reuses the span merge; the rebuild groups
+    * tokens per document once (text moves in one shuffle, the q130
+    * rebuild contract). Returns one row per INPUT document:
+    * (doc_id, n_tokens, n_kept, text_md5 of the space-joined
+    * survivors — md5("") when everything was removed or the document
+    * was empty).
+    */
+  def applyDedup(docsDf: DataFrame, idCol: String, toksCol: Column,
+      minLen: Int): DataFrame = {
+    val toks = tokens(docsDf, idCol, toksCol)
+    val full = rankedFullPositions(toks, minLen)
+    val groups = full.groupBy("__r").agg(count(lit(1)).as("__n"),
+      min(struct(col("__id"), col("__pos"))).as("__keep"))
+      .where(col("__n") > 1)
+      .select(col("__r"), col("__keep.__id").as("__kid"),
+        col("__keep.__pos").as("__kpos"))
+    val nonKeeper = full.join(groups, "__r")
+      .where(col("__id") =!= col("__kid") || col("__pos") =!= col("__kpos"))
+      .select("__id", "__pos")
+    val spans = mergeSpans(nonKeeper, minLen)
+      .groupBy("__id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val kept = toks.join(spans, Seq("__id"), "left")
+      .where(col("__spans").isNull ||
+        !exists(col("__spans"), s =>
+          col("__pos") >= s.getField("span_start") &&
+            col("__pos") < s.getField("span_end")))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("__t2"))
+    docsDf.select(col(idCol).as("__id"))
+      .join(toks.groupBy("__id").agg(count(lit(1)).as("n_tokens")), Seq("__id"), "left")
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        coalesce(col("__nk"), lit(0L)).cast("long").as("n_kept"),
+        md5(coalesce(col("__t2"), lit(""))).as("text_md5"))
   }
 }

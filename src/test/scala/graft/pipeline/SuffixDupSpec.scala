@@ -68,6 +68,62 @@ class SuffixDupSpec extends AnyFunSuite {
     assert(run(docs + (3L -> Vector("lone")), 2) === Set((1L, 0L, 6L)))
   }
 
+  /** Literal removal model: non-keeper duplicated-window positions
+    * cover tokens; survivors rebuild per doc. */
+  private def bruteApply(docs: Map[Long, Vector[String]],
+      l: Int): Map[Long, (Long, Long, String)] = {
+    val windows = for {
+      (id, toks) <- docs.toSeq
+      i <- 0 to toks.size - l
+    } yield (id, i, toks.slice(i, i + l))
+    val byW = windows.groupBy(_._3).filter(_._2.size >= 2)
+    val removed = byW.values.flatMap { occ =>
+      val keeper = occ.map(o => (o._1, o._2)).min
+      occ.map(o => (o._1, o._2)).filterNot(_ == keeper)
+        .flatMap { case (id, p) => (p until p + l).map(id -> _) }
+    }.toSet
+    docs.map { case (id, toks) =>
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !removed(id -> i) => t
+      }
+      id -> ((toks.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }
+  }
+
+  test("applyDedup ≡ brute-force keeper removal on random corpora") {
+    val genDoc = for {
+      n <- Gen.choose(0, 20)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+    } yield toks.toVector
+    val genCorpus = for {
+      k <- Gen.choose(1, 5)
+      ds <- Gen.listOfN(k, genDoc)
+    } yield ds.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(2, 4)) { (docs0, l) =>
+      val docs = docs0.filter(_._2.nonEmpty)
+      docs.isEmpty || {
+        val df = docs.toSeq
+          .map { case (id, toks) => (id, toks.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = SuffixDup
+          .applyDedup(df, "doc_id", split(col("text"), " "), l)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getString(3)))).toMap
+        val want = bruteApply(docs, l).map { case (id, (n, k, txt)) =>
+          id -> ((n, k, hex(txt)))
+        }
+        got == want
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("prefix doubling ≡ brute-force window counting on random corpora") {
     val genDoc = for {
       n <- Gen.choose(0, 24)
