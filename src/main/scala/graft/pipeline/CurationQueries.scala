@@ -701,6 +701,22 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q204 — DSIR IMPORTANCE SELECTION (Xie et al. 2023): the top-50
+    // corpus documents by log importance weight under hashed-n-gram
+    // models of the English slice (target) vs the whole corpus (raw)
+    // — the distribution-matching selection step a pretraining mix
+    // runs after dedup. One explode pass builds BOTH 1024-bucket
+    // histograms (target count rides the raw partial agg); the
+    // log-ratio table broadcasts; scoring is scan-side; the cut is
+    // TakeOrdered. The ORACLE refits both smoothed models and replays
+    // the per-occurrence micro log-ratios independently, so a hashing
+    // drift, a smoothing mismatch, or a wrong model total flips the
+    // hash. See [[Dsir]] for the 100 TB argument.
+    "q204_dsir_select" -> ((s, d) =>
+      Dsir.select(docs(s, d), "doc_id", "text", col("lang") === "en",
+          buckets = 1024, k = 50)
+        .withColumnRenamed("__id", "doc_id")),
+
     // q151 — ENTITY RESOLUTION with Jaro-Winkler (the fuzzy-match
     // measure Spark lacks natively — q106/q108's edit-distance family
     // covers typos by count; JW weights shared prefixes, the rule
@@ -1150,6 +1166,31 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // same hashed unigram+bigram buckets, same add-one smoothing, same
+    // per-occurrence floor(ln·1e6) micro log-ratios, same top-50 cut
+    "q204_dsir_select" ->
+      (s"WITH tk AS (SELECT doc_id, lang, string_split($duckNorm, ' ') AS l " +
+        "FROM documents), " +
+        "uni AS (SELECT doc_id, lang, unnest(l) AS f FROM tk), " +
+        "big AS (SELECT doc_id, lang, l[i] || ' ' || l[i+1] AS f " +
+        "FROM tk, unnest(generate_series(1, CAST(len(l) AS INT) - 1)) " +
+        "AS u(i)), " +
+        "ft AS (SELECT doc_id, lang, " +
+        "('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b " +
+        "FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)), " +
+        "h AS (SELECT b, count(*) AS cr, " +
+        "count(*) FILTER (lang = 'en') AS ct FROM ft GROUP BY b), " +
+        "tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr, " +
+        "CAST(sum(ct) AS DOUBLE) AS tt FROM h), " +
+        "lr AS (SELECT b, " +
+        "CAST(floor(ln((ct + 1) / (tt + 1024)) * 1000000) AS BIGINT) - " +
+        "CAST(floor(ln((cr + 1) / (tr + 1024)) * 1000000) AS BIGINT) " +
+        "AS lrm FROM h CROSS JOIN tot) " +
+        "SELECT doc_id, count(*) AS n_feat, " +
+        "CAST(sum(lrm) AS BIGINT) AS lw_micro " +
+        "FROM ft JOIN lr USING (b) GROUP BY doc_id " +
+        "ORDER BY lw_micro DESC, doc_id LIMIT 50"),
 
     // DuckDB's own jaro_winkler_similarity — the native expression
     // must reproduce it value-for-value on every surviving pair

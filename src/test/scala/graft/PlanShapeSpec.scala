@@ -175,6 +175,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q68 pivot lost map-side partial aggregation:\n$p")
   }
 
+  test("DSIR scores via broadcast lookup and takes top-k without a full sort") {
+    val p = plan("q204_dsir_select")
+    // the bucket log-ratio table must broadcast (corpus never shuffles
+    // on a feature bucket) and the selection must be a heap, not a sort
+    assert(p.contains("BroadcastHashJoin"), s"q204 lost its broadcast lookup:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q204 top-k became a global sort:\n$p")
+    assert(!p.contains("Window"), s"q204 reintroduced a window exchange:\n$p")
+  }
+
   test("EXCEPT and correlated EXISTS plan as anti/semi hash joins") {
     val p71 = plan("q71_except")
     assert(p71.contains("LeftAnti"), s"q71 EXCEPT lost its anti-join plan:\n$p71")
