@@ -701,6 +701,24 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q205 — SUFFIX DECONTAMINATION (the substring tier of train/eval
+    // hygiene): maximal spans of TRAIN documents covered by an
+    // 8-token window that also occurs in the EVAL slice (doc_id % 17
+    // == 0 — the deterministic holdout). q52/q104 test whole-n-gram
+    // MEMBERSHIP; this finds the contaminated REGION, so the fix can
+    // be surgical (cut the span) instead of dropping the document.
+    // Shared window ⇔ shared rank over the union corpus — see
+    // [[SuffixDup.contaminationSpans]] for why the eval rank set
+    // broadcast-semi-joins and the train side never reshuffles. The
+    // ORACLE is the brute-force window semi-join (train windows ∩
+    // eval window strings, merged to islands), plan-disjoint from the
+    // rank tables.
+    "q205_suffix_decontaminate" -> ((s, d) =>
+      SuffixDup.contaminationSpans(docs(s, d), "doc_id",
+          TextOps.tokens(col("text")), col("doc_id") % 17 === 0, 8)
+        .withColumnRenamed("__id", "doc_id")
+        .orderBy("doc_id", "span_start")),
+
     // q204 — DSIR IMPORTANCE SELECTION (Xie et al. 2023): the top-50
     // corpus documents by log importance weight under hashed-n-gram
     // models of the English slice (target) vs the whole corpus (raw)
@@ -1166,6 +1184,27 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // the brute-force twin: train windows whose string occurs among
+    // eval windows, merged to maximal islands — q199's oracle with
+    // the dup test replaced by an eval semi-join
+    "q205_suffix_decontaminate" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS l " +
+        "FROM documents), " +
+        "pos AS (SELECT doc_id, i, array_to_string(l[i+1:i+8], ' ') AS w " +
+        "FROM tk, unnest(generate_series(0, CAST(len(l) AS INT) - 8)) " +
+        "AS u(i)), " +
+        "ev AS (SELECT DISTINCT w FROM pos WHERE doc_id % 17 = 0), " +
+        "dp AS (SELECT doc_id, i FROM pos " +
+        "WHERE doc_id % 17 <> 0 AND w IN (SELECT w FROM ev)), " +
+        "mk AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER " +
+        "(PARTITION BY doc_id ORDER BY i) <= 8 THEN 0 ELSE 1 END AS brk " +
+        "FROM dp), " +
+        "isl AS (SELECT doc_id, i, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY i) AS g FROM mk) " +
+        "SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start, " +
+        "CAST(max(i) + 8 AS BIGINT) AS span_end FROM isl " +
+        "GROUP BY doc_id, g ORDER BY doc_id, span_start"),
 
     // same hashed unigram+bigram buckets, same add-one smoothing, same
     // per-occurrence floor(ln·1e6) micro log-ratios, same top-50 cut

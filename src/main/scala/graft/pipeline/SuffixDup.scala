@@ -184,4 +184,35 @@ object SuffixDup {
         coalesce(col("__nk"), lit(0L)).cast("long").as("n_kept"),
         md5(coalesce(col("__t2"), lit(""))).as("text_md5"))
   }
+
+  /** CROSS-corpus contamination spans (suffix-based train/eval
+    * decontamination — the substring-match tier above q52/q104's
+    * whole-n-gram membership): maximal merged spans of TRAIN
+    * documents covered by a length-minLen window that ALSO occurs in
+    * an eval document. Shared window ⇔ shared rank, so the rank table
+    * over the union corpus answers cross-membership with no window
+    * string ever materialized on an exchange.
+    *
+    * Scale shape: eval benchmark suites are tiny next to a 100 TB
+    * train corpus, so the distinct-eval-rank set (bounded by eval
+    * token count) broadcast-semi-joins against the train positions —
+    * the train side never shuffles beyond the rank rounds it already
+    * paid for.
+    *
+    * @param isEval per-document membership predicate over `docsDf`'s
+    *               columns (the eval/train split)
+    * @return (__id = TRAIN doc id, span_start, span_end)
+    */
+  def contaminationSpans(docsDf: DataFrame, idCol: String, toksCol: Column,
+      isEval: Column, minLen: Int): DataFrame = {
+    val toks = tokens(docsDf, idCol, toksCol)
+    val full = rankedFullPositions(toks, minLen)
+    val tags = docsDf.select(col(idCol).as("__id"), isEval.as("__ev"))
+    val evalRanks = full.join(tags.where(col("__ev")), "__id")
+      .select("__r").distinct()
+    val trainPos = full.join(tags.where(!col("__ev")), "__id")
+      .join(evalRanks, Seq("__r"), "left_semi")
+      .select("__id", "__pos")
+    mergeSpans(trainPos, minLen)
+  }
 }

@@ -68,6 +68,56 @@ class SuffixDupSpec extends AnyFunSuite {
     assert(run(docs + (3L -> Vector("lone")), 2) === Set((1L, 0L, 6L)))
   }
 
+  /** Literal cross-corpus model: train window starts whose string
+    * occurs among eval windows, merged to islands. */
+  private def bruteContam(docs: Map[Long, Vector[String]],
+      isEval: Long => Boolean, l: Int): Set[(Long, Long, Long)] = {
+    val windows = for {
+      (id, toks) <- docs.toSeq
+      i <- 0 to toks.size - l
+    } yield (id, i, toks.slice(i, i + l))
+    val evalW = windows.filter(w => isEval(w._1)).map(_._3).toSet
+    val starts = windows
+      .filter(w => !isEval(w._1) && evalW(w._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    starts.flatMap { case (id, ss) =>
+      ss.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((d, s, e) :: rest, i) if i - (e - l) <= l =>
+          (d, s, i + l.toLong) :: rest
+        case (acc, i) => (id, i.toLong, i + l.toLong) :: acc
+      }
+    }.toSet
+  }
+
+  test("contaminationSpans ≡ brute-force eval-window semi-join") {
+    val genDoc = for {
+      n <- Gen.choose(0, 20)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+    } yield toks.toVector
+    val genCorpus = for {
+      k <- Gen.choose(2, 6)
+      ds <- Gen.listOfN(k, genDoc)
+    } yield ds.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toMap
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(2, 4)) { (docs0, l) =>
+      val docs = docs0.filter(_._2.nonEmpty)
+      docs.isEmpty || {
+        val isEval = (id: Long) => id % 2 == 0
+        val df = docs.toSeq
+          .map { case (id, toks) => (id, toks.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = SuffixDup
+          .contaminationSpans(df, "doc_id", split(col("text"), " "),
+            col("doc_id") % 2 === 0, l)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        got == bruteContam(docs, isEval, l)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   /** Literal removal model: non-keeper duplicated-window positions
     * cover tokens; survivors rebuild per doc. */
   private def bruteApply(docs: Map[Long, Vector[String]],
