@@ -85,6 +85,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: winnow_fps(text, shingleLen int literal, window int literal)")
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("mmr_select"),
+      new ExpressionInfo(classOf[graft.functions.MmrSelect].getName, "mmr_select"),
+      (args: Seq[Expression]) => args match {
+        case Seq(cands, IntegerLiteral(k), IntegerLiteral(lam)) =>
+          graft.functions.MmrSelect(cands, k, lam)
+        case _ => throw new IllegalArgumentException(
+          "usage: mmr_select(candidates array<struct<id,rel_micro,emb>>, " +
+            "k int literal, lambdaTenths int literal)")
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
       (args: Seq[Expression]) => args match {

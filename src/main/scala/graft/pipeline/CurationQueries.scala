@@ -701,6 +701,35 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q206 — MMR DIVERSIFIED RE-RANKING (Carbonell & Goldstein
+    // SIGIR'98): retrieval's top-20 per query re-ranked to the 5 most
+    // relevant-AND-mutually-novel — the RAG step between ANN and
+    // context assembly (near-dup passages waste the window). The
+    // greedy argmax is the native `mmr_select` expression over the
+    // BOUNDED candidate array (retrieval fan-in caps it at 20; the
+    // O(k·N) sims never touch the corpus); candidates arrive by the
+    // q16 broadcast brute-force path; scores are pure long arithmetic
+    // 7·rel − 3·maxSim over floor-micro cosines, ties by id. The
+    // ORACLE unrolls the 5 greedy steps as SQL CTEs (argmax per step,
+    // correlated max over the picks so far) — plan-disjoint from the
+    // expression's loop.
+    "q206_mmr_rerank" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val top = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 20)
+      top.join(e, "vec_id")
+        .select(col("qid"), struct(
+          col("vec_id").cast("long").as("id"),
+          floor(col("sim") * 1000000d).cast("long").as("rel_micro"),
+          col("emb")).as("c"))
+        .groupBy("qid")
+        .agg(collect_list("c").as("cs"))
+        .select(col("qid"), posexplode(expr("mmr_select(cs, 5, 7)")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("vec_id"), col("col.score_micro").as("score_micro"))
+        .orderBy("qid", "rank")
+    }),
+
     // q205 — SUFFIX DECONTAMINATION (the substring tier of train/eval
     // hygiene): maximal spans of TRAIN documents covered by an
     // 8-token window that also occurs in the EVAL slice (doc_id % 17
@@ -1184,6 +1213,52 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // the 5 greedy MMR steps unrolled as CTEs: each pick is the argmax
+    // of 7·rel − 3·max-sim-to-picks-so-far (floor-micro cosine, ties
+    // by id), exactly the native expression's long arithmetic
+    "q206_mmr_rerank" -> {
+      // floor-micro cosine between two cand rows aliased a and b
+      val simM = (a: String, b: String) =>
+        s"CAST(floor(list_dot_product($a.emb, $b.emb) / " +
+          s"(sqrt(list_dot_product($a.emb, $a.emb)) * " +
+          s"sqrt(list_dot_product($b.emb, $b.emb))) * 1000000) AS BIGINT)"
+      val steps = (2 to 5).map { i =>
+        s"sc$i AS (SELECT c.qid, c.vec_id, 7 * c.rel_micro - 3 * " +
+          s"(SELECT max(${simM("c", "s2")}) FROM cand s2 " +
+          s"JOIN sel${i - 1} p ON p.qid = s2.qid AND p.vec_id = s2.vec_id " +
+          "WHERE s2.qid = c.qid) AS score FROM cand c " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} p " +
+          "WHERE p.qid = c.qid AND p.vec_id = c.vec_id)), " +
+          s"pk$i AS (SELECT qid, vec_id, score FROM (SELECT sc$i.*, " +
+          "row_number() OVER (PARTITION BY qid " +
+          s"ORDER BY score DESC, vec_id) AS rn FROM sc$i) WHERE rn = 1), " +
+          s"sel$i AS (SELECT * FROM sel${i - 1} UNION ALL " +
+          s"SELECT qid, vec_id, score, $i AS rank FROM pk$i)"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5), " +
+        "sims AS (SELECT q.qid, e.vec_id, " +
+        "round(list_dot_product(e.emb, q.qemb) / " +
+        "(sqrt(list_dot_product(e.emb, e.emb)) * " +
+        "sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS sim " +
+        "FROM e, q WHERE e.vec_id <> q.qid), " +
+        "cand AS (SELECT qid, vec_id, " +
+        "CAST(floor(sim * 1000000) AS BIGINT) AS rel_micro, emb " +
+        "FROM (SELECT s.qid, s.vec_id, s.sim, e.emb, " +
+        "row_number() OVER (PARTITION BY s.qid " +
+        "ORDER BY s.sim DESC, s.vec_id) AS rn " +
+        "FROM sims s JOIN e USING (vec_id)) WHERE rn <= 20), " +
+        "sc1 AS (SELECT qid, vec_id, 7 * rel_micro AS score FROM cand), " +
+        "pk1 AS (SELECT qid, vec_id, score FROM (SELECT sc1.*, " +
+        "row_number() OVER (PARTITION BY qid " +
+        "ORDER BY score DESC, vec_id) AS rn FROM sc1) WHERE rn = 1), " +
+        "sel1 AS (SELECT qid, vec_id, score, 1 AS rank FROM pk1), " +
+        steps + " " +
+        "SELECT qid, CAST(rank AS INT) AS rank, vec_id, " +
+        "CAST(score AS BIGINT) AS score_micro FROM sel5 " +
+        "ORDER BY qid, rank"
+    },
 
     // the brute-force twin: train windows whose string occurs among
     // eval windows, merged to maximal islands — q199's oracle with
