@@ -131,7 +131,16 @@ object ScaleCurve {
       "q170_golden_record" -> "part",
       // suffix-array dedup: log L rounds of rank sorts — must track
       // n log n, never the pairing curve
-      "q199_suffix_dup_spans" -> "documents")
+      "q199_suffix_dup_spans" -> "documents",
+      // dedup APPLICATION adds the keeper groupBy + per-doc rebuild
+      // to the q199 rank cost — one extra corpus shuffle, same curve
+      "q203_suffix_dedup_apply" -> "documents",
+      // DSIR: two scan passes + a buckets-bounded aggregate — must
+      // track the scan (α ≈ the q104 probe), nothing pairing-shaped
+      "q204_dsir_select" -> "documents",
+      // cross-corpus decontamination: rank rounds + an eval-rank
+      // semi-join — the train side must never re-pair
+      "q205_suffix_decontaminate" -> "documents")
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(

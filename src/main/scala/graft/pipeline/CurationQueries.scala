@@ -701,6 +701,20 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q207 — JL RANDOM PROJECTION (Achlioptas ±1 variant): 64-dim
+    // embeddings down to 16 through an md5-parity sign matrix — the
+    // pre-ANN dimensionality reduction. The matrix is a pure function
+    // of (i, j), derived identically by every executor and by the
+    // ORACLE (which rebuilds it in SQL from the same md5 parity and
+    // replays the projection via ordered list dot products) — no RNG
+    // state, no broadcast, zero shuffles; see [[JlProject]].
+    "q207_jl_project" -> ((s, d) =>
+      JlProject.project(
+        embs(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb")),
+        "vec_id", "emb", inDim = 64, outDim = 16)
+        .orderBy("vec_id", "j")),
+
     // q206 — MMR DIVERSIFIED RE-RANKING (Carbonell & Goldstein
     // SIGIR'98): retrieval's top-20 per query re-ranked to the 5 most
     // relevant-AND-mutually-novel — the RAG step between ANN and
@@ -1213,6 +1227,19 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // same md5-parity sign matrix rebuilt in SQL, same ordered dot,
+    // same exact /4 normalizer, same floor micros
+    "q207_jl_project" ->
+      ("WITH p AS (SELECT j, i, CASE WHEN " +
+        "('0x' || substr(md5('jl:' || i || ':' || j), 1, 8))::BIGINT " +
+        "% 2 = 0 THEN 1.0 ELSE -1.0 END AS s " +
+        "FROM generate_series(0, 15) t(j), generate_series(0, 63) u(i)), " +
+        "pr AS (SELECT j, list(s ORDER BY i) AS pv FROM p GROUP BY j), " +
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) " +
+        "SELECT vec_id, CAST(j AS INT) AS j, " +
+        "CAST(floor(list_dot_product(emb, pv) / 4 * 1000000) AS BIGINT) " +
+        "AS v_micro FROM e CROSS JOIN pr ORDER BY vec_id, j"),
 
     // the 5 greedy MMR steps unrolled as CTEs: each pick is the argmax
     // of 7·rel − 3·max-sim-to-picks-so-far (floor-micro cosine, ties
