@@ -16,6 +16,9 @@ object CurationQueries {
 
   import PipelineQueries.{docs, duckNorm, embs, duckShingleCtes, duckSigBandCtes}
 
+  private def events(s: SparkSession, dir: String) =
+    graft.Tables.load(s, dir, "events")
+
   /** q130's injected boilerplate: exactly one 5-token block, prepended
     * to every third document, already in normalized form so the Spark
     * and DuckDB normalizations agree on the concatenation.
@@ -701,6 +704,41 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q208 — CORRUPT-RECORD QUARANTINE (schema-on-read ingest
+    // hygiene): a JSON-lines feed (synthesized deterministically from
+    // events; every 13th record truncated) parsed with Spark's
+    // PERMISSIVE from_json + columnNameOfCorruptRecord — the
+    // idiomatic Spark route-don't-fail ingest: valid records surface
+    // typed columns, corrupt ones carry NULL fields and an md5
+    // quarantine receipt of the raw payload (the dead-letter feed).
+    // Scan-side end to end — the parse, the routing predicate, and
+    // both projections fuse into one codegen stage, zero shuffles.
+    // The ORACLE replays validity via DuckDB's json_valid + TRY-style
+    // extraction over the identically synthesized feed.
+    "q208_json_quarantine" -> ((s, d) => {
+      val cents = round(col("value") * 100).cast("long")
+      val raw = concat(lit("{\"uid\":"), col("user_id").cast("string"),
+        lit(",\"et\":\""), col("event_type"),
+        lit("\",\"cents\":"), cents.cast("string"), lit("}"))
+      val fed = events(s, d)
+        .select(col("event_id"), raw.as("pl0"))
+        .withColumn("pl", when(col("event_id") % 13 === 0,
+          expr("substring(pl0, 1, length(pl0) - 2)")).otherwise(col("pl0")))
+      val parsed = from_json(col("pl"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "uid BIGINT, et STRING, cents BIGINT, _corrupt STRING"),
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt"))
+      fed.select(col("event_id"), parsed.as("r"), col("pl"))
+        .select(col("event_id"),
+          col("r._corrupt").isNull.as("ok"),
+          col("r.uid").as("uid"), col("r.et").as("et"),
+          col("r.cents").as("cents"),
+          when(col("r._corrupt").isNotNull, md5(col("pl")))
+            .as("quarantine_md5"))
+        .orderBy("event_id")
+    }),
+
     // q207 — JL RANDOM PROJECTION (Achlioptas ±1 variant): 64-dim
     // embeddings down to 16 through an md5-parity sign matrix — the
     // pre-ANN dimensionality reduction. The matrix is a pure function
@@ -1227,6 +1265,24 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // identically synthesized feed; validity by json_valid, typed
+    // extraction only on valid rows, md5 receipt only on corrupt ones
+    "q208_json_quarantine" ->
+      ("WITH p AS (SELECT event_id, '{\"uid\":' || user_id || " +
+        "',\"et\":\"' || event_type || '\",\"cents\":' || " +
+        "CAST(round(value * 100) AS BIGINT) || '}' AS pl0 FROM events), " +
+        "c AS (SELECT event_id, CASE WHEN event_id % 13 = 0 " +
+        "THEN substr(pl0, 1, len(pl0) - 2) ELSE pl0 END AS pl FROM p) " +
+        "SELECT event_id, json_valid(pl) AS ok, " +
+        "CASE WHEN json_valid(pl) THEN " +
+        "CAST(json_extract_string(pl, '$.uid') AS BIGINT) END AS uid, " +
+        "CASE WHEN json_valid(pl) THEN " +
+        "json_extract_string(pl, '$.et') END AS et, " +
+        "CASE WHEN json_valid(pl) THEN " +
+        "CAST(json_extract_string(pl, '$.cents') AS BIGINT) END AS cents, " +
+        "CASE WHEN NOT json_valid(pl) THEN md5(pl) END AS quarantine_md5 " +
+        "FROM c ORDER BY event_id"),
 
     // same md5-parity sign matrix rebuilt in SQL, same ordered dot,
     // same exact /4 normalizer, same floor micros
