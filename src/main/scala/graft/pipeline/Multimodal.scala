@@ -690,6 +690,35 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** q209 fixture: GRAYSCALE pixel ramp (r=g=b = the q78 red-channel
+    * polynomial) encoded as a real GIF by javax.imageio — the second
+    * COMPRESSED format through the codec seam, and unlike MJPEG a
+    * LOSSLESS one: a ≤256-value grayscale source fits the GIF palette
+    * exactly, so LZW round-trips every pixel and the gate can be
+    * exact integer sums (no tolerance band). GifDecodeSpec pins the
+    * byte signature ("GIF89a"/"GIF87a") so a silent fallback to a
+    * different writer format cannot pass.
+    */
+  def synthGif(id: Long): Array[Byte] = {
+    val w = 16 + (id % 16).toInt
+    val h = 16 + (id % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
   /** q131 fixture: [[synthImagePng]]'s pixel polynomial on `bid` with
     * the left 2-pixel column strip brightened (red channel +8, clamped
     * at 255) — a NEAR-duplicate of the base image whose perceptual

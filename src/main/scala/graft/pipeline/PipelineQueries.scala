@@ -570,6 +570,44 @@ object PipelineQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // q209 — GIF DECODE (the second COMPRESSED format, and the first
+    // LOSSLESS one): grayscale ramps GIF-encoded by the real
+    // javax.imageio writer (LZW + 256-entry palette), decoded back
+    // through the SAME ImageCodec path as q78 (ImageIO auto-detects
+    // the container; getRGB canonicalizes indexed → sRGB). Because a
+    // ≤256-value grayscale source fits the palette exactly, the gate
+    // is EXACT integer bucket sums against the closed-form polynomial
+    // — no tolerance band — plus the in-band container signature
+    // (first three payload bytes = "GIF") so a silent fallback to
+    // another format cannot pass. Same mapPartitions batch shape and
+    // bucket reduction as q78; payloads never shuffle.
+    "q209_gif_decode" -> ((s, d) => {
+      import s.implicits._
+      val nBuckets = 8
+      val media = docs(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.Media(
+          id, "image", Multimodal.synthGif(id), 0, 0, 0, 0L, "gif")))
+      media.mapPartitions { it =>
+        it.grouped(Multimodal.DefaultBatchSize).flatMap(_.flatMap { m =>
+          val magic = new String(m.payload.take(3), "US-ASCII")
+          val raw = Multimodal.ImageCodec.decode(m.payload, m.format)
+          val (w, h) = Multimodal.ImageCodec.rawDims(raw)
+          val sums = new Array[Long](nBuckets)
+          var p = 0
+          while (p < w * h) {
+            val o = 8 + p * 3
+            sums(p % nBuckets) +=
+              (raw(o) & 0xff) + (raw(o + 1) & 0xff) + (raw(o + 2) & 0xff)
+            p += 1
+          }
+          (0 until nBuckets).map(b =>
+            (m.media_id, w.toLong, h.toLong, b.toLong, sums(b), magic))
+        })
+      }.toDF("media_id", "width", "height", "bucket", "psum", "magic")
+        .orderBy("media_id", "bucket")
+    }),
+
     // q177 — VIDEO SCENE-CUT DETECTION: the first real PROCESSING op
     // on top of the real video codec (q80 proves decode; this uses
     // it) — per-frame luminance-proxy sums from the RIFF demux, then
@@ -1456,6 +1494,21 @@ object PipelineQueries {
         "SELECT ps.id AS media_id, ps.w AS width, ps.h AS height, " +
         "ps.bucket, ps.psum, r.rsum FROM ps JOIN r USING (id) " +
         "ORDER BY media_id, bucket"),
+    // grayscale ⇒ every channel equals the red-channel polynomial, so
+    // the per-pixel sum is exactly 3·v — no band, no palette model
+    "q209_gif_decode" ->
+      ("WITH dims AS (SELECT doc_id AS id, 16 + doc_id % 16 AS w, " +
+        "16 + doc_id % 8 AS h FROM documents WHERE doc_id < 200), " +
+        "ys AS (SELECT id, w, h, unnest(generate_series(0, h - 1)) AS y " +
+        "FROM dims), " +
+        "px AS (SELECT id, w, h, y, unnest(generate_series(0, w - 1)) AS x " +
+        "FROM ys), " +
+        "v AS (SELECT id, w, h, (y * w + x) % 8 AS bucket, " +
+        "3 * ((id*31 + x*7 + y*13) % 256) AS s FROM px) " +
+        "SELECT id AS media_id, w AS width, h AS height, bucket, " +
+        "CAST(SUM(s) AS BIGINT) AS psum, 'GIF' AS magic " +
+        "FROM v GROUP BY id, w, h, bucket ORDER BY media_id, bucket"),
+
     // mirrors synthWav's sample polynomial + AudioCodec's resample
     // index arithmetic; the 8000 literal is the real decoded header
     "q79_audio_decode" ->
