@@ -1118,6 +1118,55 @@ object StoreQueries {
         .orderBy("event_id")
     }),
 
+    // q210 — SNAPSHOT DIFF (dataset-version changelog): the
+    // added/removed/changed audit between two commits of a keyed
+    // store table — what "what changed since the last training-data
+    // release" asks. The table takes THREE real commits (initial
+    // load, an upsert wave, a delete-merge), then v1 is read by time
+    // travel and diffed against head with one full-outer join on the
+    // PRIMARY KEY — both versions share the table's bucket layout, so
+    // at scale this plans co-located (the DmlBucketPruneSpec
+    // contract), never a cross-version re-hash of the corpus. The
+    // ORACLE replays the three commits relationally (last-write-wins
+    // per key per wave, then the delete predicate) from the raw
+    // events — the store's versioning machinery against a plan-free
+    // relational model.
+    "q210_snapshot_diff" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-snapdiff-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val su = Tables.load(s, d, "events")
+        .where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val bounds = su.agg(min("ts"), max("ts")).head()
+      val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      def latest(df: DataFrame): DataFrame = df
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("cents"))).as("m"))
+        .select(col("user_id"), col("m.cents").as("attr"))
+      val t = UpsertTable(s, s"$base/t")
+      t.merge(latest(su.where(col("ts") < cut)),
+        autoCreateKeys = Seq("user_id"), delta = true)
+      val v1 = t.currentSnapshot.get.version
+      t.merge(latest(su.where(col("ts") >= cut)), delta = true)
+      t.merge(t.read().where(col("user_id") % 10 === 3)
+        .withColumn("__op", lit("d")), opCol = Some("__op"), delta = true)
+      val a = t.readVersion(v1)
+        .select(col("user_id"), col("attr").as("attr_v1"))
+      val b = t.read().select(col("user_id"), col("attr").as("attr_v2"))
+      a.join(b, Seq("user_id"), "full_outer")
+        .withColumn("change",
+          when(col("attr_v1").isNull, "added")
+            .when(col("attr_v2").isNull, "removed")
+            .when(col("attr_v1") =!= col("attr_v2"), "changed")
+            .otherwise("unchanged"))
+        .where(col("change") =!= "unchanged")
+        .select(col("user_id"), col("change"),
+          col("attr_v1"), col("attr_v2"))
+        .orderBy("user_id")
+    }),
+
     // q188 — BITEMPORAL QUERY (system time × valid time): the two
     // time axes the engine already has — store snapshot versioning
     // (q66/q70) and SCD2 validity intervals (q127/q128) — COMPOSED:
@@ -1976,6 +2025,35 @@ object StoreQueries {
 
     // both axes recomputed closed-form: v1 = the pre-cut change
     // subset, now = all changes; valid time = the interval rule
+    // the three commits replayed relationally: last-write-wins per key
+    // per wave (row_number over (ts, cents) DESC — max(struct)'s tie
+    // rule), upsert overlay by coalesce, the delete as a predicate
+    "q210_snapshot_diff" ->
+      ("WITH su AS (SELECT user_id, epoch_ns(ts) AS t, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+        "WHERE event_type = 'signup'), " +
+        "b AS (SELECT min(t) + (max(t) - min(t)) // 2 AS cut FROM su), " +
+        "w1 AS (SELECT user_id, cents AS attr FROM (SELECT su.*, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY t DESC, cents DESC) AS rn FROM su, b WHERE t < cut) " +
+        "WHERE rn = 1), " +
+        "w2 AS (SELECT user_id, cents AS attr FROM (SELECT su.*, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY t DESC, cents DESC) AS rn FROM su, b WHERE t >= cut) " +
+        "WHERE rn = 1), " +
+        "m AS (SELECT coalesce(w2.user_id, w1.user_id) AS user_id, " +
+        "coalesce(w2.attr, w1.attr) AS attr FROM w1 " +
+        "FULL OUTER JOIN w2 ON w1.user_id = w2.user_id), " +
+        "v2 AS (SELECT * FROM m WHERE user_id % 10 <> 3) " +
+        "SELECT coalesce(v2.user_id, w1.user_id) AS user_id, " +
+        "CASE WHEN w1.user_id IS NULL THEN 'added' " +
+        "WHEN v2.user_id IS NULL THEN 'removed' " +
+        "ELSE 'changed' END AS change, " +
+        "w1.attr AS attr_v1, v2.attr AS attr_v2 " +
+        "FROM w1 FULL OUTER JOIN v2 ON w1.user_id = v2.user_id " +
+        "WHERE w1.user_id IS NULL OR v2.user_id IS NULL " +
+        "OR w1.attr <> v2.attr ORDER BY user_id"),
+
     "q188_bitemporal" ->
       ("WITH ch AS (SELECT user_id, epoch_ns(ts) AS t, max(value) AS attr " +
         "FROM events WHERE event_type = 'signup' GROUP BY 1, 2), " +
