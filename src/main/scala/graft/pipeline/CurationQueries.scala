@@ -704,6 +704,71 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q212 — PMI COLLOCATION MINING (Church & Hanks 1990): the top-50
+    // adjacent-token collocations by pointwise mutual information
+    // with a min-support cut — the phrase-vocabulary step (wordpiece
+    // seeding, stop-phrase lists) a corpus pipeline runs after token
+    // counting. One explode pass feeds BOTH count tables (unigrams
+    // via a second bounded aggregate over the bigram table's left/
+    // right margins — the corpus is scanned once); PMI is computed on
+    // the zipf-bounded bigram vocabulary only, as floor-micro
+    // ln(p(ab)) − ln(p(a)) − ln(p(b)) (the q77 determinism contract,
+    // same ulp caveat); the cut is TakeOrdered. The ORACLE recounts
+    // both margins independently and replays the identical ln form.
+    "q212_pmi_collocations" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(TextOps.tokens(col("text")).as("__tk"))
+      val bi = toks
+        .select(explode(when(size(col("__tk")) >= 2,
+          transform(sequence(lit(0), size(col("__tk")) - 2),
+            i => struct(element_at(col("__tk"), i + 1).as("w1"),
+              element_at(col("__tk"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val tot = bi.agg(sum("cab").cast("double").as("tt"))
+      // margins from the bigram table: c(a,·) and c(·,b) — the LM
+      // normalizers, derived without a second corpus pass
+      val left = bi.groupBy("w1").agg(sum("cab").as("ca"))
+      val right = bi.groupBy("w2").agg(sum("cab").as("cb"))
+      bi.where(col("cab") >= 5)
+        .join(left, "w1").join(right, "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("cab"),
+          floor((log(col("cab") / col("tt"))
+            - log(col("ca") / col("tt"))
+            - log(col("cb") / col("tt"))) * 1000000d)
+            .cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
+    // q211 — CURRICULUM ORDERING: the corpus laid out in the order a
+    // curriculum-trained run consumes it — 4 difficulty phases by
+    // unigram-LM NLL (typical text first, rare/hard text last; the
+    // q77 scoring reused verbatim), each phase internally
+    // pseudo-shuffled by md5 (deterministic, seedless — the q118
+    // idiom; adjacent-document correlation broken without RNG state).
+    // Phase assignment is [[Rank.ntileExact]] — histogram thresholds,
+    // NO corpus-wide ntile window; the only total order produced is
+    // the per-phase sequence, which IS the output contract (a
+    // training order is a total order — the range sort that emits it
+    // is the deliverable, not overhead). ORACLE: q77's NLL CTEs + the
+    // window-ntile lowering ntileExact is gate-proven equal to (q74).
+    "q211_curriculum_order" -> ((s, d) => {
+      val nll = Relevance.unigramNll(docs(s, d), "doc_id", "text")
+      Rank.ntileExact(nll.withColumn("__corpus", lit("all")),
+          "__corpus", "nll_micro", "doc_id", k = 4)
+        .select(col("doc_id"), col("ntile").cast("int").as("phase"))
+        .withColumn("__shuf", md5(col("doc_id").cast("string")))
+        .withColumn("seq", row_number().over(
+          Window.partitionBy("phase")
+            .orderBy(col("__shuf"), col("doc_id"))).cast("long"))
+        .select("doc_id", "phase", "seq")
+        .orderBy("phase", "seq")
+    }),
+
     // q208 — CORRUPT-RECORD QUARANTINE (schema-on-read ingest
     // hygiene): a JSON-lines feed (synthesized deterministically from
     // events; every 13th record truncated) parsed with Spark's
@@ -1265,6 +1330,47 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // independent margin recount, identical ln(p(ab))−ln(p(a))−ln(p(b))
+    // floor-micro form, same min-support and tie order
+    "q212_pmi_collocations" ->
+      (s"WITH tk AS (SELECT string_split($duckNorm, ' ') AS l " +
+        "FROM documents), " +
+        "bi AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM tk, " +
+        "unnest(generate_series(1, CAST(len(l) AS INT) - 1)) AS u(i)), " +
+        "cb2 AS (SELECT w1, w2, count(*) AS cab FROM bi GROUP BY 1, 2), " +
+        "tt AS (SELECT CAST(sum(cab) AS DOUBLE) AS t FROM cb2), " +
+        "lm AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca FROM cb2 " +
+        "GROUP BY 1), " +
+        "rm AS (SELECT w2, CAST(sum(cab) AS BIGINT) AS cb FROM cb2 " +
+        "GROUP BY 1) " +
+        "SELECT w1, w2, cab, " +
+        "CAST(floor((ln(cab / t) - ln(ca / t) - ln(cb / t)) * 1000000) " +
+        "AS BIGINT) AS pmi_micro " +
+        "FROM cb2 JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tt " +
+        "WHERE cab >= 5 " +
+        "ORDER BY pmi_micro DESC, w1, w2 LIMIT 50"),
+
+    // q77's NLL scoring verbatim, then window ntile (ntileExact's
+    // proven-equal lowering) and the same md5 intra-phase order
+    "q211_curriculum_order" ->
+      (s"WITH tk AS (SELECT doc_id, unnest(string_split($duckNorm, ' ')) " +
+        "AS t FROM documents), " +
+        "c AS (SELECT t, count(*) AS c FROM tk GROUP BY t), " +
+        "st AS (SELECT CAST(sum(c) AS DOUBLE) AS nn, " +
+        "CAST(count(*) AS DOUBLE) AS vv FROM c), " +
+        "li AS (SELECT tk.doc_id, " +
+        "CAST(FLOOR(-ln((c.c + 1) / (st.nn + st.vv)) * 1000000) AS BIGINT) " +
+        "AS li FROM tk JOIN c USING (t) CROSS JOIN st), " +
+        "nll AS (SELECT doc_id, " +
+        "CAST(sum(li) // count(*) AS BIGINT) AS nll_micro " +
+        "FROM li GROUP BY doc_id), " +
+        "ph AS (SELECT doc_id, " +
+        "ntile(4) OVER (ORDER BY nll_micro, doc_id) AS phase FROM nll) " +
+        "SELECT doc_id, CAST(phase AS INT) AS phase, " +
+        "CAST(row_number() OVER (PARTITION BY phase " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS seq " +
+        "FROM ph ORDER BY phase, seq"),
 
     // identically synthesized feed; validity by json_valid, typed
     // extraction only on valid rows, md5 receipt only on corrupt ones

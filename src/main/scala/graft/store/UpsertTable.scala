@@ -816,10 +816,12 @@ class UpsertTable(spark: SparkSession, val location: String) {
   private def newFileEntries(outDir: String, schema: StructType): Seq[FileEntry] = {
     val conf = spark.sessionState.newHadoopConf()
     val lookups = effectiveLookupCols(schema)
-    listBucketFiles(outDir).map { case (rel, b) =>
+    val files = listBucketFiles(outDir)
+    val blooms = collectBlooms(outDir, files.map(_._1), lookups)
+    files.map { case (rel, b) =>
       FileEntry(outDir.stripPrefix(s"$location/") + s"/$rel", b,
         FileStats.collect(conf, s"$outDir/$rel", schema),
-        blooms = collectBlooms(s"$outDir/$rel", lookups))
+        blooms = blooms.getOrElse(rel, Map.empty))
     }
   }
 
@@ -838,25 +840,94 @@ class UpsertTable(spark: SparkSession, val location: String) {
         f.dataType == StringType)))
   }
 
-  /** Base64 spark-sketch blooms over one file's non-null values per
-    * lookup column. Any anomaly → entry omitted (blooms are an
-    * optimization; absence always reads as "cannot prune").
+  /** Base64 spark-sketch blooms over each commit file's non-null
+    * values per lookup column, for ALL of a commit's files in TWO
+    * Spark jobs total (a per-(file,col) non-null count, then one
+    * partition-local bloom-build pass merged on the driver) — never
+    * per-file jobs, whose scheduling overhead alone would tax every
+    * commit by O(files × cols) round trips (the r8 bench caught
+    * exactly that as a 3.5× q190 regression). Put/probe semantics are
+    * `DataFrameStatFunctions.bloomFilter`'s (putLong for integral,
+    * putString for strings — what [[lookupFiles]] probes with), so
+    * blooms persisted by earlier versions stay compatible. Any
+    * anomaly → entries omitted (blooms are an optimization; absence
+    * always reads as "cannot prune").
+    *
+    * @return rel-path → (col → base64 bloom)
     */
-  private def collectBlooms(absPath: String,
-      cols: Seq[String]): Map[String, String] =
-    if (cols.isEmpty) Map.empty
+  private def collectBlooms(outDir: String, rels: Seq[String],
+      cols: Seq[String]): Map[String, Map[String, String]] =
+    if (cols.isEmpty || rels.isEmpty) Map.empty
     else scala.util.Try {
-      val df = spark.read.parquet(absPath)
-      cols.filter(df.columns.contains).flatMap { c =>
-        scala.util.Try {
-          val vals = df.select(c).where(col(c).isNotNull)
-          val n = math.max(vals.count(), 64L)
-          val bf = vals.stat.bloomFilter(c, n, LookupBloomFpp)
+      import org.apache.spark.util.sketch.BloomFilter
+      val paths = rels.map(r => s"$outDir/$r")
+      val df = spark.read.parquet(paths: _*)
+      val present = cols.filter(df.columns.contains)
+      require(present.nonEmpty, "no lookup columns present")
+      val wide = df.select(
+        (input_file_name().as("__f") +: present.map(col)): _*)
+      // job 1: per-(file,col) non-null counts — sizes each bloom
+      val counts: Map[(String, String), Long] = wide.groupBy("__f")
+        .agg(count(col(present.head)).as(present.head),
+          present.tail.map(c => count(col(c)).as(c)): _*)
+        .collect()
+        .flatMap(r => present.zipWithIndex.map { case (c, i) =>
+          (r.getString(0), c) -> r.getLong(i + 1)
+        }).toMap
+      val fpp = LookupBloomFpp
+      val bc = spark.sparkContext.broadcast(
+        counts.map { case (k, n) => k -> math.max(n, 64L) })
+      // job 2: partition-local blooms, merged driver-side (equal-size
+      // blooms per key by construction, so mergeInPlace is legal)
+      val partial = wide.rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap
+          .empty[(String, String), BloomFilter]
+        it.foreach { row =>
+          val f = row.getString(0)
+          var i = 0
+          while (i < present.size) {
+            val v = row.get(i + 1)
+            if (v != null) {
+              val bf = m.getOrElseUpdate((f, present(i)),
+                BloomFilter.create(bc.value((f, present(i))), fpp))
+              v match {
+                case l: java.lang.Long => bf.putLong(l)
+                case n: java.lang.Integer => bf.putLong(n.toLong)
+                case s: String => bf.putString(s)
+                case other => bf.put(other)
+              }
+            }
+            i += 1
+          }
+        }
+        m.iterator
+      }.collect()
+      val merged = scala.collection.mutable.HashMap
+        .empty[(String, String), BloomFilter]
+      partial.foreach { case (k, bf) =>
+        merged.get(k) match {
+          case Some(a) => a.mergeInPlace(bf)
+          case None => merged(k) = bf
+        }
+      }
+      // a col with zero non-null values in a file still gets a bloom
+      // (an empty one prunes every probe — the old per-file behavior)
+      counts.keys.foreach { k =>
+        if (!merged.contains(k))
+          merged(k) = BloomFilter.create(64L, fpp)
+      }
+      merged.toSeq.flatMap { case ((f, c), bf) =>
+        // input_file_name is a URI; recover the commit-relative path
+        val rel = rels.find(r => f.endsWith(r) ||
+          f.endsWith(r.replace("=", "%3D")))
+        rel.map { r =>
           val bos = new java.io.ByteArrayOutputStream()
           bf.writeTo(bos)
-          c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-        }.toOption
-      }.toMap
+          (r, c, java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
+        }
+      }.groupBy(_._1).map { case (r, s) =>
+        r -> s.map(t => t._2 -> t._3).toMap
+      }
     }.getOrElse(Map.empty)
 }
 
