@@ -704,6 +704,47 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q213 — BALANCED QUOTA SAMPLING with largest-remainder
+    // redistribution: draw 300 documents to a TARGET language mix
+    // (en 10% / de 40% / es 20% / fr 20% / zh 10%); languages short
+    // of their quota (de here — the fixture plants the shortfall)
+    // surrender the unfilled seats, redistributed to languages with
+    // remaining documents by the exact largest-remainder method
+    // (floor shares + the Σfr8=R·S identity assigns the R leftover
+    // seats to the largest fractional remainders — pure integer
+    // arithmetic on a |langs|-row table, no float apportionment).
+    // Per-language draws are seedless md5 bottom-k via
+    // [[QuotaSample.bottomKByHash]]'s histogram prune — no full
+    // per-group sort. The ORACLE replays the apportionment and the
+    // NAIVE window selection, so the prune must match it row-for-row.
+    "q213_balanced_quota" -> ((s, d) => {
+      import s.implicits._
+      val budget = 300L
+      val targets = Seq(("en", 30L), ("de", 120L), ("es", 60L),
+        ("fr", 60L), ("zh", 30L)).toDF("lang", "q")
+      val n = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+      val a = targets.join(n, "lang")
+        .withColumn("take1", least(col("q"), col("n")))
+        .withColumn("rem", col("n") - col("take1"))
+      val sAgg = a.agg((lit(budget) - sum("take1")).as("ell"),
+        sum("rem").as("ss"))
+      val e = a.crossJoin(broadcast(sAgg))
+        .withColumn("extra", when(col("ss") === 0, 0L)
+          .otherwise(expr("ell * rem div ss")))
+        .withColumn("fr8", when(col("ss") === 0, 0L)
+          .otherwise(col("ell") * col("rem") % col("ss")))
+      val rAgg = e.agg(sum("extra").as("se"), first("ell").as("ell2"))
+      val ks = e.crossJoin(broadcast(rAgg))
+        .withColumn("win",
+          (row_number().over(Window.orderBy(col("fr8").desc, col("lang")))
+            <= col("ell2") - col("se")).cast("long"))
+        .select(col("lang"),
+          (col("take1") + col("extra") + col("win")).as("__k"))
+      QuotaSample.bottomKByHash(
+          docs(s, d).select("lang", "doc_id"), "lang", "doc_id", ks)
+        .orderBy("lang", "doc_id")
+    }),
+
     // q212 — PMI COLLOCATION MINING (Church & Hanks 1990): the top-50
     // adjacent-token collocations by pointwise mutual information
     // with a min-support cut — the phrase-vocabulary step (wordpiece
@@ -1330,6 +1371,29 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // the same integer apportionment, then the NAIVE per-lang window
+    // selection the histogram prune must reproduce row-for-row
+    "q213_balanced_quota" ->
+      ("WITH t(lang, q) AS (VALUES ('en', 30), ('de', 120), ('es', 60), " +
+        "('fr', 60), ('zh', 30)), " +
+        "n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
+        "a AS (SELECT t.lang, q, n, least(q, n) AS take1, " +
+        "n - least(q, n) AS rem FROM t JOIN n USING (lang)), " +
+        "s AS (SELECT 300 - sum(take1) AS ell, sum(rem) AS ss FROM a), " +
+        "e AS (SELECT lang, take1, rem, " +
+        "CASE WHEN ss = 0 THEN 0 ELSE ell * rem // ss END AS extra, " +
+        "CASE WHEN ss = 0 THEN 0 ELSE ell * rem % ss END AS fr8 " +
+        "FROM a, s), " +
+        "r AS (SELECT sum(extra) AS se, (SELECT ell FROM s) AS ell2 FROM e), " +
+        "w AS (SELECT lang, take1 + extra + CASE WHEN " +
+        "row_number() OVER (ORDER BY fr8 DESC, lang) <= ell2 - se " +
+        "THEN 1 ELSE 0 END AS k FROM e, r), " +
+        "d AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+        "FROM documents) " +
+        "SELECT d.lang, d.doc_id FROM d JOIN w USING (lang) " +
+        "WHERE rn <= k ORDER BY lang, doc_id"),
 
     // independent margin recount, identical ln(p(ab))−ln(p(a))−ln(p(b))
     // floor-micro form, same min-support and tie order
