@@ -704,6 +704,65 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q214 — DATASET PROFILER: the per-column data-quality report
+    // (row/null/exact-distinct counts + canonical min/max) every
+    // ingest run files before training sees the data — in ONE scan.
+    // All six columns' aggregates ride a single groupBy-less agg
+    // (Spark plans the multi-distinct with one Expand over one scan,
+    // partial-aggregated; never six passes), then unpivot to the
+    // report shape via stack. Cross-engine canonicalization: numerics
+    // summarize as exact integers (ids verbatim, ts as epoch-ns,
+    // value as cents), strings as lexicographic min/max — no double→
+    // string formatting ever crosses an engine boundary. The ORACLE
+    // is six plan-disjoint single-column SELECTs unioned.
+    "q214_data_profile" -> ((s, d) => {
+      val ev = events(s, d).withColumn("cents",
+        round(col("value") * 100).cast("long"))
+      val agg = ev.agg(
+        count(lit(1)).as("n"),
+        // event_id
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("nn0"),
+        countDistinct(col("event_id")).as("nd0"),
+        min("event_id").as("mi0"), max("event_id").as("ma0"),
+        // ts (epoch ns long via Tables.load)
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("nn1"),
+        countDistinct(col("ts")).as("nd1"),
+        min("ts").as("mi1"), max("ts").as("ma1"),
+        // user_id
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("nn2"),
+        countDistinct(col("user_id")).as("nd2"),
+        min("user_id").as("mi2"), max("user_id").as("ma2"),
+        // value as cents
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("nn3"),
+        countDistinct(col("cents")).as("nd3"),
+        min("cents").as("mi3"), max("cents").as("ma3"),
+        // event_type (string)
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("nn4"),
+        countDistinct(col("event_type")).as("nd4"),
+        min("event_type").as("ms4"), max("event_type").as("mx4"),
+        // props (string)
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("nn5"),
+        countDistinct(col("props")).as("nd5"),
+        min("props").as("ms5"), max("props").as("mx5"))
+      agg.select(expr(
+        "stack(6, " +
+          "'event_id', n, nn0, nd0, mi0, ma0, " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'ts', n, nn1, nd1, mi1, ma1, " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'user_id', n, nn2, nd2, mi2, ma2, " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'value_cents', n, nn3, nd3, mi3, ma3, " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'event_type', n, nn4, nd4, CAST(NULL AS BIGINT), " +
+          "CAST(NULL AS BIGINT), ms4, mx4, " +
+          "'props', n, nn5, nd5, CAST(NULL AS BIGINT), " +
+          "CAST(NULL AS BIGINT), ms5, mx5) " +
+          "AS (column, n_rows, n_null, n_distinct, min_i, max_i, " +
+          "min_s, max_s)"))
+        .orderBy("column")
+    }),
+
     // q213 — BALANCED QUOTA SAMPLING with largest-remainder
     // redistribution: draw 300 documents to a TARGET language mix
     // (en 10% / de 40% / es 20% / fr 20% / zh 10%); languages short
@@ -1371,6 +1430,34 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // six plan-disjoint single-column profiles unioned — the one-scan
+    // Expand plan must agree with the per-column truths
+    "q214_data_profile" ->
+      ("WITH e AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "epoch_ns(ts) AS tsn FROM events) " +
+        "SELECT * FROM (" +
+        "SELECT 'event_id' AS \"column\", count(*) AS n_rows, " +
+        "count(*) - count(event_id) AS n_null, " +
+        "count(DISTINCT event_id) AS n_distinct, " +
+        "min(event_id) AS min_i, max(event_id) AS max_i, " +
+        "CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s " +
+        "FROM e UNION ALL " +
+        "SELECT 'ts', count(*), count(*) - count(tsn), " +
+        "count(DISTINCT tsn), min(tsn), max(tsn), NULL, NULL FROM e " +
+        "UNION ALL " +
+        "SELECT 'user_id', count(*), count(*) - count(user_id), " +
+        "count(DISTINCT user_id), min(user_id), max(user_id), NULL, NULL " +
+        "FROM e UNION ALL " +
+        "SELECT 'value_cents', count(*), count(*) - count(cents), " +
+        "count(DISTINCT cents), min(cents), max(cents), NULL, NULL " +
+        "FROM e UNION ALL " +
+        "SELECT 'event_type', count(*), count(*) - count(event_type), " +
+        "count(DISTINCT event_type), NULL, NULL, " +
+        "min(event_type), max(event_type) FROM e UNION ALL " +
+        "SELECT 'props', count(*), count(*) - count(props), " +
+        "count(DISTINCT props), NULL, NULL, min(props), max(props) FROM e" +
+        ") ORDER BY \"column\""),
 
     // the same integer apportionment, then the NAIVE per-lang window
     // selection the histogram prune must reproduce row-for-row
