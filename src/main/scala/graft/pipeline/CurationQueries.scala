@@ -704,6 +704,47 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q215 — CONTENT-DEFINED CHUNKING (the restic/borgbackup dedup
+    // primitive, Muthitacharoen et al. LBFS SOSP'01): each document
+    // splits at positions where the hash of the local 8-char window
+    // lands in a 1/64 target band, so chunk boundaries follow CONTENT
+    // — an insertion shifts one chunk, not every fixed-size block
+    // after it. Per-chunk md5 + corpus-wide copy counts turn it into
+    // the blob-level dedup report (pipeline text dedup is q13/q17;
+    // this is the storage tier those pipelines sit on). Boundary
+    // detection + chunk slicing are HOFs fused into the scan (the
+    // only shuffle is the copy-count partial agg on chunk_md5); the
+    // window guard keeps Spark's descending-sequence footgun out
+    // (sequence(2, len-7) only when len ≥ 9). ORACLE: brute-force
+    // boundary scan + row_number pairing, plan-disjoint.
+    "q215_content_chunks" -> ((s, d) => {
+      val chunks = docs(s, d)
+        .withColumn("__nt", expr(
+          "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"))
+        .withColumn("__bp", expr(
+          "CASE WHEN length(__nt) >= 9 THEN " +
+            "filter(sequence(2, length(__nt) - 7), i -> " +
+            "pmod(cast(conv(substring(md5(substring(__nt, i, 8)), 1, 8), " +
+            "16, 10) as bigint), 64) = 0) " +
+            "ELSE array() END"))
+        .withColumn("__cuts", expr(
+          "concat(array(1), __bp, array(length(__nt) + 1))"))
+        .select(col("doc_id"), col("__nt"), posexplode(expr(
+          "transform(sequence(1, size(__cuts) - 1), j -> struct(" +
+            "element_at(__cuts, j) AS off, " +
+            "element_at(__cuts, j + 1) - element_at(__cuts, j) AS len))")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+          col("col.off").cast("long").as("off"),
+          col("col.len").cast("long").as("len"),
+          expr("md5(substring(__nt, col.off, col.len))").as("chunk_md5"))
+      val copies = chunks.groupBy("chunk_md5")
+        .agg(count(lit(1)).as("n_copies"))
+      chunks.join(copies, "chunk_md5")
+        .select(col("doc_id"), col("chunk_idx"), col("off"), col("len"),
+          col("chunk_md5"), col("n_copies"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // q214 — DATASET PROFILER: the per-column data-quality report
     // (row/null/exact-distinct counts + canonical min/max) every
     // ingest run files before training sees the data — in ONE scan.
@@ -1430,6 +1471,28 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // brute-force boundary scan (same 1/64 hash band, same skip of a
+    // cut at position 1), row_number pairing of adjacent cuts
+    "q215_content_chunks" ->
+      (s"WITH n0 AS (SELECT doc_id, $duckNorm AS nt FROM documents), " +
+        "bp AS (SELECT doc_id, i FROM n0, " +
+        "unnest(generate_series(2, CAST(len(nt) AS INT) - 7)) AS u(i) " +
+        "WHERE ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))::BIGINT " +
+        "% 64 = 0), " +
+        "cuts AS (SELECT doc_id, 1 AS c FROM n0 " +
+        "UNION ALL SELECT doc_id, i FROM bp " +
+        "UNION ALL SELECT doc_id, CAST(len(nt) AS INT) + 1 FROM n0), " +
+        "oc AS (SELECT doc_id, c, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY c) AS j FROM cuts), " +
+        "ch AS (SELECT a.doc_id, CAST(a.j AS BIGINT) AS chunk_idx, " +
+        "CAST(a.c AS BIGINT) AS off, CAST(b.c - a.c AS BIGINT) AS len " +
+        "FROM oc a JOIN oc b ON a.doc_id = b.doc_id AND b.j = a.j + 1), " +
+        "cm AS (SELECT ch.*, md5(substr(n0.nt, CAST(ch.off AS INT), " +
+        "CAST(ch.len AS INT))) AS chunk_md5 FROM ch JOIN n0 USING (doc_id)), " +
+        "cnt AS (SELECT chunk_md5, count(*) AS n_copies FROM cm GROUP BY 1) " +
+        "SELECT doc_id, chunk_idx, off, len, cm.chunk_md5, n_copies " +
+        "FROM cm JOIN cnt USING (chunk_md5) ORDER BY doc_id, chunk_idx"),
 
     // six plan-disjoint single-column profiles unioned — the one-scan
     // Expand plan must agree with the per-column truths
