@@ -704,6 +704,50 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q216 — LINEAR-INTERPOLATION GAP FILL (q67's scaffold, upgraded
+    // from zero-fill to the time-series repair a metrics pipeline
+    // actually wants): missing days take the integer lerp between the
+    // nearest observed neighbors — carried by two per-user windows
+    // (last-observed-before via last(…, ignoreNulls) over the
+    // preceding frame, first-observed-after over the following one;
+    // both bounded per user, never corpus-wide). The lerp is pure
+    // integer cents arithmetic with truncating div — Spark `div` and
+    // DuckDB `//` agree on negatives (both truncate toward zero), so
+    // falling series interpolate identically. Scaffold spans each
+    // user's observed range, so every gap has both neighbors.
+    "q216_linear_interpolate" -> ((s, d) => {
+      val ev = events(s, d).where(col("user_id") < 30)
+        .withColumn("day", expr("ts div 86400000000000"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sc"))
+      val span = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val scaffold = span.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      val g = scaffold.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val wPrev = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      g.withColumn("pd", last(when(col("n") > 0, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("pv", last(when(col("n") > 0, col("sc")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nd", first(when(col("n") > 0, col("day")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("nv", first(when(col("n") > 0, col("sc")),
+          ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("day"),
+          (col("n") > 0).as("observed"),
+          when(col("n") > 0, col("sc"))
+            .otherwise(col("pv") + expr(
+              "(nv - pv) * (day - pd) div (nd - pd)"))
+            .as("v_cents"))
+        .orderBy("user_id", "day")
+    }),
+
     // q215 — CONTENT-DEFINED CHUNKING (the restic/borgbackup dedup
     // primitive, Muthitacharoen et al. LBFS SOSP'01): each document
     // splits at positions where the hash of the local 8-char window
@@ -1471,6 +1515,39 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // same scaffold, same IGNORE NULLS neighbor windows, same
+    // truncating integer lerp
+    "q216_linear_interpolate" ->
+      ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+        "WHERE user_id < 30), " +
+        "daily AS (SELECT user_id, day, count(*) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS sc FROM ev GROUP BY 1, 2), " +
+        "span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 " +
+        "FROM daily GROUP BY 1), " +
+        "sc AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day " +
+        "FROM span), " +
+        "g AS (SELECT sc.user_id, sc.day, coalesce(d.n, 0) AS n, d.sc " +
+        "FROM sc LEFT JOIN daily d USING (user_id, day)), " +
+        "w AS (SELECT *, " +
+        "last_value(CASE WHEN n > 0 THEN day END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS pd, " +
+        "last_value(CASE WHEN n > 0 THEN sc END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS pv, " +
+        "first_value(CASE WHEN n > 0 THEN day END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd, " +
+        "first_value(CASE WHEN n > 0 THEN sc END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv " +
+        "FROM g) " +
+        "SELECT user_id, day, n > 0 AS observed, " +
+        "CASE WHEN n > 0 THEN sc " +
+        "ELSE pv + (nv - pv) * (day - pd) // (nd - pd) END AS v_cents " +
+        "FROM w ORDER BY user_id, day"),
 
     // brute-force boundary scan (same 1/64 hash band, same skip of a
     // cut at position 1), row_number pairing of adjacent cuts
