@@ -704,6 +704,42 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q217 — WINSORIZED MEAN (robust aggregate): per-event-type mean
+    // cents with the tails clamped at the EXACT p05/p95 order
+    // statistics — the outlier-robust metric an experimentation stack
+    // reports next to q161's z-test (one whale purchase should not
+    // move the mean). Exact quantiles come from the value HISTOGRAM
+    // (per-(type,cents) partial agg, cumsum over that BOUNDED table —
+    // q129's pattern; the corpus never sorts); rank k = ⌈p·n⌉ via
+    // pure integer (p·n+99) div 100; the clamp + mean is one more
+    // scan-side pass with an integer-micro division. ORACLE replays
+    // the same histogram ranks in SQL.
+    "q217_winsorized_mean" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("k05", expr("(5 * n + 99) div 100"))
+        .withColumn("k95", expr("(95 * n + 99) div 100"))
+      val hist = ev.groupBy("event_type", "cents")
+        .agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+        .join(broadcast(n), "event_type")
+      val thr = cum.groupBy("event_type").agg(
+        min(when(col("cum") >= col("k05"), col("cents"))).as("lo_cents"),
+        min(when(col("cum") >= col("k95"), col("cents"))).as("hi_cents"))
+      ev.join(broadcast(thr), "event_type")
+        .join(broadcast(n.select("event_type", "n")), "event_type")
+        .groupBy(col("event_type"), col("n"),
+          col("lo_cents"), col("hi_cents"))
+        .agg(sum(greatest(col("lo_cents"),
+          least(col("hi_cents"), col("cents")))).as("ws"))
+        .select(col("event_type"), col("n"), col("lo_cents"),
+          col("hi_cents"), expr("ws * 1000000 div n").as("wmean_micro"))
+        .orderBy("event_type")
+    }),
+
     // q216 — LINEAR-INTERPOLATION GAP FILL (q67's scaffold, upgraded
     // from zero-fill to the time-series repair a metrics pipeline
     // actually wants): missing days take the integer lerp between the
@@ -1515,6 +1551,28 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // same histogram ranks (⌈p·n⌉ by integer arithmetic), same clamp,
+    // same integer-micro mean
+    "q217_winsorized_mean" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "n AS (SELECT event_type, count(*) AS n, " +
+        "(5 * count(*) + 99) // 100 AS k05, " +
+        "(95 * count(*) + 99) // 100 AS k95 FROM ev GROUP BY 1), " +
+        "h AS (SELECT event_type, cents, count(*) AS c FROM ev " +
+        "GROUP BY 1, 2), " +
+        "cm AS (SELECT h.*, sum(c) OVER (PARTITION BY event_type " +
+        "ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum FROM h), " +
+        "thr AS (SELECT cm.event_type, " +
+        "min(CASE WHEN cum >= k05 THEN cents END) AS lo_cents, " +
+        "min(CASE WHEN cum >= k95 THEN cents END) AS hi_cents " +
+        "FROM cm JOIN n USING (event_type) GROUP BY 1) " +
+        "SELECT ev.event_type, n, lo_cents, hi_cents, " +
+        "CAST(sum(greatest(lo_cents, least(hi_cents, cents))) " +
+        "* 1000000 // n AS BIGINT) AS wmean_micro " +
+        "FROM ev JOIN thr USING (event_type) JOIN n USING (event_type) " +
+        "GROUP BY 1, 2, 3, 4 ORDER BY event_type"),
 
     // same scaffold, same IGNORE NULLS neighbor windows, same
     // truncating integer lerp
