@@ -979,14 +979,14 @@ object CurationQueries {
     // window-ntile lowering ntileExact is gate-proven equal to (q74).
     "q211_curriculum_order" -> ((s, d) => {
       val nll = Relevance.unigramNll(docs(s, d), "doc_id", "text")
-      Rank.ntileExact(nll.withColumn("__corpus", lit("all")),
+      val phased = Rank.ntileExact(nll.withColumn("__corpus", lit("all")),
           "__corpus", "nll_micro", "doc_id", k = 4)
         .select(col("doc_id"), col("ntile").cast("int").as("phase"))
-        .withColumn("__shuf", md5(col("doc_id").cast("string")))
-        .withColumn("seq", row_number().over(
-          Window.partitionBy("phase")
-            .orderBy(col("__shuf"), col("doc_id"))).cast("long"))
-        .select("doc_id", "phase", "seq")
+      // per-phase sequence via the two-level hash rank — 256× the
+      // parallelism of a 4-partition row_number window (QuotaSample
+      // .rankByHash), identical numbering by the prefix-compose proof
+      QuotaSample.rankByHash(phased, "phase", "doc_id")
+        .select(col("doc_id"), col("phase"), col("rank").as("seq"))
         .orderBy("phase", "seq")
     }),
 

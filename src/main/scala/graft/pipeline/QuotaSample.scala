@@ -74,4 +74,35 @@ object QuotaSample {
       .select(col(groupCol), col(idCol))
     before.unionByName(boundary)
   }
+
+  /** FULL per-group rank by (md5(id), id) — `row_number() OVER
+    * (PARTITION BY group ORDER BY md5(id), id)` computed two-level:
+    * the same ≤ |groups|·256 prefix histogram yields each bucket's
+    * EXCLUSIVE offset (cumsum − count); the window then partitions by
+    * (group, bucket) — 256× the parallelism of the naive per-group
+    * window, so a 4-language corpus ranks on ~1024 balanced sort
+    * tasks instead of 4 skewed ones — and the global rank is offset +
+    * within-bucket row_number (prefix order is a prefix of full-md5
+    * order, so the two levels compose exactly).
+    *
+    * @return (groupCol, idCol, rank) — rank 1-based within group
+    */
+  def rankByHash(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(idCol),
+      md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val wcum = Window.partitionBy(groupCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(groupCol, "__b")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum("__c").over(wcum) - col("__c"))
+      .select(col(groupCol), col("__b"), col("__off"))
+    val wb = Window.partitionBy(groupCol, "__b")
+      .orderBy(col("__h"), col(idCol))
+    base.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn("rank",
+        (col("__off") + row_number().over(wb)).cast("long"))
+      .select(col(groupCol), col(idCol), col("rank"))
+  }
 }

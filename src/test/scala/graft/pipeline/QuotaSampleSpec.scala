@@ -53,4 +53,27 @@ class QuotaSampleSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("two-level hash rank ≡ naive per-group row_number") {
+    val genCorpus = for {
+      g <- Gen.choose(1, 3)
+      ns <- Gen.listOfN(g, Gen.choose(1, 40))
+    } yield ns.zipWithIndex.flatMap { case (n, i) =>
+      (0 until n).map(j => (s"g$i", (i * 1000 + j).toLong))
+    }
+    val prop = Prop.forAll(genCorpus) { rows =>
+      val df = rows.toDF("grp", "id")
+      val got = QuotaSample.rankByHash(df, "grp", "id")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(_._2).sortBy(id => (h(id), id)).zipWithIndex
+          .map { case (id, i) => (g, id) -> (i + 1).toLong }
+      }
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
