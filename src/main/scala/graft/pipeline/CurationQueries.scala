@@ -704,6 +704,59 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q218 — SPAN CORRUPTION (the T5/UL2 denoising-objective data
+    // prep, Raffel et al. 2020): ~1/7 of each document's 3-token
+    // blocks are masked; the INPUT replaces each masked block with
+    // its ordinal sentinel <extra_id_k>, the TARGET concatenates
+    // sentinel + original tokens — the (input, target) pair a
+    // denoising pretrain consumes, both pinned byte-exact by md5.
+    // Mask choice is md5(doc:block) parity — seedless, reproducible
+    // on any executor and by the oracle (the q118 idiom); the
+    // sentinel ordinal k is an exclusive prefix sum over a PER-DOC
+    // window (bounded by document length, the q42 contract), and the
+    // rebuild groups each document once (text moves in one shuffle —
+    // the q130/q203 rebuild contract). Ragged tail blocks (<3
+    // tokens) are never masked, so masks never straddle the end.
+    "q218_span_corruption" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("__tk"))
+        .withColumn("__n", size(col("__tk")))
+      val blocks = toks
+        .select(col("doc_id"), col("__n"), posexplode(expr(
+          "transform(sequence(0, (__n + 2) div 3 - 1), " +
+            "j -> slice(__tk, 3 * j + 1, 3))")))
+        .withColumnRenamed("pos", "j").withColumnRenamed("col", "__bt")
+        .withColumn("__masked", (size(col("__bt")) === 3) &&
+          expr("pmod(cast(conv(substring(md5(concat(" +
+            "cast(doc_id as string), ':', cast(j as string))), 1, 8), " +
+            "16, 10) as bigint), 7) = 0"))
+      val wk = Window.partitionBy("doc_id").orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val parts = blocks
+        .withColumn("__k",
+          sum(col("__masked").cast("long")).over(wk) -
+            col("__masked").cast("long"))
+        .withColumn("__bs", array_join(col("__bt"), " "))
+        .withColumn("__in", when(col("__masked"),
+          concat(lit("<extra_id_"), col("__k"), lit(">")))
+          .otherwise(col("__bs")))
+        .withColumn("__tg", when(col("__masked"),
+          concat(lit("<extra_id_"), col("__k"), lit("> "), col("__bs"))))
+      parts.groupBy("doc_id", "__n")
+        .agg(
+          sum(when(col("__masked"), 3L).otherwise(0L)).as("n_masked"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("j"), col("__in")))),
+            x => x.getField("__in")), " ")).as("input_md5"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("__masked"),
+              struct(col("j"), col("__tg"))))),
+            x => x.getField("__tg")), " ")).as("target_md5"))
+        .select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
+          col("n_masked"), col("input_md5"), col("target_md5"))
+        .orderBy("doc_id")
+    }),
+
     // q217 — WINSORIZED MEAN (robust aggregate): per-event-type mean
     // cents with the tails clamped at the EXACT p05/p95 order
     // statistics — the outlier-robust metric an experimentation stack
@@ -1551,6 +1604,32 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // same md5(doc:block) % 7 mask, same exclusive-prefix sentinel
+    // ordinals, same space-joined rebuild under the md5s
+    "q218_span_corruption" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS l " +
+        "FROM documents), " +
+        "bl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n, j, " +
+        "l[3*j+1 : 3*j+3] AS bt FROM tk, " +
+        "unnest(generate_series(0, (CAST(len(l) AS INT) + 2) // 3 - 1)) " +
+        "AS u(j)), " +
+        "mk AS (SELECT doc_id, n, j, array_to_string(bt, ' ') AS bs, " +
+        "len(bt) = 3 AND ('0x' || substr(md5(doc_id || ':' || j), 1, 8))" +
+        "::BIGINT % 7 = 0 AS masked FROM bl), " +
+        "pk AS (SELECT *, sum(CASE WHEN masked THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING) " +
+        "- CASE WHEN masked THEN 1 ELSE 0 END AS k FROM mk), " +
+        "parts AS (SELECT doc_id, n, j, masked, " +
+        "CASE WHEN masked THEN '<extra_id_' || k || '>' ELSE bs END " +
+        "AS ip, CASE WHEN masked THEN '<extra_id_' || k || '> ' || bs " +
+        "END AS tg FROM pk) " +
+        "SELECT doc_id, min(n) AS n_tokens, " +
+        "CAST(sum(CASE WHEN masked THEN 3 ELSE 0 END) AS BIGINT) " +
+        "AS n_masked, " +
+        "md5(string_agg(ip, ' ' ORDER BY j)) AS input_md5, " +
+        "md5(coalesce(string_agg(tg, ' ' ORDER BY j), '')) AS target_md5 " +
+        "FROM parts GROUP BY doc_id ORDER BY doc_id"),
 
     // same histogram ranks (⌈p·n⌉ by integer arithmetic), same clamp,
     // same integer-micro mean
