@@ -704,6 +704,27 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q219 — HARD-NEGATIVE MINING (contrastive-training data prep,
+    // the DPR/SBERT recipe): for each query, the ANN candidates
+    // ranked just BELOW the positives band — similar enough to be
+    // informative, excluded if so similar they're probably unlabeled
+    // positives (the false-negative guard at sim > 0.95). Rank
+    // 6..20 of the q16 broadcast top-k, so the corpus is scanned
+    // once and never shuffled; thresholds compare the same
+    // round-6dp sims the gate hashes.
+    "q219_hard_negatives" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val top = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 20)
+      top
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+        .where(col("rank") >= 6 && col("sim") <= 0.95)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("sim"))
+        .orderBy("qid", "rank")
+    }),
+
     // q218 — SPAN CORRUPTION (the T5/UL2 denoising-objective data
     // prep, Raffel et al. 2020): ~1/7 of each document's 3-token
     // blocks are masked; the INPUT replaces each masked block with
@@ -1604,6 +1625,23 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // q16's sim table, the same (sim DESC, id) rank, the same
+    // positives-band exclusion
+    "q219_hard_negatives" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5), " +
+        "sims AS (SELECT q.qid, e.vec_id, " +
+        "round(list_dot_product(e.emb, q.qemb) / " +
+        "(sqrt(list_dot_product(e.emb, e.emb)) * " +
+        "sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS sim " +
+        "FROM e, q WHERE e.vec_id <> q.qid), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, vec_id) AS rank FROM sims) " +
+        "SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM rk " +
+        "WHERE rank BETWEEN 6 AND 20 AND sim <= 0.95 " +
+        "ORDER BY qid, rank"),
 
     // same md5(doc:block) % 7 mask, same exclusive-prefix sentinel
     // ordinals, same space-joined rebuild under the md5s

@@ -184,6 +184,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q204 reintroduced a window exchange:\n$p")
   }
 
+  test("PMI mining broadcasts the total and takes top-k without a full sort") {
+    val p = plan("q212_pmi_collocations")
+    assert(p.contains("BroadcastExchange"), s"q212 lost its broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q212 top-k became a global sort:\n$p")
+    assert(!p.contains("Window"), s"q212 reintroduced a window exchange:\n$p")
+  }
+
+  test("content chunking stays scan-side: no window, copy counts partial-agg") {
+    val p = plan("q215_content_chunks")
+    assert(!p.contains("Window"), s"q215 reintroduced a window exchange:\n$p")
+    assert(p.contains("partial_count"), s"q215 lost map-side partial aggregation:\n$p")
+  }
+
   test("EXCEPT and correlated EXISTS plan as anti/semi hash joins") {
     val p71 = plan("q71_except")
     assert(p71.contains("LeftAnti"), s"q71 EXCEPT lost its anti-join plan:\n$p71")
