@@ -19,6 +19,58 @@ object CurationQueries {
   private def events(s: SparkSession, dir: String) =
     graft.Tables.load(s, dir, "events")
 
+  /** q131/q220's image near-dup pairs: aHash (8×8 mean threshold)
+    * over the REAL PNG codec for the asset set (originals
+    * doc_id < 100, brightened twins at +100), 8-bit band blocking
+    * (pigeonhole-complete for Hamming ≤ 7), bit_count verify —
+    * (a_id, b_id, hamming), never all-pairs.
+    */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, d).where(col("doc_id") < 100)
+      .select(col("doc_id")).as[Long]
+    val hashed = ids.mapPartitions { it =>
+      it.flatMap { bid =>
+        Seq(
+          (bid, Multimodal.synthImagePng(bid)),
+          (bid + 100, Multimodal.synthImagePngTwin(bid))
+        ).map { case (id, png) =>
+          val raw = Multimodal.ImageCodec.decode(png, "png")
+          val small = Multimodal.ImageCodec.resize(raw, 8, 8)
+          val v = new Array[Long](64)
+          var s64 = 0L
+          var p = 0
+          while (p < 64) {
+            val o = 8 + p * 3
+            v(p) = (small(o) & 0xff) + (small(o + 1) & 0xff) +
+              (small(o + 2) & 0xff)
+            s64 += v(p)
+            p += 1
+          }
+          var hash = 0L
+          p = 0
+          while (p < 64) {
+            if (64L * v(p) > s64) hash |= (1L << p)
+            p += 1
+          }
+          (id, hash)
+        }
+      }
+    }.toDF("id", "hash")
+    val banded = hashed.select(col("id"), col("hash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("shiftright(hash, band * 8) & 255"))
+    banded.select(col("id").as("a_id"), col("hash").as("a_hash"),
+        col("band"), col("bv"))
+      .join(banded.select(col("id").as("b_id"), col("hash").as("b_hash"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_hash ^ b_hash)").cast("long").as("hamming"))
+      .where(col("hamming") <= 7)
+      .distinct()
+  }
+
   /** q130's injected boilerplate: exactly one 5-token block, prepended
     * to every third document, already in normalized form so the Spark
     * and DuckDB normalizations agree on the concatenation.
@@ -511,52 +563,8 @@ object CurationQueries {
     // Hamming from the closed-form pixel polynomial, so codec drift,
     // resize-index drift, a hash bit off, or a band-recall loss all
     // hash-mismatch.
-    "q131_image_phash" -> ((s, d) => {
-      import s.implicits._
-      val ids = docs(s, d).where(col("doc_id") < 100)
-        .select(col("doc_id")).as[Long]
-      val hashed = ids.mapPartitions { it =>
-        it.flatMap { bid =>
-          Seq(
-            (bid, Multimodal.synthImagePng(bid)),
-            (bid + 100, Multimodal.synthImagePngTwin(bid))
-          ).map { case (id, png) =>
-            val raw = Multimodal.ImageCodec.decode(png, "png")
-            val small = Multimodal.ImageCodec.resize(raw, 8, 8)
-            val v = new Array[Long](64)
-            var s64 = 0L
-            var p = 0
-            while (p < 64) {
-              val o = 8 + p * 3
-              v(p) = (small(o) & 0xff) + (small(o + 1) & 0xff) +
-                (small(o + 2) & 0xff)
-              s64 += v(p)
-              p += 1
-            }
-            var hash = 0L
-            p = 0
-            while (p < 64) {
-              if (64L * v(p) > s64) hash |= (1L << p)
-              p += 1
-            }
-            (id, hash)
-          }
-        }
-      }.toDF("id", "hash")
-      val banded = hashed.select(col("id"), col("hash"),
-          explode(sequence(lit(0), lit(7))).as("band"))
-        .withColumn("bv", expr("shiftright(hash, band * 8) & 255"))
-      banded.select(col("id").as("a_id"), col("hash").as("a_hash"),
-          col("band"), col("bv"))
-        .join(banded.select(col("id").as("b_id"), col("hash").as("b_hash"),
-          col("band"), col("bv")), Seq("band", "bv"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          expr("bit_count(a_hash ^ b_hash)").cast("long").as("hamming"))
-        .where(col("hamming") <= 7)
-        .distinct()
-        .orderBy("a_id", "b_id")
-    }),
+    "q131_image_phash" -> ((s, d) =>
+      phashPairs(s, d).orderBy("a_id", "b_id")),
 
     // q143 — INCREMENTAL NEAR-DUP DEDUP (new batch vs indexed
     // corpus): the shape a continuously-ingested corpus actually
@@ -703,6 +711,36 @@ object CurationQueries {
           TextOps.tokens(col("text")), 8)
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
+
+    // q220 — CROSS-MODAL DEDUP: assets dedup on the UNION of
+    // modality pair graphs — text near-dup pairs (MinHash LSH +
+    // exact-Jaccard verify over assets whose twin text drifts by an
+    // appended marker) and image near-dup pairs (aHash banding over
+    // the REAL PNG codec, twins brightened) feed ONE connected-
+    // components pass. The cross-modal point: a twin whose text
+    // drifted below the Jaccard threshold is still captured by its
+    // image evidence, and vice versa — the re-encoded/re-captioned
+    // asset case single-modality dedup misses. Both pair generators
+    // are the bucketed (never all-pairs) operators measured in
+    // SCALE_CURVE; CC is the q38 min-label loop. The ORACLE composes
+    // the shingle/band CTEs, the px-prefixed pHash CTEs, and the
+    // recursive-CC fixpoint over the unioned symmetric edge set.
+    "q220_crossmodal_dedup" -> ((s, d) => {
+      val base = docs(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val assets = base.unionByName(base.select(
+        (col("doc_id") + 100).as("doc_id"),
+        concat(col("text"), lit(" cmx twin marker")).as("text")))
+      val textPairs = NearDup
+        .jaccardPairs(assets, "doc_id", "text", threshold = 0.8)
+        .select("doc_a", "doc_b")
+      val imgPairs = phashPairs(s, d)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+      val pairs = textPairs.unionByName(imgPairs).distinct()
+      Cluster.connectedComponents(
+          assets.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
 
     // q219 — HARD-NEGATIVE MINING (contrastive-training data prep,
     // the DPR/SBERT recipe): for each query, the ANN candidates
@@ -1229,33 +1267,41 @@ object CurationQueries {
   // q131's closed-form twin of decode→resize→aHash: pixel polynomial
   // (+ the twin's clamped red shift on source columns x < 2), NN
   // resize index arithmetic, integer aHash bits, all-pairs Hamming
-  private def duckPhashSql = {
+  /** pHash oracle CTE chain with px-prefixed names so it composes
+    * next to the shingle/band CTEs (q220) without collisions; yields
+    * `pxhm(a_id, b_id, hamming)` over the asset set (originals
+    * doc_id < 100, brightened twins at +100).
+    */
+  private def duckPhashCtes: String = {
     val x = "((x8 * w) // 8)"
     val y = "((y8 * h) // 8)"
     val r0 = s"(bid * 31 + $x * 7 + $y * 13) % 256"
     val v = s"(CASE WHEN tw AND $x < 2 THEN least($r0 + 8, 255) ELSE $r0 END) " +
       s"+ (bid + $x * 3 + $y * 5) % 256 + (bid * 17 + $x + $y * 2) % 256"
-    "WITH ids AS (SELECT doc_id AS id, doc_id AS bid, FALSE AS tw " +
+    "pxids AS (SELECT doc_id AS id, doc_id AS bid, FALSE AS tw " +
       "FROM documents WHERE doc_id < 100 " +
       "UNION ALL SELECT doc_id + 100, doc_id, TRUE " +
       "FROM documents WHERE doc_id < 100), " +
-      "dims AS (SELECT id, bid, tw, 16 + bid % 16 AS w, 16 + bid % 8 AS h " +
-      "FROM ids), " +
-      "g8 AS (SELECT id, bid, tw, w, h, " +
-      "unnest(generate_series(0, 7)) AS y8 FROM dims), " +
-      "p8 AS (SELECT id, bid, tw, w, h, y8, " +
-      "unnest(generate_series(0, 7)) AS x8 FROM g8), " +
-      s"pv AS (SELECT id, y8 * 8 + x8 AS j, $v AS v FROM p8), " +
-      "s AS (SELECT id, sum(v) AS s64 FROM pv GROUP BY 1), " +
-      "bits AS (SELECT pv.id, j, " +
-      "CASE WHEN 64 * pv.v > s.s64 THEN 1 ELSE 0 END AS bit " +
-      "FROM pv JOIN s ON pv.id = s.id), " +
-      "hm AS (SELECT a.id AS a_id, b.id AS b_id, " +
-      "sum(abs(a.bit - b.bit)) AS hamming FROM bits a " +
-      "JOIN bits b ON a.j = b.j AND a.id < b.id GROUP BY 1, 2) " +
-      "SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM hm " +
-      "WHERE hamming <= 7 ORDER BY a_id, b_id"
+      "pxdims AS (SELECT id, bid, tw, 16 + bid % 16 AS w, 16 + bid % 8 AS h " +
+      "FROM pxids), " +
+      "pxg8 AS (SELECT id, bid, tw, w, h, " +
+      "unnest(generate_series(0, 7)) AS y8 FROM pxdims), " +
+      "pxp8 AS (SELECT id, bid, tw, w, h, y8, " +
+      "unnest(generate_series(0, 7)) AS x8 FROM pxg8), " +
+      s"pxpv AS (SELECT id, y8 * 8 + x8 AS j, $v AS v FROM pxp8), " +
+      "pxs AS (SELECT id, sum(v) AS s64 FROM pxpv GROUP BY 1), " +
+      "pxbits AS (SELECT pxpv.id, j, " +
+      "CASE WHEN 64 * pxpv.v > pxs.s64 THEN 1 ELSE 0 END AS bit " +
+      "FROM pxpv JOIN pxs ON pxpv.id = pxs.id), " +
+      "pxhm AS (SELECT a.id AS a_id, b.id AS b_id, " +
+      "sum(abs(a.bit - b.bit)) AS hamming FROM pxbits a " +
+      "JOIN pxbits b ON a.j = b.j AND a.id < b.id GROUP BY 1, 2)"
   }
+
+  private def duckPhashSql =
+    "WITH " + duckPhashCtes +
+      " SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM pxhm " +
+      "WHERE hamming <= 7 ORDER BY a_id, b_id"
 
   // q133's five-round BPE replay: s0 holds the char-split sequences;
   // each round i extracts adjacent pairs (e_i), picks the argmax with
@@ -1625,6 +1671,34 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // shingle/band CTEs + px-prefixed pHash CTEs + recursive CC over
+    // the unioned symmetric edges — the q38 fixpoint, two modalities
+    "q220_crossmodal_dedup" ->
+      ("WITH RECURSIVE all_docs AS (" +
+        "SELECT doc_id, text FROM documents WHERE doc_id < 100 " +
+        "UNION ALL SELECT doc_id + 100, text || ' cmx twin marker' " +
+        "FROM documents WHERE doc_id < 100), " +
+        s"${duckShingleCtes("all_docs")}, $duckSigBandCtes, " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band " +
+        "AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+        "ver AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
+        "round(len(list_intersect(sa.sh, sb.sh)) / " +
+        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
+        "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
+        "JOIN sh sb ON sb.doc_id = c.doc_b) WHERE jacc >= 0.8), " +
+        duckPhashCtes + ", " +
+        "imgp AS (SELECT a_id AS doc_a, b_id AS doc_b FROM pxhm " +
+        "WHERE hamming <= 7), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver " +
+        "UNION SELECT doc_b, doc_a FROM ver " +
+        "UNION SELECT doc_a, doc_b FROM imgp " +
+        "UNION SELECT doc_b, doc_a FROM imgp), " +
+        "cc(id, lbl) AS (SELECT doc_id, doc_id FROM all_docs " +
+        "UNION SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id) " +
+        "SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster " +
+        "FROM cc GROUP BY id ORDER BY doc_id"),
 
     // q16's sim table, the same (sim DESC, id) rank, the same
     // positives-band exclusion
