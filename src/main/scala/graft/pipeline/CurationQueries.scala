@@ -712,6 +712,36 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q221 — DIFFERENTIAL-PRIVACY COUNT RELEASE (Dwork et al.'s
+    // Laplace mechanism, ε = 0.1): per-event-type counts released
+    // with Laplace(Δf/ε = 10) noise — the third governance tier next
+    // to q184's k-anonymity and pseudonymization (suppress / mask /
+    // perturb). The noise draw is the inverse-CDF transform of an
+    // md5-derived uniform (u = (h + ½)/2³², the half-offset keeping
+    // ln's argument strictly positive at both extremes) — seedless
+    // and engine-replayable like every other draw here, with the
+    // magnitude floored to integer micros BEFORE the sign flip (the
+    // q77 contract; DP-THEORETIC caveat stated plainly: a hash of a
+    // public group key is a FIXED draw, so this demonstrates the
+    // mechanism's shape and calibration — production ε-DP needs a
+    // secret seed). Scan-side: one partial-agg count, five rows of
+    // noise arithmetic.
+    "q221_dp_count_release" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__h", expr("cast(conv(substring(md5(concat(" +
+          "event_type, ':dp')), 1, 8), 16, 10) as bigint)"))
+        .withColumn("__t", expr(
+          "(cast(__h as double) + 0.5D) / 4294967296.0D - 0.5D"))
+        .withColumn("__mag", expr(
+          "cast(floor(-10.0D * ln(1.0D - 2.0D * abs(__t)) * 1000000D) " +
+            "as bigint)"))
+        .select(col("event_type"),
+          expr("n * 1000000 + (CASE WHEN __t < 0 THEN -__mag " +
+            "ELSE __mag END)").as("noisy_micro"),
+          lit(10L).as("scale"))
+        .orderBy("event_type")),
+
     // q220 — CROSS-MODAL DEDUP: assets dedup on the UNION of
     // modality pair graphs — text near-dup pairs (MinHash LSH +
     // exact-Jaccard verify over assets whose twin text drifts by an
@@ -1671,6 +1701,24 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // same half-offset uniform, same inverse-CDF magnitude floored
+    // to micros before the sign, same Δf/ε = 10 calibration
+    "q221_dp_count_release" ->
+      ("WITH c AS (SELECT event_type, count(*) AS n FROM events " +
+        "GROUP BY 1), " +
+        "h AS (SELECT event_type, n, " +
+        "('0x' || substr(md5(event_type || ':dp'), 1, 8))::BIGINT AS hv " +
+        "FROM c), " +
+        "t AS (SELECT event_type, n, " +
+        "(CAST(hv AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS tt FROM h), " +
+        "m AS (SELECT event_type, n, tt, " +
+        "CAST(floor(-10.0 * ln(1.0 - 2.0 * abs(tt)) * 1000000) AS BIGINT) " +
+        "AS mag FROM t) " +
+        "SELECT event_type, " +
+        "n * 1000000 + (CASE WHEN tt < 0 THEN -mag ELSE mag END) " +
+        "AS noisy_micro, CAST(10 AS BIGINT) AS scale FROM m " +
+        "ORDER BY event_type"),
 
     // shingle/band CTEs + px-prefixed pHash CTEs + recursive CC over
     // the unioned symmetric edges — the q38 fixpoint, two modalities
