@@ -712,6 +712,37 @@ object CurationQueries {
         .withColumnRenamed("__id", "doc_id")
         .orderBy("doc_id")),
 
+    // q222 — TOKENIZER FERTILITY BY LANGUAGE (tokens-per-word, the
+    // multilingual-fairness metric tokenizer reports lead with: a
+    // BPE trained on a mixed corpus splits under-represented
+    // languages into more pieces, inflating their compute cost).
+    // The corpus's own 5-merge tokenizer (q133/q202's training — the
+    // bounded argmax-collect rounds) applied per word occurrence,
+    // reduced to per-LANGUAGE token/word totals with the ratio in
+    // integer micros. Scan-side replace chain + one partial agg per
+    // language; the ORACLE replays training AND per-language
+    // application through the shared BPE CTE chain.
+    "q222_tokenizer_fertility" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val merges = Bpe.train(s, words, "w", "cnt", steps = 5)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w").rlike("^[a-z0-9]+$"))
+        .select(col("lang"),
+          (size(split(Bpe.encodeExpr(col("w"), merges), Bpe.Sep)) - 1)
+            .cast("long").as("toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum("toks").as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000000 div n_words").as("fertility_micro"))
+        .orderBy("lang")
+    }),
+
     // q221 — DIFFERENTIAL-PRIVACY COUNT RELEASE (Dwork et al.'s
     // Laplace mechanism, ε = 0.1): per-event-type counts released
     // with Laplace(Δf/ε = 10) noise — the third governance tier next
@@ -1701,6 +1732,31 @@ object CurationQueries {
         "coalesce(rb.m, md5('')) AS text_md5 " +
         "FROM nt LEFT JOIN rb ON rb.doc_id = nt.doc_id " +
         "ORDER BY nt.doc_id"),
+
+    // the shared BPE training CTEs, per-word application carried with
+    // lang, the same integer-micro ratio
+    "q222_tokenizer_fertility" -> {
+      val steps = 5
+      val sb = new StringBuilder
+      sb ++= duckBpeCtes(steps)
+      sb ++= s", dw AS (SELECT lang, unnest(string_split($duckNorm, ' ')) " +
+        "AS w FROM documents)"
+      sb ++= ", dq0 AS (SELECT lang, regexp_replace(w, '(.)', '·\\1', 'g') " +
+        "AS seq FROM dw WHERE regexp_matches(w, '^[a-z0-9]+"
+      sb ++= "$'))"
+      for (i <- 1 to steps) {
+        sb ++= s", dq$i AS (SELECT lang, replace(seq, " +
+          s"'·' || (SELECT pair FROM t$i), " +
+          s"'·' || (SELECT replace(pair, '·', '') FROM t$i)) AS seq " +
+          s"FROM dq${i - 1})"
+      }
+      sb ++= s" SELECT lang, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(string_split(seq, '·')) - 1) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(len(string_split(seq, '·')) - 1) * 1000000 " +
+        s"// count(*) AS BIGINT) AS fertility_micro " +
+        s"FROM dq$steps GROUP BY lang ORDER BY lang"
+      sb.toString
+    },
 
     // same half-offset uniform, same inverse-CDF magnitude floored
     // to micros before the sign, same Δf/ε = 10 calibration
