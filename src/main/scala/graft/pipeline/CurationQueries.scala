@@ -79,6 +79,118 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // q224 — BRADLEY-TERRY PREFERENCE RANKING: the RLHF/eval-data
+    // primitive — fit per-player strengths from pairwise win/loss
+    // records (the model behind Chatbot-Arena-style leaderboards and
+    // preference-data quality audits). Here the "players" are the 20
+    // corpus sources and the comparisons are a deterministic
+    // tournament: each md5 bucket's two lowest-ord documents face
+    // off, longer document wins (doc_id tie-break) — the harness
+    // stand-in for human preference labels. Fit is the classic MM
+    // fixed point p_i ← W_i / Σ_j n_ij/(p_i+p_j) (Hunter 2004), 15
+    // synchronous rounds in integer micros (n·10¹² div (p_i+p_j),
+    // then W·10¹² div D — truncating division both engines), ratings
+    // normalized to micro shares at the end. Scale shape: pair
+    // generation is one bucket-key shuffle (top-2 via bounded
+    // row_number inside ≤N/300-row buckets) and the win matrix is a
+    // partial-agg groupBy; the fixed point itself runs on the
+    // collected |sources|² ≤ 400-cell matrix — bounded by design
+    // (players are domains/models, not documents; the matrix is
+    // leaderboard-sized at any corpus scale). The ORACLE replays the
+    // identical 15 rounds as an unrolled CTE chain, so the gate
+    // proves the iteration arithmetic, not just the pair counts.
+    "q224_bradley_terry" -> ((s, d) => {
+      import s.implicits._
+      val d0 = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+        (conv(substring(md5(concat(lit("bt:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 300).as("bkt"),
+        conv(substring(md5(concat(lit("ord:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("ord"))
+      val wb = Window.partitionBy("bkt").orderBy(col("ord"), col("doc_id"))
+      val top2 = d0.withColumn("rn", row_number().over(wb))
+        .where(col("rn") <= 2)
+      val duel = top2.groupBy("bkt")
+        .agg(max(when(col("rn") === 1,
+            struct(col("source"), col("n_chars"), col("doc_id")))).as("x"),
+          max(when(col("rn") === 2,
+            struct(col("source"), col("n_chars"), col("doc_id")))).as("y"))
+        .where(col("y").isNotNull && col("x.source") =!= col("y.source"))
+      val outcomes = duel.select(
+        when(col("x.n_chars") > col("y.n_chars") ||
+            (col("x.n_chars") === col("y.n_chars") &&
+              col("x.doc_id") < col("y.doc_id")),
+          struct(col("x.source").as("w"), col("y.source").as("l")))
+          .otherwise(struct(col("y.source").as("w"), col("x.source").as("l")))
+          .as("p"))
+        .select(col("p.w").as("winner"), col("p.l").as("loser"))
+      val base = outcomes.groupBy("winner", "loser")
+        .agg(count(lit(1)).as("nw"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // bounded by design: |sources|² cells (leaderboard-sized)
+      val players = base.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val wins = players.map(p =>
+        p -> base.filter(_._1 == p).map(_._3).sum).toMap
+      val nMat = base.groupBy(t => if (t._1 < t._2) (t._1, t._2)
+          else (t._2, t._1))
+        .map { case (k, v) => k -> v.map(_._3).sum }
+      def n(i: String, j: String): Long =
+        nMat.getOrElse(if (i < j) (i, j) else (j, i), 0L)
+      // renormalize to Σp = |players|·10⁶ each round: BT strengths are
+      // scale-free, and the clamp keeps every intermediate well inside
+      // int64 (p ≤ Σp, so p·10¹² never overflows) — the oracle applies
+      // the identical renorm CTE per round
+      val targetSum = players.length * 1000000L
+      var p = players.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 15) {
+        val raw = players.map { i =>
+          val den = players.filter(j => j != i && n(i, j) > 0)
+            .map(j => n(i, j) * 1000000000000L / (p(i) + p(j))).sum
+          i -> math.max(if (den == 0) 1000000L
+            else wins(i) * 1000000000000L / den, 1L)
+        }.toMap
+        val rawSum = players.map(raw(_)).sum
+        p = players.map(i =>
+          i -> math.max(raw(i) * targetSum / rawSum, 1L)).toMap
+      }
+      val tot = players.map(p(_)).sum
+      val rows = players.map { src =>
+        (src, wins(src), players.filter(j => j != src).map(n(src, _)).sum,
+          p(src) * 1000000L / tot)
+      }
+      s.createDataFrame(rows).toDF("source", "n_wins", "n_matches",
+          "rating_micro")
+        .orderBy("source")
+    }),
+
+    // q227 — READABILITY SCORES (Flesch Reading Ease + Flesch-Kincaid
+    // grade): the classic document-quality features a heuristic
+    // corpus filter thresholds on next to q14's surface stats and
+    // q77's LM scores. Counts are plain regex totals (sentences =
+    // [.!?]+ runs, syllables = vowel-group runs over the lowered
+    // text — the standard approximation, identical on both engines),
+    // clamped ≥ 1 so the ratios are total; both scores come out in
+    // integer micros via truncating division (1.015·w/s ≡
+    // 1015000·w div s). Entirely scan-side — zero shuffles beyond
+    // the output order; at 100 TB this is a parquet-scan-speed
+    // projection.
+    "q227_readability" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          greatest(size(split(regexp_replace(lower(trim(col("text"))),
+            "\\s+", " "), " ")), lit(1)).cast("long").as("n_words"),
+          greatest(size(regexp_extract_all(col("text"),
+            lit("[.!?]+"), lit(0))), lit(1)).cast("long").as("n_sentences"),
+          greatest(size(regexp_extract_all(lower(col("text")),
+            lit("[aeiouy]+"), lit(0))), lit(1)).cast("long").as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          expr("206835000 - (1015000 * n_words) div n_sentences - " +
+            "(84600000 * n_syllables) div n_words").as("fre_micro"),
+          expr("(390000 * n_words) div n_sentences + " +
+            "(11800000 * n_syllables) div n_words - 15590000")
+            .as("fk_grade_micro"))
+        .orderBy("doc_id")),
+
     // q129 — PER-DOMAIN CAP (top-k per source by length): the corpus
     // balancing step that stops one crawl domain from dominating the
     // mix. The naive shape — row_number() OVER (PARTITION BY source)
@@ -1425,7 +1537,82 @@ object CurationQueries {
     sb.toString
   }
 
+  /** q224's replay: identical tournament, win matrix, and 15 unrolled
+    * MM rounds (update + renormalize per round) in pure integer
+    * arithmetic — the CTE chain is the oracle twin of the driver-side
+    * fixed point, so every division and clamp is gate-checked.
+    */
+  private def duckBradleyTerrySql: String = {
+    val rounds = 15
+    val sb = new StringBuilder
+    sb ++= "WITH d0 AS (SELECT doc_id, source, n_chars, " +
+      "('0x' || substr(md5('bt:' || CAST(doc_id AS VARCHAR)), 1, 8))" +
+      "::BIGINT % 300 AS bkt, " +
+      "('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 8))" +
+      "::BIGINT AS ord FROM documents), " +
+      "r AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY bkt " +
+      "ORDER BY ord, doc_id) AS rn FROM d0), " +
+      "pr AS MATERIALIZED (SELECT CASE WHEN a.n_chars > b.n_chars OR " +
+      "(a.n_chars = b.n_chars AND a.doc_id < b.doc_id) " +
+      "THEN a.source ELSE b.source END AS winner, " +
+      "CASE WHEN a.n_chars > b.n_chars OR " +
+      "(a.n_chars = b.n_chars AND a.doc_id < b.doc_id) " +
+      "THEN b.source ELSE a.source END AS loser " +
+      "FROM r a JOIN r b ON a.bkt = b.bkt AND a.rn = 1 AND b.rn = 2 " +
+      "WHERE a.source <> b.source), " +
+      "base AS MATERIALIZED (SELECT winner, loser, CAST(count(*) AS BIGINT) AS nw " +
+      "FROM pr GROUP BY 1, 2), " +
+      "m AS MATERIALIZED (SELECT a, b, CAST(sum(nn) AS BIGINT) AS n FROM (" +
+      "SELECT winner AS a, loser AS b, nw AS nn FROM base " +
+      "UNION ALL SELECT loser, winner, nw FROM base) GROUP BY 1, 2), " +
+      "pl AS MATERIALIZED (SELECT DISTINCT a AS src FROM m), " +
+      "w AS MATERIALIZED (SELECT pl.src, CAST(coalesce((SELECT sum(nw) FROM base " +
+      "WHERE winner = pl.src), 0) AS BIGINT) AS wins FROM pl), " +
+      "ts AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) * 1000000 AS t FROM pl), " +
+      "it0 AS MATERIALIZED (SELECT src, CAST(1000000 AS BIGINT) AS p FROM pl)"
+    for (k <- 1 to rounds) {
+      sb ++= s", dd$k AS MATERIALIZED (SELECT m.a AS src, " +
+        "CAST(sum(m.n * 1000000000000 // (pa.p + pb.p)) AS BIGINT) AS den " +
+        s"FROM m JOIN it${k - 1} pa ON pa.src = m.a " +
+        s"JOIN it${k - 1} pb ON pb.src = m.b GROUP BY m.a)"
+      sb ++= s", x$k AS MATERIALIZED (SELECT w.src, greatest(CASE WHEN d.den = 0 " +
+        "THEN 1000000 ELSE w.wins * 1000000000000 // d.den END, 1) AS p " +
+        s"FROM w JOIN dd$k d ON d.src = w.src)"
+      sb ++= s", it$k AS MATERIALIZED (SELECT x.src, CAST(greatest(" +
+        "x.p * (SELECT t FROM ts) // " +
+        s"(SELECT CAST(sum(p) AS BIGINT) FROM x$k), 1) AS BIGINT) AS p " +
+        s"FROM x$k x)"
+    }
+    sb ++= " SELECT w.src AS source, w.wins AS n_wins, " +
+      "CAST((SELECT sum(n) FROM m WHERE m.a = w.src) AS BIGINT) " +
+      "AS n_matches, " +
+      s"CAST(it.p * 1000000 // (SELECT CAST(sum(p) AS BIGINT) " +
+      s"FROM it$rounds) AS BIGINT) AS rating_micro " +
+      s"FROM w JOIN it$rounds it ON it.src = w.src ORDER BY source"
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q224_bradley_terry" -> duckBradleyTerrySql,
+
+    // same regex totals, same ≥1 clamps, same truncating micro math
+    "q227_readability" ->
+      ("WITH c AS (SELECT doc_id, " +
+        "greatest(len(string_split(regexp_replace(lower(trim(text)), " +
+        "'\\s+', ' ', 'g'), ' ')), 1) AS n_words, " +
+        "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) " +
+        "AS n_sentences, " +
+        "greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) " +
+        "AS n_syllables FROM documents) " +
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+        "CAST(n_sentences AS BIGINT) AS n_sentences, " +
+        "CAST(n_syllables AS BIGINT) AS n_syllables, " +
+        "206835000 - (1015000 * n_words) // n_sentences - " +
+        "(84600000 * n_syllables) // n_words AS fre_micro, " +
+        "(390000 * n_words) // n_sentences + " +
+        "(11800000 * n_syllables) // n_words - 15590000 AS fk_grade_micro " +
+        "FROM c ORDER BY doc_id"),
+
     // same distinct pair table, same inclusion-exclusion micro shares
     "q193_source_overlap" ->
       (s"WITH st AS (SELECT DISTINCT source, " +

@@ -74,6 +74,109 @@ object PipelineQueries {
   private[pipeline] val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q225 — LATE-INTERACTION (MaxSim) RETRIEVAL: ColBERT's scoring
+    // rule — score(q, d) = Σ_{query token} max_{doc token} cos — over
+    // multi-vector documents (here: 8 consecutive embedding rows per
+    // pseudo-doc, vec_id div 8). The multi-vector tier above q16's
+    // single-vector cosine: a query token matches its BEST counterpart
+    // per document, so partial phrase overlap scores where a pooled
+    // single vector washes out. Per-token maxima round to 6 dp and
+    // fold to integer micros BEFORE the per-doc sum (order-exact
+    // cross-engine; the q77 idiom), top-5 docs per query. Plan: the
+    // ≤24-row query-token side is broadcast; the corpus token table
+    // is scanned ONCE, the (qtoken × doc) maxima and per-doc sums are
+    // both partial-agg groupBys — no shuffle ever carries raw
+    // embeddings, and at 100 TB the corpus side behaves exactly like
+    // q16's scan (ANN-bucket the corpus first to cut the candidate
+    // set; this is the exact-scoring stage).
+    "q225_maxsim_rerank" -> ((s, d) => {
+      val tok = embs(s, d).select(expr("vec_id div 8").as("did"),
+        col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val qt = tok.where(col("did") < 3)
+        .select(col("did").as("qdid"), col("vec_id").as("qvid"),
+          col("emb").as("qemb"))
+      val best = tok.join(broadcast(qt), col("did") =!= col("qdid"))
+        .select(col("qdid"), col("qvid"), col("did"),
+          round(Similarity.cosine(col("emb"), col("qemb")), 6).as("c"))
+        .groupBy("qdid", "qvid", "did")
+        .agg(max(col("c")).as("mx"))
+        .select(col("qdid"), col("did"),
+          round(col("mx") * 1000000).cast("long").as("mxm"))
+      val scores = best.groupBy("qdid", "did")
+        .agg(sum("mxm").as("score_micro"))
+      val wf = Window.partitionBy("qdid")
+        .orderBy(col("score_micro").desc, col("did"))
+      scores.withColumn("rn", row_number().over(wf))
+        .where(col("rn") <= 5)
+        .select("qdid", "did", "score_micro")
+        .orderBy("qdid", "did")
+    }),
+
+    // q226 — RECIPROCAL RANK FUSION: the standard hybrid-retrieval
+    // combiner (Cormack et al. 2009) — fuse two rankings of the same
+    // candidates by Σ 1/(60+rank), rank-only so incomparable scores
+    // (lexical vs dense, cosine vs distance) need no calibration.
+    // Here the two legs rank the q16 corpus for the same queries by
+    // cosine (angle) and by L2 distance (magnitude-sensitive — the
+    // legs genuinely disagree on unnormalized vectors). Ranks come
+    // from row_number over 6-dp-rounded scores with vec_id
+    // tie-break; RRF contributions are integer micros (10⁶ div
+    // (60+rank)), summed exactly. Both rank windows partition by the
+    // (broadcast) query id — the brute-force tier, same contract as
+    // q16: at scale each leg is an ANN list (q22/q63) and the fusion
+    // runs on the short candidate union instead.
+    "q226_rrf_fusion" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("emb"), col("qemb")), 6).as("cosv"),
+          round(Similarity.dot(col("emb"), col("emb"))
+            - lit(2d) * Similarity.dot(col("emb"), col("qemb"))
+            + Similarity.dot(col("qemb"), col("qemb")), 6).as("d2"))
+      val wc = Window.partitionBy("qid")
+        .orderBy(col("cosv").desc, col("vec_id"))
+      val wl = Window.partitionBy("qid")
+        .orderBy(col("d2").asc, col("vec_id"))
+      val ranked = sims
+        .withColumn("rank_cos", row_number().over(wc).cast("long"))
+        .withColumn("rank_l2", row_number().over(wl).cast("long"))
+        .withColumn("rrf_micro", expr(
+          "1000000 div (60 + rank_cos) + 1000000 div (60 + rank_l2)"))
+      val wf = Window.partitionBy("qid")
+        .orderBy(col("rrf_micro").desc, col("vec_id"))
+      ranked.withColumn("rn", row_number().over(wf))
+        .where(col("rn") <= 10)
+        .select("qid", "vec_id", "rank_cos", "rank_l2", "rrf_micro")
+        .orderBy("qid", "vec_id")
+    }),
+
+    // q228 — PRODUCT QUANTIZATION + ADC search: the memory-compression
+    // tier of the ANN family (q16 exact → q22/q36/q63 bucketed →
+    // THIS: vectors stored as 8 one-byte codes, 32× smaller, searched
+    // without touching a float). 8 subspaces × 8 dims, k=16 codewords
+    // per subspace, 2 Lloyd rounds (seeded by the first 16 vectors —
+    // the q36 contract); queries score the corpus by summing 8
+    // integer-micro table lookups. See [[Pq]] for the broadcast/
+    // partial-agg scale shape. The ORACLE replays the entire training
+    // (both Lloyd rounds per subspace), the encoding, and the ADC
+    // ranking — the compression pipeline itself is gate-checked, not
+    // just the final ranks.
+    "q228_pq_adc" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val sub = Pq.subvectors(e, nSub = 8, dSub = 8)
+      val cb = Pq.train(s, sub, k = 16, iters = 2)
+      val codes = Pq.assign(sub, cb).select("vec_id", "s", "cid")
+      val qsub = sub.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("s"), col("sv").as("qsv"))
+      Pq.adcTopK(codes, cb, qsub, k = 10, nSub = 8)
+        .orderBy("qid", "vec_id")
+    }),
+
     // q13 — exact dedup: keep smallest doc_id per normalized-text md5
     // (single hash-shuffle with partial agg; no window, no all-pairs)
     "q13_dedup_exact" -> ((s, d) =>
@@ -899,11 +1002,14 @@ object PipelineQueries {
     // SCALE_CURVE.md). Contrast q17/q18 (MinHash: probabilistic
     // recall) — this is the exact-recall member of the dedup family.
     "q117_ppjoin_jaccard" -> ((s, d) =>
-      // the shingle construction goes in as an EXPRESSION — see the
-      // SetSimJoin scaladoc for why a pre-materialized column triples
-      // the per-row regexp work via the inferred generate filter
+      // shingle sets via the NATIVE word_shingles expression (one
+      // codegen'd JVM call per row): the declarative transform-lambda
+      // form re-evaluates the regex tokenize per array position
+      // (higher-order functions don't codegen, so no subexpression
+      // elimination inside the lambda) — measured ~10 s of pure
+      // set-construction at sf0.1 before the swap
       SetSimJoin.jaccardPairs(docsWithDups(s, d), "doc_id",
-          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)),
+          array_distinct(expr("word_shingles(text, 3)")),
           tau = 0.8)
         .select(col("a_id"), col("b_id"), col("inter"),
           round(col("jacc"), 6).as("jacc"))
@@ -1004,7 +1110,7 @@ object PipelineQueries {
     // appear for identical sets).
     "q121_containment_join" -> ((s, d) =>
       SetSimJoin.containmentPairs(docsWithDups(s, d), "doc_id",
-          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)),
+          array_distinct(expr("word_shingles(text, 3)")), // see q117
           tau = 0.9)
         .select(col("a_id"), col("b_id"), col("inter"),
           round(col("containment"), 6).as("containment"))
@@ -1461,6 +1567,98 @@ object PipelineQueries {
       "AND a.doc_id < b.doc_id)"
 
   val oracleSql: Map[String, String] = Map(
+    // full PQ replay: subvector split, both Lloyd rounds per subspace
+    // (6-dp centroid rounding, lowest-cid ties), encode, integer-micro
+    // ADC table sum, top-10 — MATERIALIZED CTEs keep the iteration
+    // chain from re-expanding through DuckDB's CTE inlining
+    "q228_pq_adc" -> {
+      val dd2 = (a: String, b: String) =>
+        s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b) " +
+          s"+ list_dot_product($b, $b), 6)"
+      val assignCte = (src: String, cb: String) =>
+        s"SELECT vec_id, s, sv, cid FROM (" +
+          s"SELECT t.vec_id, t.s, t.sv, c.cid, row_number() OVER (" +
+          s"PARTITION BY t.vec_id, t.s " +
+          s"ORDER BY ${dd2("t.sv", "c.cemb")} ASC, c.cid) AS rn " +
+          s"FROM $src t JOIN $cb c ON c.s = t.s) WHERE rn = 1"
+      val meanCte = (src: String) =>
+        s"SELECT s, cid, list(round(m, 6) ORDER BY i) AS cemb FROM (" +
+          s"SELECT s, cid, i, avg(v) AS m FROM (" +
+          s"SELECT s, cid, unnest(sv) AS v, generate_subscripts(sv, 1) AS i " +
+          s"FROM $src) GROUP BY 1, 2, 3) GROUP BY 1, 2"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "sub AS MATERIALIZED (SELECT vec_id, s, " +
+        "emb[s * 8 + 1 : s * 8 + 8] AS sv " +
+        "FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)), " +
+        "cb0 AS MATERIALIZED (SELECT s, CAST(vec_id AS INT) AS cid, " +
+        "sv AS cemb FROM sub WHERE vec_id < 16), " +
+        s"a1 AS MATERIALIZED (${assignCte("sub", "cb0")}), " +
+        s"cb1 AS MATERIALIZED (${meanCte("a1")}), " +
+        s"a2 AS MATERIALIZED (${assignCte("sub", "cb1")}), " +
+        s"cb2 AS MATERIALIZED (${meanCte("a2")}), " +
+        s"codes AS MATERIALIZED (SELECT vec_id, s, cid FROM " +
+        s"(${assignCte("sub", "cb2")})), " +
+        "qsub AS (SELECT vec_id AS qid, s, sv AS qsv FROM sub " +
+        "WHERE vec_id < 5), " +
+        "dtab AS MATERIALIZED (SELECT q.qid, q.s, c.cid, " +
+        s"CAST(round(${dd2("q.qsv", "c.cemb")} * 1000000) AS BIGINT) AS dm " +
+        "FROM qsub q JOIN cb2 c ON c.s = q.s), " +
+        "sc AS (SELECT d.qid, k.vec_id, CAST(sum(d.dm) AS BIGINT) " +
+        "AS adc_micro, count(*) AS n " +
+        "FROM codes k JOIN dtab d ON d.s = k.s AND d.cid = k.cid " +
+        "WHERE k.vec_id <> d.qid GROUP BY 1, 2), " +
+        "r AS (SELECT qid, vec_id, adc_micro, row_number() OVER (" +
+        "PARTITION BY qid ORDER BY adc_micro ASC, vec_id) AS rn " +
+        "FROM sc WHERE n = 8) " +
+        "SELECT qid, vec_id, adc_micro FROM r WHERE rn <= 10 " +
+        "ORDER BY qid, vec_id"
+    },
+    // same pseudo-doc grouping, per-token maxima (6 dp → micro before
+    // the sum), top-5 — list_dot_product matches dot_f64's
+    // sequential accumulation (the q16-proven pairing)
+    "q225_maxsim_rerank" ->
+      ("WITH e AS (SELECT vec_id // 8 AS did, vec_id, " +
+        "embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "q AS (SELECT did AS qdid, vec_id AS qvid, emb AS qemb " +
+        "FROM e WHERE did < 3), " +
+        "s1 AS (SELECT q.qdid, q.qvid, e.did, " +
+        "max(round(list_dot_product(e.emb, q.qemb) / " +
+        "(sqrt(list_dot_product(e.emb, e.emb)) * " +
+        "sqrt(list_dot_product(q.qemb, q.qemb))), 6)) AS mx " +
+        "FROM e JOIN q ON e.did <> q.qdid GROUP BY 1, 2, 3), " +
+        "s2 AS (SELECT qdid, did, " +
+        "CAST(sum(CAST(round(mx * 1000000) AS BIGINT)) AS BIGINT) " +
+        "AS score_micro FROM s1 GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qdid " +
+        "ORDER BY score_micro DESC, did) AS rn FROM s2) " +
+        "SELECT qdid, did, score_micro FROM r WHERE rn <= 5 " +
+        "ORDER BY qdid, did"),
+    // identical 6-dp leg scores, identical rank tie-breaks, integer
+    // micro RRF contributions — // matches Spark div
+    "q226_rrf_fusion" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, emb AS qemb FROM e " +
+        "WHERE vec_id < 5), " +
+        "s AS (SELECT q.qid, e.vec_id, " +
+        "round(list_dot_product(e.emb, q.qemb) / " +
+        "(sqrt(list_dot_product(e.emb, e.emb)) * " +
+        "sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS cosv, " +
+        "round(list_dot_product(e.emb, e.emb) " +
+        "- 2 * list_dot_product(e.emb, q.qemb) " +
+        "+ list_dot_product(q.qemb, q.qemb), 6) AS d2 " +
+        "FROM e JOIN q ON e.vec_id <> q.qid), " +
+        "rk AS (SELECT qid, vec_id, " +
+        "CAST(row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cosv DESC, vec_id) AS BIGINT) AS rank_cos, " +
+        "CAST(row_number() OVER (PARTITION BY qid " +
+        "ORDER BY d2 ASC, vec_id) AS BIGINT) AS rank_l2 FROM s), " +
+        "f AS (SELECT *, 1000000 // (60 + rank_cos) + " +
+        "1000000 // (60 + rank_l2) AS rrf_micro FROM rk), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY rrf_micro DESC, vec_id) AS rn FROM f) " +
+        "SELECT qid, vec_id, rank_cos, rank_l2, rrf_micro FROM r " +
+        "WHERE rn <= 10 ORDER BY qid, vec_id"),
     // the estimate itself is engine-specific so it is asserted (3×rsd
     // band -> boolean), not hashed; the exact count IS hashed
     "q21_approx_distinct" ->

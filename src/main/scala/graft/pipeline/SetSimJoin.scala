@@ -79,7 +79,7 @@ object SetSimJoin {
     */
   def jaccardPairs(sets: DataFrame, idCol: String, setCol: Column,
       tau: Double): DataFrame = {
-    val ord = withPrefixLen(ordered(sets, idCol, setCol), tau)
+    val ord = materialized(withPrefixLen(ordered(sets, idCol, setCol), tau))
     val pre = ord.select(col("__id"), col("__sz"),
       posexplode(expr("slice(__toks, 1, __plen)")).as(Seq("__i", "__p")))
     val cand = pre.toDF("a_id", "a_szp", "a_i", "__p")
@@ -109,7 +109,7 @@ object SetSimJoin {
     */
   def containmentPairs(sets: DataFrame, idCol: String, setCol: Column,
       tau: Double): DataFrame = {
-    val ord = withPrefixLen(ordered(sets, idCol, setCol), tau)
+    val ord = materialized(withPrefixLen(ordered(sets, idCol, setCol), tau))
     val pre = ord.select(col("__id").as("a_id"), col("__sz").as("a_szp"),
       explode(expr("slice(__toks, 1, __plen)")).as("__t"))
     val idx = ord.select(col("__id").as("b_id"), col("__sz").as("b_szp"),
@@ -124,6 +124,20 @@ object SetSimJoin {
       .select(col("a_id"), col("b_id"),
         col("inter").cast("long").as("inter"), col("containment"))
   }
+
+  /** The ordered-sets table appears FOUR times in each join's plan
+    * (both prefix/index sides + both verify sides). Materializing it
+    * once (localCheckpoint, the [[Cluster]] precedent) was MEASURED
+    * SLOWER at sf0.1 (q117 5.9 s vs 4.2 s; q121 8.3 vs 6.2): with the
+    * codegen'd `word_shingles` set construction the recompute is
+    * scan-speed, while the checkpoint pays an eager barrier plus
+    * serializing every token array through block storage. So the plan
+    * recomputes — the right default whenever set construction is
+    * cheap. Re-materialize (block store or scratch parquet) only if a
+    * profile shows the ordered pipeline itself dominating, e.g. an
+    * expensive normalizer in `setCol`.
+    */
+  private def materialized(ord: DataFrame): DataFrame = ord
 
   /** Join candidate id pairs back to full sets, exact intersection. */
   private def verify(cand: DataFrame, ord: DataFrame): DataFrame = {

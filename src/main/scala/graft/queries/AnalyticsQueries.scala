@@ -977,9 +977,81 @@ object AnalyticsQueries {
             col(s"min_$cn").as("min_s"), col(s"max_$cn").as("max_s"))
         }: _*)).as("r"))
         .select("r.*").orderBy("col_name")
+    }),
+
+    // q223 — POPULATION STABILITY INDEX drift monitor: the standard
+    // train-vs-serve (or window-vs-window) distribution-shift metric,
+    // PSI = Σ_bins (p−q)·ln(p/q), computed per event_type over fixed
+    // $5 value bins. Here the reference/current split is an md5 coin
+    // on event_id (deterministic harness stand-in for the production
+    // contract: reference window vs current window). All arithmetic
+    // is exact-integer: p−q as the exact rational (a·B − b·A)/(A·B),
+    // ln(p/q) as a difference of micro-logs of exact bigints (the
+    // q77 idiom), cross products in decimal(38) (HUGEINT in the
+    // oracle), truncating integer division last. Bins empty on either
+    // side are excluded (the ε-free contract; n_bins reports how many
+    // contributed). Plan: one scan-side projection (md5 + clamp), ONE
+    // partial-agg shuffle of (type, bin) cells — the per-type totals
+    // and PSI fold over the ≤ |types|·20-row cell table, broadcast
+    // back. At 100 TB this is a single map-combined aggregation.
+    "q223_psi_drift" -> ((s, d) => {
+      val binned = events(s, d)
+        .select(col("event_type"),
+          (conv(substring(md5(concat(lit("psi:"),
+            col("event_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2).as("side"),
+          least(greatest(expr("cast(round(value * 100) as bigint) div 500"),
+            lit(0L)), lit(19L)).as("bin"))
+      val cells = binned.groupBy("event_type", "bin")
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("a"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("b"))
+      val totals = cells.groupBy("event_type")
+        .agg(sum("a").as("ta"), sum("b").as("tb"))
+      // double/decimal-first products: a·B etc. stay exact (< 2⁵³ per
+      // factor) without ever forming an int64 product that overflows
+      // at petabyte row counts
+      cells.join(broadcast(totals), "event_type")
+        .where(col("a") > 0 && col("b") > 0)
+        .select(col("event_type"),
+          (floor(log(col("a").cast("double") * col("tb")) * 1000000)
+            .cast("long") -
+            floor(log(col("b").cast("double") * col("ta")) * 1000000)
+              .cast("long")).as("l"),
+          col("a"), col("b"), col("ta"), col("tb"))
+        .select(col("event_type"),
+          expr("(cast(a as decimal(38,0)) * tb - cast(b as decimal(38,0)) " +
+            "* ta) * l div (cast(ta as decimal(38,0)) * tb)")
+            .as("term"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_bins"), sum("term").as("psi_micro"))
+        .orderBy("event_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // identical binning, md5 coin, micro-log difference, and HUGEINT
+    // cross-product division — truncation semantics match Spark div
+    "q223_psi_drift" ->
+      ("WITH e AS (SELECT event_type, " +
+        "('0x' || substr(md5('psi:' || CAST(event_id AS VARCHAR)), 1, 8))" +
+        "::BIGINT % 2 AS side, " +
+        "least(greatest(CAST(round(value * 100) AS BIGINT) // 500, 0), 19) " +
+        "AS bin FROM events), " +
+        "c AS (SELECT event_type, bin, " +
+        "CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b " +
+        "FROM e GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS ta, " +
+        "CAST(sum(b) AS BIGINT) AS tb FROM c GROUP BY 1), " +
+        "tm AS (SELECT c.event_type, " +
+        "((CAST(a AS HUGEINT) * tb - CAST(b AS HUGEINT) * ta) * " +
+        "(CAST(floor(ln(CAST(a AS DOUBLE) * tb) * 1000000) AS BIGINT) - " +
+        "CAST(floor(ln(CAST(b AS DOUBLE) * ta) * 1000000) AS BIGINT))) " +
+        "// (CAST(ta AS HUGEINT) * tb) AS term " +
+        "FROM c JOIN t ON t.event_type = c.event_type " +
+        "WHERE a > 0 AND b > 0) " +
+        "SELECT event_type, count(*) AS n_bins, " +
+        "CAST(sum(term) AS BIGINT) AS psi_micro " +
+        "FROM tm GROUP BY 1 ORDER BY event_type"),
     // the identical run-length lowering — lag/cumsum/lead over the
     // same (ts, event_id) total order
     "q162_cep_pattern" ->

@@ -118,6 +118,17 @@ object IncrementalJoin {
         target.merge(legs.reduce(_ unionByName _), opCol = Some("__op"),
           streamId = streamId, batchId = batchId,
           autoCreateKeys = Seq(aKey))
+      else if (target.currentSnapshot.isEmpty) {
+        // both ranges empty on a fresh target: bootstrap the (empty)
+        // maintained table anyway — "refresh to current versions" must
+        // leave a readable target, not an exception for the first
+        // consumer that polls before any source commit (found by the
+        // IncrementalJoinSpec property: an empty first script step)
+        import org.apache.spark.sql.types.StructType
+        val bSchema = bCur.schema
+        target.create(StructType(a.read().schema.fields ++
+          bAttrs.map(c => bSchema(c))), keys = Seq(aKey))
+      }
     } finally if (netA != null) netA.unpersist()
   }
 
@@ -151,7 +162,10 @@ object IncrementalJoin {
       .flatMap(_.committed.get(streamId))
       .map(packed => (packed >> 31, packed & ((1L << 31) - 1)))
       .getOrElse((bootstrapA, bootstrapB))
-    if (fromA == curA && fromB == curB) false
+    // an uninitialized target still refreshes (bootstraps the empty
+    // maintained table) even when the cursors are already current
+    if (fromA == curA && fromB == curB && target.currentSnapshot.nonEmpty)
+      false
     else {
       refreshLeftJoin(spark, a, b, target, fromA, curA, fromB, curB,
         aKey, fkCol, bKey,
