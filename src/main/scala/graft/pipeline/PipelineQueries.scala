@@ -154,6 +154,66 @@ object PipelineQueries {
         .orderBy("qid", "vec_id")
     }),
 
+    // q229 — LEAKAGE-SAFE CV FOLD SPLIT: the evaluation-hygiene twin
+    // of q126's per-document split. A near-duplicate pair scattered
+    // across train/eval folds leaks the answer (the Lee et al./
+    // decontamination failure mode INSIDE one corpus), so folds must
+    // be assigned per near-dup CLUSTER, not per document. Composes
+    // the q38 cluster machinery (LSH candidates → verified pairs →
+    // min-label connected components) with the q126 md5 assignment,
+    // hashed on the CLUSTER representative — every member lands in
+    // the same fold by construction, stable under corpus growth. The
+    // output reports, per cluster, how many folds the naive per-doc
+    // hash would have scattered it across (n_folds_naive > 1 = the
+    // leaks prevented). Scale: adds one bounded groupBy on top of the
+    // measured q38 pipeline (α 0.37).
+    "q229_leakage_safe_split" -> ((s, d) => {
+      val base = docsWithDups(s, d)
+      val pairs = NearDup.jaccardPairs(base, "doc_id", "text", threshold = 0.8)
+      val lab = Cluster.connectedComponents(
+        base.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
+      def fold(c: Column) = conv(substring(md5(concat(lit("cvf:"),
+        c.cast("string"))), 1, 8), 16, 10).cast("long") % 10
+      lab.groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(fold(col("doc_id"))).as("n_folds_naive"))
+        .select(col("cluster"), col("n_docs"), col("n_folds_naive"),
+          fold(col("cluster")).as("fold_safe"))
+        .orderBy("cluster")
+    }),
+
+    // q230 — ANN RECALL AUDIT: the index-quality monitor every
+    // production ANN deployment runs — recall@10 of the IVF index
+    // (q22's exact configuration) against brute-force ground truth
+    // (q16), per query, as integer micros. The meta-evaluation
+    // operator: the two rankings come from the library's own scale
+    // path and baseline, so a regression in either (bucketing, probe
+    // count, tie-breaks) moves a gated number. Cost is one brute-force
+    // pass over the query set (the audit is run on a sampled query
+    // set in production — the corpus side is the same scan both
+    // legs share).
+    "q230_ann_recall" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("qid"), col("vec_id"))
+      val approx = AnnIvf.topKProbed(
+          corpus = e, centroids = e.where(col("vec_id") < 16),
+          queries = q, k = 10, nprobe = 4)
+        .select(col("qid"), col("vec_id"))
+      val inter = exact.join(approx, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("inter"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(approx.groupBy("qid").agg(count(lit(1)).as("n_approx")),
+          Seq("qid"))
+        .join(inter, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"), col("n_approx"),
+          coalesce(col("inter"), lit(0L)).as("inter"))
+        .withColumn("recall_micro", expr("inter * 1000000 div n_exact"))
+        .orderBy("qid")
+    }),
+
     // q228 — PRODUCT QUANTIZATION + ADC search: the memory-compression
     // tier of the ANN family (q16 exact → q22/q36/q63 bucketed →
     // THIS: vectors stored as 8 one-byte codes, 32× smaller, searched
@@ -1567,6 +1627,58 @@ object PipelineQueries {
       "AND a.doc_id < b.doc_id)"
 
   val oracleSql: Map[String, String] = Map(
+    // q38's full cluster replay + the same md5 fold hashes per doc
+    // (naive scatter count) and per cluster (the safe assignment)
+    "q229_leakage_safe_split" ->
+      (s"WITH RECURSIVE all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
+        s"$duckSigBands, $duckClusterCtes, " +
+        "lab AS (SELECT id AS doc_id, min(lbl) AS cluster FROM cc " +
+        "GROUP BY id) " +
+        "SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT ('0x' || substr(md5('cvf:' || " +
+        "CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10) AS BIGINT) " +
+        "AS n_folds_naive, " +
+        "('0x' || substr(md5('cvf:' || CAST(cluster AS VARCHAR)), 1, 8))" +
+        "::BIGINT % 10 AS fold_safe " +
+        "FROM lab GROUP BY cluster ORDER BY cluster"),
+    // both rankings replayed (q16 + q22 oracle chains), intersected
+    "q230_ann_recall" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5), " +
+        "ex AS (SELECT qid, vec_id FROM (SELECT q.qid, e.vec_id, " +
+        s"row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        s"${cos("e.emb", "q.qemb")} DESC, e.vec_id) AS rn " +
+        "FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 10), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16), " +
+        "assign AS (SELECT vec_id, emb, cid AS bucket FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY " +
+        s"e.vec_id ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn " +
+        "FROM e, c) WHERE rn = 1), " +
+        "probes AS (SELECT qid, qemb, cid AS bucket FROM (" +
+        "SELECT q.qid, q.qemb, c.cid, row_number() OVER (PARTITION BY " +
+        s"q.qid ORDER BY ${cos("q.qemb", "c.cemb")} DESC, c.cid) AS rn " +
+        "FROM q, c) WHERE rn <= 4), " +
+        "ap AS (SELECT qid, vec_id FROM (SELECT p.qid, a.vec_id, " +
+        s"row_number() OVER (PARTITION BY p.qid ORDER BY " +
+        s"${cos("a.emb", "p.qemb")} DESC, a.vec_id) AS rn " +
+        "FROM assign a JOIN probes p ON a.bucket = p.bucket " +
+        "WHERE a.vec_id <> p.qid) WHERE rn <= 10), " +
+        "i AS (SELECT ex.qid, count(*) AS inter FROM ex " +
+        "JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id " +
+        "GROUP BY 1) " +
+        "SELECT ne.qid, ne.n_exact, na.n_approx, " +
+        "CAST(coalesce(i.inter, 0) AS BIGINT) AS inter, " +
+        "CAST(coalesce(i.inter, 0) AS BIGINT) * 1000000 // ne.n_exact " +
+        "AS recall_micro FROM " +
+        "(SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM ex " +
+        "GROUP BY 1) ne " +
+        "JOIN (SELECT qid, CAST(count(*) AS BIGINT) AS n_approx FROM ap " +
+        "GROUP BY 1) na ON na.qid = ne.qid " +
+        "LEFT JOIN i ON i.qid = ne.qid ORDER BY ne.qid"
+    },
     // full PQ replay: subvector split, both Lloyd rounds per subspace
     // (6-dp centroid rounding, lowest-cid ties), encode, integer-micro
     // ADC table sum, top-10 — MATERIALIZED CTEs keep the iteration

@@ -238,6 +238,52 @@ object StoreQueries {
         .orderBy("event_type")
     }),
 
+    // q231 — STREAMING PSI DRIFT MONITOR: q223's drift metric as a
+    // CONTINUOUS query (the production deployment shape — drift is
+    // watched, not batch-audited). The (event_type, bin, side) cell
+    // counts accumulate in streaming aggregation state across 2
+    // forced micro-batches (complete mode re-emits the closed set;
+    // integer cell sums commute across any batch split, the q102
+    // argument), and the exact-integer PSI fold runs batch-side on
+    // the final emission. Hash-gated against the SAME oracle as q223
+    // — the streamed cells must land the identical PSI micros. State
+    // is bounded by |types|·20 cells regardless of stream length.
+    "q231_stream_psi" -> ((s, d) => {
+      val cells = streamedEventAgg(s, d, "stream-psi",
+        Seq("event_id", "ts", "event_type", "value"),
+        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE") {
+        parsed =>
+          parsed
+            .select(col("event_type"),
+              (conv(substring(md5(concat(lit("psi:"),
+                col("event_id").cast("string"))), 1, 8), 16, 10)
+                .cast("long") % 2).as("side"),
+              least(greatest(
+                expr("cast(round(value * 100) as bigint) div 500"),
+                lit(0L)), lit(19L)).as("bin"))
+            .groupBy("event_type", "bin")
+            .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("a"),
+              sum(when(col("side") === 1, 1L).otherwise(0L)).as("b"))
+      }
+      val totals = cells.groupBy("event_type")
+        .agg(sum("a").as("ta"), sum("b").as("tb"))
+      cells.join(broadcast(totals), "event_type")
+        .where(col("a") > 0 && col("b") > 0)
+        .select(col("event_type"),
+          (floor(log(col("a").cast("double") * col("tb")) * 1000000)
+            .cast("long") -
+            floor(log(col("b").cast("double") * col("ta")) * 1000000)
+              .cast("long")).as("l"),
+          col("a"), col("b"), col("ta"), col("tb"))
+        .select(col("event_type"),
+          expr("(cast(a as decimal(38,0)) * tb - cast(b as decimal(38,0)) " +
+            "* ta) * l div (cast(ta as decimal(38,0)) * tb)")
+            .as("term"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_bins"), sum("term").as("psi_micro"))
+        .orderBy("event_type")
+    }),
+
     // q153 — WATERMARK LATE-DATA DROP (the negative path q44/q87/q90
     // deliberately avoid): a streaming engine's watermark contract is
     // only proven when late data is actually DISCARDED. Batch 1
@@ -1712,6 +1758,10 @@ object StoreQueries {
     * must agree with the declarative changelog-normalize SQL.
     */
   val oracleSql: Map[String, String] = Map(
+    // the streamed cells must land the identical exact-integer PSI —
+    // the batch twin's oracle verbatim
+    "q231_stream_psi" -> AnalyticsQueries.oracleSql("q223_psi_drift"),
+
     "q20_store_sql_roundtrip" ->
       ("SELECT user_id, event_id FROM (" +
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
