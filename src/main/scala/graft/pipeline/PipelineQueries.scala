@@ -154,6 +154,43 @@ object PipelineQueries {
         .orderBy("qid", "vec_id")
     }),
 
+    // q234 — LSH RECALL/PRECISION AUDIT: q230's meta-evaluation
+    // pattern turned on the DEDUP family — how many true near-dup
+    // pairs (exact shingle-set Jaccard ≥ 0.8 over ALL pairs sharing a
+    // shingle) does the banded MinHash path (q17 candidates → q18
+    // verify) actually recover, and how selective are the raw
+    // candidates? The verified set is a subset of the truth by
+    // construction, so recall = |verified|/|exact| and precision =
+    // |verified|/|candidates| in integer micros. The exact leg's pair
+    // generator is the shared-shingle join (bounded by Σ df², the
+    // q117 candidate argument) — never a corpus cross join; in
+    // production this audit runs on a sampled partition, the exact
+    // leg being the expensive one is the point of the measurement.
+    "q234_lsh_recall" -> ((s, d) => {
+      val base = docsWithDups(s, d)
+      val texts = base.select(col("doc_id"), col("text"))
+      val sh = base.select(col("doc_id"),
+        explode(array_distinct(expr("word_shingles(text, 3)"))).as("t"))
+      val allPairs = sh.toDF("doc_a", "t")
+        .join(sh.toDF("doc_b", "t"), "t")
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val exact = allPairs
+        .join(texts.toDF("doc_a", "text_a"), "doc_a")
+        .join(texts.toDF("doc_b", "text_b"), "doc_b")
+        .where(round(expr("shingle_jaccard(text_a, text_b, 3)"), 6) >= 0.8)
+        .select("doc_a", "doc_b")
+      val cand = NearDup.candidatePairs(base, "doc_id", "text")
+      val ver = NearDup.jaccardPairs(base, "doc_id", "text", threshold = 0.8)
+        .select("doc_a", "doc_b")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
+        .select(col("n_exact"), col("n_candidates"), col("n_verified"),
+          expr("n_verified * 1000000 div n_exact").as("recall_micro"),
+          expr("n_verified * 1000000 div n_candidates").as("precision_micro"))
+    }),
+
     // q229 — LEAKAGE-SAFE CV FOLD SPLIT: the evaluation-hygiene twin
     // of q126's per-document split. A near-duplicate pair scattered
     // across train/eval folds leaks the answer (the Lee et al./
@@ -1641,6 +1678,31 @@ object PipelineQueries {
         "('0x' || substr(md5('cvf:' || CAST(cluster AS VARCHAR)), 1, 8))" +
         "::BIGINT % 10 AS fold_safe " +
         "FROM lab GROUP BY cluster ORDER BY cluster"),
+    // exact truth via the shared-shingle join + list-formula verify,
+    // LSH legs via the q17/q18 chains — all three counts replayed
+    "q234_lsh_recall" ->
+      (s"WITH all_docs AS ($dupCte), d AS ($dupCte), " +
+        s"${duckShingleCtes("all_docs")}, $duckSigBands, " +
+        s"$duckShingleSetCtes, " +
+        "jall AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id), " +
+        "exv AS (SELECT doc_a, doc_b FROM (SELECT j.doc_a, j.doc_b, " +
+        "round(len(list_intersect(sa.sh, sb.sh)) / " +
+        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
+        "FROM jall j JOIN sh sa ON sa.doc_id = j.doc_a " +
+        "JOIN sh sb ON sb.doc_id = j.doc_b) WHERE jacc >= 0.8), " +
+        "verr AS (SELECT doc_a, doc_b FROM (SELECT c.doc_a, c.doc_b, " +
+        "round(len(list_intersect(sa.sh, sb.sh)) / " +
+        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jacc " +
+        "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a " +
+        "JOIN sh sb ON sb.doc_id = c.doc_b) WHERE jacc >= 0.8) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM exv) AS n_exact, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM verr) AS n_verified, " +
+        "(SELECT count(*) FROM verr) * 1000000 // " +
+        "(SELECT count(*) FROM exv) AS recall_micro, " +
+        "(SELECT count(*) FROM verr) * 1000000 // " +
+        "(SELECT count(*) FROM cand) AS precision_micro"),
     // both rankings replayed (q16 + q22 oracle chains), intersected
     "q230_ann_recall" -> {
       val cos = (a: String, b: String) =>

@@ -979,6 +979,58 @@ object AnalyticsQueries {
         .select("r.*").orderBy("col_name")
     }),
 
+    // q233 — POISSON BOOTSTRAP confidence intervals: THE resampling
+    // method that actually works on distributed data (per-row
+    // independent Poisson(1) weights ≈ multinomial resampling without
+    // coordinating a global draw — the streaming/Spark bootstrap
+    // standard). 32 replicas materialize scan-side (sequence explode,
+    // a fixed ×32 fan-out collapsed by the partial agg); each row's
+    // replica weight is the Poisson(1) inverse CDF applied to an
+    // md5-uniform — the CDF thresholds are pinned 2³²-scale integer
+    // literals, so the draw is seedless, executor-reproducible, and
+    // engine-exact (weights capped at 8; P(>8) < 1e-6, documented).
+    // Per-type replica means in integer cents (truncating div), CI =
+    // the 2nd and (n−1)th order statistics of the 32 means — a ~94%
+    // interval — picked by rank over the 32-row-per-type table
+    // (bounded window). At petabyte row counts sum(w·cents) wants
+    // decimal(38); at the harness scale int64 has 7 digits of
+    // headroom.
+    "q233_poisson_bootstrap" -> ((s, d) => {
+      val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+        4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L)
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      val rep = ev
+        .select(col("event_type"), col("cents"), col("event_id"),
+          explode(sequence(lit(0), lit(31))).as("r"))
+        .withColumn("u", conv(substring(md5(concat(lit("bs:"),
+          col("event_id").cast("string"), lit(":"),
+          col("r").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("w", thresholds.foldLeft(lit(0L)) { (acc, th) =>
+          acc + when(col("u") >= th, 1L).otherwise(0L) })
+      val means = rep.groupBy("event_type", "r")
+        .agg(sum(col("w") * col("cents")).as("swc"), sum("w").as("sw"))
+        .where(col("sw") > 0)
+        .select(col("event_type"), col("r"), expr("swc div sw").as("m"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("m"), col("r"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val base = ev.groupBy("event_type")
+        .agg(expr("sum(cents) div count(1)").as("mean_cents"))
+      means
+        .withColumn("rk", row_number().over(wr))
+        .withColumn("nr", count(lit(1)).over(wn))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_reps"),
+          max(when(col("rk") === 2, col("m"))).as("lo_cents"),
+          max(when(col("rk") === col("nr") - 1, col("m"))).as("hi_cents"))
+        .join(base, "event_type")
+        .select(col("event_type"), col("n_reps"), col("mean_cents"),
+          col("lo_cents"), col("hi_cents"))
+        .orderBy("event_type")
+    }),
+
     // q223 — POPULATION STABILITY INDEX drift monitor: the standard
     // train-vs-serve (or window-vs-window) distribution-shift metric,
     // PSI = Σ_bins (p−q)·ln(p/q), computed per event_type over fixed
@@ -1028,6 +1080,36 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // identical pinned CDF thresholds, weights, truncating means, and
+    // order-statistic picks
+    "q233_poisson_bootstrap" -> {
+      val ths = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+        4279248373L, 4292415291L, 4294609777L, 4294923276L)
+      val wExpr = ths.map(t =>
+        s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      "WITH ev AS (SELECT event_type, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "rep AS (SELECT event_type, cents, r, " +
+        "('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || " +
+        "CAST(r AS VARCHAR)), 1, 8))::BIGINT AS u " +
+        "FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r)), " +
+        s"w AS (SELECT event_type, cents, r, $wExpr AS w FROM rep), " +
+        "m AS (SELECT event_type, r, CAST(sum(w * cents) AS BIGINT) // " +
+        "CAST(sum(w) AS BIGINT) AS m FROM w GROUP BY 1, 2 " +
+        "HAVING sum(w) > 0), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY m, r) AS rk, count(*) OVER (PARTITION BY event_type) " +
+        "AS nr FROM m), " +
+        "g AS (SELECT event_type, CAST(max(nr) AS BIGINT) AS n_reps, " +
+        "CAST(max(CASE WHEN rk = 2 THEN m END) AS BIGINT) AS lo_cents, " +
+        "CAST(max(CASE WHEN rk = nr - 1 THEN m END) AS BIGINT) " +
+        "AS hi_cents FROM rk GROUP BY 1), " +
+        "base AS (SELECT event_type, CAST(sum(cents) AS BIGINT) // " +
+        "count(*) AS mean_cents FROM ev GROUP BY 1) " +
+        "SELECT b.event_type, g.n_reps, b.mean_cents, g.lo_cents, " +
+        "g.hi_cents FROM base b JOIN g ON g.event_type = b.event_type " +
+        "ORDER BY 1"
+    },
     // identical binning, md5 coin, micro-log difference, and HUGEINT
     // cross-product division — truncation semantics match Spark div
     "q223_psi_drift" ->
