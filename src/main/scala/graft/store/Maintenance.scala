@@ -39,6 +39,18 @@ object Maintenance {
       table -> (before - after)
     }
 
+  /** Orphan-file GC on every table in the namespace (crash leftovers
+    * from unpublished commit attempts — see
+    * [[UpsertTable.removeOrphanFiles]]); returns (table, files
+    * removed) per table.
+    */
+  def gcAll(spark: SparkSession, warehouseDir: String, namespace: String,
+      olderThanMs: Long = 3600 * 1000L): Seq[(String, Int)] =
+    listTables(warehouseDir, namespace).map { table =>
+      table -> UpsertTable(spark, s"$warehouseDir/$namespace/$table")
+        .removeOrphanFiles(olderThanMs).size
+    }
+
   /** Collapse merge-on-read deltas / small files on every table in
     * the namespace (the other half of the maintenance loop a
     * 10 s-commit ingest needs, next to [[expireAll]]); returns

@@ -770,6 +770,41 @@ class UpsertTable(spark: SparkSession, val location: String) {
       operation = "rollback"))
   }
 
+  /** Orphan-file GC (the `remove_orphan_files` half of warehouse
+    * maintenance, next to [[expireSnapshots]]): delete data files on
+    * disk that NO snapshot in the log references — the leftovers of
+    * commit attempts that lost the atomic-exclusive publish race or
+    * crashed between writing data and publishing the manifest. Only
+    * files older than `olderThanMs` are touched (an in-flight
+    * attempt's freshly written files must survive until its publish
+    * or loss is decided — the same retention contract Iceberg's
+    * procedure ships with). Empty attempt/bucket directories are
+    * pruned. Returns the deleted manifest-relative paths.
+    */
+  def removeOrphanFiles(olderThanMs: Long = 3600 * 1000L): Seq[String] =
+    synchronized {
+      val live: Set[String] = SnapshotLog.listVersions(location)
+        .flatMap(v => SnapshotLog.read(location, v).files.map(_.path)).toSet
+      val dataRoot = root.resolve("data")
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val deleted = scala.collection.mutable.ListBuffer.empty[String]
+      graft.Fs.children(dataRoot).foreach { cdir =>
+        graft.Fs.children(cdir).filter(Files.isDirectory(_)).foreach { bdir =>
+          graft.Fs.children(bdir).foreach { f =>
+            val rel = root.relativize(f).toString
+            if (f.getFileName.toString.endsWith(".parquet") && !live(rel) &&
+                Files.getLastModifiedTime(f).toMillis < cutoff) {
+              Files.deleteIfExists(f)
+              deleted += rel
+            }
+          }
+          if (graft.Fs.children(bdir).isEmpty) Files.deleteIfExists(bdir)
+        }
+        if (graft.Fs.children(cdir).isEmpty) Files.deleteIfExists(cdir)
+      }
+      deleted.toList.sorted
+    }
+
   /** Snapshot expiry (C6; reference snapshot_mgmt.py:17-18
     * `expire_snapshots(retention_threshold => '6h')`): drop manifests
     * older than the retention (never the current one) and delete data
