@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
@@ -1031,6 +1032,107 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q236 — EXACT AUC (Mann–Whitney): the classifier-evaluation
+    // primitive — does the value score separate purchases from
+    // clicks? AUC computed exactly from the rank-sum identity with
+    // the standard tie correction: over distinct scores,
+    // 2U = Σ_c n_pos(c)·(2·n_neg(<c) + n_neg(=c)), AUC = 2U/(2·P·N).
+    // Everything is integer: the only division is the final
+    // truncating micro div, so no float ranking/averaging crosses
+    // engines. Plan: ONE partial-agg groupBy builds the per-cents
+    // histogram (bounded by the VALUE DOMAIN — ≤ ~50k cells here,
+    // ≤ |domain| always — never row count), the cumulative-negatives
+    // window and the closing fold run on that bounded table. Products
+    // n_pos·n_neg_below reach (rows)² at petabyte counts, so the sum
+    // runs in decimal(38) (HUGEINT in the oracle); only the final
+    // micro ratio is emitted as int64.
+    "q236_exact_auc" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("cents")
+        .agg(sum("y").as("np"), sum(lit(1L) - col("y")).as("nn"))
+        .withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
+        .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum(expr("cast(np as decimal(38,0)) * (2 * cum_nn + nn)"))
+            .as("two_u"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("cast(two_u * 1000000 div (2 * cast(n_pos as decimal(38,0)) " +
+            "* n_neg) as bigint)").as("auc_micro"))
+    }),
+
+    // q237 — CALIBRATION CURVE + BRIER SCORE: reliability diagnostics
+    // for a probabilistic scorer (here: a fixed logistic-shaped
+    // propensity p = hardσ((cents − 25000)/20000) in integer micros —
+    // hardσ(z) = clamp(z/4 + ½, 0, 1), the piecewise-linear sigmoid
+    // that keeps every engine's arithmetic identical; q235 trains
+    // weights for the same link). Ten equal-width probability bins;
+    // per bin: n, mean predicted p, observed positive rate, and the
+    // bin's Brier contribution Σ(p − y)² — all integer micros with
+    // truncating div last. Plan: scan-side projection, ONE partial-agg
+    // shuffle of ≤ 10 cells; the squared-error sum runs in
+    // decimal(38) (micro² per row ≈ 1e12) and collapses to int64
+    // after the per-bin division.
+    "q237_calibration_brier" -> ((s, d) => {
+      events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+          when(col("event_type") === "purchase", 1000000L)
+            .otherwise(0L).as("ym"))
+        .withColumn("p_micro",
+          least(greatest(expr("(cents - 25000) * 1000000 div 20000 div 4 " +
+            "+ 500000"), lit(0L)), lit(1000000L)))
+        .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(p_micro) div count(1)").as("mean_p_micro"),
+          expr("sum(ym) div count(1)").as("pos_rate_micro"),
+          expr("cast(sum(cast(p_micro - ym as decimal(38,0)) " +
+            "* (p_micro - ym)) div (count(1) * 1000000) as bigint)")
+            .as("brier_micro"))
+        .orderBy("bin")
+    }),
+
+    // q238 — TWO-SAMPLE KOLMOGOROV–SMIRNOV: the rank-based drift test
+    // beside q223's binned PSI — D = max_x |F_purchase(x) − F_click(x)|
+    // needs no binning choice and catches shape changes PSI's fixed
+    // bins wash out. Exact rational arithmetic: D's numerator is
+    // max |cum1·n2 − cum2·n1| over distinct cents (products in
+    // decimal(38) — cum·n is rows² at scale), the micro ratio divides
+    // once at the end; at_cents reports the smallest cents achieving
+    // the max (deterministic argmax tie-break). Same bounded-histogram
+    // plan as q236: one partial-agg groupBy, windows and the closing
+    // fold on the ≤|domain| cell table.
+    "q238_ks_test" -> ((s, d) => {
+      val wCum = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("cents")
+        .agg(sum("y").as("c1"), sum(lit(1L) - col("y")).as("c2"))
+        .withColumn("cum1", sum("c1").over(wCum))
+        .withColumn("cum2", sum("c2").over(wCum))
+        .withColumn("n1", sum("c1").over(wAll))
+        .withColumn("n2", sum("c2").over(wAll))
+        .withColumn("diffn", expr("abs(cast(cum1 as decimal(38,0)) * n2 " +
+          "- cast(cum2 as decimal(38,0)) * n1)"))
+        .withColumn("dmax", max("diffn").over(wAll))
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          expr("cast(max(dmax) * 1000000 div " +
+            "(cast(max(n1) as decimal(38,0)) * max(n2)) as bigint)")
+            .as("ks_micro"),
+          min(when(col("diffn") === col("dmax"), col("cents")))
+            .as("at_cents"))
+        .select("n1", "n2", "ks_micro", "at_cents")
+    }),
+
     // q223 — POPULATION STABILITY INDEX drift monitor: the standard
     // train-vs-serve (or window-vs-window) distribution-shift metric,
     // PSI = Σ_bins (p−q)·ln(p/q), computed per event_type over fixed
@@ -1080,6 +1182,63 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // rank-sum identity over the cents histogram; HUGEINT products
+    // mirror the decimal(38) sums, // truncates like Spark div
+    "q236_exact_auc" ->
+      ("WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "h AS (SELECT cents, SUM(y) AS np, SUM(1 - y) AS nn " +
+        "FROM b GROUP BY 1), " +
+        "c AS (SELECT cents, np, nn, COALESCE(SUM(nn) OVER (" +
+        "ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING" +
+        "), 0) AS cum_nn FROM h) " +
+        "SELECT CAST(SUM(np) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(nn) AS BIGINT) AS n_neg, " +
+        "CAST(SUM(np::HUGEINT * (2 * cum_nn + nn)) * 1000000 " +
+        "// (2 * SUM(np)::HUGEINT * SUM(nn)) AS BIGINT) AS auc_micro " +
+        "FROM c"),
+    // identical hard-sigmoid chain (chained // matches chained div),
+    // HUGEINT squared-error sum
+    "q237_calibration_brier" ->
+      ("WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END AS ym " +
+        "FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "p AS (SELECT ym, LEAST(GREATEST(" +
+        "(cents - 25000) * 1000000 // 20000 // 4 + 500000, 0), 1000000" +
+        ") AS p_micro FROM b), " +
+        "g AS (SELECT LEAST(p_micro // 100000, 9) AS bin, ym, p_micro " +
+        "FROM p) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n, " +
+        "CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS mean_p_micro, " +
+        "CAST(SUM(ym) // COUNT(*) AS BIGINT) AS pos_rate_micro, " +
+        "CAST(SUM((p_micro - ym)::HUGEINT * (p_micro - ym)) " +
+        "// (COUNT(*) * 1000000) AS BIGINT) AS brier_micro " +
+        "FROM g GROUP BY 1 ORDER BY 1"),
+    // exact rational CDF gap over the shared histogram; at_cents =
+    // smallest cents achieving the max
+    "q238_ks_test" ->
+      ("WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "h AS (SELECT cents, SUM(y) AS c1, SUM(1 - y) AS c2 " +
+        "FROM b GROUP BY 1), " +
+        "c AS (SELECT cents, " +
+        "SUM(c1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum1, " +
+        "SUM(c2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum2, " +
+        "SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM h), " +
+        "dd AS (SELECT cents, n1, n2, " +
+        "abs(cum1::HUGEINT * n2 - cum2::HUGEINT * n1) AS diffn FROM c), " +
+        "m AS (SELECT cents, n1, n2, diffn, MAX(diffn) OVER () AS dmax " +
+        "FROM dd) " +
+        "SELECT CAST(MAX(n1) AS BIGINT) AS n1, " +
+        "CAST(MAX(n2) AS BIGINT) AS n2, " +
+        "CAST(MAX(dmax) * 1000000 // (MAX(n1)::HUGEINT * MAX(n2)) " +
+        "AS BIGINT) AS ks_micro, " +
+        "CAST(MIN(CASE WHEN diffn = dmax THEN cents END) AS BIGINT) " +
+        "AS at_cents FROM m"),
     // identical pinned CDF thresholds, weights, truncating means, and
     // order-statistic picks
     "q233_poisson_bootstrap" -> {
