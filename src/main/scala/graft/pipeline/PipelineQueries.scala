@@ -73,7 +73,95 @@ object PipelineQueries {
   // duckdb fragment mirroring TextOps.norm
   private[pipeline] val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** q235's planted boilerplate: an 18-token repetitive sales banner
+    * (6 distinct tokens) prepended to every third document — crushes
+    * type-token ratio and stopword share, shifts mean token length.
+    */
+  private val SpamBanner = Seq.fill(3)("free offer click now buy cheap")
+    .mkString(" ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q235 — TRAINABLE QUALITY CLASSIFIER: the GPT-3/CCNet recipe — a
+    // linear model over cheap surface features, trained to separate
+    // clean documents from boilerplate/spam, then used to score and
+    // filter the corpus. The testdata has no spam, so the harness
+    // PLANTS it (the q130/docsWithDups pattern): every third document
+    // gets a repetitive 18-token sales banner prepended and is labeled
+    // 0; the model must recover the plant from GENERIC surface
+    // features only — periodic-repetition ratio (tokens equal to the
+    // token six positions back — the q56-family repetition signal; no
+    // banner-keyword feature), type-token ratio, stopword ratio. The
+    // model is logistic-shaped with a HARD sigmoid (clamp(z/4+½, 0,
+    // 1)) so every engine's arithmetic is identical — no exp()
+    // crosses engines; the gate replays ALL 12 training rounds.
+    // Training is synchronous full-batch gradient descent in integer
+    // micros: z = Σwⱼxⱼ div 10⁶, err = hardσ(z) − y·10⁶, Δwⱼ =
+    // (η·Σ err·xⱼ) div (n·10⁶) with η=4 and truncating division
+    // everywhere. Features are rescaled to a common ~10⁶ range and
+    // MEAN-CENTERED (one extra partial-agg pass; integer micro means)
+    // — uncentered, the bias direction dominates every gradient and
+    // full-batch GD oscillates without separating; centered, the same
+    // 12 rounds climb monotonically from the 336/500 base rate to
+    // 496/500. Scale shape: features are scan-side (tokenize +
+    // distinct/shift-compare counts) cached ONCE; each round is ONE
+    // partial-agg job whose shuffle carries a single 4-cell gradient
+    // row — only the weight vector crosses the driver (the
+    // bounded-by-design q224 contract), the corpus never moves.
+    // Gradient sums are rows·10¹² so they run in decimal(38) (HUGEINT
+    // in the oracle) and collapse to int64 after the η/n division.
+    // Per-round train accuracy (predict z ≥ 0) makes convergence
+    // itself part of the gated output.
+    "q235_quality_classifier" -> ((s, d) => {
+      val base = docs(s, d).select(
+        when(col("doc_id") % 3 === 0, 0L).otherwise(1L).as("y"),
+        TextOps.tokens(when(col("doc_id") % 3 === 0,
+          concat(lit(SpamBanner + " "), col("text")))
+          .otherwise(col("text"))).as("toks"))
+      val raw = base.select(col("y"),
+          size(col("toks")).cast("long").as("nt"),
+          size(array_distinct(col("toks"))).cast("long").as("nd"),
+          expr("case when size(toks) > 6 then cast(size(filter(" +
+            "sequence(1, size(toks) - 6), " +
+            "i -> element_at(toks, i) = element_at(toks, i + 6))) " +
+            "as bigint) else 0L end").as("r6"),
+          TextOps.markerScore(col("toks"),
+            Seq("the", "a", "and", "of")).cast("long").as("m"))
+        .select(col("y"),
+          expr("r6 * 4000000 div nt").as("f1"),
+          expr("nd * 1000000 div nt").as("f2"),
+          expr("m * 4000000 div nt").as("f3"))
+      val mu = raw.agg(expr("sum(f1) div count(1)").as("mu1"),
+        expr("sum(f2) div count(1)").as("mu2"),
+        expr("sum(f3) div count(1)").as("mu3")).head()
+      val feats = raw.select(col("y"), lit(1000000L).as("x0"),
+          (col("f1") - mu.getLong(0)).as("x1"),
+          (col("f2") - mu.getLong(1)).as("x2"),
+          (col("f3") - mu.getLong(2)).as("x3"))
+        .persist()
+      def zSql(w: Seq[Long]): String =
+        "(" + w.zipWithIndex.map { case (wi, j) => s"${wi}L * x$j" }
+          .mkString(" + ") + ") div 1000000"
+      var w: Seq[Long] = Seq.fill(4)(0L)
+      val out = (1 to 12).map { r =>
+        val errSql =
+          s"least(greatest((${zSql(w)}) div 4 + 500000, 0), 1000000) " +
+            "- y * 1000000"
+        val gradExprs = (0 to 3).map(j => expr(
+          s"cast((4 * sum(cast(($errSql) as decimal(38,0)) * x$j)) div " +
+            s"(count(1) * 1000000) as bigint)").as(s"d$j"))
+        val g = feats.agg(gradExprs.head, gradExprs.tail: _*).head()
+        w = w.zipWithIndex.map { case (wi, j) => wi - g.getLong(j) }
+        val acc = feats.agg(count(lit(1)).as("n"),
+          sum(expr(s"case when ((${zSql(w)}) >= 0) = (y = 1) " +
+            "then 1L else 0L end")).as("nc")).head()
+        (r.toLong, w(0), w(1), w(2), w(3), acc.getLong(1), acc.getLong(0))
+      }
+      feats.unpersist()
+      s.createDataFrame(out)
+        .toDF("step", "w0", "w1", "w2", "w3", "n_correct", "n")
+        .orderBy("step")
+    }),
 
     // q225 — LATE-INTERACTION (MaxSim) RETRIEVAL: ColBERT's scoring
     // rule — score(q, d) = Σ_{query token} max_{doc token} cos — over
@@ -1787,6 +1875,64 @@ object PipelineQueries {
         "SELECT qid, vec_id, adc_micro FROM r WHERE rn <= 10 " +
         "ORDER BY qid, vec_id"
     },
+    // full 12-round replay: identical features, hard-sigmoid chain,
+    // HUGEINT gradient sums, truncating divisions; w/feats CTEs are
+    // MATERIALIZED (each is referenced twice per round — DuckDB's CTE
+    // inlining would otherwise expand the chain 2^12 ways)
+    "q235_quality_classifier" -> {
+      def zDuck = (0 to 3).map(j => s"w.w$j * f.x$j").mkString(" + ")
+      val rounds = (1 to 12).map { r =>
+        val p = r - 1
+        s"g$r AS MATERIALIZED (SELECT " +
+          (0 to 3).map(j =>
+            s"(4 * SUM(err * x$j)) // (COUNT(*) * 1000000) AS d$j")
+            .mkString(", ") +
+          s" FROM (SELECT ${(0 to 3).map(j => s"f.x$j").mkString(", ")}, " +
+          s"LEAST(GREATEST((($zDuck) // 1000000) // 4 + 500000, 0), " +
+          s"1000000) - f.y * 1000000 AS err " +
+          s"FROM feats f CROSS JOIN w$p w)), " +
+          s"w$r AS MATERIALIZED (SELECT " +
+          (0 to 3).map(j => s"w.w$j - g.d$j AS w$j").mkString(", ") +
+          s" FROM w$p w CROSS JOIN g$r g), " +
+          s"a$r AS (SELECT COUNT(*) AS n, SUM(CASE WHEN " +
+          s"((($zDuck) // 1000000) >= 0) = (f.y = 1) THEN 1 ELSE 0 END) " +
+          s"AS nc FROM feats f CROSS JOIN w$r w)"
+      }.mkString(", ")
+      val unions = (1 to 12).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS step, " +
+          (0 to 3).map(j => s"CAST(w.w$j AS BIGINT) AS w$j").mkString(", ") +
+          s", CAST(a.nc AS BIGINT) AS n_correct, CAST(a.n AS BIGINT) AS n " +
+          s"FROM w$r w CROSS JOIN a$r a"
+      }.mkString(" UNION ALL ")
+      val spamText = "CASE WHEN doc_id % 3 = 0 THEN " +
+        s"'$SpamBanner ' || text ELSE text END"
+      val normSpam =
+        s"regexp_replace(lower(trim($spamText)), '\\s+', ' ', 'g')"
+      s"WITH t0 AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END " +
+        s"AS y, string_split($normSpam, ' ') AS toks FROM documents), " +
+        "t1 AS (SELECT y, len(toks) AS nt, " +
+        "len(list_distinct(toks)) AS nd, " +
+        "CASE WHEN len(toks) > 6 THEN len(list_filter(" +
+        "range(1, len(toks) - 5), i -> toks[i] = toks[i + 6])) " +
+        "ELSE 0 END AS r6, " +
+        "len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of'))) " +
+        "AS m FROM t0), " +
+        "t2 AS MATERIALIZED (SELECT y, " +
+        "r6::HUGEINT * 4000000 // nt AS f1, " +
+        "nd::HUGEINT * 1000000 // nt AS f2, " +
+        "m::HUGEINT * 4000000 // nt AS f3 FROM t1), " +
+        "muc AS (SELECT SUM(f1) // COUNT(*) AS mu1, " +
+        "SUM(f2) // COUNT(*) AS mu2, SUM(f3) // COUNT(*) AS mu3 " +
+        "FROM t2), " +
+        "feats AS MATERIALIZED (SELECT y, 1000000::HUGEINT AS x0, " +
+        "f1 - m.mu1 AS x1, f2 - m.mu2 AS x2, f3 - m.mu3 AS x3 " +
+        "FROM t2 CROSS JOIN muc m), " +
+        "w0 AS MATERIALIZED (SELECT " +
+        (0 to 3).map(j => s"0::HUGEINT AS w$j").mkString(", ") + "), " +
+        rounds + " " +
+        s"SELECT * FROM ($unions) ORDER BY step"
+    },
+
     // same pseudo-doc grouping, per-token maxima (6 dp → micro before
     // the sum), top-5 — list_dot_product matches dot_f64's
     // sequential accumulation (the q16-proven pairing)
