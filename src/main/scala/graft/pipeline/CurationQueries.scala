@@ -79,6 +79,50 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // q242 — WATER-FILLING TOKEN BUDGET: the fair-share allocator a
+    // mixture designer runs when a training budget T must be split
+    // across sources "as equally as the caps allow" (the max-min-
+    // fairness dual of q43's fixed-rate caps and q213's quota
+    // apportionment): every source gets min(cap, λ) where the water
+    // level λ makes the allocations sum to T. Exact integer solution,
+    // NO iteration: sort sources by cap asc; source i is fully
+    // consumed (capped) iff cap_i·(n−i+1) + prefix_{i−1} ≤ T — a
+    // DIVISION-FREE predicate, monotone along the sort, so k =
+    // #capped and λ = (T − prefix_k) div (n−k); the integer remainder
+    // goes one unit each to the first (T − prefix_k) mod (n−k)
+    // uncapped sources in sort order (uncapped ⇒ cap ≥ λ+1, so the
+    // bonus never breaches a cap; Σalloc = T exactly). Plan: one
+    // partial-agg groupBy builds the |sources|-row cap table; every
+    // window runs on that bounded table — leaderboard-sized at any
+    // corpus scale (the q224 contract). Here cap = source's total
+    // chars and T = 90% of the corpus (high enough that small sources saturate, so both branches are exercised).
+    "q242_waterfill_budget" -> ((s, d) => {
+      val wOrd = Window.orderBy(col("cap"), col("source"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      docs(s, d).groupBy("source")
+        .agg(sum("n_chars").as("cap"))
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("prefix", sum("cap").over(wCum))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tbudget", expr("(sum(cap) over ()) * 9 div 10"))
+        .withColumn("capped",
+          expr("cap * (n - i + 1) + (prefix - cap) <= tbudget"))
+        .withColumn("k",
+          sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+        .withColumn("pk",
+          sum(when(col("capped"), col("cap")).otherwise(0L)).over(wAll))
+        .withColumn("lam", expr("(tbudget - pk) div (n - k)"))
+        .withColumn("rem", expr("(tbudget - pk) % (n - k)"))
+        .select(col("source"), col("cap").as("cap_chars"),
+          col("tbudget").as("budget_chars"),
+          when(col("capped"), col("cap"))
+            .otherwise(expr("lam + (case when i - k <= rem then 1 " +
+              "else 0 end)")).as("alloc_chars"))
+        .orderBy("source")
+    }),
+
     // q224 — BRADLEY-TERRY PREFERENCE RANKING: the RLHF/eval-data
     // primitive — fit per-player strengths from pairwise win/loss
     // records (the model behind Chatbot-Arena-style leaderboards and
@@ -1594,6 +1638,31 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q224_bradley_terry" -> duckBradleyTerrySql,
+
+    // identical sort order, division-free capped predicate, truncating
+    // λ and largest-prefix remainder bonus
+    "q242_waterfill_budget" ->
+      ("WITH caps AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) " +
+        "AS cap FROM documents GROUP BY 1), " +
+        "o AS (SELECT source, cap, " +
+        "CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i, " +
+        "SUM(cap) OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS prefix, " +
+        "COUNT(*) OVER () AS n, " +
+        "(SUM(cap) OVER ()) * 9 // 10 AS tbudget FROM caps), " +
+        "f AS (SELECT *, " +
+        "(cap * (n - i + 1) + (prefix - cap) <= tbudget) AS capped " +
+        "FROM o), " +
+        "g AS (SELECT *, " +
+        "SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k, " +
+        "SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS pk " +
+        "FROM f) " +
+        "SELECT source, CAST(cap AS BIGINT) AS cap_chars, " +
+        "CAST(tbudget AS BIGINT) AS budget_chars, " +
+        "CAST(CASE WHEN capped THEN cap ELSE " +
+        "(tbudget - pk) // (n - k) + (CASE WHEN i - k <= " +
+        "(tbudget - pk) % (n - k) THEN 1 ELSE 0 END) END AS BIGINT) " +
+        "AS alloc_chars FROM g ORDER BY source"),
 
     // same regex totals, same ≥1 clamps, same truncating micro math
     "q227_readability" ->

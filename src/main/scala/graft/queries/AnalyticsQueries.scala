@@ -1133,6 +1133,55 @@ object AnalyticsQueries {
         .select("n1", "n2", "ks_micro", "at_cents")
     }),
 
+    // q241 — SPLIT-CONFORMAL COVERAGE: the distribution-free
+    // uncertainty wrapper for any scorer — calibrate a nonconformity
+    // threshold q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score,
+    // then the set {s ≤ q̂} covers fresh points with probability
+    // ≥ 1−α (exchangeability only; no model assumptions). Here the
+    // scorer is q237's hard-sigmoid propensity, nonconformity is
+    // |p − y|, the calibration/test split is the even/odd event_id
+    // coin, α = 0.1 (exact-integer ceil: k = ((n+1)·9 + 9) div 10).
+    // The order statistic comes from a cumsum over the bounded
+    // nonconformity histogram (≤10⁶+1 cells — never a corpus sort),
+    // the coverage check is one broadcast of the 1-row threshold to
+    // the test side. The gated output pins the threshold AND the
+    // realized test coverage — which must land ≥ ~1−α for the
+    // implementation to be honest.
+    "q241_conformal_coverage" -> ((s, d) => {
+      val wCum = Window.orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val scored = events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"),
+          when(col("event_type") === "purchase", 1000000L)
+            .otherwise(0L).as("ym"))
+        .withColumn("p_micro",
+          least(greatest(expr("(cents - 25000) * 1000000 div 20000 div 4 " +
+            "+ 500000"), lit(0L)), lit(1000000L)))
+        .select((col("event_id") % 2).as("side"),
+          abs(col("p_micro") - col("ym")).as("sc"))
+      val thr = scored.where(col("side") === 0)
+        .groupBy("sc").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("ncal", sum("c").over(wAll))
+        .agg(max("ncal").as("n_cal"),
+          max(expr("((ncal + 1) * 9 + 9) div 10")).as("k"),
+          min(when(expr("cum >= ((ncal + 1) * 9 + 9) div 10"),
+            col("sc"))).as("qhat"))
+      scored.where(col("side") === 1)
+        .crossJoin(broadcast(thr))
+        .agg(max("n_cal").as("n_cal"), max("k").as("k"),
+          max("qhat").as("qhat"), count(lit(1)).as("n_test"),
+          sum(when(col("sc") <= col("qhat"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .select(col("n_cal"), col("k"), col("qhat"), col("n_test"),
+          col("n_covered"),
+          expr("n_covered * 1000000 div n_test").as("coverage_micro"))
+    }),
+
     // q223 — POPULATION STABILITY INDEX drift monitor: the standard
     // train-vs-serve (or window-vs-window) distribution-shift metric,
     // PSI = Σ_bins (p−q)·ln(p/q), computed per event_type over fixed
@@ -1239,6 +1288,33 @@ object AnalyticsQueries {
         "AS BIGINT) AS ks_micro, " +
         "CAST(MIN(CASE WHEN diffn = dmax THEN cents END) AS BIGINT) " +
         "AS at_cents FROM m"),
+    // identical hard-sigmoid scores, exact-integer ceil rank, and
+    // histogram order statistic; coverage replayed on the odd side
+    "q241_conformal_coverage" ->
+      ("WITH b AS (SELECT event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END AS ym " +
+        "FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "p AS (SELECT event_id % 2 AS side, " +
+        "abs(LEAST(GREATEST((cents - 25000) * 1000000 // 20000 // 4 " +
+        "+ 500000, 0), 1000000) - ym) AS sc FROM b), " +
+        "h AS (SELECT sc, COUNT(*) AS c FROM p WHERE side = 0 " +
+        "GROUP BY 1), " +
+        "c AS (SELECT sc, SUM(c) OVER (ORDER BY sc ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "SUM(c) OVER () AS ncal FROM h), " +
+        "t AS (SELECT MAX(ncal) AS n_cal, " +
+        "MAX(((ncal + 1) * 9 + 9) // 10) AS k, " +
+        "MIN(CASE WHEN cum >= ((ncal + 1) * 9 + 9) // 10 THEN sc END) " +
+        "AS qhat FROM c) " +
+        "SELECT CAST(MAX(n_cal) AS BIGINT) AS n_cal, " +
+        "CAST(MAX(k) AS BIGINT) AS k, CAST(MAX(qhat) AS BIGINT) AS qhat, " +
+        "COUNT(*) AS n_test, " +
+        "CAST(SUM(CASE WHEN sc <= qhat THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_covered, " +
+        "CAST(SUM(CASE WHEN sc <= qhat THEN 1 ELSE 0 END) * 1000000 " +
+        "// COUNT(*) AS BIGINT) AS coverage_micro " +
+        "FROM p CROSS JOIN t WHERE side = 1"),
     // identical pinned CDF thresholds, weights, truncating means, and
     // order-statistic picks
     "q233_poisson_bootstrap" -> {
