@@ -80,6 +80,16 @@ object PipelineQueries {
   private val SpamBanner = Seq.fill(3)("free offer click now buy cheap")
     .mkString(" ")
 
+  /** q240's DCG gain ladder: gain(i) = 10¹² div ⌊log2(i+1)·10⁶⌋ for
+    * ranks 1..10, computed ONCE here and interpolated into both the
+    * Spark plan and the DuckDB oracle as integer literals — the gate
+    * never depends on two engines' log() agreeing.
+    */
+  private val DcgGains: Seq[Long] = (1 to 10).map { i =>
+    1000000000000L / math.floor(math.log(i + 1d) / math.log(2d) * 1e6).toLong
+  }
+  private val IdcgAt10: Long = DcgGains.sum
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // q235 — TRAINABLE QUALITY CLASSIFIER: the GPT-3/CCNet recipe — a
@@ -305,6 +315,90 @@ object PipelineQueries {
         .select(col("cluster"), col("n_docs"), col("n_folds_naive"),
           fold(col("cluster")).as("fold_safe"))
         .orderBy("cluster")
+    }),
+
+    // q239 — BITEXT MARGIN MINING (Artetxe & Schwenk margin scoring,
+    // the LASER/CCMatrix parallel-corpus recipe): align two corpora
+    // (here: even vs odd vec_id halves — the harness stand-in for two
+    // languages' embedding spaces) by RATIO-margin rather than raw
+    // cosine — margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y))/2), with
+    // avgK the mean cosine of each point's k=4 nearest cross-corpus
+    // neighbors. The margin cancels hubness: a y that is "close to
+    // everything" inflates its own neighborhood mean and stops
+    // winning every x. All arithmetic integer micros: 6-dp cosines →
+    // micro, neighborhood means by truncating div 4, the margin one
+    // ratio at the end; pairs keep x's best y (margin desc, y tie) at
+    // margin ≥ 1.02 — above the own-neighborhood average. This is the
+    // brute-force tier under the q16 contract: at 100 TB both
+    // neighbor sets and the candidate pairs come from the ANN path
+    // (q22/q63) and the margin scoring runs on the short candidate
+    // lists; the windows here partition by point id over ≤|x|·|y|
+    // scored rows.
+    "q239_bitext_mining" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val x = e.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("x_id"), col("emb").as("xemb"))
+      val y = e.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("y_id"), col("emb").as("yemb"))
+      val sims = x.crossJoin(broadcast(y))
+        .select(col("x_id"), col("y_id"),
+          round(round(Similarity.cosine(col("xemb"), col("yemb")), 6)
+            * 1000000).cast("long").as("cm"))
+      val wx = Window.partitionBy("x_id").orderBy(col("cm").desc, col("y_id"))
+      val wy = Window.partitionBy("y_id").orderBy(col("cm").desc, col("x_id"))
+      val ax = sims.withColumn("rn", row_number().over(wx))
+        .where(col("rn") <= 4).groupBy("x_id")
+        .agg(expr("sum(cm) div 4").as("ax"))
+      val ay = sims.withColumn("rn", row_number().over(wy))
+        .where(col("rn") <= 4).groupBy("y_id")
+        .agg(expr("sum(cm) div 4").as("ay"))
+      val wbest = Window.partitionBy("x_id")
+        .orderBy(col("margin_micro").desc, col("y_id"))
+      sims.join(ax, "x_id").join(ay, "y_id")
+        .where(col("ax") + col("ay") > 0)
+        .withColumn("margin_micro",
+          expr("cm * 1000000 div ((ax + ay) div 2)"))
+        .withColumn("rn", row_number().over(wbest))
+        .where(col("rn") === 1 && col("margin_micro") >= 1020000L)
+        .select(col("x_id"), col("y_id"), col("margin_micro"))
+        .orderBy("x_id")
+    }),
+
+    // q240 — RANKING METRICS (NDCG@10 + MRR): the retrieval-eval
+    // complement of q230's recall — WHERE in the ANN list the true
+    // neighbors land, not just whether they appear. Relevance is
+    // binary (membership in the exact cosine top-10, the q16
+    // contract); DCG discounts by 1/log2(rank+1) using PINNED integer
+    // gain literals (10¹² div ⌊log2(i+1)·10⁶⌋, computed once and
+    // interpolated into BOTH engines — no runtime log crosses the
+    // gate); IDCG@10 is their prefix sum, so ndcg_micro = dcg·10⁶ div
+    // IDCG. MRR is 10⁶ div first-relevant-rank (0 when the list has
+    // no true neighbor). Plan rides the measured q22/q16 machinery;
+    // the metric fold is one ≤10-row-per-query groupBy.
+    "q240_ranking_metrics" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("qid"), col("vec_id"), lit(1L).as("rel"))
+      val wr = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val approx = AnnIvf.topKProbed(
+          corpus = e, centroids = e.where(col("vec_id") < 16),
+          queries = q, k = 10, nprobe = 4)
+        .withColumn("rank", row_number().over(wr).cast("long"))
+      val gainArr = array(DcgGains.map(lit): _*)
+      approx.join(exact, Seq("qid", "vec_id"), "left")
+        .withColumn("g", when(col("rel").isNotNull,
+          element_at(gainArr, col("rank").cast("int"))).otherwise(0L))
+        .groupBy("qid")
+        .agg(sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("n_rel"),
+          sum("g").as("dcg"),
+          min(when(col("rel").isNotNull, col("rank"))).as("minr"))
+        .select(col("qid"), col("n_rel"),
+          expr(s"dcg * 1000000 div ${IdcgAt10}L").as("ndcg_micro"),
+          coalesce(expr("1000000 div minr"), lit(0L)).as("mrr_micro"))
+        .orderBy("qid")
     }),
 
     // q230 — ANN RECALL AUDIT: the index-quality monitor every
@@ -1792,6 +1886,78 @@ object PipelineQueries {
         "(SELECT count(*) FROM verr) * 1000000 // " +
         "(SELECT count(*) FROM cand) AS precision_micro"),
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // same 6-dp→micro cosines, truncating top-4 means, ratio margin,
+    // best-per-x pick and 1.02 floor
+    "q239_bitext_mining" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+        "FROM embeddings), " +
+        "x AS (SELECT vec_id AS x_id, emb AS xemb FROM e " +
+        "WHERE vec_id % 2 = 0), " +
+        "y AS (SELECT vec_id AS y_id, emb AS yemb FROM e " +
+        "WHERE vec_id % 2 = 1), " +
+        "s AS MATERIALIZED (SELECT x_id, y_id, " +
+        s"CAST(round(${cos("xemb", "yemb")} * 1000000) AS BIGINT) AS cm " +
+        "FROM x, y), " +
+        "ax AS (SELECT x_id, SUM(cm) // 4 AS ax FROM (" +
+        "SELECT x_id, cm, row_number() OVER (PARTITION BY x_id " +
+        "ORDER BY cm DESC, y_id) AS rn FROM s) WHERE rn <= 4 " +
+        "GROUP BY 1), " +
+        "ay AS (SELECT y_id, SUM(cm) // 4 AS ay FROM (" +
+        "SELECT y_id, cm, row_number() OVER (PARTITION BY y_id " +
+        "ORDER BY cm DESC, x_id) AS rn FROM s) WHERE rn <= 4 " +
+        "GROUP BY 1), " +
+        "m AS (SELECT s.x_id, s.y_id, " +
+        "CAST(s.cm * 1000000 // ((ax.ax + ay.ay) // 2) AS BIGINT) " +
+        "AS margin_micro FROM s " +
+        "JOIN ax ON ax.x_id = s.x_id JOIN ay ON ay.y_id = s.y_id " +
+        "WHERE ax.ax + ay.ay > 0), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY x_id " +
+        "ORDER BY margin_micro DESC, y_id) AS rn FROM m) " +
+        "SELECT x_id, y_id, margin_micro FROM r " +
+        "WHERE rn = 1 AND margin_micro >= 1020000 ORDER BY x_id"
+    },
+    // q230's exact + IVF legs replayed with ranks kept; pinned gain
+    // literals (identical to the Spark plan's), IDCG prefix sum
+    "q240_ranking_metrics" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      val gainsList = DcgGains.mkString("[", ", ", "]")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5), " +
+        "ex AS (SELECT qid, vec_id FROM (SELECT q.qid, e.vec_id, " +
+        s"row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        s"${cos("e.emb", "q.qemb")} DESC, e.vec_id) AS rn " +
+        "FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 10), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16), " +
+        "assign AS (SELECT vec_id, emb, cid AS bucket FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY " +
+        s"e.vec_id ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn " +
+        "FROM e, c) WHERE rn = 1), " +
+        "probes AS (SELECT qid, qemb, cid AS bucket FROM (" +
+        "SELECT q.qid, q.qemb, c.cid, row_number() OVER (PARTITION BY " +
+        s"q.qid ORDER BY ${cos("q.qemb", "c.cemb")} DESC, c.cid) AS rn " +
+        "FROM q, c) WHERE rn <= 4), " +
+        "ap AS (SELECT qid, vec_id, CAST(rn AS BIGINT) AS rank " +
+        "FROM (SELECT p.qid, a.vec_id, " +
+        s"row_number() OVER (PARTITION BY p.qid ORDER BY " +
+        s"${cos("a.emb", "p.qemb")} DESC, a.vec_id) AS rn " +
+        "FROM assign a JOIN probes p ON a.bucket = p.bucket " +
+        "WHERE a.vec_id <> p.qid) WHERE rn <= 10), " +
+        "j AS (SELECT ap.qid, ap.rank, " +
+        "CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel " +
+        "FROM ap LEFT JOIN ex ON ex.qid = ap.qid " +
+        "AND ex.vec_id = ap.vec_id) " +
+        "SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel, " +
+        s"CAST(SUM(CASE WHEN rel = 1 THEN ($gainsList)[rank] ELSE 0 END) " +
+        s"* 1000000 // $IdcgAt10 AS BIGINT) AS ndcg_micro, " +
+        "CAST(COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN rank END), " +
+        "0) AS BIGINT) AS mrr_micro " +
+        "FROM j GROUP BY 1 ORDER BY qid"
+    },
     "q230_ann_recall" -> {
       val cos = (a: String, b: String) =>
         s"round(list_dot_product($a, $b) / " +
