@@ -317,6 +317,50 @@ object PipelineQueries {
         .orderBy("cluster")
     }),
 
+    // q243 — MISRA-GRIES HEAVY HITTERS: the deterministic-bound
+    // frequency summary beside q95's CMS — ≤k counters total (not a
+    // hash grid), with the THEOREM guarantees: every token with true
+    // count > N/(k+1) is present, and every estimate is within
+    // [true − N/(k+1), true], under ANY partitioning/merge order
+    // (Agarwal et al. PODS'12 mergeable form — see
+    // [[graft.functions.MisraGries]]). Because the surviving counter
+    // SET is merge-order-dependent, the gate hashes the deterministic
+    // consequences, not the summary (the q21 pattern): for each TRUE
+    // heavy hitter (exact count·17 > N, the exact rational form of
+    // > N/(k+1) at k=16) the output pins its exact count plus two
+    // theorem booleans — present-in-summary and
+    // estimate-within-bounds — that only flip if the sketch is
+    // broken; MisraGriesSpec property-tests the same bounds under
+    // adversarial splits. The corpus vocabulary is near-uniform (max
+    // token share 3.5%), so the harness PLANTS skew (the q46 move):
+    // three hot tokens at ~10%/6%/5% appended per document — above
+    // the k=24 threshold N/25 while every organic token stays below
+    // it, and the 30+-token organic vocabulary keeps the ≤24-counter
+    // summary under constant decrement pressure (estimates land
+    // strictly inside the bound, not at est = cnt). Plan: the summary
+    // is ONE partial aggregation whose exchange carries a ≤24-entry
+    // map per partition; the exact side (needed only by the audit) is
+    // the standard count groupBy.
+    "q243_misra_gries_hh" -> ((s, d) => {
+      val planted = Seq.fill(8)("hot0") ++ Seq.fill(5)("hot1") ++
+        Seq.fill(4)("hot2")
+      val toks = docs(s, d)
+        .select(explode(concat(TextOps.tokens(col("text")),
+          array(planted.map(lit): _*))).as("tok"))
+      val sk = toks.agg(expr("misra_gries(tok, 24)").as("mg"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      exact.crossJoin(broadcast(tot))
+        .where(expr("cnt * 25 > n"))
+        .crossJoin(broadcast(sk))
+        .select(col("tok"), col("cnt"), col("n"),
+          expr("element_at(mg, tok) is not null").as("in_sketch"),
+          expr("case when element_at(mg, tok) is null then false " +
+            "else element_at(mg, tok) <= cnt and " +
+            "(cnt - element_at(mg, tok)) * 25 <= n end").as("bounds_ok"))
+        .orderBy("tok")
+    }),
+
     // q239 — BITEXT MARGIN MINING (Artetxe & Schwenk margin scoring,
     // the LASER/CCMatrix parallel-corpus recipe): align two corpora
     // (here: even vs odd vec_id halves — the harness stand-in for two
@@ -1886,6 +1930,22 @@ object PipelineQueries {
         "(SELECT count(*) FROM verr) * 1000000 // " +
         "(SELECT count(*) FROM cand) AS precision_micro"),
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // exact counts reproduce the heavy-hitter rows; the theorem
+    // booleans are TRUE literals — they only diverge if the sketch
+    // violates its guarantees
+    "q243_misra_gries_hh" -> {
+      val plantedList = (Seq.fill(8)("hot0") ++ Seq.fill(5)("hot1") ++
+        Seq.fill(4)("hot2")).map(t => s"'$t'").mkString("[", ", ", "]")
+      s"WITH t AS (SELECT unnest(list_concat(" +
+        s"string_split($duckNorm, ' '), $plantedList)) AS tok " +
+        "FROM documents), " +
+        "e AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1), " +
+        "nn AS (SELECT COUNT(*) AS n FROM t) " +
+        "SELECT tok, CAST(cnt AS BIGINT) AS cnt, CAST(n AS BIGINT) AS n, " +
+        "TRUE AS in_sketch, TRUE AS bounds_ok " +
+        "FROM e CROSS JOIN nn WHERE cnt * 25 > n ORDER BY tok"
+    },
+
     // same 6-dp→micro cosines, truncating top-4 means, ratio margin,
     // best-per-x pick and 1.02 floor
     "q239_bitext_mining" -> {
