@@ -127,8 +127,19 @@ object AnnIvf {
     */
   def topKProbed(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "emb"): DataFrame =
+    topKFromAssigned(assignBuckets(corpus, centroids, idCol, vecCol),
+      centroids, queries, k, nprobe, idCol, vecCol)
+
+  /** [[topKProbed]]'s search stage over PRE-COMPUTED bucket
+    * assignments (`idCol`, `vecCol`, `bucket`) — the entry point when
+    * the inverted file is a maintained artifact (persisted with the
+    * table, updated incrementally as batches arrive — q244) rather
+    * than recomputed per query.
+    */
+  def topKFromAssigned(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "emb"): DataFrame = {
-    val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
     val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cemb"))
     // top-nprobe buckets per query via collect_list over the K
     // (bounded, broadcast) centroids + sort + slice — partial-agg
