@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.functions.{BloomContains, CmsSketch, DotProduct, JaroWinkler, MinHashSig, MisraGries, ShingleJaccard, SimHash32, TextStats, TopKAgg, WinnowFps, WordShingles}
+import graft.functions.{BloomContains, CmsSketch, DotProduct, JaroWinkler, MinHashSig, MisraGries, MultiMatch, ShingleJaccard, SimHash32, TextStats, TopKAgg, WinnowFps, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -102,6 +102,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CmsSketch(tok, d, w)
         case _ => throw new IllegalArgumentException(
           "usage: cms_sketch(token, depth int literal, width int literal)")
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("multi_match"),
+      new ExpressionInfo(classOf[MultiMatch].getName, "multi_match"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(s: UTF8String, StringType)) =>
+          MultiMatch(text, s.toString.split(",").toSeq)
+        case _ => throw new IllegalArgumentException(
+          "usage: multi_match(text, 'p1,p2,...' string literal)")
       }))
     extensions.injectFunction((
       new FunctionIdentifier("misra_gries"),

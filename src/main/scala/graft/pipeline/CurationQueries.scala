@@ -79,6 +79,44 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // q246 — BLOCKING-QUALITY AUDIT: the meta-evaluation of q151/
+    // q170's entity-matching blocking (the q234/q230 audit family,
+    // turned on record linkage): PAIR COMPLETENESS = what fraction of
+    // true matches (Jaro-Winkler ≥ 0.85 over ALL pairs, blocking-
+    // free) the (brand,size)+length-band blocking retains, and
+    // REDUCTION RATIO = what fraction of the quadratic pair space it
+    // prunes. Measuring PC inherently costs the all-pairs truth leg,
+    // so the audit runs on a 10% key sample (p_partkey % 10 — the
+    // q234 sampled-audit contract; production audits a partition and
+    // extrapolates). Both ratios in integer micros; the zero-truth
+    // edge is total by a CASE.
+    "q246_blocking_audit" -> ((s, d) => {
+      val p = graft.Tables.load(s, d, "part")
+        .where(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"),
+          col("p_brand").as("brand"), col("p_size").as("size"))
+      val a = p.toDF("id_a", "name_a", "brand_a", "size_a")
+      val b = p.toDF("id_b", "name_b", "brand_b", "size_b")
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("is_true",
+          round(expr("jaro_winkler(name_a, name_b)"), 6) >= 0.85)
+        .withColumn("is_cand", col("brand_a") === col("brand_b") &&
+          col("size_a") === col("size_b") &&
+          greatest(length(col("name_a")), length(col("name_b"))) <=
+            least(length(col("name_a")), length(col("name_b"))) * 4)
+        .agg(count(lit(1)).as("n_all_pairs"),
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_cand"),
+          sum(when(col("is_true") && col("is_cand"), 1L).otherwise(0L))
+            .as("n_found"))
+        .select(col("n_all_pairs"), col("n_true"), col("n_cand"),
+          col("n_found"),
+          expr("case when n_true = 0 then 1000000 " +
+            "else n_found * 1000000 div n_true end").as("pc_micro"),
+          expr("(n_all_pairs - n_cand) * 1000000 div n_all_pairs")
+            .as("rr_micro"))
+    }),
+
     // q242 — WATER-FILLING TOKEN BUDGET: the fair-share allocator a
     // mixture designer runs when a training budget T must be split
     // across sources "as equally as the caps allow" (the max-min-
@@ -1638,6 +1676,35 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q224_bradley_terry" -> duckBradleyTerrySql,
+
+    // same sample, same match rule (jaro_winkler_similarity ≡ the
+    // native jaro_winkler — the q151-proven pairing), same blocking
+    // predicate
+    "q246_blocking_audit" ->
+      ("WITH p AS (SELECT p_partkey AS id, p_name AS name, " +
+        "p_brand AS brand, p_size AS size FROM part " +
+        "WHERE p_partkey % 10 = 0), " +
+        "pr AS (SELECT " +
+        "(round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.85) " +
+        "AS is_true, " +
+        "(a.brand = b.brand AND a.size = b.size AND " +
+        "greatest(length(a.name), length(b.name)) <= " +
+        "least(length(a.name), length(b.name)) * 4) AS is_cand " +
+        "FROM p a JOIN p b ON a.id < b.id) " +
+        "SELECT COUNT(*) AS n_all_pairs, " +
+        "CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_true, " +
+        "CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_cand, " +
+        "CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_found, " +
+        "CAST(CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) = 0 " +
+        "THEN 1000000 ELSE " +
+        "SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) * 1000000 " +
+        "// SUM(CASE WHEN is_true THEN 1 ELSE 0 END) END AS BIGINT) " +
+        "AS pc_micro, " +
+        "CAST((COUNT(*) - SUM(CASE WHEN is_cand THEN 1 ELSE 0 END)) " +
+        "* 1000000 // COUNT(*) AS BIGINT) AS rr_micro FROM pr"),
 
     // identical sort order, division-free capped predicate, truncating
     // λ and largest-prefix remainder bonus

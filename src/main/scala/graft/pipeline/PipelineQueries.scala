@@ -80,6 +80,13 @@ object PipelineQueries {
   private val SpamBanner = Seq.fill(3)("free offer click now buy cheap")
     .mkString(" ")
 
+  /** q247's blocklist: the spam-banner vocabulary plus a decoy
+    * ('winner') that never occurs — its pinned zero count proves
+    * absent patterns report 0, not null.
+    */
+  private val BlockPatterns =
+    Seq("free", "offer", "click", "now", "buy", "cheap", "winner")
+
   /** q240's DCG gain ladder: gain(i) = 10¹² div ⌊log2(i+1)·10⁶⌋ for
     * ranks 1..10, computed ONCE here and interpolated into both the
     * Spark plan and the DuckDB oracle as integer literals — the gate
@@ -315,6 +322,68 @@ object PipelineQueries {
         .select(col("cluster"), col("n_docs"), col("n_folds_naive"),
           fold(col("cluster")).as("fold_safe"))
         .orderBy("cluster")
+    }),
+
+    // q249 — TOKEN-DROPOUT AUGMENTATION (the EDA random-deletion
+    // recipe, made seedless): drop each token with probability 1/8 by
+    // an md5 coin on (doc_id, position) — every executor AND the
+    // oracle derive the same mask with no RNG state or broadcast (the
+    // q218/q126 coin contract), so augmented corpora are reproducible
+    // across reruns and engines. The rebuilt text is pinned by md5
+    // (the q130 one-shuffle rebuild: per-doc collect of (pos, tok)
+    // structs, sorted in-array — bounded by document length). Output
+    // stays narrow: original/kept token counts + the augmented text's
+    // fingerprint, never the text itself.
+    "q249_token_dropout" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      val kept = base
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_orig"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        .where(conv(substring(md5(concat(lit("aug:"),
+          col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 8 =!= 0)
+      kept.groupBy("doc_id")
+        .agg(max("n_orig").as("n_orig"), count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")))).as("aug_md5"))
+        .select("doc_id", "n_orig", "n_kept", "aug_md5")
+        .orderBy("doc_id")
+    }),
+
+    // q247 — AHO-CORASICK BLOCKLIST FILTER: screen every document
+    // against a banned-phrase list in ONE text pass — the native
+    // `multi_match` expression ([[graft.functions.MultiMatch]]) walks
+    // an Aho–Corasick automaton, so scan cost is O(len + matches)
+    // however long the blocklist (per-pattern regex passes re-scan
+    // the corpus per pattern; an alternation NFA backtracks). The
+    // harness reuses q235's planted corpus: every third document
+    // carries the spam banner, the blocklist is the banner vocabulary
+    // plus a never-present decoy ('winner' — pinning zero counts),
+    // and a document is flagged at ≥4 total hits. The per-pattern
+    // count map is gated in full via the replace-length identity
+    // (exact for non-self-overlapping words; MultiMatchSpec covers
+    // the overlapping cases SQL can't express). Scan-side codegen,
+    // zero shuffles.
+    "q247_blocklist_filter" -> ((s, d) => {
+      val pats = BlockPatterns.mkString(",")
+      docs(s, d)
+        .withColumn("txt", when(col("doc_id") % 3 === 0,
+          concat(lit(SpamBanner + " "), col("text"))).otherwise(col("text")))
+        .select(col("doc_id"),
+          expr("multi_match(regexp_replace(lower(trim(txt)), " +
+            s"'\\\\s+', ' '), '$pats')").as("mm"))
+        .select(col("doc_id") +: BlockPatterns.map(p =>
+          expr(s"element_at(mm, '$p')").as(s"c_$p")): _*)
+        .withColumn("n_hits",
+          BlockPatterns.map(p => col(s"c_$p")).reduce(_ + _))
+        .withColumn("n_patterns",
+          BlockPatterns.map(p =>
+            when(col(s"c_$p") > 0, 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("flagged", col("n_hits") >= 4)
+        .orderBy("doc_id")
     }),
 
     // q243 — MISRA-GRIES HEAVY HITTERS: the deterministic-bound
@@ -1688,6 +1757,15 @@ object PipelineQueries {
       Relevance.bigramNll(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // q245 — interpolated Kneser-Ney bigram NLL: the
+    // continuation-probability smoothing tier above q103's add-one
+    // (see [[Relevance.kneserNeyNll]] for the exact-rational D=¾
+    // form); same zipf-bounded LM-table plan, corpus never shuffles
+    // on a bigram key
+    "q245_kneser_ney_nll" -> ((s, d) =>
+      Relevance.kneserNeyNll(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // q68 — pivot (wide aggregation): per-user event counts spread
     // over the five known event types as columns. Explicit pivot
     // values keep it a single partial-agg pass (no values-discovery
@@ -1930,6 +2008,42 @@ object PipelineQueries {
         "(SELECT count(*) FROM verr) * 1000000 // " +
         "(SELECT count(*) FROM cand) AS precision_micro"),
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // identical md5 coin on (doc_id, 0-based position), identical
+    // space-joined rebuild under the md5
+    "q249_token_dropout" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, len(toks) AS n_orig, unnest(toks) AS tok, " +
+        "generate_subscripts(toks, 1) AS pos1 FROM tk), " +
+        "k AS (SELECT doc_id, n_orig, pos1, tok FROM t WHERE " +
+        "('0x' || substr(md5('aug:' || doc_id || ':' || (pos1 - 1)), " +
+        "1, 8))::BIGINT % 8 <> 0) " +
+        "SELECT doc_id, CAST(MAX(n_orig) AS BIGINT) AS n_orig, " +
+        "COUNT(*) AS n_kept, " +
+        "md5(array_to_string(list(tok ORDER BY pos1), ' ')) AS aug_md5 " +
+        "FROM k GROUP BY doc_id ORDER BY doc_id"),
+
+    // replace-length identity per pattern (exact: no blocklist word
+    // has a proper border, so all-positions = non-overlapping)
+    "q247_blocklist_filter" -> {
+      val cCols = BlockPatterns.map(p =>
+        s"CAST((len(nt) - len(replace(nt, '$p', ''))) // ${p.length} " +
+          s"AS BIGINT) AS c_$p").mkString(", ")
+      val hitSum = BlockPatterns.map(p => s"c_$p").mkString(" + ")
+      val patSum = BlockPatterns.map(p =>
+        s"(CASE WHEN c_$p > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+        s"THEN '$SpamBanner ' || text ELSE text END AS t0 " +
+        "FROM documents), " +
+        "n AS (SELECT doc_id, " +
+        "regexp_replace(lower(trim(t0)), '\\s+', ' ', 'g') AS nt FROM d), " +
+        s"c AS (SELECT doc_id, $cCols FROM n) " +
+        s"SELECT doc_id, ${BlockPatterns.map(p => s"c_$p").mkString(", ")}, " +
+        s"CAST($hitSum AS BIGINT) AS n_hits, " +
+        s"CAST($patSum AS BIGINT) AS n_patterns, " +
+        s"($hitSum >= 4) AS flagged FROM c ORDER BY doc_id"
+    },
+
     // exact counts reproduce the heavy-hitter rows; the theorem
     // booleans are TRUE literals — they only diverge if the sketch
     // violates its guarantees
@@ -3058,6 +3172,33 @@ object PipelineQueries {
     // conditional bigram LM: p(w2|w1) = (c2+1)/(c1+V), c1 = left-
     // context totals derived from the bigram counts, V = unigram
     // vocabulary; integer-millionth log-probs as in q77
+    // identical rational: [max(4c2−3,0)·B + 3·N1r·N1l] / (4·c1·B),
+    // micro-log difference of exact bigints, same (w,w) fallback
+    "q245_kneser_ney_nll" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) " +
+        "END) AS b FROM tk), " +
+        "c2 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2, " +
+        "string_split(b, ' ')[1] AS w1, " +
+        "COALESCE(string_split(b, ' ')[2], string_split(b, ' ')[1]) AS w2 " +
+        "FROM bg GROUP BY b), " +
+        "l AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1, " +
+        "CAST(COUNT(*) AS BIGINT) AS n1r FROM c2 GROUP BY 1), " +
+        "r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1l FROM c2 " +
+        "GROUP BY 1), " +
+        "bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM c2), " +
+        "lm AS (SELECT c2.b, " +
+        "CAST(FLOOR(ln(4 * l.c1 * bt.bt) * 1000000) AS BIGINT) - " +
+        "CAST(FLOOR(ln(GREATEST(0, c2.c2 * 4 - 3) * bt.bt " +
+        "+ 3 * l.n1r * r.n1l) * 1000000) AS BIGINT) AS li " +
+        "FROM c2 JOIN l ON l.w1 = c2.w1 JOIN r ON r.w2 = c2.w2 " +
+        "CROSS JOIN bt) " +
+        "SELECT bg.doc_id, COUNT(*) AS n_bigrams, " +
+        "CAST(SUM(lm.li) // COUNT(*) AS BIGINT) AS nll_micro " +
+        "FROM bg JOIN lm USING (b) GROUP BY bg.doc_id ORDER BY doc_id"),
     "q103_bigram_nll" ->
       (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
         "FROM documents), " +

@@ -153,6 +153,67 @@ object Relevance {
         expr("__sli div n_bigrams").as("nll_micro"))
   }
 
+  /** Per-document INTERPOLATED KNESER-NEY bigram negative
+    * log-likelihood — the state-of-the-art n-gram smoothing (Kneser &
+    * Ney 1995; Chen & Goodman 1999) above [[bigramNll]]'s add-one:
+    * instead of backing off to raw unigram frequency, the lower-order
+    * weight is the CONTINUATION probability — how many distinct
+    * contexts a word follows ("francisco" is frequent but nearly
+    * always after "san", so it gets almost no backoff mass). With
+    * discount D = ¾ the whole model is ONE exact rational per bigram:
+    *
+    *   p(w₂|w₁) = [max(4·c(w₁w₂) − 3, 0)·B + 3·N1+(w₁·)·N1+(·w₂)]
+    *              / (4·c(w₁·)·B)
+    *
+    * where N1+(w₁·)/N1+(·w₂) are distinct right/left continuation
+    * counts and B the number of bigram types — so −ln p is a
+    * difference of micro-logs of exact integers (the q77/q103 idiom)
+    * and every per-doc sum is order-independent.
+    *
+    * Scale shape mirrors [[bigramNll]]: all model tables (c2, the
+    * left/right continuation counts, B) derive from the ONE bigram-
+    * vocabulary table — never a second corpus pass; per-bigram scores
+    * are precomputed on that zipf-bounded table and joined to the
+    * bigram stream broadcast, so the corpus never shuffles on a hot
+    * bigram.
+    *
+    * @return doc_id, n_bigrams, nll_micro (mean −ln p per bigram in
+    *         integer millionths)
+    */
+  def kneserNeyNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol), explode(expr(s"word_shingles($textCol, 2)")).as("__bg"))
+    val c2 = bigrams.groupBy(col("__bg"))
+      .agg(count(lit(1)).as("__c2"))
+      .withColumn("__w1", element_at(split(col("__bg"), " "), 1))
+      // single-token fallback docs yield a one-word "bigram": score it
+      // as (w, w) so the model stays total over the document domain
+      .withColumn("__w2", coalesce(element_at(split(col("__bg"), " "), 2),
+        element_at(split(col("__bg"), " "), 1)))
+    val leftC = c2.groupBy("__w1")
+      .agg(sum("__c2").as("__c1"), count(lit(1)).as("__n1r"))
+    val rightC = c2.groupBy("__w2").agg(count(lit(1)).as("__n1l"))
+    val btypes = c2.agg(count(lit(1)).as("__bt"))
+    val lm = c2
+      .join(broadcast(leftC), "__w1")
+      .join(broadcast(rightC), "__w2")
+      .crossJoin(broadcast(btypes))
+      .withColumn("__num",
+        greatest(lit(0L), col("__c2") * 4 - 3) * col("__bt")
+          + lit(3L) * col("__n1r") * col("__n1l"))
+      .withColumn("__den", lit(4L) * col("__c1") * col("__bt"))
+      .withColumn("__li",
+        floor(log(col("__den").cast("double")) * 1000000d).cast("long")
+          - floor(log(col("__num").cast("double")) * 1000000d).cast("long"))
+      .select("__bg", "__li")
+    bigrams
+      .join(broadcast(lm), "__bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__li")).as("__sli"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__sli div n_bigrams").as("nll_micro"))
+  }
+
   /** BM25 constants (the standard Robertson defaults). */
   val K1 = 1.2d
   val B = 0.75d

@@ -1133,6 +1133,32 @@ object AnalyticsQueries {
         .select("n1", "n2", "ks_micro", "at_cents")
     }),
 
+    // q248 — SUBJECT-ACCESS-REQUEST EXPORT (GDPR Art. 15): the
+    // governance tier between q190's erasure and q184's k-anonymity —
+    // "give me everything you hold about me". One pass over the
+    // events stream gathers each requesting subject's complete
+    // record: event count, activity interval, value total, type
+    // breadth, and an INTEGRITY MANIFEST (md5 over the sorted event-id
+    // list) the subject can later use to prove the export was
+    // complete and to verify q190's erasure actually removed rows.
+    // Requests arrive in batches (here: the user_id % 100 = 7
+    // cohort); the whole export is one partial-agg groupBy — the
+    // manifest's collect_list is bounded by the subject's own row
+    // count, never corpus-sized.
+    "q248_sar_export" -> ((s, d) =>
+      events(s, d)
+        .where(col("user_id") % 100 === 7)
+        .withColumn("cents", expr("cast(round(value * 100) as bigint)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"),
+          sum("cents").as("total_cents"),
+          countDistinct("event_type").as("n_types"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(col("event_id"))),
+              x => x.cast("string")))).as("manifest_md5"))
+        .orderBy("user_id")),
+
     // q241 — SPLIT-CONFORMAL COVERAGE: the distribution-free
     // uncertainty wrapper for any scorer — calibrate a nonconformity
     // threshold q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score,
@@ -1288,6 +1314,20 @@ object AnalyticsQueries {
         "AS BIGINT) AS ks_micro, " +
         "CAST(MIN(CASE WHEN diffn = dmax THEN cents END) AS BIGINT) " +
         "AS at_cents FROM m"),
+    // same cohort, ns timestamps, integer cents, and the md5 manifest
+    // over the sorted id list
+    "q248_sar_export" ->
+      ("SELECT user_id, COUNT(*) AS n_events, " +
+        "CAST(MIN(epoch_ns(ts)) AS BIGINT) AS first_ts, " +
+        "CAST(MAX(epoch_ns(ts)) AS BIGINT) AS last_ts, " +
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+        "AS total_cents, " +
+        "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types, " +
+        "md5(array_to_string(list_sort(list(event_id)), ',')) " +
+        "AS manifest_md5 " +
+        "FROM events WHERE user_id % 100 = 7 " +
+        "GROUP BY user_id ORDER BY user_id"),
+
     // identical hard-sigmoid scores, exact-integer ceil rank, and
     // histogram order statistic; coverage replayed on the odd side
     "q241_conformal_coverage" ->
