@@ -268,11 +268,19 @@ object PipelineQueries {
     // construction, so recall = |verified|/|exact| and precision =
     // |verified|/|candidates| in integer micros. The exact leg's pair
     // generator is the shared-shingle join (bounded by Σ df², the
-    // q117 candidate argument) — never a corpus cross join; in
-    // production this audit runs on a sampled partition, the exact
-    // leg being the expensive one is the point of the measurement.
+    // q117 candidate argument) — never a corpus cross join — and the
+    // whole audit runs on a DOC SAMPLE (doc_id % 4, dup plants kept):
+    // the exact leg is inherently Σdf²-quadratic, which is the point
+    // of the measurement and exactly why production audits a sample
+    // and extrapolates (the q246 contract; unsampled this was 43 s at
+    // sf0.1 — 16× the sampled cost for the same estimate).
     "q234_lsh_recall" -> ((s, d) => {
-      val base = docsWithDups(s, d)
+      val base = {
+        val b = docs(s, d).where(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("text"))
+        b.unionByName(b.select((col("doc_id") + 100000).as("doc_id"),
+          col("text")))
+      }
       val texts = base.select(col("doc_id"), col("text"))
       val sh = base.select(col("doc_id"),
         explode(array_distinct(expr("word_shingles(text, 3)"))).as("t"))
@@ -1984,8 +1992,12 @@ object PipelineQueries {
         "FROM lab GROUP BY cluster ORDER BY cluster"),
     // exact truth via the shared-shingle join + list-formula verify,
     // LSH legs via the q17/q18 chains — all three counts replayed
-    "q234_lsh_recall" ->
-      (s"WITH all_docs AS ($dupCte), d AS ($dupCte), " +
+    "q234_lsh_recall" -> {
+      // the same doc_id % 4 sample with its dup plants, both legs
+      val sampCte = "SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 4 = 0 UNION ALL " +
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 4 = 0"
+      s"WITH all_docs AS ($sampCte), d AS ($sampCte), " +
         s"${duckShingleCtes("all_docs")}, $duckSigBands, " +
         s"$duckShingleSetCtes, " +
         "jall AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
@@ -2006,7 +2018,8 @@ object PipelineQueries {
         "(SELECT count(*) FROM verr) * 1000000 // " +
         "(SELECT count(*) FROM exv) AS recall_micro, " +
         "(SELECT count(*) FROM verr) * 1000000 // " +
-        "(SELECT count(*) FROM cand) AS precision_micro"),
+        "(SELECT count(*) FROM cand) AS precision_micro"
+    },
     // both rankings replayed (q16 + q22 oracle chains), intersected
     // identical md5 coin on (doc_id, 0-based position), identical
     // space-joined rebuild under the md5

@@ -1133,6 +1133,126 @@ object AnalyticsQueries {
         .select("n1", "n2", "ks_micro", "at_cents")
     }),
 
+    // q251 — WEIGHTED HITS HUBS & AUTHORITIES (Kleinberg): the
+    // directed-graph centrality pair beside q115's PageRank — on the
+    // supplier→customer nation trade graph with lineitem-count edge
+    // weights, a good HUB ships heavily to good authorities and a
+    // good AUTHORITY receives heavily from good hubs (the mutual-
+    // reinforcement fixed point PageRank's single score cannot
+    // express; weights matter because the unweighted nation graph is
+    // near-complete and would converge to the uniform fixed point).
+    // 4 synchronous rounds in integer micros with q224's
+    // renormalize-each-round discipline (raw·n·10⁶ div rawSum via
+    // BigInt/HUGEINT — raw·target reaches ~10²² — then ≥1 clamps);
+    // the edge build is the measured q115/q136 shape (fact scan + two
+    // broadcast dims, partial-agg to ≤|nations|² weighted cells) and
+    // the fixed point runs on that bounded matrix (the q224 contract
+    // — nodes are nations/domains, leaderboard-sized at any corpus
+    // scale). The oracle replays all 4 rounds as an unrolled
+    // MATERIALIZED CTE chain, so the iteration arithmetic itself is
+    // gated.
+    "q251_hits_scores" -> ((s, d) => {
+      val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables.load(s, d, "customer").select("c_custkey", "c_nationkey")
+      val su = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // bounded by design: ≤|nations|² weighted edges
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val n = nodes.length.toLong
+      val target = n * 1000000L
+      def renorm(raw: Map[Long, Long]): Map[Long, Long] = {
+        val s0 = raw.values.map(BigInt(_)).sum
+        raw.map { case (k, v) =>
+          k -> math.max((BigInt(v) * target / s0).toLong, 1L)
+        }
+      }
+      var h = nodes.map(_ -> 1000000L).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to 4) {
+        a = renorm(nodes.map(k => k -> math.max(
+          edges.filter(_._2 == k).map(e => e._3 * h(e._1)).sum, 1L)).toMap)
+        h = renorm(nodes.map(k => k -> math.max(
+          edges.filter(_._1 == k).map(e => e._3 * a(e._2)).sum, 1L)).toMap)
+      }
+      import s.implicits._
+      nodes.map(k => (k, h(k), a(k))).toSeq
+        .toDF("n_key", "hub_micro", "auth_micro")
+        .orderBy("n_key")
+    }),
+
+    // q252 — LEAVE-ONE-OUT TARGET ENCODING: the leakage-safe
+    // categorical feature encoder (the Kaggle/CTR standard): encode
+    // each event's type by the mean target of the OTHER members of
+    // its category — (Σ_type − own) div (n_type − 1) — so a row never
+    // sees its own label (naive mean encoding leaks the target into
+    // the feature; q229's hygiene argument at the feature level).
+    // Singleton categories fall back to the leave-one-out GLOBAL
+    // mean, keeping the encoder total. Exact integer cents with
+    // truncating division; plan is one |types|-row partial agg
+    // broadcast back over the scan plus a 1-row global aggregate —
+    // the corpus is touched once and never shuffles on the category.
+    "q252_target_encoding" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val stats = ev.groupBy("event_type")
+        .agg(sum("cents").as("tsum"), count(lit(1)).as("tn"))
+      val g = ev.agg(sum("cents").as("gsum"), count(lit(1)).as("gn"))
+      ev.join(broadcast(stats), "event_type")
+        .crossJoin(broadcast(g))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          expr("case when tn = 1 then (gsum - cents) div (gn - 1) " +
+            "else (tsum - cents) div (tn - 1) end").as("loo_cents"),
+          expr("tsum div tn").as("naive_cents"))
+        .orderBy("event_id")
+    }),
+
+    // q253 — PROPENSITY-SCORE CALIPER MATCHING: the causal-inference
+    // design step beside q161's z-test and q175's CUPED — pair each
+    // treated unit (purchase) with its nearest control (click) in
+    // propensity space, but ONLY within a caliper (|Δp| ≤ 0.01),
+    // discarding treatments with no comparable control instead of
+    // forcing a bad match. Matching is WITH replacement (the standard
+    // deterministic variant — greedy without-replacement is
+    // sequential by construction); the scorer is q237's hard-sigmoid
+    // propensity. Plan: controls bucket once on p div caliper,
+    // treatments probe 3 adjacent buckets (pigeonhole-complete for
+    // the caliper), best match is a min_by partial agg — candidate
+    // work is Σ bucket-pair sizes, never |T|·|C|.
+    "q253_caliper_matching" -> ((s, d) => {
+      val scored = events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"),
+          (col("event_type") === "purchase").as("treated"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("p_micro",
+          least(greatest(expr("(cents - 25000) * 1000000 div 20000 div 4 " +
+            "+ 500000"), lit(0L)), lit(1000000L)))
+      val ctrl = scored.where(!col("treated"))
+        .select(col("event_id").as("c_id"), col("p_micro").as("p_c"),
+          expr("p_micro div 10000").as("bkt"))
+      val treat = scored.where(col("treated"))
+        .select(col("event_id").as("t_id"), col("p_micro").as("p_t"),
+          explode(expr("array(p_micro div 10000 - 1, p_micro div 10000, " +
+            "p_micro div 10000 + 1)")).as("bkt"))
+      treat.join(ctrl, "bkt")
+        .where(abs(col("p_t") - col("p_c")) <= 10000L)
+        .groupBy("t_id")
+        .agg(min_by(struct(col("c_id"), col("p_t"), col("p_c")),
+          struct(abs(col("p_t") - col("p_c")), col("c_id"))).as("m"))
+        .select(col("t_id"), col("m.c_id").as("c_id"),
+          col("m.p_t").as("p_t"), col("m.p_c").as("p_c"))
+        .orderBy("t_id")
+    }),
+
     // q248 — SUBJECT-ACCESS-REQUEST EXPORT (GDPR Art. 15): the
     // governance tier between q190's erasure and q184's k-anonymity —
     // "give me everything you hold about me". One pass over the
@@ -1314,6 +1434,74 @@ object AnalyticsQueries {
         "AS BIGINT) AS ks_micro, " +
         "CAST(MIN(CASE WHEN diffn = dmax THEN cents END) AS BIGINT) " +
         "AS at_cents FROM m"),
+    // all 4 rounds unrolled: LEFT-JOIN raw sums with ≥1 clamps,
+    // HUGEINT renorm (raw·target // rawSum), MATERIALIZED per round
+    "q251_hits_scores" -> {
+      def renormCte(name: String, rawCte: String) =
+        s"$name AS MATERIALIZED (SELECT k, GREATEST(raw * " +
+          s"(SELECT target FROM cnt) // (SELECT SUM(raw) FROM $rawCte), " +
+          s"1) AS v FROM $rawCte)"
+      val rounds = (1 to 4).map { r =>
+        s"a${r}r AS MATERIALIZED (SELECT n.k, " +
+          "GREATEST(COALESCE(SUM(ed.w * h.v), 0), 1) AS raw " +
+          s"FROM nodes n LEFT JOIN ed ON ed.dst = n.k " +
+          s"LEFT JOIN h${r - 1} h ON h.k = ed.src GROUP BY n.k), " +
+          renormCte(s"a$r", s"a${r}r") + ", " +
+          s"h${r}r AS MATERIALIZED (SELECT n.k, " +
+          "GREATEST(COALESCE(SUM(ed.w * a.v), 0), 1) AS raw " +
+          s"FROM nodes n LEFT JOIN ed ON ed.src = n.k " +
+          s"LEFT JOIN a$r a ON a.k = ed.dst GROUP BY n.k), " +
+          renormCte(s"h$r", s"h${r}r")
+      }.mkString(", ")
+      "WITH ed AS MATERIALIZED (SELECT " +
+        "CAST(s.s_nationkey AS BIGINT) AS src, " +
+        "CAST(c.c_nationkey AS BIGINT) AS dst, " +
+        "CAST(COUNT(*) AS HUGEINT) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1, 2), " +
+        "nodes AS MATERIALIZED (SELECT DISTINCT k FROM (" +
+        "SELECT src AS k FROM ed UNION ALL SELECT dst FROM ed)), " +
+        "cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) * 1000000 AS target " +
+        "FROM nodes), " +
+        "h0 AS MATERIALIZED (SELECT k, 1000000::HUGEINT AS v FROM nodes), " +
+        rounds + " " +
+        "SELECT n.k AS n_key, CAST(h4.v AS BIGINT) AS hub_micro, " +
+        "CAST(a4.v AS BIGINT) AS auth_micro FROM nodes n " +
+        "JOIN h4 ON h4.k = n.k JOIN a4 ON a4.k = n.k ORDER BY n_key"
+    },
+    // identical per-category sums, truncating LOO/naive divisions,
+    // singleton fallback to the global leave-one-out mean
+    "q252_target_encoding" ->
+      ("WITH ev AS (SELECT event_id, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "st AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS tsum, " +
+        "COUNT(*) AS tn FROM ev GROUP BY 1), " +
+        "g AS (SELECT CAST(SUM(cents) AS BIGINT) AS gsum, " +
+        "COUNT(*) AS gn FROM ev) " +
+        "SELECT event_id, ev.event_type, cents, " +
+        "CAST(CASE WHEN tn = 1 THEN (gsum - cents) // (gn - 1) " +
+        "ELSE (tsum - cents) // (tn - 1) END AS BIGINT) AS loo_cents, " +
+        "CAST(tsum // tn AS BIGINT) AS naive_cents " +
+        "FROM ev JOIN st USING (event_type) CROSS JOIN g " +
+        "ORDER BY event_id"),
+    // same hard-sigmoid scores, caliper and (|Δp|, c_id) best pick
+    "q253_caliper_matching" ->
+      ("WITH b AS (SELECT event_id, event_type = 'purchase' AS treated, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+        "WHERE event_type IN ('purchase', 'click')), " +
+        "p AS (SELECT event_id, treated, LEAST(GREATEST(" +
+        "(cents - 25000) * 1000000 // 20000 // 4 + 500000, 0), 1000000" +
+        ") AS pm FROM b), " +
+        "t AS (SELECT event_id AS t_id, pm AS p_t FROM p WHERE treated), " +
+        "c AS (SELECT event_id AS c_id, pm AS p_c FROM p " +
+        "WHERE NOT treated), " +
+        "m AS (SELECT t_id, c_id, p_t, p_c, row_number() OVER (" +
+        "PARTITION BY t_id ORDER BY abs(p_t - p_c), c_id) AS rn " +
+        "FROM t JOIN c ON abs(p_t - p_c) <= 10000) " +
+        "SELECT t_id, c_id, CAST(p_t AS BIGINT) AS p_t, " +
+        "CAST(p_c AS BIGINT) AS p_c FROM m WHERE rn = 1 ORDER BY t_id"),
     // same cohort, ns timestamps, integer cents, and the md5 manifest
     // over the sorted id list
     "q248_sar_export" ->

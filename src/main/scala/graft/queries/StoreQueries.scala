@@ -1177,6 +1177,43 @@ object StoreQueries {
     // per key per wave, then the delete predicate) from the raw
     // events — the store's versioning machinery against a plan-free
     // relational model.
+    // q250 — STREAMING MISRA-GRIES: q243's deterministic-bound
+    // heavy-hitter summary as a CONTINUOUS query — the ≤k-counter
+    // state accumulates in streaming aggregation state across forced
+    // micro-batches (the q102/q231 scaffold), so "what dominates this
+    // stream" is answered with O(k) state however long the stream
+    // runs. The PODS'12 merge makes the cross-batch combine exactly
+    // the operator's own merge step, and the theorem bounds hold
+    // under ANY batch split — so the gate is the q243 pattern: a
+    // planted ~50% hot token (md5-free: the event_id parity coin)
+    // must be present with its estimate inside [true − N/(k+1), true]
+    // at k=3, while the five organic types (~10% each) keep the
+    // summary under decrement pressure.
+    "q250_stream_misra_gries" -> ((s, d) => {
+      val sk = streamedEventAgg(s, d, "stream-mg",
+        Seq("event_id", "ts", "event_type"),
+        "event_id BIGINT, ts BIGINT, event_type STRING") { parsed =>
+        parsed
+          .withColumn("tok", when(col("event_id") % 2 === 0, lit("hot"))
+            .otherwise(col("event_type")))
+          .agg(expr("misra_gries(tok, 3)").as("mg"))
+      }
+      val toks = Tables.load(s, d, "events")
+        .select(when(col("event_id") % 2 === 0, lit("hot"))
+          .otherwise(col("event_type")).as("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      exact.crossJoin(broadcast(tot))
+        .where(expr("cnt * 4 > n"))
+        .crossJoin(broadcast(sk))
+        .select(col("tok"), col("cnt"), col("n"),
+          expr("element_at(mg, tok) is not null").as("in_sketch"),
+          expr("case when element_at(mg, tok) is null then false " +
+            "else element_at(mg, tok) <= cnt and " +
+            "(cnt - element_at(mg, tok)) * 4 <= n end").as("bounds_ok"))
+        .orderBy("tok")
+    }),
+
     // q244 — INCREMENTAL ANN INDEX MAINTENANCE: the inverted file as
     // a MAINTAINED STORE ARTIFACT instead of a per-query computation
     // (AnnIvf's Scaladoc scale note made real). Commit 1 indexes the
@@ -2136,6 +2173,17 @@ object StoreQueries {
     // the three commits replayed relationally: last-write-wins per key
     // per wave (row_number over (ts, cents) DESC — max(struct)'s tie
     // rule), upsert overlay by coalesce, the delete as a predicate
+    // exact counts reproduce the heavy-hitter row; theorem booleans
+    // are TRUE literals (the q243 contract, threshold N/4 at k=3)
+    "q250_stream_misra_gries" ->
+      ("WITH t AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'hot' " +
+        "ELSE event_type END AS tok FROM events), " +
+        "e AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1), " +
+        "nn AS (SELECT COUNT(*) AS n FROM t) " +
+        "SELECT tok, CAST(cnt AS BIGINT) AS cnt, CAST(n AS BIGINT) AS n, " +
+        "TRUE AS in_sketch, TRUE AS bounds_ok " +
+        "FROM e CROSS JOIN nn WHERE cnt * 4 > n ORDER BY tok"),
+
     // incremental ≡ full rebuild under frozen centroids: the one-shot
     // assignment + probed search replay (q230's CTEs), index sizes
     // from the 80% cut
