@@ -22,6 +22,18 @@ object AnalyticsQueries {
 
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
+  /** q256's pinned SPRT literals (micro log-likelihood ratios for
+    * H₀ p=0.5 vs H₁ p=0.6, and the symmetric ln 19 boundary for
+    * α=β=0.05) — computed once here and interpolated into BOTH the
+    * Spark plan and the DuckDB oracle, so no runtime log crosses the
+    * gate.
+    */
+  private val SprtLlrPosL: Long = math.floor(math.log(0.6 / 0.5) * 1e6).toLong
+  private val SprtLlrNegL: Long = math.floor(math.log(0.4 / 0.5) * 1e6).toLong
+  private val SprtBound: Long = math.floor(math.log(19d) * 1e6).toLong
+  private def SprtLlrPos = lit(SprtLlrPosL)
+  private def SprtLlrNeg = lit(SprtLlrNegL)
+
   /** q127/q128's dimension-change stream: signup events as profile
     * updates. Times are collapsed per (user, ts) first (greatest value
     * wins — [[graft.pipeline.AsofJoin]]'s tie-break) so the SCD2
@@ -1253,6 +1265,166 @@ object AnalyticsQueries {
         .orderBy("t_id")
     }),
 
+    // q254 — ISOTONIC RECALIBRATION (pool-adjacent-violators by the
+    // minimax identity): q237 diagnoses miscalibration, this FIXES it
+    // — the classic distribution-free recalibrator. Instead of the
+    // sequential PAV merge loop, the fit uses the closed form
+    // iso_i = max_{j≤i} min_{k≥i} avg(j..k) (they're provably equal),
+    // which is three bounded joins over the 10-bin reliability table
+    // — no driver loop, no sequential state, and monotonicity holds
+    // for ANY per-(j,k) rounding, so the truncating integer-micro
+    // averages stay engine-exact. Per-bin output pins the raw rate,
+    // the isotonic fit, and the recalibrated Brier contribution
+    // (pos·(iso−10⁶)² + (n−pos)·iso², decimal(38) then one division).
+    // Plan: ONE partial-agg shuffle builds the ≤10-cell table;
+    // everything else runs on it.
+    "q254_isotonic_calibration" -> ((s, d) => {
+      val wCum = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val bins = events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .withColumn("p_micro",
+          least(greatest(expr("(cents - 25000) * 1000000 div 20000 div 4 " +
+            "+ 500000"), lit(0L)), lit(1000000L)))
+        .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        .withColumn("cpos", sum("pos").over(wCum))
+        .withColumn("cn", sum("n").over(wCum))
+      val i = bins.select(col("bin").as("ib"), col("n"), col("pos"))
+      val j = bins.select(col("bin").as("jb"),
+        (col("cpos") - col("pos")).as("ppos"), (col("cn") - col("n")).as("pn"))
+      val k = bins.select(col("bin").as("kb"),
+        col("cpos").as("kpos"), col("cn").as("kn"))
+      val iso = i.join(j, col("jb") <= col("ib"))
+        .join(k, col("kb") >= col("ib"))
+        .withColumn("a",
+          expr("(kpos - ppos) * 1000000 div (kn - pn)"))
+        .groupBy("ib", "jb").agg(max("n").as("n"), max("pos").as("pos"),
+          min("a").as("mn"))
+        .groupBy("ib").agg(max("n").as("n"), max("pos").as("pos"),
+          max("mn").as("iso_micro"))
+      iso.select(col("ib").as("bin"), col("n"),
+          expr("pos * 1000000 div n").as("raw_micro"), col("iso_micro"),
+          expr("cast((cast(pos as decimal(38,0)) " +
+            "* (iso_micro - 1000000) * (iso_micro - 1000000) " +
+            "+ cast(n - pos as decimal(38,0)) * iso_micro * iso_micro) " +
+            "div (n * 1000000) as bigint)").as("brier_iso_micro"))
+        .orderBy("bin")
+    }),
+
+    // q255 — QUANTILE NORMALIZATION TABLE: the batch-effect corrector
+    // (microarray heritage, now feature alignment): map one
+    // distribution onto another rank-for-rank. The operator emits the
+    // 256-point mapping table — for each quantile q, the click-value
+    // and purchase-value order statistics at rank ⌈(q+1)·n/256⌉ —
+    // which downstream joins apply as a broadcast lookup. Exact
+    // integers end-to-end: ranks by integer ceil division, order
+    // statistics as min-cents-with-cum≥rank over the bounded value-
+    // domain histograms (the q236/q238 shape); the 256×histogram
+    // probe is a broadcast nested-loop over bounded cells, never a
+    // row-level sort.
+    "q255_quantile_normalize" -> ((s, d) => {
+      val wCum = Window.partitionBy("side").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val hist = events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("side"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .groupBy("side", "cents").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(Window.partitionBy("side")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val q = events(s, d).sparkSession.range(256).toDF("quantile")
+      def side(name: String, out: String) =
+        q.crossJoin(broadcast(hist.where(col("side") === name)))
+          .where(expr("cum * 256 >= (quantile + 1) * n"))
+          .groupBy("quantile").agg(min("cents").as(out))
+      side("click", "click_cents")
+        .join(side("purchase", "purchase_cents"), "quantile")
+        .orderBy("quantile")
+    }),
+
+    // q256 — SPRT SEQUENTIAL TEST (Wald): the always-valid
+    // experimentation monitor beside q161's fixed-horizon z-test —
+    // watch a Bernoulli stream and STOP the moment the evidence
+    // crosses a boundary, with α/β guaranteed at any stopping time.
+    // H₀: p=0.5 vs H₁: p=0.6 on "value above 180.00" per event type,
+    // α=β=0.05. Every quantity is a pinned integer-micro literal
+    // computed once and shared by both engines (ln(0.6/0.5),
+    // ln(0.4/0.5), ±ln 19) — no runtime log touches data; the LLR
+    // path is a cumulative window in (ts, event_id) order and the
+    // verdict is the FIRST boundary crossing (min-struct over the
+    // crossing rows — order-exact). State at 100 TB: the per-type
+    // cumulative sum is a bounded-key window; in production this runs
+    // as the q231-style streaming aggregation.
+    "q256_sprt_sequential" -> ((s, d) => {
+      val wCum = Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val path = events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          when(expr("cast(round(value * 100) as bigint)") > 18000L,
+            SprtLlrPos).otherwise(SprtLlrNeg).as("step"))
+        .withColumn("llr", sum("step").over(wCum))
+        .withColumn("n_obs", count(lit(1)).over(wCum))
+      path
+        .where(col("llr") >= SprtBound || col("llr") <= -SprtBound)
+        .groupBy("event_type")
+        .agg(min(struct(col("n_obs"), col("llr"))).as("f"))
+        .select(col("event_type"), col("f.n_obs").as("n_at_decision"),
+          col("f.llr").as("llr_micro"),
+          when(col("f.llr") >= SprtBound, "accept_h1")
+            .otherwise("accept_h0").as("decision"))
+        .orderBy("event_type")
+    }),
+
+    // q257 — WALK-FORWARD BACKTEST: time-series cross-validation done
+    // right (q229 guards leakage across near-dups; this guards it
+    // across TIME): 4 expanding-window folds on fixed quarter cuts of
+    // the observed time span — train on everything before the fold,
+    // predict the train mean, score MAE on the fold. Folds that
+    // random CV would contaminate (future→past) are structurally
+    // impossible here. Exact integer cents: the train side derives
+    // from ONE per-(type, fold) partial agg by a prefix sum over the
+    // 4-row-per-type fold table, and the MAE pass is one more row
+    // scan with the 12-row prediction table broadcast — two corpus
+    // scans total, never one per fold.
+    "q257_walk_forward" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_type"), col("ts"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val b = ev.agg(min("ts").as("t0"), max("ts").as("t1")).head()
+      val (t0, t1) = (b.getLong(0), b.getLong(1))
+      val span = t1 - t0 + 1
+      val folds = ev
+        .withColumn("fold", least(expr(s"(ts - ${t0}L) * 4 div ${span}L"),
+          lit(3L)))
+        .groupBy("event_type", "fold")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      val wPre = Window.partitionBy("event_type").orderBy("fold")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withTrain = folds
+        .withColumn("n_train", sum("n").over(wPre))
+        .withColumn("s_train", sum("s").over(wPre))
+        .where(col("fold") > 0)
+        .withColumn("pred_cents", expr("s_train div n_train"))
+      val mae = ev
+        .withColumn("fold", least(expr(s"(ts - ${t0}L) * 4 div ${span}L"),
+          lit(3L)))
+        .join(broadcast(withTrain.select("event_type", "fold", "pred_cents")),
+          Seq("event_type", "fold"))
+        .groupBy("event_type", "fold")
+        .agg(expr("sum(abs(cents - pred_cents)) div count(1)")
+          .as("mae_cents"))
+      withTrain.select("event_type", "fold", "n_train", "n", "pred_cents")
+        .withColumnRenamed("n", "n_test")
+        .join(mae, Seq("event_type", "fold"))
+        .orderBy("event_type", "fold")
+    }),
+
     // q248 — SUBJECT-ACCESS-REQUEST EXPORT (GDPR Art. 15): the
     // governance tier between q190's erasure and q184's k-anonymity —
     // "give me everything you hold about me". One pass over the
@@ -1434,6 +1606,106 @@ object AnalyticsQueries {
         "AS BIGINT) AS ks_micro, " +
         "CAST(MIN(CASE WHEN diffn = dmax THEN cents END) AS BIGINT) " +
         "AS at_cents FROM m"),
+    // same minimax triple join over the 10-bin table; HUGEINT Brier
+    "q254_isotonic_calibration" ->
+      ("WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "p AS (SELECT y, LEAST(GREATEST(" +
+        "(cents - 25000) * 1000000 // 20000 // 4 + 500000, 0), 1000000" +
+        ") AS pm FROM b), " +
+        "g AS (SELECT LEAST(pm // 100000, 9) AS bin, COUNT(*) AS n, " +
+        "SUM(y) AS pos FROM p GROUP BY 1), " +
+        "c AS (SELECT bin, n, pos, " +
+        "SUM(pos) OVER (ORDER BY bin) AS cpos, " +
+        "SUM(n) OVER (ORDER BY bin) AS cn FROM g), " +
+        "t AS (SELECT i.bin AS ib, i.n, i.pos, j.bin AS jb, " +
+        "(k.cpos - (j.cpos - j.pos)) * 1000000 " +
+        "// (k.cn - (j.cn - j.n)) AS a " +
+        "FROM c i JOIN c j ON j.bin <= i.bin " +
+        "JOIN c k ON k.bin >= i.bin), " +
+        "m1 AS (SELECT ib, jb, MAX(n) AS n, MAX(pos) AS pos, " +
+        "MIN(a) AS mn FROM t GROUP BY 1, 2), " +
+        "m2 AS (SELECT ib, MAX(n) AS n, MAX(pos) AS pos, " +
+        "MAX(mn) AS iso FROM m1 GROUP BY 1) " +
+        "SELECT CAST(ib AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, " +
+        "CAST(pos * 1000000 // n AS BIGINT) AS raw_micro, " +
+        "CAST(iso AS BIGINT) AS iso_micro, " +
+        "CAST((pos::HUGEINT * (iso - 1000000) * (iso - 1000000) " +
+        "+ (n - pos)::HUGEINT * iso * iso) // (n * 1000000) AS BIGINT) " +
+        "AS brier_iso_micro FROM m2 ORDER BY bin"),
+    // same histograms, same integer-ceil rank rule on both sides
+    "q255_quantile_normalize" ->
+      ("WITH b AS (SELECT event_type AS side, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+        "WHERE event_type IN ('purchase', 'click')), " +
+        "h AS (SELECT side, cents, COUNT(*) AS c FROM b GROUP BY 1, 2), " +
+        "c AS (SELECT side, cents, " +
+        "SUM(c) OVER (PARTITION BY side ORDER BY cents) AS cum, " +
+        "SUM(c) OVER (PARTITION BY side) AS n FROM h), " +
+        "q AS (SELECT unnest(generate_series(0, 255)) AS quantile), " +
+        "ck AS (SELECT q.quantile, MIN(c.cents) AS click_cents " +
+        "FROM q JOIN c ON c.side = 'click' " +
+        "AND c.cum * 256 >= (q.quantile + 1) * c.n GROUP BY 1), " +
+        "pu AS (SELECT q.quantile, MIN(c.cents) AS purchase_cents " +
+        "FROM q JOIN c ON c.side = 'purchase' " +
+        "AND c.cum * 256 >= (q.quantile + 1) * c.n GROUP BY 1) " +
+        "SELECT CAST(ck.quantile AS BIGINT) AS quantile, ck.click_cents, " +
+        "pu.purchase_cents FROM ck JOIN pu USING (quantile) " +
+        "ORDER BY quantile"),
+    // identical pinned LLR/boundary literals, (t, event_id) order,
+    // first-crossing pick
+    "q256_sprt_sequential" ->
+      (s"WITH p AS (SELECT event_type, epoch_ns(ts) AS t, event_id, " +
+        "CASE WHEN CAST(round(value * 100) AS BIGINT) > 18000 " +
+        s"THEN $SprtLlrPosL ELSE $SprtLlrNegL END AS step FROM events), " +
+        "c AS (SELECT event_type, " +
+        "SUM(step) OVER (PARTITION BY event_type ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr, " +
+        "COUNT(*) OVER (PARTITION BY event_type ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_obs " +
+        "FROM p), " +
+        s"x AS (SELECT event_type, n_obs, llr FROM c " +
+        s"WHERE llr >= $SprtBound OR llr <= -$SprtBound), " +
+        "f AS (SELECT event_type, MIN(n_obs) AS n_at_decision FROM x " +
+        "GROUP BY 1) " +
+        "SELECT f.event_type, CAST(f.n_at_decision AS BIGINT) " +
+        "AS n_at_decision, CAST(x.llr AS BIGINT) AS llr_micro, " +
+        s"CASE WHEN x.llr >= $SprtBound THEN 'accept_h1' " +
+        "ELSE 'accept_h0' END AS decision " +
+        "FROM f JOIN x ON x.event_type = f.event_type " +
+        "AND x.n_obs = f.n_at_decision ORDER BY f.event_type"),
+    // same quarter cuts from the observed span, prefix-sum train
+    // side, truncating MAE
+    "q257_walk_forward" ->
+      ("WITH ev AS (SELECT event_type, epoch_ns(ts) AS t, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "bb AS (SELECT MIN(t) AS t0, MAX(t) - MIN(t) + 1 AS span " +
+        "FROM ev), " +
+        "f AS (SELECT event_type, " +
+        "LEAST((t - t0) * 4 // span, 3) AS fold, cents " +
+        "FROM ev CROSS JOIN bb), " +
+        "g AS (SELECT event_type, fold, COUNT(*) AS n, SUM(cents) AS s " +
+        "FROM f GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, fold, n, " +
+        "SUM(n) OVER (PARTITION BY event_type ORDER BY fold " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_train, " +
+        "SUM(s) OVER (PARTITION BY event_type ORDER BY fold " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_train " +
+        "FROM g), " +
+        "p AS (SELECT event_type, fold, n AS n_test, n_train, " +
+        "s_train // n_train AS pred FROM w WHERE fold > 0), " +
+        "m AS (SELECT f.event_type, f.fold, " +
+        "SUM(abs(f.cents - p.pred)) // COUNT(*) AS mae_cents " +
+        "FROM f JOIN p ON p.event_type = f.event_type " +
+        "AND p.fold = f.fold GROUP BY 1, 2) " +
+        "SELECT p.event_type, CAST(p.fold AS BIGINT) AS fold, " +
+        "CAST(p.n_train AS BIGINT) AS n_train, " +
+        "CAST(p.n_test AS BIGINT) AS n_test, " +
+        "CAST(p.pred AS BIGINT) AS pred_cents, " +
+        "CAST(m.mae_cents AS BIGINT) AS mae_cents " +
+        "FROM p JOIN m USING (event_type, fold) " +
+        "ORDER BY event_type, fold"),
     // all 4 rounds unrolled: LEFT-JOIN raw sums with ≥1 clamps,
     // HUGEINT renorm (raw·target // rawSum), MATERIALIZED per round
     "q251_hits_scores" -> {
