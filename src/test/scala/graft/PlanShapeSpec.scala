@@ -562,4 +562,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"q202 lost map-side partial aggregation:\n$p")
   }
+
+  test("LOO target encoding joins broadcast, never a window or sort-merge") {
+    val p = plan("q252_target_encoding")
+    assert(p.contains("BroadcastHashJoin"), s"q252 lost its broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q252 shuffled on the category:\n$p")
+    assert(!p.contains("Window"), s"q252 reintroduced a window:\n$p")
+  }
+
+  test("caliper matching: bucket-equality broadcast join + min_by partial agg") {
+    val p = plan("q253_caliper_matching")
+    // candidates come from an equality join on the caliper bucket —
+    // never a nested-loop over |T|x|C|
+    assert(p.contains("BroadcastHashJoin"), s"q253 lost the bucket join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q253 degraded to a nested loop:\n$p")
+    assert(p.contains("partial_min_by"),
+      s"q253 best-match pick lost partial aggregation:\n$p")
+  }
+
+  test("blocklist filter is scan-side: no hash shuffle, no aggregation") {
+    val p = plan("q247_blocklist_filter")
+    assert(!p.contains("hashpartitioning("),
+      s"q247 gained a hash shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"q247 gained an aggregation:\n$p")
+    assert(p.contains("multi_match"), s"q247 lost the native expression:\n$p")
+  }
+
+  test("Misra-Gries summary partially aggregates on the executors") {
+    val p = plan("q243_misra_gries_hh")
+    assert(p.contains("partial_misra_gries"),
+      s"q243 summary lost map-side partial aggregation:\n$p")
+  }
+
+  test("Kneser-Ney LM tables broadcast back; the corpus never shuffles on a bigram") {
+    val p = plan("q245_kneser_ney_nll")
+    assert(p.contains("BroadcastHashJoin"), s"q245 lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q245 shuffles the corpus on a bigram key:\n$p")
+  }
 }
