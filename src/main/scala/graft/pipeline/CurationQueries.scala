@@ -79,6 +79,66 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // q261 — FELLEGI-SUNTER PROBABILISTIC LINKAGE: the statistical
+    // tier above q151's thresholded Jaro-Winkler — per-feature
+    // agreement weights LEARNED FROM THE DATA (ln(m/u): how much more
+    // often matches agree on a feature than non-matches do), summed
+    // into a pair score with a 0-log-odds decision. The harness
+    // plants truth the estimator must recover (the docsWithDups
+    // move): 20% of parts get a mutated twin (first name char → 'z',
+    // brand/size/type kept), truth = (id_b − id_a = 10⁷). Features:
+    // JW ≥ 0.9, 4-char name prefix, type equality. m/u rates are
+    // Laplace-smoothed counts from ONE aggregation over the blocked
+    // pairs (broadcast back as a 1-row table); weights are micro-log
+    // DIFFERENCES of exact integer products (the q77 idiom — no
+    // float division before the log). Plan: the pair generator is
+    // q151's measured (brand,size)+length-band blocking; the corpus
+    // is scanned twice (estimate, then score) and never all-paired.
+    "q261_fellegi_sunter" -> ((s, d) => {
+      val p0 = graft.Tables.load(s, d, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"),
+          col("p_brand").as("brand"), col("p_size").as("size"),
+          col("p_type").as("ptype"))
+      val twins = p0.where(col("id") % 5 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(lit("z"), expr("substring(name, 2)")).as("name"),
+          col("brand"), col("size"), col("ptype"))
+      val u = p0.unionByName(twins)
+      val a = u.toDF("id_a", "name_a", "brand", "size", "type_a")
+      val b = u.toDF("id_b", "name_b", "brand", "size", "type_b")
+      val pairs = a.join(b, Seq("brand", "size"))
+        .where(col("id_a") < col("id_b"))
+        .where(greatest(length(col("name_a")), length(col("name_b"))) <=
+          least(length(col("name_a")), length(col("name_b"))) * 4)
+        .select(col("id_a"), col("id_b"),
+          (col("id_b") - col("id_a") === 10000000L).as("is_true"),
+          (round(expr("jaro_winkler(name_a, name_b)"), 6) >= 0.9).as("g1"),
+          (expr("substring(name_a, 1, 4)") ===
+            expr("substring(name_b, 1, 4)")).as("g2"),
+          (col("type_a") === col("type_b")).as("g3"))
+      val est = pairs.agg(
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("mden"),
+        sum(when(!col("is_true"), 1L).otherwise(0L)).as("uden"),
+        sum(when(col("is_true") && col("g1"), 1L).otherwise(0L)).as("m1"),
+        sum(when(!col("is_true") && col("g1"), 1L).otherwise(0L)).as("u1"),
+        sum(when(col("is_true") && col("g2"), 1L).otherwise(0L)).as("m2"),
+        sum(when(!col("is_true") && col("g2"), 1L).otherwise(0L)).as("u2"),
+        sum(when(col("is_true") && col("g3"), 1L).otherwise(0L)).as("m3"),
+        sum(when(!col("is_true") && col("g3"), 1L).otherwise(0L)).as("u3"))
+      def ml(x: String) = s"floor(ln($x) * 1000000)"
+      def wa(f: Int) = s"(${ml(s"(m$f + 1) * (uden + 2)")} " +
+        s"- ${ml(s"(u$f + 1) * (mden + 2)")})"
+      def wd(f: Int) = s"(${ml(s"(mden + 1 - m$f) * (uden + 2)")} " +
+        s"- ${ml(s"(uden + 1 - u$f) * (mden + 2)")})"
+      val score = (1 to 3).map(f =>
+        s"(case when g$f then ${wa(f)} else ${wd(f)} end)").mkString(" + ")
+      pairs.crossJoin(broadcast(est))
+        .select(col("id_a"), col("id_b"), col("is_true"),
+          expr(s"cast($score as bigint)").as("score_micro"))
+        .withColumn("match_decision", col("score_micro") >= 0L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // q246 — BLOCKING-QUALITY AUDIT: the meta-evaluation of q151/
     // q170's entity-matching blocking (the q234/q230 audit family,
     // turned on record linkage): PAIR COMPLETENESS = what fraction of
@@ -1676,6 +1736,48 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q224_bradley_terry" -> duckBradleyTerrySql,
+
+    // identical planted twins, blocking, Laplace-smoothed m/u
+    // estimates, and micro-log weight arithmetic on exact products
+    "q261_fellegi_sunter" -> {
+      def ml(x: String) = s"CAST(FLOOR(ln($x) * 1000000) AS BIGINT)"
+      def wa(f: Int) = s"(${ml(s"(m$f + 1) * (uden + 2)")} " +
+        s"- ${ml(s"(u$f + 1) * (mden + 2)")})"
+      def wd(f: Int) = s"(${ml(s"(mden + 1 - m$f) * (uden + 2)")} " +
+        s"- ${ml(s"(uden + 1 - u$f) * (mden + 2)")})"
+      val score = (1 to 3).map(f =>
+        s"(CASE WHEN g$f THEN ${wa(f)} ELSE ${wd(f)} END)").mkString(" + ")
+      "WITH p0 AS (SELECT p_partkey AS id, p_name AS name, " +
+        "p_brand AS brand, p_size AS size, p_type AS ptype FROM part), " +
+        "tw AS (SELECT id + 10000000 AS id, " +
+        "'z' || substr(name, 2) AS name, brand, size, ptype " +
+        "FROM p0 WHERE id % 5 = 0), " +
+        "u AS (SELECT * FROM p0 UNION ALL SELECT * FROM tw), " +
+        "pr AS (SELECT a.id AS id_a, b.id AS id_b, " +
+        "(b.id - a.id = 10000000) AS is_true, " +
+        "(round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9) " +
+        "AS g1, " +
+        "(substr(a.name, 1, 4) = substr(b.name, 1, 4)) AS g2, " +
+        "(a.ptype = b.ptype) AS g3 " +
+        "FROM u a JOIN u b ON a.brand = b.brand AND a.size = b.size " +
+        "AND a.id < b.id " +
+        "AND greatest(length(a.name), length(b.name)) <= " +
+        "least(length(a.name), length(b.name)) * 4), " +
+        "est AS (SELECT " +
+        "SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS mden, " +
+        "SUM(CASE WHEN NOT is_true THEN 1 ELSE 0 END) AS uden, " +
+        "SUM(CASE WHEN is_true AND g1 THEN 1 ELSE 0 END) AS m1, " +
+        "SUM(CASE WHEN NOT is_true AND g1 THEN 1 ELSE 0 END) AS u1, " +
+        "SUM(CASE WHEN is_true AND g2 THEN 1 ELSE 0 END) AS m2, " +
+        "SUM(CASE WHEN NOT is_true AND g2 THEN 1 ELSE 0 END) AS u2, " +
+        "SUM(CASE WHEN is_true AND g3 THEN 1 ELSE 0 END) AS m3, " +
+        "SUM(CASE WHEN NOT is_true AND g3 THEN 1 ELSE 0 END) AS u3 " +
+        "FROM pr) " +
+        "SELECT id_a, id_b, is_true, " +
+        s"CAST($score AS BIGINT) AS score_micro, " +
+        s"(($score) >= 0) AS match_decision " +
+        "FROM pr CROSS JOIN est ORDER BY id_a, id_b"
+    },
 
     // same sample, same match rule (jaro_winkler_similarity ≡ the
     // native jaro_winkler — the q151-proven pairing), same blocking

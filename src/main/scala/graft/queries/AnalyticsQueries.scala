@@ -1265,6 +1265,111 @@ object AnalyticsQueries {
         .orderBy("t_id")
     }),
 
+    // q258 — SHAPLEY ATTRIBUTION: the game-theoretic upgrade of
+    // q187's last-touch — credit conversions to channels by each
+    // channel's average marginal contribution over all coalition
+    // orderings (the only attribution satisfying efficiency/symmetry/
+    // dummy). Channels are the 4 non-purchase event types, a user's
+    // coalition is the SET of channels they touched, v(T) = observed
+    // conversion rate of users with exactly coalition T (the
+    // data-driven characteristic function; unobserved coalitions
+    // contribute 0 — stated, not hidden). With n=4 the factorial
+    // weights |T|!(n−|T|−1)!/n! are the exact rationals
+    // {6,2,2,6}/24, so shapley_micro = Σ w'·(r(T∪c) − r(T)) div 24
+    // in pure integers over truncated micro rates. Plan: ONE groupBy
+    // to the ≤16-coalition table (bitmask partial agg), the Shapley
+    // fold runs on that bounded table crossed with the 4-channel
+    // list — corpus touched once, every later join bounded.
+    "q258_shapley_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val users = ev.groupBy("user_id")
+        .agg(
+          (max(when(col("event_type") === "click", 1L).otherwise(0L))
+            + max(when(col("event_type") === "view", 2L).otherwise(0L))
+            + max(when(col("event_type") === "signup", 4L).otherwise(0L))
+            + max(when(col("event_type") === "error", 8L).otherwise(0L)))
+            .as("mask"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val coal = users.groupBy("mask")
+        .agg(count(lit(1)).as("n"), sum("conv").as("nc"))
+      val allMasks = ev.sparkSession.range(16).toDF("mask")
+        .join(coal, Seq("mask"), "left")
+        .select(col("mask"),
+          coalesce(expr("nc * 1000000 div n"), lit(0L)).as("r"))
+      val channels = ev.sparkSession.range(4).toDF("ch")
+      // T ranges over coalitions WITHOUT channel ch; weights by |T|
+      channels.crossJoin(broadcast(allMasks.toDF("t_mask", "r_t")))
+        .where(expr("shiftright(t_mask, cast(ch as int)) & 1 = 0"))
+        .join(broadcast(allMasks.toDF("u_mask", "r_tc")),
+          expr("u_mask = t_mask + shiftleft(1, cast(ch as int))"))
+        .withColumn("sz", expr("bit_count(t_mask)").cast("long"))
+        .withColumn("w", expr("case when sz = 0 or sz = 3 then 6L " +
+          "else 2L end"))
+        .groupBy("ch")
+        .agg(expr("sum(w * (r_tc - r_t)) div 24").as("shapley_micro"))
+        .select(
+          expr("case ch when 0 then 'click' when 1 then 'view' " +
+            "when 2 then 'signup' else 'error' end").as("channel"),
+          col("shapley_micro"))
+        .orderBy("channel")
+    }),
+
+    // q259 — LANG-ID CONFUSION MATRIX: the audit tier for q15's
+    // marker-word classifier — predicted vs labeled language counts,
+    // the artifact a pipeline reviews before trusting a heuristic
+    // filter (and the honest place to LEARN the classifier is weak on
+    // this synthetic corpus: the text is language-independent word
+    // salad, so the matrix shows exactly how the en-biased tie-break
+    // distributes predictions across true labels). One scan through
+    // the EXACT q15 scorer/tie-break, one partial-agg groupBy to the
+    // ≤|langs|² cell table; correctness lands in-band per cell.
+    "q259_langid_confusion" -> ((s, d) => {
+      val toks = graft.pipeline.TextOps.tokens(col("text"))
+      val scored = graft.pipeline.TextOps.langMarkers
+        .foldLeft(Tables.load(s, d, "documents")) { case (df, (lang, ms)) =>
+          df.withColumn(s"s_$lang",
+            graft.pipeline.TextOps.markerScore(toks, ms))
+        }
+      val pred =
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"))
+          && col("s_en") > 0, "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr"))
+            && col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und")
+      scored.withColumn("predicted", pred)
+        .groupBy(col("lang").as("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("actual") === col("predicted"))
+        .orderBy("actual", "predicted")
+    }),
+
+    // q260 — GINI CONCENTRATION: how skewed is event volume across
+    // users? — the inequality metric an ops review reads next to
+    // q135's per-key skew stats (Gini 0 = uniform load, → 1 = one
+    // hot user). Exact integers end-to-end via the sorted-cumsum
+    // identity G = Σ(2i − n − 1)·x_i / (n·Σx) over per-user counts:
+    // one partial-agg groupBy to the per-user table, the rank window
+    // runs on |users| rows (bounded by the entity domain, the q197
+    // argument), products in decimal(38) (rows² at petabyte scale),
+    // one truncating division last.
+    "q260_gini_concentration" -> ((s, d) => {
+      val perUser = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("x"), col("user_id"))
+      perUser
+        .withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_users"), sum("x").as("n_events"),
+          sum(expr("cast(2 * i as decimal(38,0)) * x")).as("s2ix"))
+        .select(col("n_users"), col("n_events"),
+          expr("cast((s2ix - cast(n_users + 1 as decimal(38,0)) " +
+            "* n_events) * 1000000 div " +
+            "(cast(n_users as decimal(38,0)) * n_events) as bigint)")
+            .as("gini_micro"))
+    }),
+
     // q254 — ISOTONIC RECALIBRATION (pool-adjacent-violators by the
     // minimax identity): q237 diagnoses miscalibration, this FIXES it
     // — the classic distribution-free recalibrator. Instead of the
@@ -1606,6 +1711,63 @@ object AnalyticsQueries {
         "AS BIGINT) AS ks_micro, " +
         "CAST(MIN(CASE WHEN diffn = dmax THEN cents END) AS BIGINT) " +
         "AS at_cents FROM m"),
+    // identical coalition bitmask, truncated micro rates, exact
+    // {6,2,2,6}/24 factorial weights
+    "q258_shapley_attribution" ->
+      ("WITH u AS (SELECT user_id, " +
+        "MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "+ MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END) " +
+        "+ MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) " +
+        "+ MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv " +
+        "FROM events GROUP BY user_id), " +
+        "co AS (SELECT mask, COUNT(*) AS n, SUM(conv) AS nc FROM u " +
+        "GROUP BY 1), " +
+        "am AS (SELECT m.mask, COALESCE(co.nc * 1000000 // co.n, 0) AS r " +
+        "FROM (SELECT unnest(generate_series(0, 15)) AS mask) m " +
+        "LEFT JOIN co USING (mask)), " +
+        "ch AS (SELECT unnest(generate_series(0, 3)) AS ch), " +
+        "t AS (SELECT ch.ch, a.r AS r_t, b.r AS r_tc, " +
+        "CASE WHEN bit_count(a.mask) IN (0, 3) THEN 6 ELSE 2 END AS w " +
+        "FROM ch CROSS JOIN am a " +
+        "JOIN am b ON b.mask = a.mask + (1 << ch.ch) " +
+        "WHERE (a.mask >> ch.ch) & 1 = 0) " +
+        "SELECT CASE ch WHEN 0 THEN 'click' WHEN 1 THEN 'view' " +
+        "WHEN 2 THEN 'signup' ELSE 'error' END AS channel, " +
+        "CAST(SUM(w * (r_tc - r_t)) // 24 AS BIGINT) AS shapley_micro " +
+        "FROM t GROUP BY 1 ORDER BY channel"),
+    // the exact q15 scorer and tie-break, folded to the cell table
+    "q259_langid_confusion" ->
+      ("WITH t0 AS (SELECT lang, string_split(" +
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') " +
+        "AS toks FROM documents), " +
+        "sc AS (SELECT lang, " +
+        "len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of'))) " +
+        "AS s_en, " +
+        "len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und'))) " +
+        "AS s_de, " +
+        "len(list_filter(toks, t -> t IN ('el', 'los', 'las', 'y'))) " +
+        "AS s_es, " +
+        "len(list_filter(toks, t -> t IN ('le', 'les', 'et', 'du'))) " +
+        "AS s_fr FROM t0), " +
+        "p AS (SELECT lang AS actual, CASE " +
+        "WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en' " +
+        "WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de' " +
+        "WHEN s_es >= s_fr AND s_es > 0 THEN 'es' " +
+        "WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS predicted FROM sc) " +
+        "SELECT actual, predicted, COUNT(*) AS n, " +
+        "(actual = predicted) AS correct FROM p GROUP BY 1, 2 " +
+        "ORDER BY actual, predicted"),
+    // sorted-cumsum Gini identity, HUGEINT products, one division
+    "q260_gini_concentration" ->
+      ("WITH pu AS (SELECT user_id, COUNT(*) AS x FROM events " +
+        "GROUP BY 1), " +
+        "r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) " +
+        "AS BIGINT) AS i FROM pu) " +
+        "SELECT COUNT(*) AS n_users, CAST(SUM(x) AS BIGINT) AS n_events, " +
+        "CAST((SUM(2 * i::HUGEINT * x) - (COUNT(*) + 1)::HUGEINT " +
+        "* SUM(x)) * 1000000 // (COUNT(*)::HUGEINT * SUM(x)) AS BIGINT) " +
+        "AS gini_micro FROM r"),
     // same minimax triple join over the 10-bin table; HUGEINT Brier
     "q254_isotonic_calibration" ->
       ("WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, " +
