@@ -140,7 +140,14 @@ object ScaleCurve {
       "q204_dsir_select" -> "documents",
       // cross-corpus decontamination: rank rounds + an eval-rank
       // semi-join — the train side must never re-pair
-      "q205_suffix_decontaminate" -> "documents")
+      "q205_suffix_decontaminate" -> "documents",
+      // round-8 third-part additions: one more attribute-blocked
+      // pairing op (q261) and the AUDIT family, whose truth legs are
+      // deliberately quadratic on their samples (see caveat below)
+      "q261_fellegi_sunter" -> "part",
+      "q234_lsh_recall" -> "documents",
+      "q246_blocking_audit" -> "part",
+      "q239_bitext_mining" -> "embeddings")
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(
@@ -193,6 +200,14 @@ object ScaleCurve {
       "more attributes in the key); the content-derived operators\n" +
       "(q108 PassJoin, q117/q121 prefix-filter joins) are the measured\n" +
       "scale path when it does not.\n\n"
+    md ++= "Caveat for the AUDIT family (q234/q246) and the brute-force\n" +
+      "tier (q239): their ground-truth legs are DELIBERATELY\n" +
+      "(sub-)quadratic — an exact-recall audit must pay for exact truth,\n" +
+      "which is why both audits run on fixed-fraction samples and the\n" +
+      "bitext miner is the documented q16-style brute-force tier whose\n" +
+      "production form runs on ANN candidate lists. Their alpha\n" +
+      "measures the truth leg's price, not a plan defect; the operators\n" +
+      "they audit (q17/q18, q151, q22/q63) are the scale path.\n\n"
     md ++= "| operator | n (rows) | t sf0.01 | t sf0.1 | t sf0.1x4 | alpha_fit | alpha_tail |\n"
     md ++= "|---|---|---|---|---|---|---|\n"
     results.foreach { case (name, ts, ns, fit, tail) =>

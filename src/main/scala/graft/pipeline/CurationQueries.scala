@@ -71,6 +71,37 @@ object CurationQueries {
       .distinct()
   }
 
+  /** q224/q263's deterministic preference tournament: each md5
+    * bucket's two lowest-ord documents face off, longer document wins
+    * (doc_id tie-break) — the harness stand-in for human preference
+    * labels. Pair generation is one bucket-key shuffle with bounded
+    * per-bucket windows; returns (winner, loser) source rows.
+    */
+  private def tournamentOutcomes(s: SparkSession, d: String): DataFrame = {
+    val d0 = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+      (conv(substring(md5(concat(lit("bt:"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 300).as("bkt"),
+      conv(substring(md5(concat(lit("ord:"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long").as("ord"))
+    val wb = Window.partitionBy("bkt").orderBy(col("ord"), col("doc_id"))
+    val top2 = d0.withColumn("rn", row_number().over(wb))
+      .where(col("rn") <= 2)
+    val duel = top2.groupBy("bkt")
+      .agg(max(when(col("rn") === 1,
+          struct(col("source"), col("n_chars"), col("doc_id")))).as("x"),
+        max(when(col("rn") === 2,
+          struct(col("source"), col("n_chars"), col("doc_id")))).as("y"))
+      .where(col("y").isNotNull && col("x.source") =!= col("y.source"))
+    duel.select(
+      when(col("x.n_chars") > col("y.n_chars") ||
+          (col("x.n_chars") === col("y.n_chars") &&
+            col("x.doc_id") < col("y.doc_id")),
+        struct(col("x.source").as("w"), col("y.source").as("l")))
+        .otherwise(struct(col("y.source").as("w"), col("x.source").as("l")))
+        .as("p"))
+      .select(col("p.w").as("winner"), col("p.l").as("loser"))
+  }
+
   /** q130's injected boilerplate: exactly one 5-token block, prepended
     * to every third document, already in normalized form so the Spark
     * and DuckDB normalizations agree on the concatenation.
@@ -221,6 +252,39 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // q263 — PREFERENCE-TRANSITIVITY AUDIT: the consistency check an
+    // RLHF/eval-data pipeline runs on its pairwise labels BEFORE
+    // fitting q224's Bradley-Terry — if i beats j beats k beats i,
+    // the preference signal is noise on that triple, and a high
+    // cyclic-triad share means the tournament (or the annotators)
+    // cannot support a total order. Net orientation: i→j iff
+    // wins(i,j) > wins(j,i) (strict; ties unoriented); cyclic triads
+    // counted once via the "a is the minimum node" join condition.
+    // Everything after the measured q224 pair generator runs on the
+    // ≤|sources|² bounded matrix (the q224 contract); the oracle
+    // replays tournament, orientation, and triad join.
+    "q263_preference_cycles" -> ((s, d) => {
+      val net = tournamentOutcomes(s, d).groupBy("winner", "loser")
+        .agg(count(lit(1)).as("nw"))
+      val fwd = net.select(col("winner").as("a"), col("loser").as("b"),
+        col("nw"))
+      val rev = net.select(col("loser").as("a"), col("winner").as("b"),
+        col("nw").as("nw_rev"))
+      val ed = fwd.join(rev, Seq("a", "b"), "left")
+        .where(col("nw") > coalesce(col("nw_rev"), lit(0L)))
+        .select("a", "b")
+      val cyc = ed.toDF("a", "b")
+        .join(ed.toDF("b", "c"), "b")
+        .join(ed.toDF("c", "a2"), "c")
+        .where(col("a2") === col("a") && col("a") < col("b") &&
+          col("a") < col("c"))
+      val srcs = net.select(col("winner").as("s"))
+        .unionByName(net.select(col("loser").as("s"))).distinct()
+      srcs.agg(count(lit(1)).as("n_sources"))
+        .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(cyc.agg(count(lit(1)).as("n_cyclic_triads")))
+    }),
+
     // q224 — BRADLEY-TERRY PREFERENCE RANKING: the RLHF/eval-data
     // primitive — fit per-player strengths from pairwise win/loss
     // records (the model behind Chatbot-Arena-style leaderboards and
@@ -243,29 +307,7 @@ object CurationQueries {
     // proves the iteration arithmetic, not just the pair counts.
     "q224_bradley_terry" -> ((s, d) => {
       import s.implicits._
-      val d0 = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"),
-        (conv(substring(md5(concat(lit("bt:"), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long") % 300).as("bkt"),
-        conv(substring(md5(concat(lit("ord:"), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long").as("ord"))
-      val wb = Window.partitionBy("bkt").orderBy(col("ord"), col("doc_id"))
-      val top2 = d0.withColumn("rn", row_number().over(wb))
-        .where(col("rn") <= 2)
-      val duel = top2.groupBy("bkt")
-        .agg(max(when(col("rn") === 1,
-            struct(col("source"), col("n_chars"), col("doc_id")))).as("x"),
-          max(when(col("rn") === 2,
-            struct(col("source"), col("n_chars"), col("doc_id")))).as("y"))
-        .where(col("y").isNotNull && col("x.source") =!= col("y.source"))
-      val outcomes = duel.select(
-        when(col("x.n_chars") > col("y.n_chars") ||
-            (col("x.n_chars") === col("y.n_chars") &&
-              col("x.doc_id") < col("y.doc_id")),
-          struct(col("x.source").as("w"), col("y.source").as("l")))
-          .otherwise(struct(col("y.source").as("w"), col("x.source").as("l")))
-          .as("p"))
-        .select(col("p.w").as("winner"), col("p.l").as("loser"))
-      val base = outcomes.groupBy("winner", "loser")
+      val base = tournamentOutcomes(s, d).groupBy("winner", "loser")
         .agg(count(lit(1)).as("nw"))
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       // bounded by design: |sources|² cells (leaderboard-sized)
@@ -1684,10 +1726,12 @@ object CurationQueries {
     * arithmetic — the CTE chain is the oracle twin of the driver-side
     * fixed point, so every division and clamp is gate-checked.
     */
-  private def duckBradleyTerrySql: String = {
-    val rounds = 15
-    val sb = new StringBuilder
-    sb ++= "WITH d0 AS (SELECT doc_id, source, n_chars, " +
+  /** The shared tournament prefix (documents → md5 buckets → duels →
+    * per-(winner, loser) win counts in `base`) — consumed by the q224
+    * Bradley-Terry chain and the q263 transitivity audit.
+    */
+  private def duckTournamentCtes: String =
+    "WITH d0 AS (SELECT doc_id, source, n_chars, " +
       "('0x' || substr(md5('bt:' || CAST(doc_id AS VARCHAR)), 1, 8))" +
       "::BIGINT % 300 AS bkt, " +
       "('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 8))" +
@@ -1703,7 +1747,12 @@ object CurationQueries {
       "FROM r a JOIN r b ON a.bkt = b.bkt AND a.rn = 1 AND b.rn = 2 " +
       "WHERE a.source <> b.source), " +
       "base AS MATERIALIZED (SELECT winner, loser, CAST(count(*) AS BIGINT) AS nw " +
-      "FROM pr GROUP BY 1, 2), " +
+      "FROM pr GROUP BY 1, 2)"
+
+  private def duckBradleyTerrySql: String = {
+    val rounds = 15
+    val sb = new StringBuilder
+    sb ++= duckTournamentCtes + ", " +
       "m AS MATERIALIZED (SELECT a, b, CAST(sum(nn) AS BIGINT) AS n FROM (" +
       "SELECT winner AS a, loser AS b, nw AS nn FROM base " +
       "UNION ALL SELECT loser, winner, nw FROM base) GROUP BY 1, 2), " +
@@ -1736,6 +1785,22 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q224_bradley_terry" -> duckBradleyTerrySql,
+
+    // same tournament, strict-majority orientation, min-node triad join
+    "q263_preference_cycles" ->
+      (duckTournamentCtes + ", " +
+        "net AS (SELECT winner AS a, loser AS b, nw FROM base), " +
+        "ed AS MATERIALIZED (SELECT n1.a, n1.b FROM net n1 " +
+        "LEFT JOIN net n2 ON n2.a = n1.b AND n2.b = n1.a " +
+        "WHERE n1.nw > COALESCE(n2.nw, 0)), " +
+        "srcs AS (SELECT DISTINCT s FROM (SELECT winner AS s FROM base " +
+        "UNION ALL SELECT loser FROM base)), " +
+        "cy AS (SELECT count(*) AS c FROM ed x " +
+        "JOIN ed y ON y.a = x.b JOIN ed z ON z.a = y.b AND z.b = x.a " +
+        "WHERE x.a < x.b AND x.a < y.b) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM srcs) AS n_sources, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_edges, " +
+        "(SELECT CAST(c AS BIGINT) FROM cy) AS n_cyclic_triads"),
 
     // identical planted twins, blocking, Laplace-smoothed m/u
     // estimates, and micro-log weight arithmetic on exact products

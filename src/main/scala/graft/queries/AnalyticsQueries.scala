@@ -1265,6 +1265,128 @@ object AnalyticsQueries {
         .orderBy("t_id")
     }),
 
+    // q262 — CHAT-TRANSCRIPT VALIDATION: SFT-data hygiene — before a
+    // conversation corpus reaches training, every transcript is
+    // checked for role-structure invariants (strict user/assistant
+    // alternation, user-first, assistant-final). The events stream
+    // stands in as synthesized transcripts (one per user, roles from
+    // the event type, (ts, event_id) order); the output is the
+    // per-conversation audit a curation run filters on, with the
+    // violation COUNT kept (not just a flag) so partially-salvageable
+    // transcripts can be triaged. One user-keyed window pass + one
+    // partial-agg groupBy; at 100 TB this shuffles each conversation
+    // once on its key.
+    "q262_chat_validate" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type").isin("purchase", "signup"), "assistant")
+            .otherwise("user").as("role"))
+        .withColumn("prev_role", lag("role", 1).over(wOrd))
+        .withColumn("rn", row_number().over(wOrd))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+            .as("n_alternation_violations"),
+          max(when(col("rn") === 1, col("role"))).as("first_role"),
+          max_by(col("role"), struct(col("ts"), col("event_id")))
+            .as("last_role"))
+        .select(col("user_id"), col("n_turns"),
+          col("n_alternation_violations"),
+          (col("first_role") === "user").as("starts_user"),
+          (col("last_role") === "assistant").as("ends_assistant"),
+          (col("n_alternation_violations") === 0L &&
+            col("first_role") === "user" &&
+            col("last_role") === "assistant").as("valid"))
+        .orderBy("user_id")
+    }),
+
+    // q264 — HILL TAIL-INDEX ESTIMATOR: is the value distribution
+    // heavy-tailed, and how heavy? — the quantitative answer behind
+    // q198's Benford screen and q135's skew stats. 1/α̂ = mean of
+    // ln(x_(i)/x_(k)) over the top k=100 order statistics, computed
+    // as micro-log DIFFERENCES of exact integer cents (the q77
+    // idiom), so the only divisions are trailing truncations. The
+    // top-k cut is a TakeOrdered (heap, never a full sort) with
+    // (cents desc, event_id) determinism; everything after runs on
+    // the 100-row table.
+    "q264_hill_tail_index" -> ((s, d) => {
+      val k = 100
+      val top = events(s, d)
+        .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+          col("event_id"))
+        .where(col("cents") > 0)
+        .orderBy(col("cents").desc, col("event_id"))
+        .limit(k)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      top
+        .withColumn("ml", floor(log(col("cents").cast("double")) * 1000000)
+          .cast("long"))
+        .withColumn("mlk", min("ml").over(wAll))
+        .withColumn("xk", min("cents").over(wAll))
+        .agg(count(lit(1)).as("k"), max("xk").as("xk_cents"),
+          expr("sum(ml - mlk) div (count(1) - 1)").as("hill_inv_micro"))
+        .select(col("k"), col("xk_cents"), col("hill_inv_micro"),
+          expr("case when hill_inv_micro > 0 " +
+            "then 1000000000000 div hill_inv_micro else 0 end")
+            .as("alpha_micro"))
+    }),
+
+    // q265 — KAPLAN-MEIER SURVIVAL (log space): time-to-conversion
+    // with honest CENSORING — users who clicked but never purchased
+    // contribute exactly their observed exposure instead of being
+    // dropped (the bias every naive q191-style latency percentile
+    // carries). Durations in whole minutes from first click to first
+    // later purchase; censored at the stream horizon. The product-
+    // limit estimator stays in LOG SPACE so it is exact-integer:
+    // ln S(t) = Σ_{t_j ≤ t} [ml(n_j − d_j) − ml(n_j)] over micro-logs
+    // of exact counts — no float product ever forms; S(t) itself is
+    // e^(µ/10⁶) for the reader. Rows emit only at event times; a
+    // final-time risk set that fully converts would hit ln 0 and is
+    // clamped to the documented −10¹² sentinel (S = 0). Plan: one
+    // user-keyed conditional-min pass builds the |users|-bounded
+    // duration table, the risk-set windows run on the distinct-minute
+    // histogram (bounded by the time domain).
+    "q265_kaplan_meier" -> ((s, d) => {
+      val ev = events(s, d)
+      val horizon = ev.agg(max("ts").as("tmax"))
+      val perUser = ev
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tpAny"))
+        .where(col("tc").isNotNull)
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"),
+          when(col("tpAny") > col("tc"),
+            expr("(tpAny - tc) div 60000000000")).as("durEvent"),
+          expr("(tmax - tc) div 60000000000").as("durCensor"))
+        .select(col("user_id"),
+          coalesce(col("durEvent"), col("durCensor")).as("dur"),
+          col("durEvent").isNotNull.as("converted"))
+      val hist = perUser.groupBy("dur")
+        .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("c"))
+      val wGe = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wCum = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist
+        .withColumn("n_risk", sum("c").over(wGe))
+        .where(col("d") > 0)
+        .withColumn("term",
+          when(col("n_risk") > col("d"),
+            floor(log((col("n_risk") - col("d")).cast("double")) * 1000000)
+              .cast("long")
+              - floor(log(col("n_risk").cast("double")) * 1000000)
+                .cast("long"))
+            .otherwise(lit(-1000000000000L)))
+        .withColumn("log_surv_micro", sum("term").over(wCum))
+        .select(col("dur").as("duration_min"), col("n_risk"),
+          col("d").as("n_events"), col("log_surv_micro"))
+        .orderBy("duration_min")
+    }),
+
     // q258 — SHAPLEY ATTRIBUTION: the game-theoretic upgrade of
     // q187's last-touch — credit conversions to channels by each
     // channel's average marginal contribution over all coalition
@@ -1711,6 +1833,75 @@ object AnalyticsQueries {
         "AS BIGINT) AS ks_micro, " +
         "CAST(MIN(CASE WHEN diffn = dmax THEN cents END) AS BIGINT) " +
         "AS at_cents FROM m"),
+    // identical role mapping, (t, id) order, first/last-role picks
+    "q262_chat_validate" ->
+      ("WITH p AS (SELECT user_id, epoch_ns(ts) AS t, event_id, " +
+        "CASE WHEN event_type IN ('purchase', 'signup') " +
+        "THEN 'assistant' ELSE 'user' END AS role FROM events), " +
+        "w AS (SELECT user_id, role, " +
+        "lag(role) OVER (PARTITION BY user_id ORDER BY t, event_id) " +
+        "AS prev_role, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) " +
+        "AS rn, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY t DESC, " +
+        "event_id DESC) AS rrn FROM p) " +
+        "SELECT user_id, COUNT(*) AS n_turns, " +
+        "CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_alternation_violations, " +
+        "(MAX(CASE WHEN rn = 1 THEN role END) = 'user') AS starts_user, " +
+        "(MAX(CASE WHEN rrn = 1 THEN role END) = 'assistant') " +
+        "AS ends_assistant, " +
+        "(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0 " +
+        "AND MAX(CASE WHEN rn = 1 THEN role END) = 'user' " +
+        "AND MAX(CASE WHEN rrn = 1 THEN role END) = 'assistant') " +
+        "AS valid FROM w GROUP BY user_id ORDER BY user_id"),
+    // same top-k cut, micro-logs of exact cents, trailing divisions
+    "q264_hill_tail_index" ->
+      ("WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "event_id FROM events), " +
+        "t AS (SELECT cents FROM b WHERE cents > 0 " +
+        "ORDER BY cents DESC, event_id LIMIT 100), " +
+        "m AS (SELECT cents, CAST(FLOOR(ln(cents) * 1000000) AS BIGINT) " +
+        "AS ml FROM t), " +
+        "s AS (SELECT COUNT(*) AS k, MIN(cents) AS xk, MIN(ml) AS mlk, " +
+        "CAST(SUM(ml) AS BIGINT) AS sml FROM m) " +
+        "SELECT CAST(k AS BIGINT) AS k, CAST(xk AS BIGINT) AS xk_cents, " +
+        "CAST((sml - k * mlk) // (k - 1) AS BIGINT) AS hill_inv_micro, " +
+        "CAST(CASE WHEN (sml - k * mlk) // (k - 1) > 0 " +
+        "THEN 1000000000000 // ((sml - k * mlk) // (k - 1)) ELSE 0 END " +
+        "AS BIGINT) AS alpha_micro FROM s"),
+    // same censoring rule, minute floors, risk-set windows, and
+    // micro-log product-limit terms with the ln-0 sentinel
+    "q265_kaplan_meier" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS t " +
+        "FROM events), " +
+        "h AS (SELECT MAX(t) AS tmax FROM ev), " +
+        "pu AS (SELECT user_id, " +
+        "MIN(CASE WHEN event_type = 'click' THEN t END) AS tc, " +
+        "MIN(CASE WHEN event_type = 'purchase' THEN t END) AS tp " +
+        "FROM ev GROUP BY 1), " +
+        "du AS (SELECT CASE WHEN tp > tc " +
+        "THEN (tp - tc) // 60000000000 END AS de, " +
+        "(h.tmax - tc) // 60000000000 AS dc " +
+        "FROM pu CROSS JOIN h WHERE tc IS NOT NULL), " +
+        "dd AS (SELECT COALESCE(de, dc) AS dur, de IS NOT NULL AS conv " +
+        "FROM du), " +
+        "g AS (SELECT dur, SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS d, " +
+        "COUNT(*) AS c FROM dd GROUP BY 1), " +
+        "r AS (SELECT dur, d, c, SUM(c) OVER (ORDER BY dur DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk " +
+        "FROM g), " +
+        "e AS (SELECT dur, d, n_risk, CASE WHEN n_risk > d " +
+        "THEN CAST(FLOOR(ln(n_risk - d) * 1000000) AS BIGINT) " +
+        "- CAST(FLOOR(ln(n_risk) * 1000000) AS BIGINT) " +
+        "ELSE -1000000000000 END AS term FROM r WHERE d > 0), " +
+        "f AS (SELECT dur, n_risk, d, SUM(term) OVER (ORDER BY dur " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls " +
+        "FROM e) " +
+        "SELECT CAST(dur AS BIGINT) AS duration_min, " +
+        "CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events, " +
+        "CAST(ls AS BIGINT) AS log_surv_micro FROM f " +
+        "ORDER BY duration_min"),
     // identical coalition bitmask, truncated micro rates, exact
     // {6,2,2,6}/24 factorial weights
     "q258_shapley_attribution" ->
