@@ -332,6 +332,41 @@ object PipelineQueries {
         .orderBy("cluster")
     }),
 
+    // q268 — DOREMI-STYLE MIXTURE REWEIGHTING: one multiplicative-
+    // weights round of the domain-reweighting recipe (Xie et al.
+    // DoReMi, linearized): sources whose documents score WORSE than
+    // the corpus under the corpus's own LM (excess unigram NLL > 0)
+    // get up-weighted — they are the domains the current mixture
+    // under-serves — and the weights renormalize to Σ = |sources|·10⁶
+    // (q224's overflow-proof discipline). exp(η·excess) is replaced
+    // by the documented linearization clamp(10⁶ + η·excess, ≥1)
+    // (η = 2), keeping every step exact-integer; excess is the
+    // per-source mean of q77's per-doc micro NLL minus the corpus
+    // mean, so the whole round rides ONE measured LM scan. Outputs
+    // pin the per-source NLL, the excess, and the final weight.
+    "q268_doremi_reweight" -> ((s, d) => {
+      val nll = Relevance.unigramNll(docs(s, d), "doc_id", "text")
+      val bySource = nll
+        .join(docs(s, d).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(nll_micro) div count(1)").as("nll_micro"))
+      val ref = nll.agg(expr("sum(nll_micro) div count(1)").as("ref_micro"))
+      val raws = bySource.crossJoin(broadcast(ref))
+        .withColumn("excess_micro", col("nll_micro") - col("ref_micro"))
+        .withColumn("raw",
+          greatest(lit(1L), lit(1000000L) + lit(2L) * col("excess_micro")))
+      // renorm totals via a broadcast cross-join of the 1-row agg, not
+      // an unpartitioned window — same value, no single-partition sort
+      val tot = raws.agg(count(lit(1)).as("n_src"), sum("raw").as("raw_sum"))
+      raws.crossJoin(broadcast(tot))
+        .withColumn("weight_micro",
+          expr("greatest(raw * (n_src * 1000000) div raw_sum, 1)"))
+        .select(col("source"), col("n_docs"), col("nll_micro"),
+          col("excess_micro"), col("weight_micro"))
+        .orderBy("source")
+    }),
+
     // q249 — TOKEN-DROPOUT AUGMENTATION (the EDA random-deletion
     // recipe, made seedless): drop each token with probability 1/8 by
     // an md5 coin on (doc_id, position) — every executor AND the
@@ -2021,6 +2056,34 @@ object PipelineQueries {
         "(SELECT count(*) FROM cand) AS precision_micro"
     },
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // q77's LM replay extended with the source rollup, linearized MW
+    // clamp, and the q224 renorm
+    "q268_doremi_reweight" ->
+      (s"WITH tk AS (SELECT doc_id, unnest(string_split($duckNorm, ' ')) " +
+        "AS t FROM documents), " +
+        "c AS (SELECT t, count(*) AS c FROM tk GROUP BY t), " +
+        "st AS (SELECT CAST(sum(c) AS DOUBLE) AS nn, " +
+        "CAST(count(*) AS DOUBLE) AS vv FROM c), " +
+        "li AS (SELECT tk.doc_id, " +
+        "CAST(FLOOR(-ln((c.c + 1) / (st.nn + st.vv)) * 1000000) AS BIGINT) " +
+        "AS li FROM tk JOIN c USING (t) CROSS JOIN st), " +
+        "dn AS (SELECT doc_id, CAST(sum(li) // count(*) AS BIGINT) " +
+        "AS nll FROM li GROUP BY doc_id), " +
+        "bs AS (SELECT d.source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(dn.nll) // COUNT(*) AS BIGINT) AS nll_micro " +
+        "FROM dn JOIN documents d USING (doc_id) GROUP BY 1), " +
+        "rf AS (SELECT CAST(SUM(nll) // COUNT(*) AS BIGINT) AS ref_micro " +
+        "FROM dn), " +
+        "rw AS MATERIALIZED (SELECT source, n_docs, nll_micro, " +
+        "nll_micro - rf.ref_micro AS excess_micro, " +
+        "GREATEST(1, 1000000 + 2 * (nll_micro - rf.ref_micro)) AS raw " +
+        "FROM bs CROSS JOIN rf) " +
+        "SELECT source, n_docs, nll_micro, " +
+        "CAST(excess_micro AS BIGINT) AS excess_micro, " +
+        "CAST(GREATEST(raw * ((SELECT COUNT(*) FROM rw) * 1000000) " +
+        "// (SELECT SUM(raw) FROM rw), 1) AS BIGINT) AS weight_micro " +
+        "FROM rw ORDER BY source"),
+
     // identical md5 coin on (doc_id, 0-based position), identical
     // space-joined rebuild under the md5
     "q249_token_dropout" ->

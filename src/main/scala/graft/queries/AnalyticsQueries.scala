@@ -1265,6 +1265,167 @@ object AnalyticsQueries {
         .orderBy("t_id")
     }),
 
+    // q266 — CUSUM CHANGEPOINT MONITOR: the sequential mean-shift
+    // detector beside q119's per-day z-scores and q196's burn-rate
+    // band — CUSUM accumulates SMALL persistent drifts a per-day
+    // threshold never sees. The textbook recursion s_t = max(0,
+    // s_{t−1} + x_t − μ₀ − k) is NOT a window sum, but its closed
+    // form is: s_t = P_t − min(0, min_{j<t} P_j) over the prefix sums
+    // of the drift series — two windows over the bounded per-day
+    // table, exact integers, no sequential fold. μ₀ is the first-half
+    // baseline per type (integer mean), slack k = 100 cents, alarm
+    // threshold h = 1500 cents; the output pins the maximum CUSUM
+    // excursion and the FIRST alarm day (null when a stationary
+    // series never alarms — the honest outcome on this data). Plan:
+    // one partial-agg groupBy to (type, day) cells; all windows run
+    // on that bounded table.
+    "q266_cusum_changepoint" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("x"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wAll = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val wPrevMin = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      daily
+        .withColumn("rk", row_number().over(wOrd).cast("long"))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .withColumn("mu0",
+          expr("(sum(case when rk <= nd div 2 then x else 0 end) over " +
+            "(partition by event_type)) div (nd div 2)"))
+        .withColumn("dft", col("x") - col("mu0") - 100L)
+        .withColumn("p", sum("dft").over(wCum))
+        .withColumn("pmin",
+          least(lit(0L), coalesce(min("p").over(wPrevMin), lit(0L))))
+        .withColumn("s", greatest(lit(0L), col("p") - col("pmin")))
+        .groupBy("event_type")
+        .agg(max("nd").as("n_days"), max("mu0").as("mu0_cents"),
+          max("s").as("max_cusum_cents"),
+          min(when(col("s") > 1500L, col("day"))).as("alarm_day"))
+        .orderBy("event_type")
+    }),
+
+    // q267 — THEIL-SEN ROBUST TREND: the median-of-slopes regression
+    // beside q181's OLS — a single corrupted day moves OLS
+    // arbitrarily but shifts the pairwise-slope MEDIAN by one rank.
+    // All C(n_days, 2) pairwise slopes land as truncating integer
+    // micros (Δcents·10⁶ div Δday) on the bounded per-day table —
+    // pairs of DAYS, never of rows — and the lower median is an
+    // exact rank pick ((n+1) div 2 with (slope, day-pair) tie
+    // order). Plan: one partial-agg groupBy to daily cells, the pair
+    // join and rank window on the ≤C(days,2)-row table.
+    "q267_theil_sen" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("x"))
+      val a = daily.toDF("event_type", "day_a", "x_a")
+      val b = daily.toDF("event_type", "day_b", "x_b")
+      val slopes = a.join(b, Seq("event_type"))
+        .where(col("day_a") < col("day_b"))
+        .select(col("event_type"), col("day_a"), col("day_b"),
+          expr("(x_b - x_a) * 1000000 div (day_b - day_a)").as("sl"))
+      val wr = Window.partitionBy("event_type")
+        .orderBy(col("sl"), col("day_a"), col("day_b"))
+      val wn = Window.partitionBy("event_type")
+      slopes
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .withColumn("np", count(lit(1)).over(wn))
+        .groupBy("event_type")
+        .agg(max(expr("(np + 1) div 2")).as("median_rank"),
+          max("np").as("n_pairs"),
+          max(when(col("rk") === expr("(np + 1) div 2"), col("sl")))
+            .as("theil_slope_micro"))
+        .select(col("event_type"), col("n_pairs"),
+          col("theil_slope_micro"))
+        .orderBy("event_type")
+    }),
+
+    // q269 — MANN-KENDALL TREND TEST: the nonparametric significance
+    // companion to q267's Theil-Sen slope (same bounded daily table;
+    // Theil-Sen says HOW MUCH, Mann-Kendall says WHETHER): S =
+    // Σ_{i<j} sign(x_j − x_i) over day pairs — exact integer — with
+    // the tie-corrected variance 18·Var(S) = n(n−1)(2n+5) −
+    // Σ_t t(t−1)(2t+5) kept as the exact integer var18, and only the
+    // final continuity-corrected z = (S∓1)/√(var18/18) leaving
+    // integers (pinned-order double, 6 dp). Plan: one partial-agg
+    // groupBy to daily cells; the pair join and tie histogram run on
+    // the ≤|types|·|days| table.
+    "q269_mann_kendall" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("x"))
+      val a = daily.toDF("event_type", "day_a", "x_a")
+      val b = daily.toDF("event_type", "day_b", "x_b")
+      val sStat = a.join(b, Seq("event_type"))
+        .where(col("day_a") < col("day_b"))
+        .groupBy("event_type")
+        .agg(sum(expr("case when x_b > x_a then 1L " +
+          "when x_b < x_a then -1L else 0L end")).as("s_stat"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy("event_type", "x")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+      nd.join(sStat, "event_type").join(ties, "event_type")
+        .withColumn("var18",
+          expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18"))
+        .withColumn("z", when(col("var18") <= 0, lit(0d)).otherwise(
+          round((col("s_stat") - expr("case when s_stat > 0 then 1L " +
+            "when s_stat < 0 then -1L else 0L end")).cast("double")
+            / sqrt(col("var18").cast("double") / lit(18d)), 6)))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var18"), col("z"))
+        .orderBy("event_type")
+    }),
+
+    // q272 — SPEARMAN RANK CORRELATION: does daily spend CO-MOVE with
+    // daily traffic per type? Rank-based so one outlier day cannot
+    // fabricate correlation (the q267/q269 robustness family applied
+    // to ASSOCIATION). Average ranks stay exact integers by the
+    // doubling trick r2 = 2·min_rank + (t−1) (doubling cancels in the
+    // Pearson ratio); all five moment sums are exact int64 on the
+    // bounded daily table (ranks ≤ 2·days, Σr² ≤ days³ ≪ 2⁶³), and
+    // only the final ρ = (nΣxy−ΣxΣy)/(√a·√b) leaves integers
+    // (pinned-order double, 6 dp, null on a constant series). Plan:
+    // one partial-agg groupBy; rank windows partition per type.
+    "q272_spearman_corr" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("xc"),
+          count(lit(1)).as("yc"))
+      val wx = Window.partitionBy("event_type").orderBy("xc")
+      val wy = Window.partitionBy("event_type").orderBy("yc")
+      val wxv = Window.partitionBy("event_type", "xc")
+      val wyv = Window.partitionBy("event_type", "yc")
+      daily
+        .withColumn("rx",
+          lit(2L) * rank().over(wx) + count(lit(1)).over(wxv) - 1L)
+        .withColumn("ry",
+          lit(2L) * rank().over(wy) + count(lit(1)).over(wyv) - 1L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("da", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("db", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("event_type"), col("n").as("n_days"),
+          when(col("da") === 0L || col("db") === 0L, lit(null))
+            .otherwise(round(col("num").cast("double") /
+              (sqrt(col("da").cast("double")) *
+                sqrt(col("db").cast("double"))), 6)).as("rho"))
+        .orderBy("event_type")
+    }),
+
     // q262 — CHAT-TRANSCRIPT VALIDATION: SFT-data hygiene — before a
     // conversation corpus reaches training, every transcript is
     // checked for role-structure invariants (strict user/assistant
@@ -1833,6 +1994,107 @@ object AnalyticsQueries {
         "AS BIGINT) AS ks_micro, " +
         "CAST(MIN(CASE WHEN diffn = dmax THEN cents END) AS BIGINT) " +
         "AS at_cents FROM m"),
+    // same daily cells, first-half baseline, prefix-sum CUSUM closed
+    // form, first-alarm pick
+    "q266_cusum_changepoint" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, day, x, " +
+        "CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) " +
+        "AS BIGINT) AS rk, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS nd FROM dl), " +
+        "m AS (SELECT event_type, day, x, rk, nd, " +
+        "(SUM(CASE WHEN rk <= nd // 2 THEN x ELSE 0 END) OVER " +
+        "(PARTITION BY event_type)) // (nd // 2) AS mu0 FROM r), " +
+        "p0 AS (SELECT event_type, day, nd, mu0, x - mu0 - 100 AS dft " +
+        "FROM m), " +
+        "p1 AS (SELECT event_type, day, nd, mu0, " +
+        "SUM(dft) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp " +
+        "FROM p0), " +
+        "p2 AS (SELECT event_type, day, nd, mu0, pp, " +
+        "COALESCE(MIN(pp) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS pmin0 FROM p1), " +
+        "s AS (SELECT event_type, day, nd, mu0, " +
+        "GREATEST(0, pp - LEAST(0, pmin0)) AS s FROM p2) " +
+        "SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_days, " +
+        "CAST(MAX(mu0) AS BIGINT) AS mu0_cents, " +
+        "CAST(MAX(s) AS BIGINT) AS max_cusum_cents, " +
+        "CAST(MIN(CASE WHEN s > 1500 THEN day END) AS BIGINT) " +
+        "AS alarm_day FROM s GROUP BY 1 ORDER BY event_type"),
+    // same pairwise micro slopes on the daily table, lower-median
+    // rank with (slope, day-pair) tie order
+    "q267_theil_sen" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "sl AS (SELECT a.event_type, a.day AS day_a, b.day AS day_b, " +
+        "(b.x - a.x) * 1000000 // (b.day - a.day) AS sl " +
+        "FROM dl a JOIN dl b ON a.event_type = b.event_type " +
+        "AND a.day < b.day), " +
+        "r AS (SELECT event_type, sl, " +
+        "CAST(row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY sl, day_a, day_b) AS BIGINT) AS rk, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS np FROM sl) " +
+        "SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs, " +
+        "CAST(MAX(CASE WHEN rk = (np + 1) // 2 THEN sl END) AS BIGINT) " +
+        "AS theil_slope_micro FROM r GROUP BY 1 ORDER BY event_type"),
+    // same daily cells, exact S and tie-corrected var18, identical
+    // continuity-corrected z formula text
+    "q269_mann_kendall" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "ss AS (SELECT a.event_type, " +
+        "CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 " +
+        "ELSE 0 END) AS BIGINT) AS s_stat FROM dl a JOIN dl b " +
+        "ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1), " +
+        "nd AS (SELECT event_type, COUNT(*) AS n_days FROM dl " +
+        "GROUP BY 1), " +
+        "ti AS (SELECT event_type, " +
+        "CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18 FROM " +
+        "(SELECT event_type, x, COUNT(*) AS t FROM dl GROUP BY 1, 2) " +
+        "GROUP BY 1), " +
+        "v AS (SELECT nd.event_type, CAST(n_days AS BIGINT) AS n_days, " +
+        "s_stat, n_days * (n_days - 1) * (2 * n_days + 5) - tie18 " +
+        "AS var18 FROM nd JOIN ss USING (event_type) " +
+        "JOIN ti USING (event_type)) " +
+        "SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) " +
+        "AS var18, CASE WHEN var18 <= 0 THEN 0.0 ELSE " +
+        "round(CAST(s_stat - (CASE WHEN s_stat > 0 THEN 1 " +
+        "WHEN s_stat < 0 THEN -1 ELSE 0 END) AS DOUBLE) " +
+        "/ sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END AS z " +
+        "FROM v ORDER BY event_type"),
+    // same doubled average ranks (2·min_rank + t − 1), same five
+    // integer moment sums, identical √a·√b ratio text
+    "q272_spearman_corr" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) AS xc, " +
+        "COUNT(*) AS yc FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, " +
+        "2 * rank() OVER (PARTITION BY event_type ORDER BY xc) " +
+        "+ COUNT(*) OVER (PARTITION BY event_type, xc) - 1 AS rx, " +
+        "2 * rank() OVER (PARTITION BY event_type ORDER BY yc) " +
+        "+ COUNT(*) OVER (PARTITION BY event_type, yc) - 1 AS ry " +
+        "FROM dl), " +
+        "m AS (SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy, " +
+        "CAST(SUM(rx * ry) AS BIGINT) AS sxy, " +
+        "CAST(SUM(rx * rx) AS BIGINT) AS sxx, " +
+        "CAST(SUM(ry * ry) AS BIGINT) AS syy FROM r GROUP BY 1), " +
+        "f AS (SELECT event_type, n, n * sxy - sx * sy AS num, " +
+        "n * sxx - sx * sx AS da, n * syy - sy * sy AS db FROM m) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n_days, " +
+        "CASE WHEN da = 0 OR db = 0 THEN NULL ELSE " +
+        "round(CAST(num AS DOUBLE) / (sqrt(CAST(da AS DOUBLE)) * " +
+        "sqrt(CAST(db AS DOUBLE))), 6) END AS rho " +
+        "FROM f ORDER BY event_type"),
     // identical role mapping, (t, id) order, first/last-role picks
     "q262_chat_validate" ->
       ("WITH p AS (SELECT user_id, epoch_ns(ts) AS t, event_id, " +
