@@ -50,6 +50,37 @@ object PipelineQueries {
       lit("utf8").as("format")).as[Multimodal.Media]
   }
 
+  /** The repeat-co-purchase part graph: undirected (lo, hi) edges
+    * between parts that appear together in ≥ 2 order baskets. Pair
+    * generation is a WITHIN-ORDER self join — cost Σ C(basket, 2),
+    * basket ≤ ~13 lines, LINEAR in orders — and the w ≥ 2 threshold
+    * drops the chance-co-occurrence noise floor (at sf0.01: 116 k raw
+    * pairs → 3.4 k repeat edges), which is what makes the downstream
+    * graph operators (k-core q273, Adamic–Adar q274) run on a sparse
+    * signal graph instead of a dense accident graph.
+    */
+  private def repeatCoEdges(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey").cast("long").as("oid"),
+        col("l_partkey").cast("long").as("item"))
+      .distinct()
+    items.toDF("oid", "a").join(items.toDF("oid", "b"), "oid")
+      .where(col("a") < col("b"))
+      .groupBy(col("a").as("lo"), col("b").as("hi"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2L)
+      .select("lo", "hi")
+  }
+
+  // duckdb fragment mirroring repeatCoEdges
+  private val coEdgeCte =
+    "SELECT a.item AS lo, b.item AS hi FROM it a JOIN it b " +
+      "ON a.oid = b.oid AND a.item < b.item GROUP BY 1, 2 " +
+      "HAVING COUNT(*) >= 2"
+  private val itemsCte =
+    "SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS oid, " +
+      "CAST(l_partkey AS BIGINT) AS item FROM lineitem"
+
   // duckdb fragment mirroring docsWithDups
   private val dupCte =
     "SELECT doc_id, text FROM documents " +
@@ -330,6 +361,95 @@ object PipelineQueries {
         .select(col("cluster"), col("n_docs"), col("n_folds_naive"),
           fold(col("cluster")).as("fold_safe"))
         .orderBy("cluster")
+    }),
+
+    // q270 — ASSOCIATION RULES (Apriori on order baskets): the
+    // market-basket classic — pair support from a WITHIN-ORDER self
+    // join (cost Σ C(basket,2), basket ≤ ~13 lines ⇒ LINEAR in
+    // orders, never |parts|²), repeat-co-occurrence pairs (supp ≥ 2)
+    // kept, both rule directions scored: confidence = supp(A∪B)/
+    // supp(A) and lift = N·supp(A∪B)/(supp(A)·supp(B)) in integer
+    // micros (lift through decimal(38) — N·supp products overflow
+    // int64 at warehouse scale). Top-20 by lift is TakeOrdered with a
+    // full (lift, ante, cons) tie order — the candidate space never
+    // sorts globally.
+    "q270_assoc_rules" -> ((s, d) => {
+      val items = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("oid"),
+          col("l_partkey").cast("long").as("item"))
+        .distinct()
+      val nOrd = items.agg(countDistinct("oid").as("n_orders"))
+      val supp1 = items.groupBy("item").agg(count(lit(1)).as("supp"))
+      val ia = items.toDF("oid", "item_a")
+      val ib = items.toDF("oid", "item_b")
+      val pairs = ia.join(ib, "oid")
+        .where(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("supp_ab"))
+        .where(col("supp_ab") >= 2L)
+      val rules = pairs
+        .select(col("item_a").as("ante"), col("item_b").as("cons"),
+          col("supp_ab"))
+        .unionByName(pairs.select(col("item_b").as("ante"),
+          col("item_a").as("cons"), col("supp_ab")))
+      rules
+        .join(supp1.toDF("ante", "supp_ante"), "ante")
+        .join(supp1.toDF("cons", "supp_cons"), "cons")
+        .crossJoin(broadcast(nOrd))
+        .select(col("ante"), col("cons"), col("supp_ab"),
+          expr("supp_ab * 1000000 div supp_ante").as("conf_micro"),
+          expr("cast(supp_ab as decimal(38,0)) * n_orders * 1000000 " +
+            "div (cast(supp_ante as decimal(38,0)) * supp_cons)")
+            .cast("long").as("lift_micro"))
+        .orderBy(desc("lift_micro"), col("ante"), col("cons"))
+        .limit(20)
+    }),
+
+    // q273 — K-CORE DECOMPOSITION (the dense-nucleus extractor): the
+    // 3-core of the repeat-co-purchase graph — the maximal subgraph
+    // where every part keeps ≥ 3 repeat partners. See [[KCore]] for
+    // the synchronous-peel model (per-round partial-agg degrees + two
+    // node-keyed semi-joins, checkpointed lineage, exact edge-count
+    // convergence, loud failure on a round budget) and
+    // [[repeatCoEdges]] for why the w ≥ 2 threshold makes the graph
+    // sparse enough to mean something. Oracle: the peel unrolled as a
+    // MATERIALIZED CTE chain long enough to reach the fixpoint
+    // (idempotent after convergence, so extra rounds are no-ops).
+    // Data note: at sf0.01 the 3-core is 935 parts; at sf0.1 it is
+    // legitimately EMPTY — TPC-H picks parts uniformly, so repeat
+    // co-purchase density falls as orders/|parts|² and the peel
+    // (correctly) dissolves everything. A Zipfian real-world catalog
+    // keeps its core; the operator reports what the data supports.
+    "q273_kcore" -> ((s, d) =>
+      KCore.core(repeatCoEdges(s, d), k = 3, "lo", "hi")
+        .select(col("node").as("item"), col("core_deg"))
+        .orderBy("item")),
+
+    // q274 — ADAMIC-ADAR LINK PREDICTION: the classic common-neighbor
+    // score Σ_w 1/ln(deg w) over wedges of the repeat-co-purchase
+    // graph — rare shared partners count more than promiscuous ones.
+    // Every wedge center has deg ≥ 2 by construction (it touches both
+    // endpoints), so ln(deg) ≥ ln 2 and the per-center weight is the
+    // exact integer 10¹² div ml(deg) (ml = floor(ln·10⁶), the q77
+    // micro-log idiom — both engines feed ln the same exact integer).
+    // Wedge enumeration costs Σ deg² on the SPARSIFIED graph (3.4 k
+    // edges at sf0.01, not the 116 k raw pairs); existing edges are
+    // anti-joined away (predicting KNOWN links is not prediction),
+    // and top-20 is TakeOrdered under a full (score, u, v) tie order.
+    "q274_adamic_adar" -> ((s, d) => {
+      val e = repeatCoEdges(s, d)
+      val sym = e.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionByName(e.select(col("hi").as("src"), col("lo").as("dst")))
+      val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("degw"))
+      val wedges = sym.toDF("w", "u").join(sym.toDF("w", "v"), "w")
+        .where(col("u") < col("v"))
+        .join(deg, "w")
+        .withColumn("aa_term", expr("1000000000000 div " +
+          "cast(floor(ln(cast(degw as double)) * 1000000) as bigint)"))
+      wedges.groupBy("u", "v")
+        .agg(count(lit(1)).as("common_n"), sum("aa_term").as("aa_nano"))
+        .join(e.toDF("u", "v"), Seq("u", "v"), "left_anti")
+        .orderBy(desc("aa_nano"), col("u"), col("v"))
+        .limit(20)
     }),
 
     // q268 — DOREMI-STYLE MIXTURE REWEIGHTING: one multiplicative-
@@ -2056,6 +2176,68 @@ object PipelineQueries {
         "(SELECT count(*) FROM cand) AS precision_micro"
     },
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // the synchronous peel unrolled: 24 MATERIALIZED rounds (no-ops
+    // past the fixpoint; Spark's loop fails loudly if true
+    // convergence ever needed more)
+    "q273_kcore" -> {
+      val rounds = 24
+      val sb = new StringBuilder
+      sb.append(s"WITH it AS MATERIALIZED ($itemsCte), ")
+      sb.append(s"ed AS MATERIALIZED ($coEdgeCte), ")
+      sb.append("e0 AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM ed " +
+        "UNION ALL SELECT hi, lo FROM ed)")
+      for (r <- 1 to rounds) {
+        sb.append(s", k$r AS MATERIALIZED (SELECT src FROM e${r - 1} " +
+          "GROUP BY src HAVING COUNT(*) >= 3)")
+        sb.append(s", e$r AS MATERIALIZED (SELECT src, dst FROM e${r - 1} " +
+          s"WHERE src IN (SELECT src FROM k$r) " +
+          s"AND dst IN (SELECT src FROM k$r))")
+      }
+      sb.append(s" SELECT src AS item, COUNT(*) AS core_deg " +
+        s"FROM e$rounds GROUP BY 1 ORDER BY 1")
+      sb.toString
+    },
+
+    // same wedge enumeration, identical micro-log term, NOT EXISTS
+    // mirrors the anti-join, same (score, u, v) top-20 order
+    "q274_adamic_adar" ->
+      (s"WITH it AS MATERIALIZED ($itemsCte), " +
+        s"ed AS MATERIALIZED ($coEdgeCte), " +
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM ed " +
+        "UNION ALL SELECT hi, lo FROM ed), " +
+        "dg AS (SELECT src AS w, COUNT(*) AS degw FROM sym GROUP BY 1), " +
+        "wg AS (SELECT n1.dst AS u, n2.dst AS v, dg.degw " +
+        "FROM sym n1 JOIN sym n2 ON n1.src = n2.src AND n1.dst < n2.dst " +
+        "JOIN dg ON dg.w = n1.src), " +
+        "sc AS (SELECT u, v, COUNT(*) AS common_n, " +
+        "SUM(1000000000000 // CAST(FLOOR(ln(CAST(degw AS DOUBLE)) " +
+        "* 1000000) AS BIGINT)) AS aa_nano FROM wg GROUP BY 1, 2) " +
+        "SELECT u, v, common_n, CAST(aa_nano AS BIGINT) AS aa_nano " +
+        "FROM sc WHERE NOT EXISTS (SELECT 1 FROM ed " +
+        "WHERE ed.lo = sc.u AND ed.hi = sc.v) " +
+        "ORDER BY aa_nano DESC, u, v LIMIT 20"),
+
+    // same within-order pair gen, supp >= 2 gate, HUGEINT lift, same
+    // (lift, ante, cons) top-20 order
+    "q270_assoc_rules" ->
+      ("WITH it AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS oid, " +
+        "CAST(l_partkey AS BIGINT) AS item FROM lineitem), " +
+        "no AS (SELECT COUNT(DISTINCT oid) AS n_orders FROM it), " +
+        "s1 AS (SELECT item, COUNT(*) AS supp FROM it GROUP BY 1), " +
+        "pr AS (SELECT a.item AS item_a, b.item AS item_b, " +
+        "COUNT(*) AS supp_ab FROM it a JOIN it b ON a.oid = b.oid " +
+        "AND a.item < b.item GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+        "ru AS (SELECT item_a AS ante, item_b AS cons, supp_ab FROM pr " +
+        "UNION ALL SELECT item_b, item_a, supp_ab FROM pr) " +
+        "SELECT ante, cons, supp_ab, " +
+        "supp_ab * 1000000 // sa.supp AS conf_micro, " +
+        "CAST(CAST(supp_ab AS HUGEINT) * n_orders * 1000000 " +
+        "// (CAST(sa.supp AS HUGEINT) * sc.supp) AS BIGINT) " +
+        "AS lift_micro " +
+        "FROM ru JOIN s1 sa ON ru.ante = sa.item " +
+        "JOIN s1 sc ON ru.cons = sc.item CROSS JOIN no " +
+        "ORDER BY lift_micro DESC, ante, cons LIMIT 20"),
+
     // q77's LM replay extended with the source rollup, linearized MW
     // clamp, and the q224 renorm
     "q268_doremi_reweight" ->

@@ -1385,6 +1385,66 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q271 — BENJAMINI-HOCHBERG FDR SCREEN: multiplicity control for
+    // the anomaly family — one drift test per (type, day) cell is
+    // |types|·|days| hypotheses, and at α=0.05 an uncorrected screen
+    // fires ~7 false alarms per 150 cells BY DESIGN. Family: per-cell
+    // 2-dof chi-square of the day's user-bucket split (user_id % 3)
+    // against the type's overall split — the q194 SRM test taken
+    // per-day. 2 dof is chosen deliberately: its survival function is
+    // EXACTLY exp(−χ²/2), so p needs no incomplete-gamma — p_micro =
+    // floor(exp(−χ²/2)·10⁶) with χ² a pinned-order double over exact
+    // integer counts. BH step-up runs entirely in integers: reject
+    // ranks ≤ k* = max{i : p_i·m ≤ 50000·i} (α·10⁶ = 50000, BH on the
+    // micro-quantized p — both engines quantize identically). The
+    // rank is a strictly-ordered (p, type, day) JOIN COUNT on the
+    // bounded cell table — no global window, no single-partition
+    // sort. Plan: one partial-agg groupBy to cells; everything after
+    // runs on ≤|types|·|days| rows.
+    "q271_bh_fdr" -> ((s, d) => {
+      val cells = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          expr("user_id % 3").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val byDay = cells.groupBy("event_type", "day")
+        .agg(sum(when(col("b") === 0L, col("c")).otherwise(0L)).as("o0"),
+          sum(when(col("b") === 1L, col("c")).otherwise(0L)).as("o1"),
+          sum(when(col("b") === 2L, col("c")).otherwise(0L)).as("o2"))
+        .withColumn("n_day", col("o0") + col("o1") + col("o2"))
+      val byType = byDay.groupBy("event_type")
+        .agg(sum("o0").as("c0"), sum("o1").as("c1"), sum("o2").as("c2"),
+          sum("n_day").as("n_type"))
+      val term = (o: String, c: String) =>
+        s"(case when $c = 0 then 0.0D else " +
+          s"pow(cast($o as double) - cast(n_day as double) * $c / n_type, 2) " +
+          s"/ (cast(n_day as double) * $c / n_type) end)"
+      val p = byDay.join(byType, "event_type")
+        .withColumn("chi2", expr(
+          term("o0", "c0") + " + " + term("o1", "c1") + " + " +
+            term("o2", "c2")))
+        .select(col("event_type"), col("day"), col("n_day"),
+          expr("cast(floor(exp(-chi2 / 2.0D) * 1000000) as bigint)")
+            .as("p_micro"))
+      val o = p.toDF("et2", "day2", "nd2", "pm2")
+      val ranked = p.join(o,
+          col("pm2") < col("p_micro") ||
+            (col("pm2") === col("p_micro") && (col("et2") < col("event_type") ||
+              (col("et2") === col("event_type") && col("day2") < col("day")))),
+          "left")
+        .groupBy("event_type", "day", "n_day", "p_micro")
+        .agg((count(col("et2")) + 1L).as("rk"))
+      val m = ranked.agg(count(lit(1)).as("m"))
+      val flagged = ranked.crossJoin(broadcast(m))
+        .withColumn("bh_ok", col("p_micro") * col("m") <= lit(50000L) * col("rk"))
+      val kstar = flagged
+        .agg(coalesce(max(when(col("bh_ok"), col("rk"))), lit(0L)).as("kstar"))
+      flagged.crossJoin(broadcast(kstar))
+        .select(col("event_type"), col("day"), col("n_day"),
+          col("p_micro"), col("rk"), (col("rk") <= col("kstar")).as("rejected"))
+        .orderBy("event_type", "day")
+    }),
+
     // q272 — SPEARMAN RANK CORRELATION: does daily spend CO-MOVE with
     // daily traffic per type? Rank-based so one outlier day cannot
     // fabricate correlation (the q267/q269 robustness family applied
@@ -2043,6 +2103,44 @@ object AnalyticsQueries {
         "SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs, " +
         "CAST(MAX(CASE WHEN rk = (np + 1) // 2 THEN sl END) AS BIGINT) " +
         "AS theil_slope_micro FROM r GROUP BY 1 ORDER BY event_type"),
+    // same user-bucket cells, identical pinned-order chi2/exp text;
+    // the oracle's row_number equals the join-count rank because the
+    // (p, type, day) order is total
+    "q271_bh_fdr" ->
+      ("WITH ce AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, user_id % 3 AS b, " +
+        "COUNT(*) AS c FROM events GROUP BY 1, 2, 3), " +
+        "bd AS (SELECT event_type, day, " +
+        "SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS o0, " +
+        "SUM(CASE WHEN b = 1 THEN c ELSE 0 END) AS o1, " +
+        "SUM(CASE WHEN b = 2 THEN c ELSE 0 END) AS o2 " +
+        "FROM ce GROUP BY 1, 2), " +
+        "bd2 AS (SELECT *, o0 + o1 + o2 AS n_day FROM bd), " +
+        "bt AS (SELECT event_type, SUM(o0) AS c0, SUM(o1) AS c1, " +
+        "SUM(o2) AS c2, SUM(n_day) AS n_type FROM bd2 GROUP BY 1), " +
+        "p AS (SELECT bd2.event_type, day, n_day, " +
+        "CAST(FLOOR(exp(-(" +
+        "(CASE WHEN c0 = 0 THEN 0.0 ELSE " +
+        "pow(CAST(o0 AS DOUBLE) - CAST(n_day AS DOUBLE) * c0 / n_type, 2) " +
+        "/ (CAST(n_day AS DOUBLE) * c0 / n_type) END) + " +
+        "(CASE WHEN c1 = 0 THEN 0.0 ELSE " +
+        "pow(CAST(o1 AS DOUBLE) - CAST(n_day AS DOUBLE) * c1 / n_type, 2) " +
+        "/ (CAST(n_day AS DOUBLE) * c1 / n_type) END) + " +
+        "(CASE WHEN c2 = 0 THEN 0.0 ELSE " +
+        "pow(CAST(o2 AS DOUBLE) - CAST(n_day AS DOUBLE) * c2 / n_type, 2) " +
+        "/ (CAST(n_day AS DOUBLE) * c2 / n_type) END)" +
+        ") / 2.0) * 1000000) AS BIGINT) AS p_micro " +
+        "FROM bd2 JOIN bt USING (event_type)), " +
+        "r AS (SELECT event_type, day, n_day, p_micro, " +
+        "CAST(row_number() OVER (ORDER BY p_micro, event_type, day) " +
+        "AS BIGINT) AS rk FROM p), " +
+        "mm AS (SELECT COUNT(*) AS m FROM r), " +
+        "ks AS (SELECT COALESCE(MAX(CASE WHEN p_micro * m <= " +
+        "50000 * rk THEN rk END), 0) AS kstar " +
+        "FROM r CROSS JOIN mm) " +
+        "SELECT event_type, day, CAST(n_day AS BIGINT) AS n_day, " +
+        "p_micro, rk, rk <= kstar AS rejected FROM r CROSS JOIN ks " +
+        "ORDER BY event_type, day"),
     // same daily cells, exact S and tie-corrected var18, identical
     // continuity-corrected z formula text
     "q269_mann_kendall" ->
