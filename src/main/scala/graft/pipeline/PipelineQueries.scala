@@ -452,6 +452,46 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // q275 — LOCAL CLUSTERING COEFFICIENT: per-node triangle density
+    // cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)) on the repeat-co-purchase
+    // graph — the node-level refinement of q136's global triangle
+    // count, and the standard "is this neighborhood a community or a
+    // star" signal. Same degree-oriented wedge closure as q136 (Σ
+    // d_out² ≤ m^1.5, one hash join closes wedges); each closed wedge
+    // is a triangle found ONCE, then exploded to its three vertices
+    // for the per-node credit. cc lands in exact integer micros
+    // (2·T·10⁶ div deg·(deg−1)); deg < 2 nodes report null. Oracle:
+    // the naive a<b<c triple join credited per vertex — proving the
+    // orientation loses/double-counts nothing node-wise either.
+    "q275_clustering_coeff" -> ((s, d) => {
+      val und = repeatCoEdges(s, d)
+      val deg = und.select(col("lo").as("n"))
+        .unionByName(und.select(col("hi").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val loFirst = und
+        .join(deg.toDF("lo", "dlo"), "lo")
+        .join(deg.toDF("hi", "dhi"), "hi")
+        .withColumn("lo_first",
+          col("dlo") < col("dhi") ||
+            (col("dlo") === col("dhi") && col("lo") < col("hi")))
+      val oriented = loFirst.select(
+        when(col("lo_first"), col("lo")).otherwise(col("hi")).as("src"),
+        when(col("lo_first"), col("hi")).otherwise(col("lo")).as("dst"))
+      val tri = oriented.toDF("src", "b")
+        .join(oriented.toDF("src", "c"), "src")
+        .where(col("b") < col("c"))
+        .join(und.toDF("b", "c"), Seq("b", "c"))
+        .select(explode(array(col("src"), col("b"), col("c"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("tri"))
+      deg.join(tri, Seq("n"), "left")
+        .select(col("n").as("item"), col("dg").as("deg"),
+          coalesce(col("tri"), lit(0L)).as("triangles"),
+          when(col("dg") >= 2L,
+            expr("2 * coalesce(tri, 0L) * 1000000 div (dg * (dg - 1))"))
+            .as("cc_micro"))
+        .orderBy("item")
+    }),
+
     // q268 — DOREMI-STYLE MIXTURE REWEIGHTING: one multiplicative-
     // weights round of the domain-reweighting recipe (Xie et al.
     // DoReMi, linearized): sources whose documents score WORSE than
@@ -2176,6 +2216,26 @@ object PipelineQueries {
         "(SELECT count(*) FROM cand) AS precision_micro"
     },
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // the naive a<b<c triple join, credited per vertex — the
+    // orientation-free ground truth
+    "q275_clustering_coeff" ->
+      (s"WITH it AS MATERIALIZED ($itemsCte), " +
+        s"ed AS MATERIALIZED ($coEdgeCte), " +
+        "dg AS (SELECT n, COUNT(*) AS dg FROM " +
+        "(SELECT lo AS n FROM ed UNION ALL SELECT hi FROM ed) " +
+        "GROUP BY 1), " +
+        "tr AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c " +
+        "FROM ed e1 JOIN ed e2 ON e1.lo = e2.lo AND e1.hi < e2.hi " +
+        "JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi), " +
+        "tc AS (SELECT n, COUNT(*) AS tri FROM " +
+        "(SELECT a AS n FROM tr UNION ALL SELECT b FROM tr " +
+        "UNION ALL SELECT c FROM tr) GROUP BY 1) " +
+        "SELECT dg.n AS item, dg.dg AS deg, " +
+        "COALESCE(tc.tri, 0) AS triangles, " +
+        "CASE WHEN dg.dg >= 2 THEN 2 * COALESCE(tc.tri, 0) * 1000000 " +
+        "// (dg.dg * (dg.dg - 1)) END AS cc_micro " +
+        "FROM dg LEFT JOIN tc ON dg.n = tc.n ORDER BY item"),
+
     // the synchronous peel unrolled: 24 MATERIALIZED rounds (no-ops
     // past the fixpoint; Spark's loop fails loudly if true
     // convergence ever needed more)

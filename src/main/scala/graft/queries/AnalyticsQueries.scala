@@ -1486,6 +1486,117 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q276 — MASE FORECAST EVALUATION: the scale-free forecast-error
+    // metric (Hyndman & Koehler) for the seasonal-naive baseline
+    // x̂_t = x_{t−7} — the number every real forecaster must beat
+    // before shipping a model. Days split 21 train / rest test per
+    // type; the lag join is on day arithmetic (gaps excluded
+    // honestly, not papered over by row offsets). MASE = MAE_test /
+    // MAE_train as one exact decimal(38) cross ratio in micros —
+    // no per-row division, no floats. Plan: one partial-agg groupBy
+    // to daily cells; lag join + split on the bounded table.
+    "q276_mase_eval" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("x"))
+      val lag7 = daily.select(col("event_type"),
+        (col("day") + 7L).as("day"), col("x").as("px"))
+      val d0 = daily.groupBy("event_type").agg(min("day").as("d0"))
+      val err = daily.join(lag7, Seq("event_type", "day"))
+        .join(d0, "event_type")
+        .withColumn("e", abs(col("x") - col("px")))
+        .withColumn("is_test", col("day") >= col("d0") + 21L)
+      err.groupBy("event_type")
+        .agg(sum(when(!col("is_test"), col("e"))).as("se_tr"),
+          count(when(!col("is_test"), lit(1))).as("n_tr"),
+          sum(when(col("is_test"), col("e"))).as("se_te"),
+          count(when(col("is_test"), lit(1))).as("n_te"))
+        .select(col("event_type"), col("n_tr"), col("n_te"),
+          expr("se_tr div n_tr").as("mae_train_cents"),
+          expr("se_te div n_te").as("mae_test_cents"),
+          when(col("se_tr") > 0L && col("n_te") > 0L,
+            expr("cast(se_te as decimal(38,0)) * n_tr * 1000000 " +
+              "div (cast(se_tr as decimal(38,0)) * n_te)").cast("long"))
+            .as("mase_micro"))
+        .orderBy("event_type")
+    }),
+
+    // q277 — STL-LITE SEASONAL DECOMPOSITION: x = trend + seasonal +
+    // remainder on the daily series — trend a CENTERED 7-day moving
+    // average (defined only where the window holds 7 CONSECUTIVE
+    // days: both count=7 and day-span=6 are checked, so a gap yields
+    // null instead of a silently-shifted average), seasonal the
+    // per-(type, day-of-week) integer mean of the detrended values,
+    // remainder what's left. Everything exact cents with truncating
+    // div (Spark div ≡ DuckDB // on negatives). Plan: windows and
+    // groupBys all partition per type on the bounded daily table.
+    "q277_stl_decompose" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("x"))
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("trend",
+          when(count(lit(1)).over(w7) === 7L &&
+            max("day").over(w7) - min("day").over(w7) === 6L,
+            expr("sum(x) over (partition by event_type order by day " +
+              "rows between 3 preceding and 3 following) div 7")))
+        .withColumn("dow", expr("day % 7"))
+        .withColumn("det", col("x") - col("trend"))
+      val seas = t.where(col("det").isNotNull)
+        .groupBy("event_type", "dow")
+        .agg(expr("sum(det) div count(1)").as("seasonal"))
+      t.join(seas, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("day"), col("x"), col("trend"),
+          when(col("trend").isNotNull, col("seasonal")).as("seasonal"),
+          when(col("trend").isNotNull,
+            col("x") - col("trend") - col("seasonal")).as("remainder"))
+        .orderBy("event_type", "day")
+    }),
+
+    // q278 — AUTOCORRELATION FUNCTION (lags 1, 2, 3, 7): serial
+    // dependence of the daily series, the diagnostic under q266/
+    // q267/q277. Centering stays EXACT by scaling: d_t = x_t·n − Σx
+    // (n× the centered value — the factor cancels in the ratio), so
+    // both numerator Σ d_t·d_{t+k} and denominator Σ d_t² are exact
+    // integers (decimal(38) products — d is cents·n), and acf_micro
+    // is one trailing truncating division. Lag pairing joins on day
+    // ARITHMETIC (gaps pair honestly), lags exploded from a literal
+    // array. Plan: everything after the daily groupBy runs on
+    // ≤|types|·|days|·4 rows.
+    "q278_acf" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("x"))
+      val st = daily.groupBy("event_type")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      val cent = daily.join(st, "event_type")
+        .select(col("event_type"), col("day"),
+          (col("x") * col("n") - col("sx")).as("dv"))
+      val den = cent.groupBy("event_type")
+        .agg(sum(expr("cast(dv as decimal(38,0)) * dv")).as("den"))
+      val probe = cent
+        .withColumn("lag", explode(array(lit(1L), lit(2L), lit(3L), lit(7L))))
+        .select(col("event_type"), (col("day") + col("lag")).as("day"),
+          col("lag"), col("dv").as("dv0"))
+      probe.join(cent, Seq("event_type", "day"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("cast(dv0 as decimal(38,0)) * dv")).as("num"))
+        .join(den, "event_type")
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          when(col("den") > 0,
+            expr("num * 1000000 div den").cast("long")).as("acf_micro"))
+        .orderBy("event_type", "lag")
+    }),
+
     // q262 — CHAT-TRANSCRIPT VALIDATION: SFT-data hygiene — before a
     // conversation corpus reaches training, every transcript is
     // checked for role-structure invariants (strict user/assistant
@@ -2103,6 +2214,79 @@ object AnalyticsQueries {
         "SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs, " +
         "CAST(MAX(CASE WHEN rk = (np + 1) // 2 THEN sl END) AS BIGINT) " +
         "AS theil_slope_micro FROM r GROUP BY 1 ORDER BY event_type"),
+    // same day-arithmetic lag join, 21-day split, HUGEINT cross ratio
+    "q276_mase_eval" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "lg AS (SELECT event_type, day + 7 AS day, x AS px FROM dl), " +
+        "d0 AS (SELECT event_type, MIN(day) AS d0 FROM dl GROUP BY 1), " +
+        "er AS (SELECT event_type, day, abs(x - px) AS e, " +
+        "day >= d0 + 21 AS is_test FROM dl " +
+        "JOIN lg USING (event_type, day) JOIN d0 USING (event_type)), " +
+        "ag AS (SELECT event_type, " +
+        "SUM(CASE WHEN NOT is_test THEN e END) AS se_tr, " +
+        "COUNT(CASE WHEN NOT is_test THEN 1 END) AS n_tr, " +
+        "SUM(CASE WHEN is_test THEN e END) AS se_te, " +
+        "COUNT(CASE WHEN is_test THEN 1 END) AS n_te " +
+        "FROM er GROUP BY 1) " +
+        "SELECT event_type, CAST(n_tr AS BIGINT) AS n_tr, " +
+        "CAST(n_te AS BIGINT) AS n_te, " +
+        "CAST(se_tr // n_tr AS BIGINT) AS mae_train_cents, " +
+        "CAST(se_te // n_te AS BIGINT) AS mae_test_cents, " +
+        "CASE WHEN se_tr > 0 AND n_te > 0 THEN " +
+        "CAST(CAST(se_te AS HUGEINT) * n_tr * 1000000 " +
+        "// (CAST(se_tr AS HUGEINT) * n_te) AS BIGINT) END " +
+        "AS mase_micro FROM ag ORDER BY event_type"),
+    // same consecutive-7 guard on the centered window, same per-dow
+    // integer mean, same null gating
+    "q277_stl_decompose" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, day, x, " +
+        "CASE WHEN COUNT(*) OVER w = 7 " +
+        "AND MAX(day) OVER w - MIN(day) OVER w = 6 " +
+        "THEN CAST(SUM(x) OVER w // 7 AS BIGINT) END AS trend, " +
+        "day % 7 AS dow FROM dl WINDOW w AS " +
+        "(PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "t2 AS (SELECT *, x - trend AS det FROM t), " +
+        "se AS (SELECT event_type, dow, " +
+        "CAST(SUM(det) // COUNT(*) AS BIGINT) AS seasonal " +
+        "FROM t2 WHERE det IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT t2.event_type, t2.day, CAST(t2.x AS BIGINT) AS x, " +
+        "t2.trend, " +
+        "CASE WHEN trend IS NOT NULL THEN seasonal END AS seasonal, " +
+        "CAST(CASE WHEN trend IS NOT NULL THEN x - trend - seasonal " +
+        "END AS BIGINT) AS remainder FROM t2 LEFT JOIN se " +
+        "ON t2.event_type = se.event_type AND t2.dow = se.dow " +
+        "ORDER BY t2.event_type, t2.day"),
+    // same n-scaled exact centering, HUGEINT moment products, same
+    // day-arithmetic lag pairing
+    "q278_acf" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "COUNT(*) AS n FROM dl GROUP BY 1), " +
+        "ce AS (SELECT event_type, day, x * n - sx AS dv " +
+        "FROM dl JOIN st USING (event_type)), " +
+        "de AS (SELECT event_type, SUM(CAST(dv AS HUGEINT) * dv) " +
+        "AS den FROM ce GROUP BY 1), " +
+        "pr AS (SELECT event_type, day + lag AS day, lag, dv AS dv0 " +
+        "FROM ce CROSS JOIN (SELECT UNNEST([1, 2, 3, 7]) AS lag)), " +
+        "nu AS (SELECT event_type, lag, COUNT(*) AS n_pairs, " +
+        "SUM(CAST(dv0 AS HUGEINT) * dv) AS num FROM pr " +
+        "JOIN ce USING (event_type, day) GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(lag AS BIGINT) AS lag, " +
+        "CAST(n_pairs AS BIGINT) AS n_pairs, " +
+        "CASE WHEN den > 0 THEN CAST(num * 1000000 // den AS BIGINT) " +
+        "END AS acf_micro FROM nu JOIN de USING (event_type) " +
+        "ORDER BY event_type, lag"),
     // same user-bucket cells, identical pinned-order chi2/exp text;
     // the oracle's row_number equals the join-count rank because the
     // (p, type, day) order is total
