@@ -1719,6 +1719,110 @@ object AnalyticsQueries {
         .orderBy("duration_min")
     }),
 
+    // q279 — LOG-RANK TEST: does arm A convert SLOWER than arm B? The
+    // standard two-group survival comparison over q265's duration
+    // table (same click→purchase durations, same censoring at the
+    // horizon), arms split user_id % 2 (the q194 A/B frame). The
+    // classic statistic needs per-time rationals d·n₁/n — summed as
+    // floats that would be order-sensitive, so each term is QUANTIZED
+    // to exact integers first: e_term = d·n₁·10⁶ div n and v_term =
+    // d·n₁·n₂·(n−d)·10⁶ div (n²·(n−1)) (decimal(38) products), then
+    // summed order-free; only the final z = (O₁·10⁶ − E₁)/√(V·10⁶)
+    // is a pinned double (6 dp). This is the micro-quantized log-rank
+    // — both engines quantize identically, and the quantization error
+    // is ≤ #times·10⁻⁶ in E₁. Plan: one user-keyed pass to durations,
+    // everything after on the bounded minute histogram (q265's
+    // window shape).
+    "q279_logrank" -> ((s, d) => {
+      val ev = events(s, d)
+      val horizon = ev.agg(max("ts").as("tmax"))
+      val perUser = ev
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tpAny"))
+        .where(col("tc").isNotNull)
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"),
+          when(col("tpAny") > col("tc"),
+            expr("(tpAny - tc) div 60000000000")).as("durEvent"),
+          expr("(tmax - tc) div 60000000000").as("durCensor"))
+        .select((col("user_id") % 2 === 0).as("arm_a"),
+          coalesce(col("durEvent"), col("durCensor")).as("dur"),
+          col("durEvent").isNotNull.as("converted"))
+      val hist = perUser.groupBy("dur")
+        .agg(sum(when(col("converted") && col("arm_a"), 1L).otherwise(0L))
+          .as("d1"),
+          sum(when(col("converted") && !col("arm_a"), 1L).otherwise(0L))
+            .as("d2"),
+          sum(when(col("arm_a"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("c2"))
+      val wGe = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist
+        .withColumn("n1", sum("c1").over(wGe))
+        .withColumn("n2", sum("c2").over(wGe))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("dd", col("d1") + col("d2"))
+        .where(col("dd") > 0)
+        .withColumn("e_term", expr("dd * n1 * 1000000 div n"))
+        .withColumn("v_term",
+          when(col("n") > 1L, expr(
+            "cast(cast(dd as decimal(38,0)) * n1 * n2 * (n - dd) " +
+              "* 1000000 div (cast(n as decimal(38,0)) * n * (n - 1)) " +
+              "as bigint)")).otherwise(0L))
+        .agg(sum("d1").as("o1"), sum("d2").as("o2"),
+          sum("e_term").as("e1_micro"), sum("v_term").as("v_micro"))
+        .select(col("o1"), col("o2"), col("e1_micro"), col("v_micro"),
+          when(col("v_micro") > 0L,
+            round((col("o1") * 1000000L - col("e1_micro")).cast("double")
+              / sqrt(col("v_micro").cast("double") * 1000000d), 6))
+            .as("z"))
+    }),
+
+    // q280 — REFERENTIAL-INTEGRITY AUDIT: the constraint suite a
+    // warehouse runs before trusting joins — every declared FK
+    // checked by one anti-join (child rows whose key misses the
+    // parent), reporting orphan ROWS and orphan KEYS per constraint.
+    // Includes the cross-domain edge the clean TPC-H FKs won't show:
+    // events.user_id→customer and embeddings.doc_id→documents, where
+    // orphans are a REAL finding, not a zero. Anti-joins broadcast
+    // the small parent key sets; the child side is one scan each —
+    // no constraint costs more than its child's size.
+    "q280_ref_integrity" -> ((s, d) => {
+      def audit(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val orphans = child.select(col(key).as("k"))
+          .where(col("k").isNotNull)
+          .join(parent.select(col(pkey).as("k")).distinct(), Seq("k"),
+            "left_anti")
+        child.agg(count(col(key)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_rows"),
+            countDistinct(col("k")).as("n_orphan_keys")))
+          .select(lit(name).as("fk"), col("n_child"),
+            col("n_orphan_rows"), col("n_orphan_keys"))
+      }
+      val li = Tables.load(s, d, "lineitem")
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      val su = Tables.load(s, d, "supplier")
+      val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region")
+      val ev = events(s, d)
+      val doc = Tables.load(s, d, "documents")
+      val emb = Tables.load(s, d, "embeddings")
+      Seq(
+        audit("customer.nation->nation", c, "c_nationkey", n, "n_nationkey"),
+        audit("embeddings.vec->documents", emb, "vec_id", doc, "doc_id"),
+        audit("events.user->customer", ev, "user_id", c, "c_custkey"),
+        audit("lineitem.order->orders", li, "l_orderkey", o, "o_orderkey"),
+        audit("lineitem.supp->supplier", li, "l_suppkey", su, "s_suppkey"),
+        audit("nation.region->region", n, "n_regionkey", r, "r_regionkey"),
+        audit("orders.cust->customer", o, "o_custkey", c, "c_custkey"),
+        audit("supplier.nation->nation", su, "s_nationkey", n, "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("fk")
+    }),
+
     // q258 — SHAPLEY ATTRIBUTION: the game-theoretic upgrade of
     // q187's last-touch — credit conversions to channels by each
     // channel's average marginal contribution over all coalition
@@ -2446,6 +2550,80 @@ object AnalyticsQueries {
         "CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events, " +
         "CAST(ls AS BIGINT) AS log_surv_micro FROM f " +
         "ORDER BY duration_min"),
+    // q265's duration table split user_id % 2, identical per-term
+    // integer quantization of E and V, identical final z text
+    "q279_logrank" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS t " +
+        "FROM events), " +
+        "h AS (SELECT MAX(t) AS tmax FROM ev), " +
+        "pu AS (SELECT user_id, " +
+        "MIN(CASE WHEN event_type = 'click' THEN t END) AS tc, " +
+        "MIN(CASE WHEN event_type = 'purchase' THEN t END) AS tp " +
+        "FROM ev GROUP BY 1), " +
+        "du AS (SELECT user_id % 2 = 0 AS arm_a, " +
+        "CASE WHEN tp > tc THEN (tp - tc) // 60000000000 END AS de, " +
+        "(h.tmax - tc) // 60000000000 AS dc " +
+        "FROM pu CROSS JOIN h WHERE tc IS NOT NULL), " +
+        "dd AS (SELECT arm_a, COALESCE(de, dc) AS dur, " +
+        "de IS NOT NULL AS conv FROM du), " +
+        "g AS (SELECT dur, " +
+        "SUM(CASE WHEN conv AND arm_a THEN 1 ELSE 0 END) AS d1, " +
+        "SUM(CASE WHEN conv AND NOT arm_a THEN 1 ELSE 0 END) AS d2, " +
+        "SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS c1, " +
+        "SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS c2 " +
+        "FROM dd GROUP BY 1), " +
+        "r AS (SELECT dur, d1, d2, " +
+        "SUM(c1) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS n1, " +
+        "SUM(c2) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS n2 FROM g), " +
+        "r2 AS (SELECT d1, d2, n1, n2, n1 + n2 AS n, d1 + d2 AS dd " +
+        "FROM r WHERE d1 + d2 > 0), " +
+        "tm AS (SELECT d1, d2, dd * n1 * 1000000 // n AS e_term, " +
+        "CASE WHEN n > 1 THEN CAST(CAST(dd AS HUGEINT) * n1 * n2 " +
+        "* (n - dd) * 1000000 // (CAST(n AS HUGEINT) * n * (n - 1)) " +
+        "AS BIGINT) ELSE 0 END AS v_term FROM r2), " +
+        "ag AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1, " +
+        "CAST(SUM(d2) AS BIGINT) AS o2, " +
+        "CAST(SUM(e_term) AS BIGINT) AS e1_micro, " +
+        "CAST(SUM(v_term) AS BIGINT) AS v_micro FROM tm) " +
+        "SELECT o1, o2, e1_micro, v_micro, " +
+        "CASE WHEN v_micro > 0 THEN " +
+        "round(CAST(o1 * 1000000 - e1_micro AS DOUBLE) " +
+        "/ sqrt(CAST(v_micro AS DOUBLE) * 1000000.0), 6) END AS z " +
+        "FROM ag"),
+    // one anti-join per declared FK, identical constraint labels
+    "q280_ref_integrity" -> {
+      def one(name: String, child: String, key: String,
+          parent: String, pkey: String): String =
+        s"SELECT '$name' AS fk, " +
+          s"(SELECT COUNT($key) FROM $child) AS n_child, " +
+          s"COUNT(*) AS n_orphan_rows, " +
+          s"COUNT(DISTINCT k) AS n_orphan_keys FROM " +
+          s"(SELECT $key AS k FROM $child WHERE $key IS NOT NULL " +
+          s"AND $key NOT IN (SELECT DISTINCT $pkey FROM $parent)) "
+      Seq(
+        one("customer.nation->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        one("embeddings.vec->documents", "embeddings", "vec_id",
+          "documents", "doc_id"),
+        one("events.user->customer", "events", "user_id",
+          "customer", "c_custkey"),
+        one("lineitem.order->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        one("lineitem.supp->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        one("nation.region->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        one("orders.cust->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        one("supplier.nation->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("SELECT fk, CAST(n_child AS BIGINT) AS n_child, " +
+          "CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows, " +
+          "CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys FROM (",
+          " UNION ALL ", ") ORDER BY fk")
+    },
     // identical coalition bitmask, truncated micro rates, exact
     // {6,2,2,6}/24 factorial weights
     "q258_shapley_attribution" ->
