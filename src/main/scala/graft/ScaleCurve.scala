@@ -72,6 +72,18 @@ object ScaleCurve {
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
     }.reduce(_ unionByName _)
     partX4.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    // lineitem replicas shift ONLY the order key: same catalog, 4× the
+    // baskets — exactly what a growing order book does to basket
+    // pairing (per-order pair gen stays linear; the co-occurrence
+    // graph on the FIXED catalog gets denser, the documented price of
+    // fixed-cardinality co-occurrence at constant catalog size)
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val liX4 = (0 until 4).map { r =>
+      if (r == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + r * 1000000000L)
+    }.reduce(_ unionByName _)
+    liX4.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -147,13 +159,22 @@ object ScaleCurve {
       "q261_fellegi_sunter" -> "part",
       "q234_lsh_recall" -> "documents",
       "q246_blocking_audit" -> "part",
-      "q239_bitext_mining" -> "embeddings")
+      "q239_bitext_mining" -> "embeddings",
+      // basket-pairing family: within-order pair gen is Σ C(basket,2)
+      // — must track orders (α ≈ 1), never |parts|²; the graph ops on
+      // the w≥2 co-occurrence graph densify with orders at FIXED
+      // catalog size (see caveat below)
+      "q270_assoc_rules" -> "lineitem",
+      "q273_kcore" -> "lineitem",
+      "q274_adamic_adar" -> "lineitem",
+      "q275_clustering_coeff" -> "lineitem")
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(
         "documents" -> spark.read.parquet(s"$dir/documents.parquet").count(),
         "embeddings" -> spark.read.parquet(s"$dir/embeddings.parquet").count(),
-        "part" -> spark.read.parquet(s"$dir/part.parquet").count())
+        "part" -> spark.read.parquet(s"$dir/part.parquet").count(),
+        "lineitem" -> spark.read.parquet(s"$dir/lineitem.parquet").count())
     }.toMap
 
     def time(name: String, dir: String): Double = {
@@ -208,6 +229,16 @@ object ScaleCurve {
       "production form runs on ANN candidate lists. Their alpha\n" +
       "measures the truth leg's price, not a plan defect; the operators\n" +
       "they audit (q17/q18, q151, q22/q63) are the scale path.\n\n"
+    md ++= "Caveat for the BASKET-PAIRING family (q270/q273/q274/q275):\n" +
+      "the ×4 replica multiplies ORDERS at a fixed catalog, so\n" +
+      "within-order pair generation must track orders (α ≈ 1) while\n" +
+      "the w ≥ 2 co-occurrence graph densifies — more orders over the\n" +
+      "same parts means more repeat pairs and higher degrees, so the\n" +
+      "graph stages (wedge closure, peeling) are measured against a\n" +
+      "DENSIFYING graph, the honest worst case. A real catalog grows\n" +
+      "with its order book and keeps the graph sparse; the pair-gen\n" +
+      "exponent is the scale claim, the graph-stage exponent the\n" +
+      "fixed-catalog stress price.\n\n"
     md ++= "| operator | n (rows) | t sf0.01 | t sf0.1 | t sf0.1x4 | alpha_fit | alpha_tail |\n"
     md ++= "|---|---|---|---|---|---|---|\n"
     results.foreach { case (name, ts, ns, fit, tail) =>

@@ -492,6 +492,86 @@ object PipelineQueries {
         .orderBy("item")
     }),
 
+    // q282 — TEXTRANK KEYWORDS (Mihalcea & Tarau): corpus keywords as
+    // PageRank over the word-adjacency graph — the graph-centrality
+    // alternative to q58's TF-IDF and q123's PMI (PMI scores PAIRS,
+    // TextRank scores WORDS by recursive importance). Candidate
+    // tokens ≥ 4 chars (the deterministic content-word proxy),
+    // adjacent-pair edges with count ≥ 3 (the q125 noise floor),
+    // symmetrized and fed to [[PageRank]]'s integer-exact 5-round
+    // fixed point. Words map to 60-bit md5 node ids — identical in
+    // both engines, and a collision (≈0 at any vocabulary) would
+    // merge the same pair on both sides. Edge build is one scan-side
+    // shingle pass + one pair groupBy; the rank iteration runs on the
+    // bounded vocabulary graph (q115's broadcast-rank shape). Oracle
+    // replays all 5 integer rounds — the iteration arithmetic itself
+    // is gated.
+    "q282_textrank" -> ((s, d) => {
+      val base = docs(s, d).select(TextOps.tokens(col("text")).as("toks"))
+      val pairs = base.where(size(col("toks")) >= 2)
+        .select(explode(TextOps.shingles(col("toks"), 2)).as("bg"))
+        .select(split(col("bg"), " ").as("a2"))
+        .select(element_at(col("a2"), 1).as("w1"),
+          element_at(col("a2"), 2).as("w2"))
+        .where(length(col("w1")) >= 4 && length(col("w2")) >= 4 &&
+          col("w1") =!= col("w2"))
+        .select(least(col("w1"), col("w2")).as("wa"),
+          greatest(col("w1"), col("w2")).as("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 3L)
+      def wid(c: Column) =
+        conv(substring(md5(concat(lit("tr:"), c)), 1, 15), 16, 10)
+          .cast("long")
+      val vocab = pairs.select(col("wa").as("word"))
+        .unionByName(pairs.select(col("wb").as("word")))
+        .distinct()
+        .select(col("word"), wid(col("word")).as("node"))
+      val edges = pairs
+        .select(wid(col("wa")).as("src"), wid(col("wb")).as("dst"),
+          col("c").as("w"))
+        .unionByName(pairs.select(wid(col("wb")).as("src"),
+          wid(col("wa")).as("dst"), col("c").as("w")))
+      PageRank.ranks(edges, iters = 5)
+        .join(vocab, "node")
+        .select(col("word"), col("r"))
+        .orderBy(desc("r"), col("word"))
+        .limit(20)
+    }),
+
+    // q283 — MATRYOSHKA TRUNCATION AUDIT: how much retrieval quality
+    // survives using only the first 16/32 of 64 embedding dims — the
+    // measurement behind MRL-style tiered retrieval (coarse search on
+    // a prefix, rerank on the full vector; the dimension analogue of
+    // q228's PQ compression tier). For each q16 query: overlap@10
+    // between full-dim cosine top-10 and prefix-dim top-10, dims
+    // exploded from a literal array, missing overlaps reported as an
+    // explicit 0 (the left join keeps the failure visible). Both
+    // rankings are the measured q16 brute-force contract (6-dp sims,
+    // id tie-break); at corpus scale each leg becomes an ANN
+    // candidate list — the audit shape is unchanged.
+    "q283_mrl_truncation" -> ((s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 5)
+      val full = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("qid"), col("vec_id"))
+      val overlaps = Seq(16, 32, 64).map { dd =>
+        val t = e.select(col("vec_id"), slice(col("emb"), 1, dd).as("emb"))
+        val tq = q.select(col("vec_id"), slice(col("emb"), 1, dd).as("emb"))
+        Similarity.bruteForceTopK(t, tq, k = 10)
+          .select(col("qid"), col("vec_id"))
+          .join(full, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("overlap10"))
+          .select(col("qid"), lit(dd.toLong).as("dim"), col("overlap10"))
+      }.reduce(_ unionByName _)
+      q.select(col("vec_id").as("qid"))
+        .withColumn("dim", explode(array(lit(16L), lit(32L), lit(64L))))
+        .join(overlaps, Seq("qid", "dim"), "left")
+        .select(col("qid"), col("dim"),
+          coalesce(col("overlap10"), lit(0L)).as("overlap10"))
+        .orderBy("qid", "dim")
+    }),
+
     // q268 — DOREMI-STYLE MIXTURE REWEIGHTING: one multiplicative-
     // weights round of the domain-reweighting recipe (Xie et al.
     // DoReMi, linearized): sources whose documents score WORSE than
@@ -2235,6 +2315,81 @@ object PipelineQueries {
         "CASE WHEN dg.dg >= 2 THEN 2 * COALESCE(tc.tri, 0) * 1000000 " +
         "// (dg.dg * (dg.dg - 1)) END AS cc_micro " +
         "FROM dg LEFT JOIN tc ON dg.n = tc.n ORDER BY item"),
+
+    // same ≥4-char/≥3-count word graph, same md5 node ids, all 5
+    // integer PageRank rounds replayed (the q115 chain)
+    "q282_textrank" -> {
+      val base =
+        s"WITH dd AS (SELECT string_split($duckNorm, ' ') AS toks " +
+          "FROM documents), " +
+          "bg AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+          "i -> toks[i] || ' ' || toks[i+1])) AS bigram " +
+          "FROM dd WHERE len(toks) >= 2), " +
+          "pw AS (SELECT string_split(bigram, ' ')[1] AS w1, " +
+          "string_split(bigram, ' ')[2] AS w2 FROM bg), " +
+          "pf AS MATERIALIZED (SELECT least(w1, w2) AS wa, " +
+          "greatest(w1, w2) AS wb, count(*) AS c FROM pw " +
+          "WHERE len(w1) >= 4 AND len(w2) >= 4 AND w1 <> w2 " +
+          "GROUP BY 1, 2 HAVING count(*) >= 3), " +
+          "vocab AS MATERIALIZED (SELECT word, " +
+          "('0x' || substr(md5('tr:' || word), 1, 15))::BIGINT AS node " +
+          "FROM (SELECT wa AS word FROM pf UNION SELECT wb FROM pf)), " +
+          "e AS MATERIALIZED (SELECT va.node AS src, vb.node AS dst, " +
+          "CAST(c AS BIGINT) AS w FROM pf " +
+          "JOIN vocab va ON pf.wa = va.word " +
+          "JOIN vocab vb ON pf.wb = vb.word " +
+          "UNION ALL SELECT vb.node, va.node, CAST(c AS BIGINT) FROM pf " +
+          "JOIN vocab va ON pf.wa = va.word " +
+          "JOIN vocab vb ON pf.wb = vb.word), " +
+          "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+          "nn AS (SELECT count(*) AS n FROM nodes), " +
+          "ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw " +
+          "FROM e GROUP BY 1), " +
+          "r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r " +
+          "FROM nodes CROSS JOIN nn)"
+      val iters = (1 to 5).map { i =>
+        s"r$i AS MATERIALIZED (SELECT nodes.node, " +
+          "CAST((150000000000 // n) + (85 * COALESCE(c.s, 0)) // 100 " +
+          "AS BIGINT) AS r " +
+          "FROM nodes CROSS JOIN nn LEFT JOIN " +
+          s"(SELECT e.dst, sum((p.r // ow.outw) * e.w) AS s " +
+          s"FROM r${i - 1} p JOIN e ON p.node = e.src " +
+          "JOIN ow ON e.src = ow.src GROUP BY e.dst) c " +
+          "ON nodes.node = c.dst)"
+      }.mkString(", ")
+      s"$base, $iters SELECT word, r FROM r5 JOIN vocab USING (node) " +
+        "ORDER BY r DESC, word LIMIT 20"
+    },
+
+    // both rankings the q16 contract on prefix slices; LEFT JOIN
+    // keeps zero-overlap cells visible
+    "q283_mrl_truncation" -> {
+      def leg(dd: Int, name: String): String =
+        s"$name AS (SELECT qid, vec_id FROM (SELECT q.qid, e.vec_id, " +
+          s"row_number() OVER (PARTITION BY q.qid ORDER BY " +
+          s"round(list_dot_product(e.emb[1:$dd], q.qemb[1:$dd]) / " +
+          s"(sqrt(list_dot_product(e.emb[1:$dd], e.emb[1:$dd])) * " +
+          s"sqrt(list_dot_product(q.qemb[1:$dd], q.qemb[1:$dd]))), 6) " +
+          s"DESC, e.vec_id) AS rn " +
+          "FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 10)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+        "FROM embeddings), " +
+        "q AS MATERIALIZED (SELECT vec_id AS qid, emb AS qemb FROM e " +
+        "WHERE vec_id < 5), " +
+        leg(64, "fl") + ", " + leg(16, "t16") + ", " +
+        leg(32, "t32") + ", " + leg(64, "t64") + ", " +
+        "ov AS (SELECT qid, 16 AS dim, count(*) AS o FROM t16 " +
+        "JOIN fl USING (qid, vec_id) GROUP BY 1 " +
+        "UNION ALL SELECT qid, 32, count(*) FROM t32 " +
+        "JOIN fl USING (qid, vec_id) GROUP BY 1 " +
+        "UNION ALL SELECT qid, 64, count(*) FROM t64 " +
+        "JOIN fl USING (qid, vec_id) GROUP BY 1), " +
+        "qd AS (SELECT qid, unnest([16, 32, 64]) AS dim FROM q) " +
+        "SELECT qd.qid, CAST(qd.dim AS BIGINT) AS dim, " +
+        "CAST(COALESCE(o, 0) AS BIGINT) AS overlap10 FROM qd " +
+        "LEFT JOIN ov ON qd.qid = ov.qid AND qd.dim = ov.dim " +
+        "ORDER BY qd.qid, qd.dim"
+    },
 
     // the synchronous peel unrolled: 24 MATERIALIZED rounds (no-ops
     // past the fixpoint; Spark's loop fails loudly if true

@@ -284,6 +284,56 @@ object StoreQueries {
         .orderBy("event_type")
     }),
 
+    // q281 — STREAMING CUSUM CHANGEPOINT MONITOR: q266 as a
+    // CONTINUOUS query — drift is WATCHED in production, not
+    // batch-audited (the q231 deployment argument applied to the
+    // changepoint family). The (event_type, day) cell sums accumulate
+    // in streaming aggregation state across 2 forced micro-batches —
+    // integer cell sums commute across ANY batch split, so the
+    // streamed cells are exactly the batch cells — and q266's
+    // prefix-sum closed form (s_t = P_t − min(0, min_{j<t} P_j), a
+    // deterministic function of the completed cell table) folds
+    // batch-side on the final emission. Hash-gated against the SAME
+    // oracle as q266: the streamed path must land the identical
+    // max-excursion and first-alarm day. State is bounded by
+    // |types|·|days| cells regardless of stream length (the day
+    // domain is the monitoring horizon — production would window it).
+    "q281_stream_cusum" -> ((s, d) => {
+      val cells = streamedEventAgg(s, d, "stream-cusum",
+        Seq("event_id", "ts", "event_type", "value"),
+        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE") {
+        parsed =>
+          parsed
+            .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+            .agg(sum(expr("cast(round(value * 100) as bigint)")).as("sc"),
+              count(lit(1)).as("c"))
+      }
+      val daily = cells.select(col("event_type"), col("day"),
+        expr("sc div c").as("x"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wOrd = W.partitionBy("event_type").orderBy("day")
+      val wAll = W.partitionBy("event_type")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      val wCum = wOrd.rowsBetween(W.unboundedPreceding, 0)
+      val wPrevMin = wOrd.rowsBetween(W.unboundedPreceding, -1)
+      daily
+        .withColumn("rk", row_number().over(wOrd).cast("long"))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .withColumn("mu0",
+          expr("(sum(case when rk <= nd div 2 then x else 0 end) over " +
+            "(partition by event_type)) div (nd div 2)"))
+        .withColumn("dft", col("x") - col("mu0") - 100L)
+        .withColumn("p", sum("dft").over(wCum))
+        .withColumn("pmin",
+          least(lit(0L), coalesce(min("p").over(wPrevMin), lit(0L))))
+        .withColumn("s", greatest(lit(0L), col("p") - col("pmin")))
+        .groupBy("event_type")
+        .agg(max("nd").as("n_days"), max("mu0").as("mu0_cents"),
+          max("s").as("max_cusum_cents"),
+          min(when(col("s") > 1500L, col("day"))).as("alarm_day"))
+        .orderBy("event_type")
+    }),
+
     // q153 — WATERMARK LATE-DATA DROP (the negative path q44/q87/q90
     // deliberately avoid): a streaming engine's watermark contract is
     // only proven when late data is actually DISCARDED. Batch 1
@@ -1856,6 +1906,9 @@ object StoreQueries {
     // the streamed cells must land the identical exact-integer PSI —
     // the batch twin's oracle verbatim
     "q231_stream_psi" -> AnalyticsQueries.oracleSql("q223_psi_drift"),
+    // streamed cells ≡ batch cells (integer sums commute across any
+    // batch split) ⇒ the q266 oracle gates the streaming path verbatim
+    "q281_stream_cusum" -> AnalyticsQueries.oracleSql("q266_cusum_changepoint"),
 
     "q20_store_sql_roundtrip" ->
       ("SELECT user_id, event_id FROM (" +
