@@ -424,25 +424,32 @@ object PipelineQueries {
         .select(col("node").as("item"), col("core_deg"))
         .orderBy("item")),
 
-    // q274 — ADAMIC-ADAR LINK PREDICTION: the classic common-neighbor
-    // score Σ_w 1/ln(deg w) over wedges of the repeat-co-purchase
-    // graph — rare shared partners count more than promiscuous ones.
-    // Every wedge center has deg ≥ 2 by construction (it touches both
-    // endpoints), so ln(deg) ≥ ln 2 and the per-center weight is the
-    // exact integer 10¹² div ml(deg) (ml = floor(ln·10⁶), the q77
-    // micro-log idiom — both engines feed ln the same exact integer).
-    // Wedge enumeration costs Σ deg² on the SPARSIFIED graph (3.4 k
-    // edges at sf0.01, not the 116 k raw pairs); existing edges are
-    // anti-joined away (predicting KNOWN links is not prediction),
-    // and top-20 is TakeOrdered under a full (score, u, v) tie order.
+    // q274 — ADAMIC-ADAR LINK PREDICTION (hub-capped): the classic
+    // common-neighbor score Σ_w 1/ln(deg w) over wedges of the
+    // repeat-co-purchase graph — rare shared partners count more than
+    // promiscuous ones. Every wedge center has deg ≥ 2 by
+    // construction (it touches both endpoints), so ln(deg) ≥ ln 2 and
+    // the per-center weight is the exact integer 10¹² div ml(deg)
+    // (ml = floor(ln·10⁶), the q77 micro-log idiom). Wedge centers
+    // are CAPPED at deg ≤ 64 — the standard AA deployment cut: a hub
+    // neighbor contributes ≤ 1/ln 65 ≈ 0.24 per wedge but deg² wedge
+    // COST, so the cap drops the lowest-information terms and bounds
+    // enumeration at 64·|E| (measured: uncapped α_tail was 2.64 on
+    // the ×4 densified graph, 80.8 s — the cap is load-bearing, and
+    // the oracle applies the identical cut). Existing edges are
+    // anti-joined away; top-20 is TakeOrdered under a full
+    // (score, u, v) tie order.
     "q274_adamic_adar" -> ((s, d) => {
       val e = repeatCoEdges(s, d)
       val sym = e.select(col("lo").as("src"), col("hi").as("dst"))
         .unionByName(e.select(col("hi").as("src"), col("lo").as("dst")))
       val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("degw"))
-      val wedges = sym.toDF("w", "u").join(sym.toDF("w", "v"), "w")
+      // the cap joins BEFORE the pair blow-up: only non-hub adjacency
+      // rows enter the self-join, so the explosion is structurally
+      // bounded at 64·|E| rather than relying on optimizer reordering
+      val adj = sym.toDF("w", "u").join(deg.where(col("degw") <= 64L), "w")
+      val wedges = adj.join(sym.toDF("w", "v"), "w")
         .where(col("u") < col("v"))
-        .join(deg, "w")
         .withColumn("aa_term", expr("1000000000000 div " +
           "cast(floor(ln(cast(degw as double)) * 1000000) as bigint)"))
       wedges.groupBy("u", "v")
@@ -570,6 +577,42 @@ object PipelineQueries {
         .select(col("qid"), col("dim"),
           coalesce(col("overlap10"), lit(0L)).as("overlap10"))
         .orderBy("qid", "dim")
+    }),
+
+    // q285 — MODULARITY SCORE: how community-like is the connected-
+    // component partition of the repeat-co-purchase graph? Newman's
+    // Q = Σ_c [e_c/m − (d_c/2m)²] folded to ONE exact division:
+    // Q_micro = Σ_c (4·m·e_c − d_c²)·10⁶ div (4·m²) with decimal(38)
+    // products — no per-community floats. e_c counts intra-community
+    // edges (both endpoints labeled c), d_c sums degrees; the
+    // partition comes from the measured q38-style min-label CC
+    // ([[Cluster.connectedComponents]]). m enters as a bounded driver
+    // scalar (an edge COUNT, not edges). The oracle replays the
+    // components via DuckDB's recursive min-label fixpoint —
+    // independent machinery, same labels.
+    "q285_modularity" -> ((s, d) => {
+      val e = repeatCoEdges(s, d)
+      val lab = Cluster.connectedComponents(
+        e.select(col("lo").as("n")).unionByName(e.select(col("hi").as("n")))
+          .distinct(),
+        e, "n", "lo", "hi")
+      val m = e.count()
+      val intra = e
+        .join(lab.toDF("lo", "ca"), "lo")
+        .join(lab.toDF("hi", "cb"), "hi")
+        .where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("cluster")).agg(count(lit(1)).as("e_c"))
+      val degs = e.select(col("lo").as("n")).unionByName(
+        e.select(col("hi").as("n")))
+        .join(lab.toDF("n", "cluster"), "n")
+        .groupBy("cluster").agg(count(lit(1)).as("d_c"))
+      degs.join(intra, Seq("cluster"), "left")
+        .select((lit(4L) * lit(m) * coalesce(col("e_c"), lit(0L))
+          - col("d_c") * col("d_c")).as("num"))
+        .agg(sum(expr("cast(num as decimal(38,0))")).as("nsum"))
+        .select(lit(m).as("m_edges"),
+          expr(s"cast(nsum * 1000000 div (4 * cast(${m}L as decimal(38,0)) " +
+            s"* ${m}L) as bigint)").as("q_micro"))
     }),
 
     // q268 — DOREMI-STYLE MIXTURE REWEIGHTING: one multiplicative-
@@ -2296,6 +2339,32 @@ object PipelineQueries {
         "(SELECT count(*) FROM cand) AS precision_micro"
     },
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // recursive min-label CC (independent of Spark's loop), identical
+    // exact-rational fold to one HUGEINT division
+    "q285_modularity" ->
+      (s"WITH RECURSIVE it AS MATERIALIZED ($itemsCte), " +
+        s"ed AS MATERIALIZED ($coEdgeCte), " +
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM ed " +
+        "UNION SELECT hi, lo FROM ed), " +
+        "nd AS (SELECT src AS node FROM sym UNION SELECT dst FROM sym), " +
+        "cc(id, lbl) AS (SELECT node, node FROM nd " +
+        "UNION SELECT e.dst, c.lbl FROM cc c JOIN sym e ON e.src = c.id), " +
+        "lab AS MATERIALIZED (SELECT id, MIN(lbl) AS cluster FROM cc " +
+        "GROUP BY id), " +
+        "mm AS (SELECT COUNT(*) AS m FROM ed), " +
+        "intra AS (SELECT la.cluster, COUNT(*) AS e_c FROM ed " +
+        "JOIN lab la ON ed.lo = la.id JOIN lab lb ON ed.hi = lb.id " +
+        "WHERE la.cluster = lb.cluster GROUP BY 1), " +
+        "degs AS (SELECT lab.cluster, COUNT(*) AS d_c FROM " +
+        "(SELECT src AS n FROM sym) s JOIN lab ON s.n = lab.id " +
+        "GROUP BY 1), " +
+        "ns AS (SELECT SUM(CAST(4 AS HUGEINT) * m * COALESCE(e_c, 0) " +
+        "- CAST(d_c AS HUGEINT) * d_c) AS nsum FROM degs " +
+        "LEFT JOIN intra USING (cluster) CROSS JOIN mm) " +
+        "SELECT CAST(m AS BIGINT) AS m_edges, " +
+        "CAST(nsum * 1000000 // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) " +
+        "AS q_micro FROM mm CROSS JOIN ns"),
+
     // the naive a<b<c triple join, credited per vertex — the
     // orientation-free ground truth
     "q275_clustering_coeff" ->
@@ -2420,7 +2489,8 @@ object PipelineQueries {
         s"ed AS MATERIALIZED ($coEdgeCte), " +
         "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM ed " +
         "UNION ALL SELECT hi, lo FROM ed), " +
-        "dg AS (SELECT src AS w, COUNT(*) AS degw FROM sym GROUP BY 1), " +
+        "dg AS (SELECT src AS w, COUNT(*) AS degw FROM sym GROUP BY 1 " +
+        "HAVING COUNT(*) <= 64), " +
         "wg AS (SELECT n1.dst AS u, n2.dst AS v, dg.degw " +
         "FROM sym n1 JOIN sym n2 ON n1.src = n2.src AND n1.dst < n2.dst " +
         "JOIN dg ON dg.w = n1.src), " +

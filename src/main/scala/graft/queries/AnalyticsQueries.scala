@@ -66,6 +66,55 @@ object AnalyticsQueries {
       .distinct()
   }
 
+  /** q259's confusion cells (the EXACT q15 scorer/tie-break folded to
+    * the ≤|langs|² predicted×actual table) — shared by the confusion
+    * matrix (q259) and Cohen's kappa (q286).
+    */
+  private def langConfusionCells(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.pipeline.TextOps.tokens(col("text"))
+    val scored = graft.pipeline.TextOps.langMarkers
+      .foldLeft(Tables.load(s, d, "documents")) { case (df, (lang, ms)) =>
+        df.withColumn(s"s_$lang",
+          graft.pipeline.TextOps.markerScore(toks, ms))
+      }
+    val pred =
+      when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"))
+        && col("s_en") > 0, "en")
+        .when(col("s_de") >= greatest(col("s_es"), col("s_fr"))
+          && col("s_de") > 0, "de")
+        .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+        .when(col("s_fr") > 0, "fr")
+        .otherwise("und")
+    scored.withColumn("predicted", pred)
+      .groupBy(col("lang").as("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("correct", col("actual") === col("predicted"))
+  }
+
+  /** q259's oracle body (no trailing ORDER BY) — shared with q286's
+    * kappa fold, so both gates replay the identical scorer text.
+    */
+  private val langConfusionSql: String =
+    "WITH t0 AS (SELECT lang, string_split(" +
+      "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') " +
+      "AS toks FROM documents), " +
+      "sc AS (SELECT lang, " +
+      "len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of'))) " +
+      "AS s_en, " +
+      "len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und'))) " +
+      "AS s_de, " +
+      "len(list_filter(toks, t -> t IN ('el', 'los', 'las', 'y'))) " +
+      "AS s_es, " +
+      "len(list_filter(toks, t -> t IN ('le', 'les', 'et', 'du'))) " +
+      "AS s_fr FROM t0), " +
+      "p AS (SELECT lang AS actual, CASE " +
+      "WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en' " +
+      "WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de' " +
+      "WHEN s_es >= s_fr AND s_es > 0 THEN 'es' " +
+      "WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS predicted FROM sc) " +
+      "SELECT actual, predicted, COUNT(*) AS n, " +
+      "(actual = predicted) AS correct FROM p GROUP BY 1, 2"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // q148 — SINGLE-PASS PIPELINE OBSERVABILITY (`df.observe` /
@@ -1882,26 +1931,92 @@ object AnalyticsQueries {
     // distributes predictions across true labels). One scan through
     // the EXACT q15 scorer/tie-break, one partial-agg groupBy to the
     // ≤|langs|² cell table; correctness lands in-band per cell.
-    "q259_langid_confusion" -> ((s, d) => {
-      val toks = graft.pipeline.TextOps.tokens(col("text"))
-      val scored = graft.pipeline.TextOps.langMarkers
-        .foldLeft(Tables.load(s, d, "documents")) { case (df, (lang, ms)) =>
-          df.withColumn(s"s_$lang",
-            graft.pipeline.TextOps.markerScore(toks, ms))
-        }
-      val pred =
-        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"))
-          && col("s_en") > 0, "en")
-          .when(col("s_de") >= greatest(col("s_es"), col("s_fr"))
-            && col("s_de") > 0, "de")
-          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
-          .when(col("s_fr") > 0, "fr")
-          .otherwise("und")
-      scored.withColumn("predicted", pred)
-        .groupBy(col("lang").as("actual"), col("predicted"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("correct", col("actual") === col("predicted"))
-        .orderBy("actual", "predicted")
+    "q259_langid_confusion" -> ((s, d) =>
+      langConfusionCells(s, d).orderBy("actual", "predicted")),
+
+    // q284 — IPW AVERAGE TREATMENT EFFECT: the weighting estimator
+    // beside q253's matching — treatment = the user ENTERED via a
+    // click (first event by (ts, id)), outcome = total purchase
+    // cents, confounder = activity volume (count-div-20 strata,
+    // capped at 10; on this data users have ~67 events each, so a
+    // user-level "has X" flag saturates — entry channel is the
+    // treatment with real within-stratum variation). The propensity
+    // is STRATIFIED (empirical treatment rate per stratum) so it is
+    // exact-integer by construction: p_micro = t_b·10⁶ div n_b — no
+    // model, no floats. Hájek-normalized IPW: weights 10¹² div
+    // p_micro (treated) and 10¹² div (10⁶ − p_micro) (control), both
+    // weighted means one decimal(38) ratio each. Strata without
+    // overlap (p = 0 or 1) are EXCLUDED and COUNTED — at sf0.01 one
+    // stratum genuinely violates positivity (no click-entry users)
+    // and lands in n_no_overlap instead of silently skewing the
+    // estimate. Plan: one user groupBy, one bounded stratum groupBy
+    // broadcast back, one final fold.
+    "q284_ipw_ate" -> ((s, d) => {
+      val users = events(s, d).groupBy("user_id")
+        .agg(least(expr("count(1) div 20"), lit(10L)).as("stratum"),
+          when(min_by(col("event_type"), struct(col("ts"), col("event_id")))
+            === "click", 1L).otherwise(0L).as("treated"),
+          sum(when(col("event_type") === "purchase",
+            expr("cast(round(value * 100) as bigint)")).otherwise(0L))
+            .as("y"))
+      val prop = users.groupBy("stratum")
+        .agg(sum("treated").as("t_b"), count(lit(1)).as("n_b"))
+        .select(col("stratum"),
+          expr("t_b * 1000000 div n_b").as("p_micro"))
+      val w = users.join(prop, "stratum")
+        .withColumn("overlap",
+          col("p_micro") > 0L && col("p_micro") < 1000000L)
+        .withColumn("wt", when(!col("overlap"), lit(0L))
+          .when(col("treated") === 1L,
+            expr("1000000000000 div p_micro"))
+          .otherwise(expr("1000000000000 div (1000000 - p_micro)")))
+      w.agg(
+        sum(when(col("overlap") && col("treated") === 1L, 1L)
+          .otherwise(0L)).as("n_treated"),
+        sum(when(col("overlap") && col("treated") === 0L, 1L)
+          .otherwise(0L)).as("n_control"),
+        sum(when(!col("overlap"), 1L).otherwise(0L)).as("n_no_overlap"),
+        sum(when(col("treated") === 1L,
+          expr("cast(wt as decimal(38,0)) * y")).otherwise(lit(0)
+          .cast("decimal(38,0)"))).as("swy_t"),
+        sum(when(col("treated") === 1L, col("wt")).otherwise(0L))
+          .as("sw_t"),
+        sum(when(col("treated") === 0L,
+          expr("cast(wt as decimal(38,0)) * y")).otherwise(lit(0)
+          .cast("decimal(38,0)"))).as("swy_c"),
+        sum(when(col("treated") === 0L, col("wt")).otherwise(0L))
+          .as("sw_c"))
+        .select(col("n_treated"), col("n_control"), col("n_no_overlap"),
+          expr("cast(swy_t div sw_t as bigint)").as("mean_t_cents"),
+          expr("cast(swy_c div sw_c as bigint)").as("mean_c_cents"),
+          expr("cast(swy_t div sw_t - swy_c div sw_c as bigint)")
+            .as("ate_cents"))
+    }),
+
+    // q286 — COHEN'S KAPPA: chance-corrected agreement between q15's
+    // lang-id predictions and the labels, folded from q259's
+    // confusion cells — the one-number companion to the full matrix
+    // (raw accuracy flatters a classifier when one class dominates;
+    // kappa subtracts the marginal-product chance rate). Exact
+    // integers end-to-end: kappa_micro = (n·diag − Σ r_i·c_i)·10⁶
+    // div (n² − Σ r_i·c_i) with decimal(38) products. Runs on the
+    // ≤|langs|² cell table.
+    "q286_cohens_kappa" -> ((s, d) => {
+      val cm = langConfusionCells(s, d)
+      val t = cm.agg(sum("n").as("nn"),
+        sum(when(col("correct"), col("n")).otherwise(0L)).as("dg"))
+      val rc = cm.groupBy(col("actual").as("l")).agg(sum("n").as("rt"))
+        .join(cm.groupBy(col("predicted").as("l")).agg(sum("n").as("ct")),
+          "l")
+        .agg(sum(expr("cast(rt as decimal(38,0)) * ct")).as("src"))
+      t.crossJoin(broadcast(rc))
+        .select(col("nn").as("n_docs"),
+          expr("dg * 1000000 div nn").as("po_micro"),
+          expr("cast(src * 1000000 div (cast(nn as decimal(38,0)) * nn) " +
+            "as bigint)").as("pe_micro"),
+          expr("cast((cast(nn as decimal(38,0)) * dg - src) * 1000000 " +
+            "div (cast(nn as decimal(38,0)) * nn - src) as bigint)")
+            .as("kappa_micro"))
     }),
 
     // q260 — GINI CONCENTRATION: how skewed is event volume across
@@ -2651,26 +2766,68 @@ object AnalyticsQueries {
         "FROM t GROUP BY 1 ORDER BY channel"),
     // the exact q15 scorer and tie-break, folded to the cell table
     "q259_langid_confusion" ->
-      ("WITH t0 AS (SELECT lang, string_split(" +
-        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') " +
-        "AS toks FROM documents), " +
-        "sc AS (SELECT lang, " +
-        "len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of'))) " +
-        "AS s_en, " +
-        "len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und'))) " +
-        "AS s_de, " +
-        "len(list_filter(toks, t -> t IN ('el', 'los', 'las', 'y'))) " +
-        "AS s_es, " +
-        "len(list_filter(toks, t -> t IN ('le', 'les', 'et', 'du'))) " +
-        "AS s_fr FROM t0), " +
-        "p AS (SELECT lang AS actual, CASE " +
-        "WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en' " +
-        "WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de' " +
-        "WHEN s_es >= s_fr AND s_es > 0 THEN 'es' " +
-        "WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS predicted FROM sc) " +
-        "SELECT actual, predicted, COUNT(*) AS n, " +
-        "(actual = predicted) AS correct FROM p GROUP BY 1, 2 " +
-        "ORDER BY actual, predicted"),
+      (langConfusionSql + " ORDER BY actual, predicted"),
+    // q259's cells wrapped once more: marginal-product chance rate,
+    // HUGEINT cross products, one trailing division each
+    "q286_cohens_kappa" ->
+      (s"WITH cm AS ($langConfusionSql), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, " +
+        "CAST(SUM(CASE WHEN correct THEN n ELSE 0 END) AS BIGINT) " +
+        "AS dg FROM cm), " +
+        "r AS (SELECT actual AS l, SUM(n) AS rt FROM cm GROUP BY 1), " +
+        "c AS (SELECT predicted AS l, SUM(n) AS ct FROM cm GROUP BY 1), " +
+        "rc AS (SELECT SUM(CAST(rt AS HUGEINT) * ct) AS src " +
+        "FROM r JOIN c USING (l)) " +
+        "SELECT nn AS n_docs, " +
+        "CAST(dg * 1000000 // nn AS BIGINT) AS po_micro, " +
+        "CAST(src * 1000000 // (CAST(nn AS HUGEINT) * nn) AS BIGINT) " +
+        "AS pe_micro, " +
+        "CAST((CAST(nn AS HUGEINT) * dg - src) * 1000000 " +
+        "// (CAST(nn AS HUGEINT) * nn - src) AS BIGINT) AS kappa_micro " +
+        "FROM t CROSS JOIN rc"),
+    // same capped click-count strata, same exact-integer propensity
+    // and 10¹²-unit weights, HUGEINT weighted sums, trailing divisions
+    "q284_ipw_ate" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS t, " +
+        "event_id, value FROM events), " +
+        "fe AS (SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) AS rn FROM ev), " +
+        "u AS (SELECT ev.user_id, " +
+        "LEAST(COUNT(*) // 20, 10) AS stratum, " +
+        "MAX(CASE WHEN fe.event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS treated, " +
+        "SUM(CASE WHEN ev.event_type = 'purchase' THEN " +
+        "CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y " +
+        "FROM ev JOIN (SELECT user_id, event_type FROM fe WHERE rn = 1) " +
+        "fe USING (user_id) GROUP BY 1), " +
+        "pr AS (SELECT stratum, " +
+        "SUM(treated) * 1000000 // COUNT(*) AS p_micro " +
+        "FROM u GROUP BY 1), " +
+        "w AS (SELECT treated, y, " +
+        "p_micro > 0 AND p_micro < 1000000 AS overlap, " +
+        "CASE WHEN NOT (p_micro > 0 AND p_micro < 1000000) THEN 0 " +
+        "WHEN treated = 1 THEN 1000000000000 // p_micro " +
+        "ELSE 1000000000000 // (1000000 - p_micro) END AS wt " +
+        "FROM u JOIN pr USING (stratum)), " +
+        "ag AS (SELECT " +
+        "SUM(CASE WHEN overlap AND treated = 1 THEN 1 ELSE 0 END) " +
+        "AS n_treated, " +
+        "SUM(CASE WHEN overlap AND treated = 0 THEN 1 ELSE 0 END) " +
+        "AS n_control, " +
+        "SUM(CASE WHEN NOT overlap THEN 1 ELSE 0 END) AS n_no_overlap, " +
+        "SUM(CASE WHEN treated = 1 THEN CAST(wt AS HUGEINT) * y " +
+        "ELSE 0 END) AS swy_t, " +
+        "SUM(CASE WHEN treated = 1 THEN wt ELSE 0 END) AS sw_t, " +
+        "SUM(CASE WHEN treated = 0 THEN CAST(wt AS HUGEINT) * y " +
+        "ELSE 0 END) AS swy_c, " +
+        "SUM(CASE WHEN treated = 0 THEN wt ELSE 0 END) AS sw_c FROM w) " +
+        "SELECT CAST(n_treated AS BIGINT) AS n_treated, " +
+        "CAST(n_control AS BIGINT) AS n_control, " +
+        "CAST(n_no_overlap AS BIGINT) AS n_no_overlap, " +
+        "CAST(swy_t // sw_t AS BIGINT) AS mean_t_cents, " +
+        "CAST(swy_c // sw_c AS BIGINT) AS mean_c_cents, " +
+        "CAST(swy_t // sw_t - swy_c // sw_c AS BIGINT) AS ate_cents " +
+        "FROM ag"),
     // sorted-cumsum Gini identity, HUGEINT products, one division
     "q260_gini_concentration" ->
       ("WITH pu AS (SELECT user_id, COUNT(*) AS x FROM events " +

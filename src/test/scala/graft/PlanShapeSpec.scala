@@ -601,4 +601,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"q245 shuffles the corpus on a bigram key:\n$p")
   }
+
+  test("time-series family windows partition per type, never globally") {
+    Seq("q266_cusum_changepoint", "q272_spearman_corr",
+      "q277_stl_decompose").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(event_type"),
+        s"$q lost its per-type window partitioning:\n$p")
+      assert(!p.contains("windowspecdefinition(w#") &&
+        !p.contains("SinglePartition"),
+        s"$q moved data to a single partition:\n$p")
+    }
+  }
+
+  test("association rules: top-20 is TakeOrdered, pair space never sorts globally") {
+    val p = plan("q270_assoc_rules")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q270 lost its TakeOrdered top-k:\n$p")
+    assert(p.contains("partial_count"),
+      s"q270 pair support lost map-side partial aggregation:\n$p")
+  }
+
+  test("Adamic-Adar: wedge scoring has no window; top-20 is TakeOrdered") {
+    val p = plan("q274_adamic_adar")
+    assert(!p.contains("Window"), s"q274 gained a window exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q274 lost its TakeOrdered top-k:\n$p")
+  }
+
+  test("TextRank: rank table broadcasts per iteration, edges never re-sort") {
+    val p = plan("q282_textrank")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q282 lost the broadcast rank join:\n$p")
+  }
 }
