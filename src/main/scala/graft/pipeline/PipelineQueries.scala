@@ -1116,6 +1116,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q289 — DEDUP ROI REPORT: what a dedup pass is WORTH, per source
+    // — the number a data lead reads before green-lighting the
+    // compute: token totals before/after q38's near-dup clustering
+    // (min-id survivor per cluster, the q88 keeper rule), docs and
+    // tokens kept, savings in exact micros. Rides the measured q38
+    // pipeline (α 0.24) plus one scan-side token count and two
+    // bounded groupBys — the report costs nothing beyond the dedup it
+    // evaluates.
+    "q289_dedup_savings" -> ((s, d) => {
+      val base = docsWithDups(s, d)
+      val pairs = NearDup.jaccardPairs(base, "doc_id", "text", threshold = 0.8)
+      val lab = Cluster.connectedComponents(
+        base.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b")
+      val toks = base.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+        (col("doc_id") % 100000L).as("orig"))
+      val src = docs(s, d).select(col("doc_id").as("orig"), col("source"))
+      val m = lab.join(toks, "doc_id").join(src, "orig")
+      val keep = m.groupBy("cluster").agg(min("doc_id").as("keeper"))
+      m.join(keep, "cluster")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_total"),
+          sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L))
+            .as("docs_kept"),
+          sum("ntok").as("tokens_total"),
+          sum(when(col("doc_id") === col("keeper"), col("ntok"))
+            .otherwise(0L)).as("tokens_kept"))
+        .withColumn("savings_micro",
+          expr("(tokens_total - tokens_kept) * 1000000 div tokens_total"))
+        .orderBy("source")
+    }),
+
     // q88 — near-dup corpus PRUNING (the dedup pipeline's end
     // product): the q38 clusters reduced to one surviving
     // representative each — min doc_id — with the member count it
@@ -3044,6 +3076,31 @@ object PipelineQueries {
         "lab AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id) " +
         "SELECT min(id) AS keep_id, COUNT(*) AS n_members FROM lab " +
         "GROUP BY cluster ORDER BY keep_id"),
+    // q38's cluster chain + the q88 keeper rule, token counts on the
+    // identical normalizer, same per-source fold
+    "q289_dedup_savings" ->
+      (s"WITH RECURSIVE all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
+        s"$duckSigBands, $duckClusterCtes, " +
+        "lab AS (SELECT id AS doc_id, min(lbl) AS cluster FROM cc " +
+        "GROUP BY id), " +
+        "nt AS (SELECT doc_id, CAST(len(string_split(" +
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) " +
+        "AS BIGINT) AS ntok, doc_id % 100000 AS orig FROM all_docs), " +
+        "sr AS (SELECT doc_id AS orig, source FROM documents), " +
+        "kp AS (SELECT cluster, MIN(doc_id) AS keeper FROM lab " +
+        "GROUP BY 1), " +
+        "m AS (SELECT lab.doc_id, lab.cluster, nt.ntok, sr.source, " +
+        "kp.keeper FROM lab JOIN nt USING (doc_id) " +
+        "JOIN sr USING (orig) JOIN kp USING (cluster)) " +
+        "SELECT source, COUNT(*) AS docs_total, " +
+        "CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS docs_kept, " +
+        "CAST(SUM(ntok) AS BIGINT) AS tokens_total, " +
+        "CAST(SUM(CASE WHEN doc_id = keeper THEN ntok ELSE 0 END) " +
+        "AS BIGINT) AS tokens_kept, " +
+        "CAST((SUM(ntok) - SUM(CASE WHEN doc_id = keeper THEN ntok " +
+        "ELSE 0 END)) * 1000000 // SUM(ntok) AS BIGINT) " +
+        "AS savings_micro FROM m GROUP BY source ORDER BY source"),
     "q39_token_quality" ->
       ("SELECT event_id, " +
         "len(regexp_extract_all(props, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) " +

@@ -1284,10 +1284,19 @@ object AnalyticsQueries {
     // forcing a bad match. Matching is WITH replacement (the standard
     // deterministic variant — greedy without-replacement is
     // sequential by construction); the scorer is q237's hard-sigmoid
-    // propensity. Plan: controls bucket once on p div caliper,
-    // treatments probe 3 adjacent buckets (pigeonhole-complete for
-    // the caliper), best match is a min_by partial agg — candidate
-    // work is Σ bucket-pair sizes, never |T|·|C|.
+    // propensity. Plan: 1-D nearest-neighbor as the SORTED form, not
+    // pair enumeration — controls reduce losslessly to one row per
+    // distinct (bucket, p) (winner is min over (|Δp|, c_id), so among
+    // equal-p controls only the min c_id can win), replicate into the
+    // 3 adjacent caliper buckets (pigeonhole: every control within
+    // the caliper of a treatment lands in the treatment's bucket),
+    // and ONE carry-forward window per direction finds each
+    // treatment's nearest control below and above — the AsofJoin
+    // shape, cost one per-bucket sort of |T_b| + 3·|C'_b| rows. The
+    // first cut (bucket pair enumeration) measured 50.3 s at sf0.1
+    // because the propensity mass concentrates in ~25 buckets
+    // (Σ|T_b|·|C_b| ≈ 90 M candidate structs); the sorted form is
+    // O(n log n) and the result is bit-identical (oracle unchanged).
     "q253_caliper_matching" -> ((s, d) => {
       val scored = events(s, d)
         .where(col("event_type").isin("purchase", "click"))
@@ -1298,19 +1307,40 @@ object AnalyticsQueries {
           least(greatest(expr("(cents - 25000) * 1000000 div 20000 div 4 " +
             "+ 500000"), lit(0L)), lit(1000000L)))
       val ctrl = scored.where(!col("treated"))
-        .select(col("event_id").as("c_id"), col("p_micro").as("p_c"),
-          expr("p_micro div 10000").as("bkt"))
-      val treat = scored.where(col("treated"))
-        .select(col("event_id").as("t_id"), col("p_micro").as("p_t"),
-          explode(expr("array(p_micro div 10000 - 1, p_micro div 10000, " +
-            "p_micro div 10000 + 1)")).as("bkt"))
-      treat.join(ctrl, "bkt")
-        .where(abs(col("p_t") - col("p_c")) <= 10000L)
-        .groupBy("t_id")
-        .agg(min_by(struct(col("c_id"), col("p_t"), col("p_c")),
-          struct(abs(col("p_t") - col("p_c")), col("c_id"))).as("m"))
+        .groupBy(expr("p_micro div 10000").as("bkt0"),
+          col("p_micro").as("p_c"))
+        .agg(min("event_id").as("c_id"))
+        .withColumn("bkt", explode(array(col("bkt0") - 1L, col("bkt0"),
+          col("bkt0") + 1L)))
+      val u = scored.where(col("treated"))
+        .select(expr("p_micro div 10000").as("bkt"),
+          col("p_micro").as("p"), col("event_id").as("t_id"),
+          lit(null).cast("long").as("p_c"),
+          lit(null).cast("long").as("c_id"), lit(1).as("side"))
+        .unionByName(ctrl.select(col("bkt"), col("p_c").as("p"),
+          lit(null).cast("long").as("t_id"), col("p_c"), col("c_id"),
+          lit(0).as("side")))
+      val cstruct = when(col("side") === 0,
+        struct(col("p_c"), col("c_id")))
+      val wB = Window.partitionBy("bkt").orderBy(col("p"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wA = Window.partitionBy("bkt")
+        .orderBy(col("p").desc, col("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      u
+        .withColumn("below", last(cstruct, ignoreNulls = true).over(wB))
+        .withColumn("above", last(cstruct, ignoreNulls = true).over(wA))
+        .where(col("side") === 1)
+        .withColumn("cb", when(col("p") - col("below.p_c") <= 10000L,
+          struct((col("p") - col("below.p_c")).as("dist"),
+            col("below.c_id").as("c_id"), col("below.p_c").as("p_c"))))
+        .withColumn("ca", when(col("above.p_c") - col("p") <= 10000L,
+          struct((col("above.p_c") - col("p")).as("dist"),
+            col("above.c_id").as("c_id"), col("above.p_c").as("p_c"))))
+        .withColumn("m", least(col("cb"), col("ca")))
+        .where(col("m").isNotNull)
         .select(col("t_id"), col("m.c_id").as("c_id"),
-          col("m.p_t").as("p_t"), col("m.p_c").as("p_c"))
+          col("p").as("p_t"), col("m.p_c").as("p_c"))
         .orderBy("t_id")
     }),
 
@@ -2017,6 +2047,104 @@ object AnalyticsQueries {
           expr("cast((cast(nn as decimal(38,0)) * dg - src) * 1000000 " +
             "div (cast(nn as decimal(38,0)) * nn - src) as bigint)")
             .as("kappa_micro"))
+    }),
+
+    // q287 — RFM SEGMENTATION: the classic customer-value cube —
+    // Recency (days since last purchase), Frequency (purchase count),
+    // Monetary (total cents) each coded into quintiles, one 3-digit
+    // RFM code per user. Quintile thresholds come from BOUNDED
+    // histograms, not a global ntile sort: R and F live on naturally
+    // bounded domains (days, counts) and M is bucketed to whole
+    // dollars first (threshold resolution $1 — documented, the q217
+    // histogram-order-statistic idiom), so each threshold is "min
+    // value with cumulative count ≥ ⌈k·N/5⌉" over a table bounded by
+    // the value domain, then applied scan-side. R is reverse-coded
+    // (recent = 5) per the standard convention. Plan: one user
+    // groupBy, three bounded histogram folds broadcast back.
+    "q287_rfm_segments" -> ((s, d) => {
+      val horizon = events(s, d).agg(max(expr("ts div 86400000000000"))
+        .as("dmax"))
+      val u = events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(expr("ts div 86400000000000")).as("lastp"),
+          count(lit(1)).as("f"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("m_cents"))
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"), (col("dmax") - col("lastp")).as("r"),
+          col("f"), expr("m_cents div 100").as("m_dollars"),
+          col("m_cents"))
+      val nU = u.agg(count(lit(1)).as("n"))
+      // threshold k (k=1..4) for a metric column: min v with
+      // cum ≥ ceil(k·n/5) over the bounded value histogram
+      def thresholds(metric: String): DataFrame = {
+        val hist = u.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+        val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        hist.withColumn("cum", sum("c").over(wv))
+          .crossJoin(broadcast(nU))
+          .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L), lit(4L))))
+          .where(col("cum") >= expr("(k * n + 4) div 5"))
+          .groupBy("k").agg(min("v").as("thr"))
+          .groupBy().pivot("k", Seq(1L, 2L, 3L, 4L)).agg(first("thr"))
+          .toDF(s"${metric}_t1", s"${metric}_t2", s"${metric}_t3",
+            s"${metric}_t4")
+      }
+      def code(metric: String): Column =
+        (lit(1L) + when(col(metric) > col(s"${metric}_t1"), 1L).otherwise(0L)
+          + when(col(metric) > col(s"${metric}_t2"), 1L).otherwise(0L)
+          + when(col(metric) > col(s"${metric}_t3"), 1L).otherwise(0L)
+          + when(col(metric) > col(s"${metric}_t4"), 1L).otherwise(0L))
+      u.crossJoin(broadcast(thresholds("r")))
+        .crossJoin(broadcast(thresholds("f")))
+        .crossJoin(broadcast(thresholds("m_dollars")))
+        .select(col("user_id"), col("r"), col("f"), col("m_cents"),
+          (lit(6L) - code("r")).as("r_code"), // recent = 5
+          code("f").as("f_code"), code("m_dollars").as("m_code"))
+        .withColumn("rfm",
+          col("r_code") * 100L + col("f_code") * 10L + col("m_code"))
+        .orderBy("user_id")
+    }),
+
+    // q288 — MARKOV NEXT-EVENT ACCURACY: does q113's transition
+    // matrix actually PREDICT? Leakage-safe evaluation: the model
+    // (argmax next-type per from-type, min-to tie-break) trains on
+    // each user's FIRST-HALF transitions and is scored on the second
+    // half — per-from accuracy in exact micros. All counting: one
+    // user-keyed window pass splits, two bounded groupBys build and
+    // score, nothing global.
+    "q288_markov_accuracy" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wAll = Window.partitionBy("user_id")
+      val tr = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nu", count(lit(1)).over(wAll))
+        .where(col("next_type").isNotNull)
+        .withColumn("is_eval", col("rn") * 2L > col("nu"))
+      // argmax the portable way (max count, then min to_type) — a
+      // max_by with a composed string tie-break would not mirror
+      // cleanly in the oracle
+      val cnt = tr.where(!col("is_eval"))
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy("from_type").agg(max("c").as("mc"))
+      val pred = cnt.join(best, "from_type")
+        .where(col("c") === col("mc"))
+        .groupBy("from_type").agg(min("to_type").as("pred"))
+      tr.where(col("is_eval"))
+        .select(col("event_type").as("from_type"), col("next_type"))
+        .join(pred, "from_type")
+        .groupBy("from_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("next_type") === col("pred"), 1L).otherwise(0L))
+            .as("n_correct"),
+          min("pred").as("predicted"))
+        .select(col("from_type"), col("predicted"), col("n_eval"),
+          col("n_correct"),
+          expr("n_correct * 1000000 div n_eval").as("acc_micro"))
+        .orderBy("from_type")
     }),
 
     // q260 — GINI CONCENTRATION: how skewed is event volume across
@@ -2828,6 +2956,87 @@ object AnalyticsQueries {
         "CAST(swy_c // sw_c AS BIGINT) AS mean_c_cents, " +
         "CAST(swy_t // sw_t - swy_c // sw_c AS BIGINT) AS ate_cents " +
         "FROM ag"),
+    // same bounded histograms, same ceil-rank thresholds, identical
+    // boolean-sum coding and reverse-coded recency
+    "q287_rfm_segments" ->
+      ("WITH hz AS (SELECT MAX(epoch_ns(ts) // 86400000000000) AS dmax " +
+        "FROM events), " +
+        "u AS (SELECT user_id, " +
+        "CAST(dmax - MAX(epoch_ns(ts) // 86400000000000) AS BIGINT) AS r, " +
+        "COUNT(*) AS f, " +
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+        "AS m_cents, " +
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT) " +
+        "AS m_dollars FROM events CROSS JOIN hz " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, dmax), " +
+        "nn AS (SELECT COUNT(*) AS n FROM u), " +
+        "ks AS (SELECT UNNEST([1, 2, 3, 4]) AS k), " +
+        "rt AS (SELECT MAX(CASE WHEN k = 1 THEN thr END) AS t1, " +
+        "MAX(CASE WHEN k = 2 THEN thr END) AS t2, " +
+        "MAX(CASE WHEN k = 3 THEN thr END) AS t3, " +
+        "MAX(CASE WHEN k = 4 THEN thr END) AS t4 FROM " +
+        "(SELECT k, MIN(v) AS thr FROM " +
+        "(SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM " +
+        "(SELECT r AS v, COUNT(*) AS c FROM u GROUP BY 1)) cc " +
+        "CROSS JOIN nn CROSS JOIN ks " +
+        "WHERE cum >= (k * n + 4) // 5 GROUP BY k)), " +
+        "ft AS (SELECT MAX(CASE WHEN k = 1 THEN thr END) AS t1, " +
+        "MAX(CASE WHEN k = 2 THEN thr END) AS t2, " +
+        "MAX(CASE WHEN k = 3 THEN thr END) AS t3, " +
+        "MAX(CASE WHEN k = 4 THEN thr END) AS t4 FROM " +
+        "(SELECT k, MIN(v) AS thr FROM " +
+        "(SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM " +
+        "(SELECT f AS v, COUNT(*) AS c FROM u GROUP BY 1)) cc " +
+        "CROSS JOIN nn CROSS JOIN ks " +
+        "WHERE cum >= (k * n + 4) // 5 GROUP BY k)), " +
+        "mt AS (SELECT MAX(CASE WHEN k = 1 THEN thr END) AS t1, " +
+        "MAX(CASE WHEN k = 2 THEN thr END) AS t2, " +
+        "MAX(CASE WHEN k = 3 THEN thr END) AS t3, " +
+        "MAX(CASE WHEN k = 4 THEN thr END) AS t4 FROM " +
+        "(SELECT k, MIN(v) AS thr FROM " +
+        "(SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM " +
+        "(SELECT m_dollars AS v, COUNT(*) AS c FROM u GROUP BY 1)) cc " +
+        "CROSS JOIN nn CROSS JOIN ks " +
+        "WHERE cum >= (k * n + 4) // 5 GROUP BY k)), " +
+        "coded AS (SELECT user_id, r, f, m_cents, " +
+        "6 - (1 + CAST(r > rt.t1 AS BIGINT) + CAST(r > rt.t2 AS BIGINT) " +
+        "+ CAST(r > rt.t3 AS BIGINT) + CAST(r > rt.t4 AS BIGINT)) " +
+        "AS r_code, " +
+        "1 + CAST(f > ft.t1 AS BIGINT) + CAST(f > ft.t2 AS BIGINT) " +
+        "+ CAST(f > ft.t3 AS BIGINT) + CAST(f > ft.t4 AS BIGINT) " +
+        "AS f_code, " +
+        "1 + CAST(m_dollars > mt.t1 AS BIGINT) " +
+        "+ CAST(m_dollars > mt.t2 AS BIGINT) " +
+        "+ CAST(m_dollars > mt.t3 AS BIGINT) " +
+        "+ CAST(m_dollars > mt.t4 AS BIGINT) AS m_code " +
+        "FROM u CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt) " +
+        "SELECT user_id, r, CAST(f AS BIGINT) AS f, m_cents, r_code, " +
+        "f_code, m_code, r_code * 100 + f_code * 10 + m_code AS rfm " +
+        "FROM coded ORDER BY user_id"),
+    // same half split by (ts, id) rank, same max-count/min-to argmax
+    "q288_markov_accuracy" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS t, " +
+        "event_type FROM events), " +
+        "w AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id) AS next_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) " +
+        "AS rn, COUNT(*) OVER (PARTITION BY user_id) AS nu FROM ev), " +
+        "tr AS (SELECT event_type AS from_type, next_type, " +
+        "rn * 2 > nu AS is_eval FROM w WHERE next_type IS NOT NULL), " +
+        "cnt AS (SELECT from_type, next_type AS to_type, COUNT(*) AS c " +
+        "FROM tr WHERE NOT is_eval GROUP BY 1, 2), " +
+        "best AS (SELECT from_type, MAX(c) AS mc FROM cnt GROUP BY 1), " +
+        "pred AS (SELECT cnt.from_type, MIN(to_type) AS pred FROM cnt " +
+        "JOIN best USING (from_type) WHERE c = mc GROUP BY 1) " +
+        "SELECT from_type, MIN(pred) AS predicted, " +
+        "COUNT(*) AS n_eval, " +
+        "CAST(SUM(CASE WHEN next_type = pred THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_correct, " +
+        "CAST(SUM(CASE WHEN next_type = pred THEN 1 ELSE 0 END) " +
+        "* 1000000 // COUNT(*) AS BIGINT) AS acc_micro " +
+        "FROM tr JOIN pred USING (from_type) WHERE is_eval " +
+        "GROUP BY 1 ORDER BY from_type"),
     // sorted-cumsum Gini identity, HUGEINT products, one division
     "q260_gini_concentration" ->
       ("WITH pu AS (SELECT user_id, COUNT(*) AS x FROM events " +
