@@ -440,7 +440,11 @@ object PipelineQueries {
     // anti-joined away; top-20 is TakeOrdered under a full
     // (score, u, v) tie order.
     "q274_adamic_adar" -> ((s, d) => {
-      val e = repeatCoEdges(s, d)
+      // three consumers (two sym legs + the known-edge anti-join) —
+      // materialize once, the q285 rationale
+      val e0 = repeatCoEdges(s, d)
+      val e = if (s.sparkContext.getCheckpointDir.isDefined)
+        e0.checkpoint(eager = true) else e0.localCheckpoint(true)
       val sym = e.select(col("lo").as("src"), col("hi").as("dst"))
         .unionByName(e.select(col("hi").as("src"), col("lo").as("dst")))
       val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("degw"))
@@ -471,7 +475,11 @@ object PipelineQueries {
     // the naive a<b<c triple join credited per vertex — proving the
     // orientation loses/double-counts nothing node-wise either.
     "q275_clustering_coeff" -> ((s, d) => {
-      val und = repeatCoEdges(s, d)
+      // three consumers (degrees, orientation, wedge closure) —
+      // materialize once, the q285 rationale
+      val u0 = repeatCoEdges(s, d)
+      val und = if (s.sparkContext.getCheckpointDir.isDefined)
+        u0.checkpoint(eager = true) else u0.localCheckpoint(true)
       val deg = und.select(col("lo").as("n"))
         .unionByName(und.select(col("hi").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -587,11 +595,17 @@ object PipelineQueries {
     // edges (both endpoints labeled c), d_c sums degrees; the
     // partition comes from the measured q38-style min-label CC
     // ([[Cluster.connectedComponents]]). m enters as a bounded driver
-    // scalar (an edge COUNT, not edges). The oracle replays the
-    // components via DuckDB's recursive min-label fixpoint —
-    // independent machinery, same labels.
+    // scalar (an edge COUNT, not edges). The edge table is
+    // materialized once (checkpoint/localCheckpoint, the Cluster
+    // recipe) because FOUR consumers read it — the count, the CC
+    // seed, the intra-edge join, and the degree fold — and recomputing
+    // the fact-sized pair groupBy per consumer measured 10.7 s at
+    // sf0.1. The oracle replays the components via DuckDB's recursive
+    // min-label fixpoint — independent machinery, same labels.
     "q285_modularity" -> ((s, d) => {
-      val e = repeatCoEdges(s, d)
+      val e0 = repeatCoEdges(s, d)
+      val e = if (s.sparkContext.getCheckpointDir.isDefined)
+        e0.checkpoint(eager = true) else e0.localCheckpoint(true)
       val lab = Cluster.connectedComponents(
         e.select(col("lo").as("n")).unionByName(e.select(col("hi").as("n")))
           .distinct(),

@@ -115,6 +115,17 @@ object AnalyticsQueries {
       "SELECT actual, predicted, COUNT(*) AS n, " +
       "(actual = predicted) AS correct FROM p GROUP BY 1, 2"
 
+  /** q290's pinned O'Brien-Fleming boundary micros for K = 4 looks
+    * (two-sided α = 0.05): z_k = 2.024428·√(K/k) — the textbook OBF
+    * spending shape, final-look bound ≈ the fixed-horizon 1.96 paid
+    * up front with near-unspendable early bounds. Computed once here
+    * and interpolated into BOTH engines, so no runtime sqrt crosses
+    * the gate.
+    */
+  private val ObfBoundMicro: Map[Int, Long] = (1 to 4).map { k =>
+    k -> math.floor(2.024428 * math.sqrt(4.0 / k) * 1e6).toLong
+  }.toMap
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // q148 — SINGLE-PASS PIPELINE OBSERVABILITY (`df.observe` /
@@ -256,6 +267,59 @@ object AnalyticsQueries {
         round((p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
           (lit(1.0) / col("n0").cast("double") +
             lit(1.0) / col("n1").cast("double"))), 6).as("z"))
+    }),
+
+    // q290 — GROUP-SEQUENTIAL MONITOR (O'Brien-Fleming): the interim-
+    // analysis discipline between q161's fixed-horizon z and q256's
+    // per-event SPRT — peek at the experiment 4 times (day-rank
+    // quartiles) WITHOUT inflating α, because each look pays the
+    // pinned OBF boundary z·√(K/k) (ObfBoundMicro — no runtime sqrt
+    // in the boundary). Each look's z is q161's pooled-proportion
+    // formula over the CUMULATIVE counts (pinned-order double, 6 dp);
+    // everything before it is exact integers on the bounded
+    // (day, variant) cell table — the 4-look fan-out happens AFTER
+    // the per-day aggregation, never on event volume. Output: one row
+    // per look with the boundary and the crossing verdict.
+    "q290_obrien_fleming" -> ((s, d) => {
+      val cells = events(s, d)
+        .select(expr("ts div 86400000000000").as("day"),
+          (col("user_id") % 2).as("variant"),
+          (col("event_type") === "purchase").cast("long").as("conv"))
+        .groupBy("day", "variant")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val wd = Window.orderBy("day")
+      val ranked = cells
+        .join(cells.select("day").distinct()
+          .withColumn("rk", row_number().over(wd).cast("long"))
+          .crossJoin(broadcast(cells.select("day").distinct()
+            .agg(count(lit(1)).as("nd")))), "day")
+      val looks = ranked
+        .withColumn("look", explode(array(lit(1L), lit(2L), lit(3L),
+          lit(4L))))
+        .where(col("rk") <= expr("(look * nd + 3) div 4"))
+        .groupBy("look")
+        .agg(countDistinct("day").as("n_days"),
+          sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 0, col("c"))).as("c0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          sum(when(col("variant") === 1, col("c"))).as("c1"))
+      val p0 = col("c0").cast("double") / col("n0").cast("double")
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val pp = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      val bound = expr("case look" +
+        (1 to 4).map(k => s" when ${k}L then ${ObfBoundMicro(k)}L")
+          .mkString + " end")
+      looks
+        .withColumn("z", round((p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n0").cast("double") +
+            lit(1.0) / col("n1").cast("double"))), 6))
+        .withColumn("bound_micro", bound)
+        .select(col("look"), col("n_days"), col("n0"), col("c0"),
+          col("n1"), col("c1"), col("z"), col("bound_micro"),
+          (abs(col("z")) * 1000000d > col("bound_micro").cast("double"))
+            .as("crossed"))
+        .orderBy("look")
     }),
 
     // q162 — CEP PATTERN MATCH (Flink MATCH_RECOGNIZE role): detect
@@ -3693,6 +3757,40 @@ object AnalyticsQueries {
         "CAST(tns - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) AS BIGINT) " +
         "END AS interp FROM w ORDER BY user_id, event_id"),
 
+    // same day-rank quartile looks, q161's pinned z text per look,
+    // identical interpolated OBF boundary literals
+    "q290_obrien_fleming" ->
+      ("WITH ce AS (SELECT epoch_ns(ts) // 86400000000000 AS day, " +
+        "user_id % 2 AS variant, " +
+        "CAST(event_type = 'purchase' AS BIGINT) AS conv FROM events), " +
+        "cells AS (SELECT day, variant, COUNT(*) AS n, " +
+        "CAST(SUM(conv) AS BIGINT) AS c FROM ce GROUP BY 1, 2), " +
+        "dr AS (SELECT day, CAST(row_number() OVER (ORDER BY day) " +
+        "AS BIGINT) AS rk FROM (SELECT DISTINCT day FROM cells)), " +
+        "dn AS (SELECT COUNT(*) AS nd FROM dr), " +
+        "lo AS (SELECT look, COUNT(DISTINCT day) AS n_days, " +
+        "CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c0, " +
+        "CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c1 " +
+        "FROM cells JOIN dr USING (day) CROSS JOIN dn " +
+        "CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS look) ks " +
+        "WHERE rk <= (look * nd + 3) // 4 GROUP BY 1), " +
+        "z AS (SELECT look, n_days, n0, c0, n1, c1, " +
+        "round((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - " +
+        "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / " +
+        "sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * " +
+        "(1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * " +
+        "(1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6) " +
+        "AS z, CASE look" +
+        (1 to 4).map(k => s" WHEN $k THEN ${ObfBoundMicro(k)}")
+          .mkString +
+        " END AS bound_micro FROM lo) " +
+        "SELECT CAST(look AS BIGINT) AS look, " +
+        "CAST(n_days AS BIGINT) AS n_days, n0, c0, n1, c1, z, " +
+        "CAST(bound_micro AS BIGINT) AS bound_micro, " +
+        "abs(z) * 1000000 > CAST(bound_micro AS DOUBLE) AS crossed " +
+        "FROM z ORDER BY look"),
     // exact integer counts into the pinned z formula
     "q161_ab_ztest" ->
       ("WITH a AS (SELECT user_id % 2 AS variant, count(*) AS n, " +
