@@ -587,6 +587,49 @@ object PipelineQueries {
         .orderBy("qid", "dim")
     }),
 
+    // q291 — JENSEN-SHANNON SOURCE SIMILARITY: pairwise JSD between
+    // the sources' unigram distributions — the mixing diagnostic that
+    // says WHICH corpus components are near-duplicates in
+    // distribution (q43/q268 decide rates; this says which rates are
+    // redundant). Exact-integer end-to-end by the decomposition
+    // JSD·2Na = Σ_shared ca·[ml(2·ca·Nb) − ml(ca·Nb + cb·Na)] +
+    // (Na − sharedA)·ml(2): tokens EXCLUSIVE to one source contribute
+    // exactly ln 2, so the pair join is INNER on token (no outer
+    // scaffold over vocab×pairs), and every ln reads an exact integer
+    // (the q77 micro-log idiom; cb = 0 would reduce to the same ln 2
+    // term the closed form adds). Per-term products ride decimal(38).
+    // Cost: one token-keyed self-join, Σ_t df_t² with df ≤ |sources|.
+    "q291_jsd_sources" -> ((s, d) => {
+      val ML2 = 693147L // floor(ln(2)·10⁶)
+      val tok = docs(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      val tot = tok.groupBy("source").agg(sum("c").as("n"))
+      val a = tok.toDF("src_a", "t", "ca")
+        .join(tot.toDF("src_a", "na"), "src_a")
+      val b = tok.toDF("src_b", "t", "cb")
+        .join(tot.toDF("src_b", "nb"), "src_b")
+      val ml = (x: String) =>
+        s"cast(floor(ln(cast(($x) as double)) * 1000000) as bigint)"
+      a.join(b, "t").where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b", "na", "nb")
+        .agg(count(lit(1)).as("shared_tokens"),
+          sum("ca").as("sha"), sum("cb").as("shb"),
+          sum(expr("cast(ca as decimal(38,0)) * (" +
+            ml("2 * ca * nb") + " - " + ml("ca * nb + cb * na") + ")"))
+            .as("ja"),
+          sum(expr("cast(cb as decimal(38,0)) * (" +
+            ml("2 * cb * na") + " - " + ml("ca * nb + cb * na") + ")"))
+            .as("jb"))
+        .select(col("src_a"), col("src_b"), col("shared_tokens"),
+          expr(s"cast((ja + cast(na - sha as decimal(38,0)) * $ML2) " +
+            "div (2 * cast(na as decimal(38,0))) + " +
+            s"(jb + cast(nb - shb as decimal(38,0)) * $ML2) " +
+            "div (2 * cast(nb as decimal(38,0))) as bigint)")
+            .as("jsd_micro"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // q285 — MODULARITY SCORE: how community-like is the connected-
     // component partition of the repeat-co-purchase graph? Newman's
     // Q = Σ_c [e_c/m − (d_c/2m)²] folded to ONE exact division:
@@ -2385,6 +2428,37 @@ object PipelineQueries {
         "(SELECT count(*) FROM cand) AS precision_micro"
     },
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // same shared-token inner join + exclusive-mass ln 2 closed form,
+    // identical micro-log terms, HUGEINT sums
+    "q291_jsd_sources" ->
+      (s"WITH tk AS (SELECT source, unnest(string_split($duckNorm, ' ')) " +
+        "AS t FROM documents), " +
+        "tc AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY 1, 2), " +
+        "tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc " +
+        "GROUP BY 1), " +
+        "pr AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb FROM tc a " +
+        "JOIN tc b ON a.t = b.t AND a.source < b.source " +
+        "JOIN tt ta ON ta.source = a.source " +
+        "JOIN tt tb ON tb.source = b.source), " +
+        "ag AS (SELECT src_a, src_b, na, nb, COUNT(*) AS shared_tokens, " +
+        "CAST(SUM(ca) AS BIGINT) AS sha, CAST(SUM(cb) AS BIGINT) AS shb, " +
+        "SUM(CAST(ca AS HUGEINT) * (" +
+        "CAST(FLOOR(ln(CAST(2 * ca * nb AS DOUBLE)) * 1000000) AS BIGINT) " +
+        "- CAST(FLOOR(ln(CAST(ca * nb + cb * na AS DOUBLE)) * 1000000) " +
+        "AS BIGINT))) AS ja, " +
+        "SUM(CAST(cb AS HUGEINT) * (" +
+        "CAST(FLOOR(ln(CAST(2 * cb * na AS DOUBLE)) * 1000000) AS BIGINT) " +
+        "- CAST(FLOOR(ln(CAST(ca * nb + cb * na AS DOUBLE)) * 1000000) " +
+        "AS BIGINT))) AS jb " +
+        "FROM pr GROUP BY 1, 2, 3, 4) " +
+        "SELECT src_a, src_b, shared_tokens, " +
+        "CAST((ja + CAST(na - sha AS HUGEINT) * 693147) " +
+        "// (2 * CAST(na AS HUGEINT)) + " +
+        "(jb + CAST(nb - shb AS HUGEINT) * 693147) " +
+        "// (2 * CAST(nb AS HUGEINT)) AS BIGINT) AS jsd_micro " +
+        "FROM ag ORDER BY src_a, src_b"),
+
     // recursive min-label CC (independent of Spark's loop), identical
     // exact-rational fold to one HUGEINT division
     "q285_modularity" ->

@@ -269,6 +269,44 @@ object AnalyticsQueries {
             lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // q292 — 1-D WASSERSTEIN (EARTH-MOVER) DISTANCE: how far apart
+    // are the two arms' purchase-value distributions IN CENTS — the
+    // magnitude-aware companion to q238's KS (KS caps at the largest
+    // CDF gap; W₁ integrates every gap, so a fat tail moves it). In
+    // 1-D, W₁ = ∫|F_A − F_B| dx = Σ_i |cumA_i·N_B − cumB_i·N_A| ·
+    // (v_{i+1} − v_i) / (N_A·N_B) over the sorted distinct values —
+    // EXACT integers throughout: cross-multiplied CDF gaps (no
+    // per-row division), decimal(38) products, one trailing division
+    // to micro-cents. Plan: one partial-agg groupBy to the bounded
+    // cents histogram; the cum/lead windows run on that table (the
+    // q265 bounded-domain window shape).
+    "q292_wasserstein" -> ((s, d) => {
+      val h = events(s, d)
+        .where(col("event_type") === "purchase")
+        .select((col("user_id") % 2 === 0).as("arm_a"),
+          expr("cast(round(value * 100) as bigint)").as("v"))
+        .groupBy("v")
+        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("b"))
+      val tot = h.agg(sum("a").as("na"), sum("b").as("nb"))
+      val wv = Window.orderBy("v")
+      val wc = wv.rowsBetween(Window.unboundedPreceding, 0)
+      h
+        .withColumn("cuma", sum("a").over(wc))
+        .withColumn("cumb", sum("b").over(wc))
+        .withColumn("nextv", lead("v", 1).over(wv))
+        .where(col("nextv").isNotNull)
+        .crossJoin(broadcast(tot))
+        .select(expr("abs(cast(cuma as decimal(38,0)) * nb - " +
+          "cast(cumb as decimal(38,0)) * na) * (nextv - v)").as("seg"),
+          col("na"), col("nb"))
+        .groupBy("na", "nb")
+        .agg(sum("seg").as("segsum"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          expr("cast(segsum * 1000000 div (cast(na as decimal(38,0)) " +
+            "* nb) as bigint)").as("w1_micro_cents"))
+    }),
+
     // q290 — GROUP-SEQUENTIAL MONITOR (O'Brien-Fleming): the interim-
     // analysis discipline between q161's fixed-horizon z and q256's
     // per-event SPRT — peek at the experiment 4 times (day-rank
@@ -3757,6 +3795,24 @@ object AnalyticsQueries {
         "CAST(tns - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) AS BIGINT) " +
         "END AS interp FROM w ORDER BY user_id, event_id"),
 
+    // same cents histogram, same cross-multiplied CDF gaps, HUGEINT
+    // segment sums, one trailing division
+    "q292_wasserstein" ->
+      ("WITH h AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, " +
+        "SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a, " +
+        "SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS b " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, " +
+        "CAST(SUM(b) AS BIGINT) AS nb FROM h), " +
+        "c AS (SELECT v, SUM(a) OVER w AS cuma, SUM(b) OVER w AS cumb, " +
+        "lead(v) OVER (ORDER BY v) AS nextv FROM h WINDOW w AS " +
+        "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "s AS (SELECT ABS(CAST(cuma AS HUGEINT) * nb - " +
+        "CAST(cumb AS HUGEINT) * na) * (nextv - v) AS seg, na, nb " +
+        "FROM c CROSS JOIN t WHERE nextv IS NOT NULL) " +
+        "SELECT na AS n_a, nb AS n_b, " +
+        "CAST(SUM(seg) * 1000000 // (CAST(na AS HUGEINT) * nb) " +
+        "AS BIGINT) AS w1_micro_cents FROM s GROUP BY 1, 2"),
     // same day-rank quartile looks, q161's pinned z text per look,
     // identical interpolated OBF boundary literals
     "q290_obrien_fleming" ->
