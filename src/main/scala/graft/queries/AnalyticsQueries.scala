@@ -269,6 +269,61 @@ object AnalyticsQueries {
             lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // q293 — KENDALL TAU-B: the pair-concordance companion to q272's
+    // Spearman (Spearman squares rank gaps; tau counts inversions —
+    // less sensitive to a single large displacement) with FULL tie
+    // correction: C, D, and the three tie classes are exact integer
+    // pair counts over the bounded daily table (the q267/q269 day-pair
+    // join), and only τ_b = (C−D)/√((n0−n1)(n0−n2)) leaves integers
+    // (pinned √·√ order, 6 dp, null when a margin is all ties).
+    "q293_kendall_tau" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("xc"),
+          count(lit(1)).as("yc"))
+      val a = daily.toDF("event_type", "day_a", "x_a", "y_a")
+      val b = daily.toDF("event_type", "day_b", "x_b", "y_b")
+      a.join(b, Seq("event_type"))
+        .where(col("day_a") < col("day_b"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n0"),
+          sum(expr("case when (x_b > x_a and y_b > y_a) or " +
+            "(x_b < x_a and y_b < y_a) then 1L else 0L end")).as("c"),
+          sum(expr("case when (x_b > x_a and y_b < y_a) or " +
+            "(x_b < x_a and y_b > y_a) then 1L else 0L end")).as("dd"),
+          sum(expr("case when x_b = x_a then 1L else 0L end")).as("tx"),
+          sum(expr("case when y_b = y_a then 1L else 0L end")).as("ty"))
+        .select(col("event_type"), col("n0"), col("c"), col("dd"),
+          when(col("n0") > col("tx") && col("n0") > col("ty"),
+            round((col("c") - col("dd")).cast("double") /
+              (sqrt((col("n0") - col("tx")).cast("double")) *
+                sqrt((col("n0") - col("ty")).cast("double"))), 6))
+            .as("tau_b"))
+        .orderBy("event_type")
+    }),
+
+    // q294 — HERFINDAHL-HIRSCHMAN CONCENTRATION: per event type, how
+    // concentrated is volume across users — the market-concentration
+    // twin of q260's Gini (HHI weights the BIG shares quadratically;
+    // a regulator reads both). HHI = Σ_u share_u² folded to one exact
+    // division: Σ c_u²·10⁶ div C², decimal(38) squares; the 10⁶/n
+    // uniform floor rides along so the reader sees distance from
+    // uniform. One user-keyed partial agg, one bounded fold.
+    "q294_hhi_concentration" -> ((s, d) => {
+      events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cu"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"), sum("cu").as("n_events"),
+          sum(expr("cast(cu as decimal(38,0)) * cu")).as("sq"))
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          expr("cast(sq * 1000000 div (cast(n_events as decimal(38,0)) " +
+            "* n_events) as bigint)").as("hhi_micro"),
+          expr("1000000 div n_users").as("uniform_micro"))
+        .orderBy("event_type")
+    }),
+
     // q292 — 1-D WASSERSTEIN (EARTH-MOVER) DISTANCE: how far apart
     // are the two arms' purchase-value distributions IN CENTS — the
     // magnitude-aware companion to q238's KS (KS caps at the largest
@@ -3795,6 +3850,43 @@ object AnalyticsQueries {
         "CAST(tns - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) AS BIGINT) " +
         "END AS interp FROM w ORDER BY user_id, event_id"),
 
+    // same day-pair concordance counts and tie classes, identical
+    // pinned √·√ ratio text
+    "q293_kendall_tau" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xc, " +
+        "COUNT(*) AS yc FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT a.event_type, COUNT(*) AS n0, " +
+        "CAST(SUM(CASE WHEN (b.xc > a.xc AND b.yc > a.yc) OR " +
+        "(b.xc < a.xc AND b.yc < a.yc) THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS c, " +
+        "CAST(SUM(CASE WHEN (b.xc > a.xc AND b.yc < a.yc) OR " +
+        "(b.xc < a.xc AND b.yc > a.yc) THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS dd, " +
+        "CAST(SUM(CASE WHEN b.xc = a.xc THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS tx, " +
+        "CAST(SUM(CASE WHEN b.yc = a.yc THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS ty FROM dl a JOIN dl b ON a.event_type = b.event_type " +
+        "AND a.day < b.day GROUP BY 1) " +
+        "SELECT event_type, CAST(n0 AS BIGINT) AS n0, c, dd, " +
+        "CASE WHEN n0 > tx AND n0 > ty THEN " +
+        "round(CAST(c - dd AS DOUBLE) / " +
+        "(sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE)))" +
+        ", 6) END AS tau_b FROM p ORDER BY event_type"),
+    // same per-user counts, HUGEINT squares, one division + the
+    // uniform floor
+    "q294_hhi_concentration" ->
+      ("WITH cu AS (SELECT event_type, user_id, COUNT(*) AS cu " +
+        "FROM events GROUP BY 1, 2), " +
+        "ag AS (SELECT event_type, COUNT(*) AS n_users, " +
+        "CAST(SUM(cu) AS BIGINT) AS n_events, " +
+        "SUM(CAST(cu AS HUGEINT) * cu) AS sq FROM cu GROUP BY 1) " +
+        "SELECT event_type, CAST(n_users AS BIGINT) AS n_users, " +
+        "n_events, CAST(sq * 1000000 // (CAST(n_events AS HUGEINT) " +
+        "* n_events) AS BIGINT) AS hhi_micro, " +
+        "CAST(1000000 // n_users AS BIGINT) AS uniform_micro " +
+        "FROM ag ORDER BY event_type"),
     // same cents histogram, same cross-multiplied CDF gaps, HUGEINT
     // segment sums, one trailing division
     "q292_wasserstein" ->
