@@ -570,15 +570,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q252 reintroduced a window:\n$p")
   }
 
-  test("caliper matching: bucket-equality broadcast join + min_by partial agg") {
+  test("caliper matching: sorted 1-D nearest form — bucket windows, no pair join") {
     val p = plan("q253_caliper_matching")
-    // candidates come from an equality join on the caliper bucket —
-    // never a nested-loop over |T|x|C|
-    assert(p.contains("BroadcastHashJoin"), s"q253 lost the bucket join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
+    // the as-of rewrite: carry-forward windows partitioned by caliper
+    // bucket — never a pair join over |T|x|C| candidates (the first
+    // cut's bucket-equality join measured 50.3 s at sf0.1 because the
+    // propensity mass concentrates in ~25 buckets)
+    assert(p.contains("windowspecdefinition(bkt"),
+      s"q253 lost its bucket-partitioned carry-forward windows:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
       s"q253 degraded to a nested loop:\n$p")
-    assert(p.contains("partial_min_by"),
-      s"q253 best-match pick lost partial aggregation:\n$p")
+    // the control reduction stays a partial aggregation
+    assert(p.contains("partial_min"),
+      s"q253 control reduction lost partial aggregation:\n$p")
   }
 
   test("blocklist filter is scan-side: no hash shuffle, no aggregation") {
