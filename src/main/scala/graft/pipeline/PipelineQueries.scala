@@ -587,6 +587,36 @@ object PipelineQueries {
         .orderBy("qid", "dim")
     }),
 
+    // q297 — TOKEN BURSTINESS (Church & Gale): variance-to-mean ratio
+    // of per-document token counts — a CONTENT word clusters in the
+    // few documents about its topic (D ≫ 1) while a function word
+    // spreads Poisson-like (D ≈ 1); the corpus-statistics keyword
+    // signal beside q282's graph-based TextRank. Zero-count documents
+    // are in the denominator by closed form, not by materializing the
+    // vocab×docs grid: over N docs, N²·Var = N·Σc² − (Σc)² with c
+    // summed only where present, and D_micro = (N·Σc² − (Σc)²)·10⁶
+    // div (N·Σc) — decimal(38) products, one division. Tokens with
+    // corpus count ≥ 50 rank (rarity inflates D estimates); top-20 by
+    // (D desc, token) is TakeOrdered.
+    "q297_burstiness" -> ((s, d) => {
+      val nd = docs(s, d).agg(count(lit(1)).as("nn"))
+      docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_docs"), sum("c").as("sc"),
+          sum(expr("cast(c as decimal(38,0)) * c")).as("sc2"))
+        .where(col("sc") >= 50L)
+        .crossJoin(broadcast(nd))
+        .select(col("t").as("token"), col("n_docs"), col("sc")
+          .as("corpus_count"),
+          expr("cast((nn * sc2 - cast(sc as decimal(38,0)) * sc) " +
+            "* 1000000 div (cast(nn as decimal(38,0)) * sc) as bigint)")
+            .as("burstiness_micro"))
+        .orderBy(desc("burstiness_micro"), col("token"))
+        .limit(20)
+    }),
+
     // q291 — JENSEN-SHANNON SOURCE SIMILARITY: pairwise JSD between
     // the sources' unigram distributions — the mixing diagnostic that
     // says WHICH corpus components are near-duplicates in
@@ -2428,6 +2458,23 @@ object PipelineQueries {
         "(SELECT count(*) FROM cand) AS precision_micro"
     },
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // same zero-inclusive closed form over present-only counts,
+    // HUGEINT products, same ≥50 floor and top-20 order
+    "q297_burstiness" ->
+      (s"WITH nd AS (SELECT COUNT(*) AS nn FROM documents), " +
+        s"tc AS (SELECT doc_id, t, COUNT(*) AS c FROM " +
+        s"(SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t " +
+        "FROM documents) GROUP BY 1, 2), " +
+        "ag AS (SELECT t, COUNT(*) AS n_docs, " +
+        "CAST(SUM(c) AS BIGINT) AS sc, " +
+        "SUM(CAST(c AS HUGEINT) * c) AS sc2 FROM tc GROUP BY 1) " +
+        "SELECT t AS token, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "sc AS corpus_count, " +
+        "CAST((nn * sc2 - CAST(sc AS HUGEINT) * sc) * 1000000 " +
+        "// (CAST(nn AS HUGEINT) * sc) AS BIGINT) AS burstiness_micro " +
+        "FROM ag CROSS JOIN nd WHERE sc >= 50 " +
+        "ORDER BY burstiness_micro DESC, token LIMIT 20"),
+
     // same shared-token inner join + exclusive-mass ln 2 closed form,
     // identical micro-log terms, HUGEINT sums
     "q291_jsd_sources" ->

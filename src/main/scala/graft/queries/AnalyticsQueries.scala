@@ -324,6 +324,98 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q295 — SEASONAL-STRENGTH METRICS (Hyndman & Athanasopoulos):
+    // one row per type summarizing q277's decomposition — F_trend =
+    // max(0, 1 − Var(R)/Var(T+R)) and F_seasonal = max(0, 1 −
+    // Var(R)/Var(S+R)) — the numbers a forecaster reads to decide if
+    // the series WARRANTS a seasonal model. Variances stay exact by
+    // the n-scaling trick (q278): for a component c over n full-
+    // window days, n²·Var = n·Σ(c·n − Σc... folded as n·Σc² − (Σc)²,
+    // all decimal(38); each F is ONE quantized division of two exact
+    // integers (10⁶ − Var_R·10⁶ div Var_X, clamped at 0). Runs on
+    // q277's bounded daily table.
+    "q295_seasonal_strength" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("x"))
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("trend",
+          when(count(lit(1)).over(w7) === 7L &&
+            max("day").over(w7) - min("day").over(w7) === 6L,
+            expr("sum(x) over (partition by event_type order by day " +
+              "rows between 3 preceding and 3 following) div 7")))
+        .withColumn("dow", expr("day % 7"))
+        .withColumn("det", col("x") - col("trend"))
+      val seas = t.where(col("det").isNotNull)
+        .groupBy("event_type", "dow")
+        .agg(expr("sum(det) div count(1)").as("seasonal"))
+      val full = t.join(seas, Seq("event_type", "dow"))
+        .where(col("trend").isNotNull)
+        .withColumn("r", col("x") - col("trend") - col("seasonal"))
+        .withColumn("tr", col("trend") + col("r"))
+        .withColumn("sr", col("seasonal") + col("r"))
+      def nvar(c: String) = // n·Σc² − (Σc)² — n²·Var, exact
+        expr(s"count(1) * sum(cast($c as decimal(38,0)) * $c) " +
+          s"- sum(cast($c as decimal(38,0))) * sum($c)")
+      full.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          nvar("r").as("vr"), nvar("tr").as("vtr"), nvar("sr").as("vsr"))
+        .select(col("event_type"), col("n_days"),
+          when(col("vtr") > 0, greatest(lit(0L),
+            lit(1000000L) - expr("cast(vr * 1000000 div vtr as bigint)")))
+            .as("f_trend_micro"),
+          when(col("vsr") > 0, greatest(lit(0L),
+            lit(1000000L) - expr("cast(vr * 1000000 div vsr as bigint)")))
+            .as("f_seasonal_micro"))
+        .orderBy("event_type")
+    }),
+
+    // q296 — BINARY-SEGMENTATION CHANGEPOINT ESTIMATE: WHERE did the
+    // level shift happen — the estimation companion to q266's CUSUM
+    // detection. The best single split maximizes the two-segment fit
+    // Σ_l²/n_l + Σ_r²/n_r (equivalently minimizes SSE; the Σx² term
+    // is split-invariant and drops); the gain is quantized to
+    // g_micro = (Σ_l²·n_r + Σ_r²·n_l)·10⁶ div (n_l·n_r) — decimal(38)
+    // products of exact prefix sums — and the argmax is exact with a
+    // min-day tie-break. Candidate splits are the ≤|days| prefix
+    // boundaries; everything runs on the bounded daily table (prefix
+    // sums via per-type windows, argmax a max_by fold).
+    "q296_binary_segmentation" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("x"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      daily
+        .withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sl", sum("x").over(wCum))
+        .withColumn("st", sum("x").over(wAll))
+        .where(col("k") < col("n")) // split AFTER day k
+        .withColumn("g", expr(
+          "cast((cast(sl as decimal(38,0)) * sl * (n - k) " +
+            "+ cast(st - sl as decimal(38,0)) * (st - sl) * k) " +
+            "* 1000000 div (cast(k as decimal(38,0)) * (n - k)) " +
+            "as decimal(38,0))"))
+        .groupBy("event_type")
+        .agg(max_by(struct(col("day"), col("k"), col("g")),
+          struct(col("g"), -col("day"))).as("m"),
+          max("n").as("n_days"))
+        .select(col("event_type"), col("n_days"),
+          col("m.day").as("split_after_day"),
+          col("m.k").as("left_days"),
+          col("m.g").cast("long").as("gain_quantized"))
+        .orderBy("event_type")
+    }),
+
     // q292 — 1-D WASSERSTEIN (EARTH-MOVER) DISTANCE: how far apart
     // are the two arms' purchase-value distributions IN CENTS — the
     // magnitude-aware companion to q238's KS (KS caps at the largest
@@ -3887,6 +3979,75 @@ object AnalyticsQueries {
         "* n_events) AS BIGINT) AS hhi_micro, " +
         "CAST(1000000 // n_users AS BIGINT) AS uniform_micro " +
         "FROM ag ORDER BY event_type"),
+    // q277's decomposition chain + n²·Var closed form per component,
+    // identical quantized F divisions and clamps
+    "q295_seasonal_strength" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, day, x, " +
+        "CASE WHEN COUNT(*) OVER w = 7 " +
+        "AND MAX(day) OVER w - MIN(day) OVER w = 6 " +
+        "THEN CAST(SUM(x) OVER w // 7 AS BIGINT) END AS trend, " +
+        "day % 7 AS dow FROM dl WINDOW w AS " +
+        "(PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "t2 AS (SELECT *, x - trend AS det FROM t), " +
+        "se AS (SELECT event_type, dow, " +
+        "CAST(SUM(det) // COUNT(*) AS BIGINT) AS seasonal " +
+        "FROM t2 WHERE det IS NOT NULL GROUP BY 1, 2), " +
+        "fu AS (SELECT t2.event_type, " +
+        "CAST(t2.x - t2.trend - se.seasonal AS BIGINT) AS r, " +
+        "CAST(t2.trend + (t2.x - t2.trend - se.seasonal) AS BIGINT) " +
+        "AS tr, " +
+        "CAST(se.seasonal + (t2.x - t2.trend - se.seasonal) AS BIGINT) " +
+        "AS sr FROM t2 JOIN se ON t2.event_type = se.event_type " +
+        "AND t2.dow = se.dow WHERE t2.trend IS NOT NULL), " +
+        "ag AS (SELECT event_type, COUNT(*) AS n_days, " +
+        "COUNT(*) * SUM(CAST(r AS HUGEINT) * r) " +
+        "- SUM(CAST(r AS HUGEINT)) * SUM(r) AS vr, " +
+        "COUNT(*) * SUM(CAST(tr AS HUGEINT) * tr) " +
+        "- SUM(CAST(tr AS HUGEINT)) * SUM(tr) AS vtr, " +
+        "COUNT(*) * SUM(CAST(sr AS HUGEINT) * sr) " +
+        "- SUM(CAST(sr AS HUGEINT)) * SUM(sr) AS vsr " +
+        "FROM fu GROUP BY 1) " +
+        "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, " +
+        "CASE WHEN vtr > 0 THEN GREATEST(0, 1000000 - " +
+        "CAST(vr * 1000000 // vtr AS BIGINT)) END AS f_trend_micro, " +
+        "CASE WHEN vsr > 0 THEN GREATEST(0, 1000000 - " +
+        "CAST(vr * 1000000 // vsr AS BIGINT)) END AS f_seasonal_micro " +
+        "FROM ag ORDER BY event_type"),
+    // same quantized two-segment gain over exact prefix sums, argmax
+    // replayed as max-gain + min-day (k monotone in day)
+    "q296_binary_segmentation" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, day, " +
+        "CAST(row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY day) AS BIGINT) AS k, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS sl, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS st " +
+        "FROM dl), " +
+        "g AS (SELECT event_type, day, k, n, " +
+        "(CAST(sl AS HUGEINT) * sl * (n - k) " +
+        "+ CAST(st - sl AS HUGEINT) * (st - sl) * k) * 1000000 " +
+        "// (CAST(k AS HUGEINT) * (n - k)) AS g " +
+        "FROM r WHERE k < n), " +
+        "b AS (SELECT event_type, MAX(g) AS mg, MAX(n) AS nd " +
+        "FROM g GROUP BY 1), " +
+        "f AS (SELECT g.event_type, b.nd, g.day, g.k, g.g FROM g " +
+        "JOIN b ON g.event_type = b.event_type AND g.g = b.mg) " +
+        "SELECT event_type, CAST(nd AS BIGINT) AS n_days, " +
+        "CAST(MIN(day) AS BIGINT) AS split_after_day, " +
+        "CAST(MIN(k) AS BIGINT) AS left_days, " +
+        "CAST(MIN(g) AS BIGINT) AS gain_quantized " +
+        "FROM f GROUP BY 1, 2 ORDER BY event_type"),
     // same cents histogram, same cross-multiplied CDF gaps, HUGEINT
     // segment sums, one trailing division
     "q292_wasserstein" ->
