@@ -587,6 +587,39 @@ object PipelineQueries {
         .orderBy("qid", "dim")
     }),
 
+    // q299 — HELD-OUT OOV RATE: what fraction of eval-split tokens
+    // the train-split vocabulary has never seen — the coverage number
+    // that decides whether a vocab/tokenizer generalizes (reported
+    // per source, because OOV concentrating in one source means that
+    // source is under-represented in train, not that the vocab is
+    // small). Splits are q126's md5 contract (deterministic, stable
+    // under growth); the train vocabulary is a distinct-token set the
+    // eval stream LEFT-ANTI probes (token-keyed join — at scale a
+    // Bloom of the vocab serves the probe, the q104 path). Exact
+    // counts, one trailing micro division.
+    "q299_oov_rate" -> ((s, d) => {
+      val split = (conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100)
+      val base = docs(s, d)
+        .withColumn("b", split)
+        .withColumn("is_train", col("b") < 80)
+        .where(col("b") < 80 || col("b") >= 90) // train + test only
+      val toks = base.select(col("source"), col("is_train"),
+        explode(TextOps.tokens(col("text"))).as("t"))
+      val vocab = toks.where(col("is_train")).select("t").distinct()
+      val ev = toks.where(!col("is_train"))
+      val oov = ev.join(vocab, Seq("t"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("oov_tokens"))
+      ev.groupBy("source").agg(count(lit(1)).as("eval_tokens"))
+        .join(oov, Seq("source"), "left")
+        .select(col("source"), col("eval_tokens"),
+          coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+          expr("coalesce(oov_tokens, 0L) * 1000000 div eval_tokens")
+            .as("oov_micro"))
+        .orderBy("source")
+    }),
+
     // q297 — TOKEN BURSTINESS (Church & Gale): variance-to-mean ratio
     // of per-document token counts — a CONTENT word clusters in the
     // few documents about its topic (D ≫ 1) while a function word
@@ -2458,6 +2491,26 @@ object PipelineQueries {
         "(SELECT count(*) FROM cand) AS precision_micro"
     },
     // both rankings replayed (q16 + q22 oracle chains), intersected
+    // q126's md5 split, same train-vocab anti-probe, exact counts
+    "q299_oov_rate" ->
+      (s"WITH b AS (SELECT doc_id, source, text, " +
+        "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), " +
+        "1, 8))::BIGINT % 100 AS b FROM documents), " +
+        s"f AS (SELECT source, b < 80 AS is_train, " +
+        s"unnest(string_split($duckNorm, ' ')) AS t FROM b " +
+        "WHERE b < 80 OR b >= 90), " +
+        "v AS (SELECT DISTINCT t FROM f WHERE is_train), " +
+        "e AS (SELECT source, t FROM f WHERE NOT is_train), " +
+        "o AS (SELECT source, COUNT(*) AS oov_tokens FROM e " +
+        "WHERE t NOT IN (SELECT t FROM v) GROUP BY 1), " +
+        "a AS (SELECT source, COUNT(*) AS eval_tokens FROM e " +
+        "GROUP BY 1) " +
+        "SELECT a.source, CAST(eval_tokens AS BIGINT) AS eval_tokens, " +
+        "CAST(COALESCE(oov_tokens, 0) AS BIGINT) AS oov_tokens, " +
+        "CAST(COALESCE(oov_tokens, 0) * 1000000 // eval_tokens " +
+        "AS BIGINT) AS oov_micro FROM a LEFT JOIN o " +
+        "ON a.source = o.source ORDER BY a.source"),
+
     // same zero-inclusive closed form over present-only counts,
     // HUGEINT products, same ≥50 floor and top-20 order
     "q297_burstiness" ->

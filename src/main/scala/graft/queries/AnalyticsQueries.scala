@@ -324,6 +324,30 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q298 — INDEX OF DISPERSION (overdispersion screen): per type,
+    // the variance-to-mean ratio of DAILY counts — the one number
+    // that says whether a Poisson traffic model is even admissible
+    // (D ≈ 10⁶ micro ⇔ Poisson; D ≫ 10⁶ ⇔ clumped/negative-binomial,
+    // and every rate-based alert threshold downstream needs widening).
+    // Exact: D_micro = (n·Σx² − (Σx)²)·10⁶ div ((n−1)·Σx), decimal(38)
+    // products over the bounded daily table, one trailing division.
+    "q298_dispersion_index" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("n_events"),
+          sum(expr("cast(x as decimal(38,0)) * x")).as("sx2"))
+        .where(col("n_days") > 1L && col("n_events") > 0L)
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          expr("cast((n_days * sx2 - cast(n_events as decimal(38,0)) " +
+            "* n_events) * 1000000 div ((n_days - 1) * " +
+            "cast(n_events as decimal(38,0))) as bigint)")
+            .as("dispersion_micro"))
+        .orderBy("event_type")
+    }),
+
     // q295 — SEASONAL-STRENGTH METRICS (Hyndman & Athanasopoulos):
     // one row per type summarizing q277's decomposition — F_trend =
     // max(0, 1 − Var(R)/Var(T+R)) and F_seasonal = max(0, 1 −
@@ -3979,6 +4003,20 @@ object AnalyticsQueries {
         "* n_events) AS BIGINT) AS hhi_micro, " +
         "CAST(1000000 // n_users AS BIGINT) AS uniform_micro " +
         "FROM ag ORDER BY event_type"),
+    // same daily counts, same exact n²-scaled variance ratio
+    "q298_dispersion_index" ->
+      ("WITH dl AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "ag AS (SELECT event_type, COUNT(*) AS n_days, " +
+        "CAST(SUM(x) AS BIGINT) AS n_events, " +
+        "SUM(CAST(x AS HUGEINT) * x) AS sx2 FROM dl GROUP BY 1) " +
+        "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, " +
+        "n_events, CAST((n_days * sx2 - CAST(n_events AS HUGEINT) " +
+        "* n_events) * 1000000 // ((n_days - 1) * " +
+        "CAST(n_events AS HUGEINT)) AS BIGINT) AS dispersion_micro " +
+        "FROM ag WHERE n_days > 1 AND n_events > 0 " +
+        "ORDER BY event_type"),
     // q277's decomposition chain + n²·Var closed form per component,
     // identical quantized F divisions and clamps
     "q295_seasonal_strength" ->
