@@ -75,18 +75,33 @@ case class MmrSelect(child: Expression, k: Int, lambdaTenths: Int)
 object MmrSelect {
 
   def compute(arr: ArrayData, k: Int, lambdaTenths: Int): ArrayData = {
-    val n = arr.numElements()
-    val ids = new Array[Long](n)
-    val rel = new Array[Long](n)
-    val embs = new Array[ArrayData](n)
-    var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, 3)
-      ids(i) = row.getLong(0)
-      rel(i) = row.getLong(1)
-      embs(i) = row.getArray(2)
-      i += 1
+    // the input type may be ArrayType(..., containsNull = true) /
+    // nullable fields: skip null elements and elements with a null
+    // id/rel/emb instead of NPE-ing in an executor (a null candidate
+    // carries no rankable signal; dropping it is the only sane MMR
+    // semantics)
+    val total = arr.numElements()
+    val ids0 = new Array[Long](total)
+    val rel0 = new Array[Long](total)
+    val embs0 = new Array[ArrayData](total)
+    var n = 0
+    var src = 0
+    while (src < total) {
+      if (!arr.isNullAt(src)) {
+        val row = arr.getStruct(src, 3)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
+          ids0(n) = row.getLong(0)
+          rel0(n) = row.getLong(1)
+          embs0(n) = row.getArray(2)
+          n += 1
+        }
+      }
+      src += 1
     }
+    val ids = ids0
+    val rel = rel0
+    val embs = embs0
+    var i = 0
     val norms = new Array[Double](n)
     i = 0
     while (i < n) {

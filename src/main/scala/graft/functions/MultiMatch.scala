@@ -35,6 +35,12 @@ case class MultiMatch(child: Expression, patterns: Seq[String])
 
   require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
     "multi_match: patterns must be non-empty")
+  // the output map is keyed by pattern — a duplicate would produce a
+  // map with duplicate keys (invalid map semantics, undefined
+  // element_at), so reject at construction
+  require(patterns.distinct.size == patterns.size,
+    s"multi_match: duplicate pattern(s): " +
+      patterns.diff(patterns.distinct).distinct.mkString(", "))
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

@@ -34,6 +34,15 @@ object AnalyticsQueries {
   private def SprtLlrPos = lit(SprtLlrPosL)
   private def SprtLlrNeg = lit(SprtLlrNegL)
 
+  /** q198's pinned Benford expectations ⌊log10(1+1/d)·10⁶⌋ for digits
+    * 1..9 — computed once here and interpolated into BOTH engines as
+    * integer literals (the SPRT/DCG convention above; no runtime
+    * transcendental crosses the gate).
+    */
+  private val BenfordMicro: Seq[Long] = (1 to 9).map { d =>
+    math.floor(math.log10(1d + 1d / d) * 1e6).toLong
+  }
+
   /** q127/q128's dimension-change stream: signup events as profile
     * updates. Times are collapsed per (user, ts) first (greatest value
     * wins — [[graft.pipeline.AsofJoin]]'s tie-break) so the SCD2
@@ -1085,7 +1094,12 @@ object AnalyticsQueries {
     // One digit-extraction scan (string form of |cents| — abs first,
     // so negative values contribute their significant digit instead
     // of a sign character that Spark would NULL-cast and DuckDB would
-    // reject; no float logs), a 9-row aggregate, broadcast total.
+    // reject), a 9-row aggregate, broadcast total. The nine Benford
+    // expectations ⌊log10(1+1/d)·10⁶⌋ are PINNED literals interpolated
+    // into both engines (the q240/q256 convention) — `Math.log` is not
+    // correctly-rounded, so a runtime log crossing the gate is a
+    // latent cross-platform hash break even when both engines' libm
+    // agree today.
     "q198_benford_audit" -> ((s, d) => {
       val digits = events(s, d)
         .select(substring(abs(round(col("value") * 100).cast("long"))
@@ -1093,11 +1107,11 @@ object AnalyticsQueries {
         .where(col("digit") >= 1)
         .groupBy("digit").agg(count(lit(1)).as("n"))
       val tot = digits.agg(sum("n").as("tot"))
+      val benford = array(BenfordMicro.map(lit): _*)
       digits.crossJoin(broadcast(tot))
         .select(col("digit"), col("n"),
           expr("n * 1000000 div tot").as("share_micro"),
-          floor(expr("log10(1.0D + 1.0D / cast(digit as double))")
-            * 1000000).cast("long").as("benford_micro"))
+          element_at(benford, col("digit").cast("int")).as("benford_micro"))
         .withColumn("dev_micro",
           abs(col("share_micro") - col("benford_micro")))
         .orderBy("digit")
@@ -3645,7 +3659,8 @@ object AnalyticsQueries {
         "min(tot) AS total_wt FROM c WHERE cum * 2 >= tot " +
         "GROUP BY event_type ORDER BY event_type"),
 
-    // same string-form digit extraction, same micro expectation
+    // same string-form digit extraction; the Benford expectations are
+    // the SAME pinned literals the Spark plan uses (no runtime log)
     "q198_benford_audit" ->
       ("WITH dg AS (SELECT CAST(substr(CAST(abs(CAST(round(value * 100) " +
         "AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM events), " +
@@ -3653,10 +3668,10 @@ object AnalyticsQueries {
         "GROUP BY 1), " +
         "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c) " +
         "SELECT digit, n, n * 1000000 // tot AS share_micro, " +
-        "CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT) " +
+        s"(${BenfordMicro.mkString("[", ", ", "]")})[digit] " +
         "AS benford_micro, " +
         "abs(n * 1000000 // tot - " +
-        "CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)) " +
+        s"(${BenfordMicro.mkString("[", ", ", "]")})[digit]) " +
         "AS dev_micro FROM c CROSS JOIN t ORDER BY digit"),
 
     // same per-user counts, same pinned chi-square expression

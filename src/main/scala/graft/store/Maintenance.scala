@@ -45,10 +45,11 @@ object Maintenance {
     * removed) per table.
     */
   def gcAll(spark: SparkSession, warehouseDir: String, namespace: String,
-      olderThanMs: Long = 3600 * 1000L): Seq[(String, Int)] =
+      olderThanMs: Long = UpsertTable.OrphanGcDefaultMs,
+      allowShortRetention: Boolean = false): Seq[(String, Int)] =
     listTables(warehouseDir, namespace).map { table =>
       table -> UpsertTable(spark, s"$warehouseDir/$namespace/$table")
-        .removeOrphanFiles(olderThanMs).size
+        .removeOrphanFiles(olderThanMs, allowShortRetention).size
     }
 
   /** Collapse merge-on-read deltas / small files on every table in

@@ -775,14 +775,26 @@ class UpsertTable(spark: SparkSession, val location: String) {
     * disk that NO snapshot in the log references — the leftovers of
     * commit attempts that lost the atomic-exclusive publish race or
     * crashed between writing data and publishing the manifest. Only
-    * files older than `olderThanMs` are touched (an in-flight
+    * files older than `olderThanMs` are touched: an in-flight
     * attempt's freshly written files must survive until its publish
-    * or loss is decided — the same retention contract Iceberg's
-    * procedure ships with). Empty attempt/bucket directories are
-    * pruned. Returns the deleted manifest-relative paths.
+    * or loss is decided, so the retention has to exceed the LONGEST
+    * plausible commit write. The default is 3 days — Iceberg's
+    * `remove_orphan_files` default, chosen for exactly this hazard —
+    * and retentions under 24 h are refused unless
+    * `allowShortRetention = true` is passed explicitly (at 100 TB a
+    * multi-hour data write is routine; GC'ing its files mid-commit
+    * corrupts the snapshot it is about to publish). Empty
+    * attempt/bucket directories are pruned. Returns the deleted
+    * manifest-relative paths.
     */
-  def removeOrphanFiles(olderThanMs: Long = 3600 * 1000L): Seq[String] =
+  def removeOrphanFiles(olderThanMs: Long = OrphanGcDefaultMs,
+      allowShortRetention: Boolean = false): Seq[String] =
     synchronized {
+      require(olderThanMs >= OrphanGcMinMs || allowShortRetention,
+        s"orphan GC retention ${olderThanMs}ms is under 24h — an " +
+          "in-flight commit's files could be deleted before its " +
+          "manifest publishes; pass allowShortRetention = true to " +
+          "override (tests/teardown only)")
       val live: Set[String] = SnapshotLog.listVersions(location)
         .flatMap(v => SnapshotLog.read(location, v).files.map(_.path)).toSet
       val dataRoot = root.resolve("data")
@@ -953,8 +965,23 @@ class UpsertTable(spark: SparkSession, val location: String) {
       }
       merged.toSeq.flatMap { case ((f, c), bf) =>
         // input_file_name is a URI; recover the commit-relative path
-        val rel = rels.find(r => f.endsWith(r) ||
-          f.endsWith(r.replace("=", "%3D")))
+        // by exact segment equality on the DECODED path (URI.getPath
+        // handles any percent-encoding, not just '='), requiring a
+        // UNIQUE match — a wrong match would attach the wrong file's
+        // bloom and make lookup pruning silently unsound (false
+        // negatives), so ambiguity drops the bloom (absence is always
+        // safe: it reads as "cannot prune")
+        val fSegs = scala.util.Try(new java.net.URI(f).getPath)
+          .toOption.filter(_ != null).getOrElse(f)
+          .split('/').filter(_.nonEmpty)
+        val rel = rels.filter { r =>
+          val rSegs = r.split('/').filter(_.nonEmpty)
+          fSegs.length >= rSegs.length &&
+            fSegs.takeRight(rSegs.length).sameElements(rSegs)
+        } match {
+          case Seq(only) => Some(only)
+          case _ => None
+        }
         rel.map { r =>
           val bos = new java.io.ByteArrayOutputStream()
           bf.writeTo(bos)
@@ -985,6 +1012,18 @@ object UpsertTable {
     * — each bloom is ~1.2 KiB per 1000 rows in the manifest.
     */
   val LookupBloomFpp = 0.01
+
+  /** Default orphan-GC retention: 3 days, matching Iceberg's
+    * `remove_orphan_files` default — long enough that any plausible
+    * in-flight commit write finishes (publish or loss) first.
+    */
+  val OrphanGcDefaultMs: Long = 3L * 24 * 3600 * 1000
+
+  /** Shortest orphan-GC retention accepted without the explicit
+    * `allowShortRetention` override (Iceberg refuses < 24 h the same
+    * way).
+    */
+  val OrphanGcMinMs: Long = 24L * 3600 * 1000
 
   /** Changelog-op column stored in delta files (`u` upsert / `d`
     * tombstone) — also the in-flight op column name inside [[merge]].

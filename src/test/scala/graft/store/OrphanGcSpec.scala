@@ -40,7 +40,14 @@ class OrphanGcSpec extends AnyFunSuite {
     val old = planted(t, "v99-deadbeef", ageMs = 7200 * 1000L)
     val fresh = planted(t, "v99-cafebabe", ageMs = 0L)
 
-    val removed = t.removeOrphanFiles(olderThanMs = 3600 * 1000L)
+    // retentions under 24h need the explicit override (an in-flight
+    // commit's files must outlive the cutoff — Iceberg's contract)
+    intercept[IllegalArgumentException] {
+      t.removeOrphanFiles(olderThanMs = 3600 * 1000L)
+    }
+
+    val removed = t.removeOrphanFiles(olderThanMs = 3600 * 1000L,
+      allowShortRetention = true)
     assert(removed === Seq(old))
     // the stale attempt dir is pruned, the fresh one survives
     assert(!Files.exists(Paths.get(t.location).resolve(old)))
@@ -50,9 +57,11 @@ class OrphanGcSpec extends AnyFunSuite {
     assert(t.read().orderBy("user_id").collect().toSeq === before)
 
     // idempotent: nothing old remains
-    assert(t.removeOrphanFiles(olderThanMs = 3600 * 1000L).isEmpty)
+    assert(t.removeOrphanFiles(olderThanMs = 3600 * 1000L,
+      allowShortRetention = true).isEmpty)
     // dropping the retention collects the fresh orphan too
-    assert(t.removeOrphanFiles(olderThanMs = -1L) === Seq(fresh))
+    assert(t.removeOrphanFiles(olderThanMs = -1L,
+      allowShortRetention = true) === Seq(fresh))
     assert(t.read().orderBy("user_id").collect().toSeq === before)
   }
 
@@ -65,7 +74,8 @@ class OrphanGcSpec extends AnyFunSuite {
     b.merge(Seq((1, "y")).toDF("user_id", "email"),
       autoCreateKeys = Seq("user_id"))
     planted(a, "v50-00000000", ageMs = 7200 * 1000L)
-    val got = Maintenance.gcAll(spark, wh, "ns", olderThanMs = 3600 * 1000L)
+    val got = Maintenance.gcAll(spark, wh, "ns", olderThanMs = 3600 * 1000L,
+      allowShortRetention = true)
     assert(got.toMap === Map("ta" -> 1, "tb" -> 0))
   }
 }
