@@ -160,6 +160,10 @@ object ScaleCurve {
       "q234_lsh_recall" -> "documents",
       "q246_blocking_audit" -> "part",
       "q239_bitext_mining" -> "embeddings",
+      // ANN-tier bitext mining: candidate lists from √N-bucket IVF +
+      // a FIXED 128-query exact audit — must shed q239's quadratic
+      // tail (the whole point of the production tier)
+      "q300_bitext_ann" -> "embeddings",
       // basket-pairing family: within-order pair gen is Σ C(basket,2)
       // — must track orders (α ≈ 1), never |parts|²; the graph ops on
       // the w≥2 co-occurrence graph densify with orders at FIXED

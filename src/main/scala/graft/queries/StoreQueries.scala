@@ -831,6 +831,65 @@ object StoreQueries {
         .orderBy("user_id")
     }),
 
+    // q301 — STREAMING STORE SOURCE (the reference's dynamic-table
+    // role, flink_json_to_iceberg.py:96-119; the Delta
+    // streaming-source analog): a STANDING STREAM tails one
+    // UpsertTable's change feed through the DSv2 MicroBatchStream
+    // ([[graft.streaming.ChangeFeed]]) and maintains a second
+    // UpsertTable from it — downstream is `readStream`, not a
+    // self-scheduled readChanges poll. Harness: events split into
+    // three delta commits (event_id % 3, within-commit order
+    // (ts, event_id)); pass 1 streams commits 1-2 under AvailableNow;
+    // commit 3 lands; pass 2 RESTARTS on the same checkpoint — the
+    // source's offset log resumes at the committed version, so only
+    // the new commit is consumed (incremental restart under the
+    // DuckDB gate, not just in units; ChangeFeedStreamSpec adds the
+    // mid-stream kill). Downstream merges carry (streamId, batchId),
+    // so a replayed batch is a no-op — exactly-once end to end. The
+    // oracle replays the same changelog in SQL: per user the global
+    // (slice, ts, event_id) winner decides, 'error' ≙ delete.
+    "q301_stream_changefeed" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-cfs-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val changelog = ev
+        .withColumn("__op",
+          when(col("event_type") === "error", "d").otherwise("u"))
+        .withColumn("__ord", struct(col("ts"), col("event_id")))
+      val src = UpsertTable(s, s"$base/src")
+      // explicit create: the table must exist BEFORE the first delta
+      // commit so every data commit is feed-servable (an auto-create
+      // full merge would be a non-delta commit the feed refuses)
+      src.create(ev.schema, Seq("user_id"))
+      def commitSlice(r: Int): Unit =
+        src.merge(changelog.where(pmod(col("event_id"), lit(3)) === r),
+          opCol = Some("__op"), orderCol = Some("__ord"), delta = true)
+      def runPass(): Unit = {
+        val q = graft.streaming.ChangeFeed.readStream(s, s"$base/src")
+          .writeStream
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            UpsertTable(s, s"$base/dst").merge(b,
+              opCol = Some("_change_op"),
+              orderCol = Some("_commit_version"),
+              streamId = Some("q301"), batchId = Some(batchId),
+              autoCreateKeys = Seq("user_id"), delta = true)
+          }
+          .start()
+        q.awaitTermination()
+      }
+      commitSlice(0); commitSlice(1)
+      runPass()
+      commitSlice(2)
+      runPass()
+      UpsertTable(s, s"$base/dst").read()
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+
     // q51 — co-located bucketed join: both sides written ONCE as
     // bucketed tables (8 buckets on the join key, sorted within
     // buckets), then joined with zero exchanges — the scan's bucket
@@ -2165,6 +2224,17 @@ object StoreQueries {
       ("SELECT user_id, event_id FROM (" +
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
         "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
+
+    // the streamed-and-merged downstream table must equal the batch
+    // changelog replay: per user the (slice, ts, event_id) winner
+    // decides, 'error' rows are tombstones
+    "q301_stream_changefeed" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY event_id % 3 DESC, ts DESC, event_id DESC) AS rn " +
+        "FROM events) " +
+        "SELECT user_id, event_id, event_type FROM r " +
         "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
 
     // the bucketed join must equal the plain join + aggregate

@@ -133,6 +133,39 @@ class UpsertTable(spark: SparkSession, val location: String) {
     */
   def readChanges(fromVersionExclusive: Long,
       toVersionInclusive: Long): DataFrame = {
+    val targetSchema = schemaAt(toVersionInclusive)
+    val frames = changeFeedEntries(fromVersionExclusive, toVersionInclusive)
+      .map { case (v, s, deltas) =>
+        val sch = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+        val deltaSchema = StructType(sch.fields ++ Seq(
+          StructField(OpCol, StringType), StructField(SeqCol, LongType)))
+        alignTypes(readFiles(deltas, deltaSchema), targetSchema)
+          .select((targetSchema.fieldNames.map(col) :+
+            // delta files hold the raw source op (Debezium r|c|u|d) —
+            // normalize to the feed's documented u/d contract so
+            // consumers filtering on "u" don't drop 'c' inserts
+            when(col(OpCol) === "d", "d").otherwise("u").as("_change_op") :+
+            lit(v).as("_commit_version")): _*)
+      }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      val empty = StructType(targetSchema.fields ++ Seq(
+        StructField("_change_op", StringType),
+        StructField("_commit_version", LongType)))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), empty)
+    }
+  }
+
+  /** The delta-file evidence serving a change feed over
+    * `(fromVersionExclusive, toVersionInclusive]`: one (version,
+    * snapshot, that commit's delta files) triple per contributing
+    * commit, enforcing [[readChanges]]'s servability contract —
+    * expired versions and data commits that recorded no row-level
+    * deltas fail loudly; layout-only commits are transparent. Shared
+    * by the batch [[readChanges]] and the streaming source
+    * ([[graft.streaming.ChangeFeed]]), so both serve IDENTICAL feeds.
+    */
+  def changeFeedEntries(fromVersionExclusive: Long,
+      toVersionInclusive: Long): Seq[(Long, Snapshot, Seq[FileEntry])] = {
     require(fromVersionExclusive < toVersionInclusive,
       s"need fromVersionExclusive < toVersionInclusive, got " +
         s"($fromVersionExclusive, $toVersionInclusive]")
@@ -142,9 +175,8 @@ class UpsertTable(spark: SparkSession, val location: String) {
     require(missing.isEmpty,
       s"change feed over ($fromVersionExclusive, $toVersionInclusive] " +
         s"unservable: version(s) ${missing.mkString(",")} expired")
-    val targetSchema = schemaAt(toVersionInclusive)
     val layoutOnly = Set("compact", "cluster", "rewrite", "evolve", "create")
-    val frames = wanted.toSeq.flatMap { v =>
+    wanted.toSeq.flatMap { v =>
       val s = SnapshotLog.read(location, v)
       val deltas = s.files.filter(f => FileEntry.isDelta(f) && f.seq == v)
       s.operation match {
@@ -159,23 +191,6 @@ class UpsertTable(spark: SparkSession, val location: String) {
             s"unservable: v$v is a '$op' commit whose changes were not " +
             "recorded as row-level deltas")
       }
-    }.map { case (v, s, deltas) =>
-      val sch = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
-      val deltaSchema = StructType(sch.fields ++ Seq(
-        StructField(OpCol, StringType), StructField(SeqCol, LongType)))
-      alignTypes(readFiles(deltas, deltaSchema), targetSchema)
-        .select((targetSchema.fieldNames.map(col) :+
-          // delta files hold the raw source op (Debezium r|c|u|d) —
-          // normalize to the feed's documented u/d contract so
-          // consumers filtering on "u" don't drop 'c' inserts
-          when(col(OpCol) === "d", "d").otherwise("u").as("_change_op") :+
-          lit(v).as("_commit_version")): _*)
-    }
-    frames.reduceOption(_ unionByName _).getOrElse {
-      val empty = StructType(targetSchema.fields ++ Seq(
-        StructField("_change_op", StringType),
-        StructField("_commit_version", LongType)))
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), empty)
     }
   }
 
