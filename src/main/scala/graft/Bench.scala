@@ -133,6 +133,19 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"queries_chunk","chunk":$i,"n_chunks":${(names.size + 39) / 40},"queries":$m}""")
     }
+    // whole-suite per-query record as ONE ~2 KB values-only line,
+    // emitted second-to-LAST: the round file keeps a bounded TAIL of
+    // this output, and r08's tail lost name-keyed chunks 1-4 — names
+    // here are implied by sorted-key order (guarded by names_md5, the
+    // keys are in the repo at the same commit), values are ms ints
+    // (-1 = failed), so round-over-round comparison of EVERY query
+    // parses from the round file alone
+    val msArr = names.map(n =>
+      if (best(n).isInfinity) -1L else math.round(best(n) * 1000)).mkString("[", ",", "]")
+    val namesMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(names.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    println(s"""{"metric":"bench_ms","n":${names.size},"order":"name-sorted","names_md5":"$namesMd5","ms":$msArr}""")
     // compact trailer LAST: a tail-capture keeps the final lines, so
     // the totals survive even when earlier lines are cut short
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"n_failed":${failed.size},"full_record":${jstr(out)},"sf":${jstr(sfDir)}}""")

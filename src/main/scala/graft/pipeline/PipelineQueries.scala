@@ -1444,7 +1444,21 @@ object PipelineQueries {
     // q46 — salted skew join: events (hot keys: 5 event types carry
     // the whole table) joined to per-type stats through a 16-way
     // salted shuffle join — same answer as the plain join (the oracle
-    // proves it), hot-key work spread over 16 tasks
+    // proves it), hot-key work spread over 16 tasks.
+    // Relation to AQE: on a real cluster the FIRST answer to this
+    // distribution is AQE's native skew-join split (runtime
+    // partition-byte measurement, splits only what is actually
+    // skewed). AqeSkewJoinSpec pins BOTH facts: the split fires on
+    // this distribution when the build side is a materialized
+    // relation ("skewed" AQEShuffleRead, plan-pinned), and — found
+    // empirically via the rule's debug trace — it does NOT fire on
+    // q46's literal shape, because the aggregate-fed build side plans
+    // as Sort→HashAggregate→stage and OptimizeSkewedJoin only matches
+    // (Sort over) bare shuffle stages. Salting is retained as the
+    // operator for exactly those cases: aggregate-fed builds, skewed
+    // aggregations, parents re-requiring the join key's partitioning,
+    // and AQE-off modes — same answer either way (the oracle and the
+    // spec both prove it).
     "q46_skew_join" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
       val stats = ev.groupBy("event_type")
