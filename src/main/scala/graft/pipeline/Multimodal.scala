@@ -220,7 +220,7 @@ object Multimodal {
     }
 
     def decode(payload: Array[Byte], format: String): Array[Byte] = {
-      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val in0 = try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       catch {
         case e: javax.sound.sampled.UnsupportedAudioFileException =>
@@ -228,6 +228,23 @@ object Multimodal {
             s"AudioCodec: undecodable $format payload " +
               s"(${payload.length} bytes)", e)
       }
+      // G.711 companded payloads (µ-law/A-law — WAV format tags 7/6,
+      // the telephony 2:1 COMPRESSED encodings) decode through the
+      // JDK's own FormatConversionProvider to the canonical 16-bit
+      // PCM form; the expansion tables are fixed by ITU G.711, so the
+      // decode is bit-deterministic (UlawCodecSpec pins all 256
+      // values against the closed form the q302 oracle uses)
+      val enc = in0.getFormat.getEncoding
+      val in =
+        if (enc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.ALAW) {
+          val f0 = in0.getFormat
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+              f0.getSampleRate, false), in0)
+        } else in0
       val f = in.getFormat
       require(f.getSampleSizeInBits == 16 && f.getChannels == 1
         && !f.isBigEndian,
@@ -655,6 +672,49 @@ object Multimodal {
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** ITU G.711 µ-law expansion table: 8-bit companded byte → 16-bit
+    * linear sample, the fixed closed form (bias 0x84, 3-bit exponent,
+    * 4-bit mantissa, one's-complement wire form). This is the SAME
+    * table every conforming decoder ships — UlawCodecSpec asserts the
+    * JDK's converter agrees on all 256 values, and q302's oracle gets
+    * these values interpolated as SQL literals, so the gate never
+    * depends on two codecs agreeing implicitly.
+    */
+  val UlawDecodeTable: Array[Int] = Array.tabulate(256) { b =>
+    val v = ~b & 0xff
+    val exp = (v >> 4) & 0x07
+    val mant = v & 0x0f
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((v & 0x80) != 0) -mag else mag
+  }
+
+  /** Deterministic synthetic µ-law WAV clip: sample `i`'s COMPANDED
+    * byte is the fixed polynomial `(id·131 + i·7) mod 256`, wrapped
+    * in a real WAVE container with format tag 7 (µ-law) by the JDK's
+    * own writer at 8 kHz 8-bit mono. Decoding expands each byte
+    * through the G.711 table, so q302's oracle recomputes every
+    * decoded sample as `UlawDecodeTable[(id·131 + i·7) mod 256]`
+    * without seeing a WAV byte. Length matches [[synthWav]].
+    */
+  def synthUlawWav(id: Long): Array[Byte] = {
+    val n = 800 + (id % 5).toInt * 160
+    val u = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      u(i) = (((id * 131 + i * 7) % 256) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(u), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
