@@ -84,6 +84,19 @@ object ScaleCurve {
       else li.withColumn("l_orderkey", col("l_orderkey") + r * 1000000000L)
     }.reduce(_ unionByName _)
     liX4.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // events replicas shift user_id (4× the KEYS — what stateful
+    // streaming state must track) and event_id (uniqueness); times are
+    // kept verbatim so the watermark/window span is unchanged and the
+    // stream gets DENSER, the stateful worst case
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val evX4 = (0 until 4).map { r =>
+      if (r == 0) ev
+      else ev
+        .withColumn("user_id", col("user_id") + r * 10000000L)
+        .withColumn("event_id", col("event_id") + r * 1000000000L)
+    }.reduce(_ unionByName _)
+    evX4.write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -172,13 +185,25 @@ object ScaleCurve {
       "q273_kcore" -> "lineitem",
       "q274_adamic_adar" -> "lineitem",
       "q275_clustering_coeff" -> "lineitem")
+      // dev tooling: SPARK_GRAFT_SCALE_ONLY=qX,qY measures a subset
+      // and SKIPS the SCALE_CURVE.md rewrite (the tracked record is
+      // always a full run)
+      .filter { case (n, _) =>
+        sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+          .forall(_.split(",").map(_.trim).toSet.contains(n))
+      }
     val points = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4)
     val sizes: Map[String, Map[String, Long]] = points.map { case (label, dir) =>
       label -> Map(
         "documents" -> spark.read.parquet(s"$dir/documents.parquet").count(),
         "embeddings" -> spark.read.parquet(s"$dir/embeddings.parquet").count(),
         "part" -> spark.read.parquet(s"$dir/part.parquet").count(),
-        "lineitem" -> spark.read.parquet(s"$dir/lineitem.parquet").count())
+        "lineitem" -> spark.read.parquet(s"$dir/lineitem.parquet").count(),
+        "events" -> spark.read.parquet(s"$dir/events.parquet").count())
+    }.toMap
+    val eventKeys: Map[String, Long] = points.map { case (label, dir) =>
+      label -> spark.read.parquet(s"$dir/events.parquet")
+        .select("user_id").distinct().count()
     }.toMap
 
     def time(name: String, dir: String): Double = {
@@ -206,6 +231,47 @@ object ScaleCurve {
       val tail = math.log(ls(2) / ls(1)) / math.log(ns(2) / ns(1))
       (name, ts, ns, fit, tail)
     }
+
+    // STREAMING STATE CURVES: the stateful operators' bounded-state
+    // claims, measured instead of argued — each op runs its real
+    // checkpointed StreamingQuery harness at the three points while a
+    // listener records the PEAK state-store rows across micro-batches;
+    // the claim under test is state ∝ ACTIVE KEYS (rows/key ~constant
+    // as the key space grows 4×), never ∝ input rows. Events replicas
+    // shift user_id, so keys AND rows both grow 4× while the time span
+    // (and thus the watermark horizon) stays fixed — the dense case.
+    val streamingOps = Seq(
+      ("q75_stream_sessions", "active sessions per key"),
+      ("q150_stream_dedup_ttl", "event ids inside the watermark"),
+      ("q167_stream_cep", "open pattern buffers per key"),
+      ("q179_stream_over", "one running-agg row per key"))
+    val peakState = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val rows = e.progress.stateOperators.map(_.numRowsTotal).sum
+        var cur = peakState.get()
+        while (rows > cur && !peakState.compareAndSet(cur, rows))
+          cur = peakState.get()
+      }
+    }
+    spark.streams.addListener(listener)
+    val streamResults = streamingOps
+      .filter { case (n, _) =>
+        sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+          .forall(_.split(",").map(_.trim).toSet.contains(n))
+      }
+      .map { case (name, boundNote) =>
+      val perPoint = points.map { case (label, dir) =>
+        peakState.set(0)
+        val t = time(name, dir)
+        (label, peakState.get(), t)
+      }
+      (name, boundNote, perPoint)
+    }
+    spark.streams.removeListener(listener)
 
     val md = new StringBuilder
     md ++= "# SCALE_CURVE — measured scaling of the pairing operators\n\n"
@@ -250,11 +316,45 @@ object ScaleCurve {
         ts.map(t => f"| ${t._2}%.2f s ").mkString +
         f"| $fit%.2f | $tail%.2f |\n"
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_CURVE.md"),
-      md.toString.getBytes("UTF-8"))
+    md ++= "\n## Streaming state curves\n\n"
+    md ++= "Peak state-store rows (sum over the query's stateful " +
+      "operators, max\nover micro-batches) while each op's REAL " +
+      "checkpointed StreamingQuery\nharness replays the events " +
+      "stream, against the ACTIVE-KEY count at\neach point. The " +
+      "claim under test is each operator's DOCUMENTED bound:\nfor " +
+      "the keyed operators (sessions, CEP buffers, OVER state) " +
+      "rows/key\nmust hold ~constant through the ×4 key-space growth; " +
+      "the dedup\noperator's bound is ids INSIDE THE WATERMARK " +
+      "HORIZON — it tracks the\nevents column by design (eviction " +
+      "reclaims it as the watermark\nadvances; q153 pins the drop). " +
+      "Event times are kept verbatim in the\nreplicas, so the " +
+      "horizon is FIXED while volume and keys grow — the\ndense " +
+      "worst case.\n\n"
+    md ++= "| operator | state bound | keys sf0.01/sf0.1/x4 | " +
+      "events | peak state rows | rows/key | wall (s) |\n" +
+      "|---|---|---|---|---|---|---|\n"
+    streamResults.foreach { case (name, note, perPoint) =>
+      val keys = points.map { case (l, _) => eventKeys(l) }
+      val evs = points.map { case (l, _) => sizes(l)("events") }
+      val rpk = perPoint.zip(keys).map { case ((_, st, _), k) =>
+        f"${st.toDouble / k}%.2f" }
+      md ++= f"| $name | $note " +
+        s"| ${keys.mkString(" / ")} " +
+        s"| ${evs.mkString(" / ")} " +
+        s"| ${perPoint.map(_._2).mkString(" / ")} " +
+        s"| ${rpk.mkString(" / ")} " +
+        f"| ${perPoint.map(p => f"${p._3}%.1f").mkString(" / ")} |\n"
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_CURVE.md"),
+        md.toString.getBytes("UTF-8"))
     val json = results.map { case (name, _, _, fit, tail) =>
       f""""$name":{"alpha_fit":$fit%.3f,"alpha_tail":$tail%.3f}"""
-    }.mkString("{\"metric\":\"scale_exponents\",", ",", "}")
+    }.mkString("{\"metric\":\"scale_exponents\",", ",",
+      streamResults.map { case (name, _, perPoint) =>
+        s""""$name":{"peak_state_rows":[${perPoint.map(_._2).mkString(",")}],""" +
+          s""""keys":[${points.map(p => eventKeys(p._1)).mkString(",")}]}"""
+      }.mkString(",\"streaming_state\":{", ",", "}}"))
     println(json)
     Fs.deleteRecursively(java.nio.file.Paths.get(x4))
     spark.stop()

@@ -128,6 +128,13 @@ object PipelineQueries {
   }
   private val IdcgAt10: Long = DcgGains.sum
 
+  /** q307's pinned A-Res uniform denominator ⌊ln(10⁶+1)·10⁶⌋ —
+    * constant, so it is interpolated into BOTH engines as a literal
+    * (only ln(num) over the ≤10⁶ integer domain stays runtime, under
+    * MicroLogBoundarySpec's ≥16-ulp audit).
+    */
+  private val AresLnDen: Long = math.floor(math.log(1000001d) * 1e6).toLong
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // q235 — TRAINABLE QUALITY CLASSIFIER: the GPT-3/CCNet recipe — a
@@ -927,7 +934,9 @@ object PipelineQueries {
     // q300 — ANN-TIER BITEXT MINING: q239's PRODUCTION form under the
     // q16 contract — the margin scoring runs on IVF candidate lists
     // instead of the all-pairs cross join, closing the one measured
-    // quadratic tail (q239 α_tail 1.43; this is the scale path).
+    // quadratic tail (q239 α_tail 1.43/1.31 across rounds; THIS query
+    // measures α_tail 0.700 on the same corpus triple — see
+    // SCALE_CURVE.md).
     // Both directions' neighbor lists come from
     // [[AnnIvf.topKFromAssigned]] over k ≈ √N first-k centroids
     // (q36's scale rule: Σ bucket² ≈ N·√N), so the avgK neighborhood
@@ -2549,6 +2558,201 @@ object PipelineQueries {
         .withColumn("dup_ratio",
           round(col("n_dup_spans") / col("n_spans").cast("double"), 6))
         .orderBy("doc_id")
+    }),
+
+    // q303 — KMV (BOTTOM-K) DISTINCT SKETCH + SET-OPERATION ESTIMATES:
+    // the k-minimum-values sketch (Bar-Yossef et al. / the theta-
+    // sketch core) beside q21's HLL — KMV's edge is SET ALGEBRA: two
+    // sources' vocabulary overlap is estimated from their merged
+    // bottom-64 alone, without re-touching the corpus. Values are
+    // distinct 3-gram shingle HASHES (md5 top-32-bits + 1, identical
+    // in both engines, so the sketch itself is deterministic and the
+    // gate hashes estimates directly — no tolerance bands). Per pair:
+    // θ = 64th-smallest of the merged sketch, est_union =
+    // 63·2³² div θ (exact count when the merge holds < 64 — the KMV
+    // exact-below-k rule), est_inter = ρ·est_union div 64 with ρ the
+    // bottom-64 values present in BOTH sketches. The exact audit legs
+    // ride the same distinct-(source,h) table. Plan: one distinct
+    // shuffle, one 20-row-per-source bounded top_k partial agg; the
+    // pair stage crosses the ≤|sources| sketch TABLE (fixed-
+    // cardinality domain — 20 here; the corpus is never re-paired),
+    // arrays ≤128 long in-row.
+    "q303_kmv_sketch" -> ((s, d) => {
+      val sh = docs(s, d)
+        .select(col("source"),
+          explode(array_distinct(expr("word_shingles(text, 3)"))).as("t"))
+        .select(col("source"),
+          (expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)")
+            + 1).as("h"))
+        .distinct()
+      val skt = sh.groupBy("source")
+        .agg(expr("top_k(-h, h, 64)").as("tk"), count(lit(1)).as("n_h"))
+        .select(col("source"), col("n_h"),
+          expr("transform(tk, x -> x.id)").as("vals"))
+      val estP = skt.toDF("src_a", "n_a", "va")
+        .crossJoin(broadcast(skt.toDF("src_b", "n_b", "vb")))
+        .where(col("src_a") < col("src_b"))
+        .withColumn("u", array_sort(array_union(col("va"), col("vb"))))
+        .withColumn("nu", size(col("u")).cast("long"))
+        .withColumn("theta",
+          element_at(col("u"), least(col("nu"), lit(64L)).cast("int")))
+        .withColumn("bottom",
+          slice(col("u"), lit(1), least(col("nu"), lit(64L)).cast("int")))
+        .withColumn("rho", size(array_intersect(col("bottom"),
+          array_intersect(col("va"), col("vb")))).cast("long"))
+        .withColumn("est_union", when(col("nu") >= 64,
+          expr("270582939648 div theta")).otherwise(col("nu")))
+        .withColumn("est_inter", when(col("nu") >= 64,
+          expr("rho * est_union div 64")).otherwise(col("rho")))
+        .select("src_a", "src_b", "est_union", "est_inter")
+      val exN = sh.groupBy("source").agg(count(lit(1)).as("nx"))
+      val exI = sh.toDF("src_a", "h").join(sh.toDF("src_b", "h"), Seq("h"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
+      estP
+        .join(broadcast(exN.toDF("src_a", "na")), "src_a")
+        .join(broadcast(exN.toDF("src_b", "nb")), "src_b")
+        .join(exI, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("est_union"),
+          col("est_inter"),
+          (col("na") + col("nb")
+            - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // q304 — FEATURE HASHING (the hashing-trick vectorizer,
+    // Weinberger et al. / Vowpal Wabbit): tokens projected into D=64
+    // signed buckets — bucket = md5 mod D, sign = the next hash bit —
+    // the fixed-width featurization that needs NO vocabulary build,
+    // which is the whole point at 100 TB (no vocab table to shuffle,
+    // no OOV). The signed sum makes collisions unbiased (E[dot] is
+    // preserved — the hashing-trick theorem). Gate: per-doc nnz, L2²
+    // and L1 of the hashed vector in exact integers. Plan: scan-side
+    // hashing, one (doc, bucket) partial agg, one per-doc fold —
+    // bounded by docs × D, text never shuffles.
+    "q304_feature_hashing" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat('fh:', tok)), 1, 8), 16, 10) " +
+            "as bigint)"))
+        .withColumn("bucket", col("h") % 64)
+        .withColumn("sign",
+          when(expr("h div 64 % 2") === 0, 1L).otherwise(-1L))
+        .groupBy("doc_id", "bucket").agg(sum("sign").as("v"))
+        .where(col("v") =!= 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"),
+          sum(expr("v * v")).as("l2sq"),
+          sum(abs(col("v"))).as("l1"))
+        .orderBy("doc_id")
+    }),
+
+    // q305 — INT8 SCALAR QUANTIZATION + RECONSTRUCTION ERROR: the
+    // simplest embedding-compression tier (4× over float32) beside
+    // q228's PQ — per-DIMENSION min/max calibration over the corpus,
+    // values quantized to the 0..255 grid, and the thing a deployment
+    // actually gates on: reconstruction error per vector. All exact
+    // integers: 6-dp micros in, q = (x−min)·255 div (max−min),
+    // dequant back on the same grid, squared error summed per vector
+    // (≤ (range/255)²·dims — bigint-safe by construction). Plan: one
+    // per-dim bounded agg (64 rows) broadcast back over the scan, one
+    // per-vector fold; the corpus shuffles once on nothing wider than
+    // (vec_id, dim, micro).
+    "q305_int8_quant" -> ((s, d) => {
+      val x = embs(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "xv")))
+        .withColumn("xm", round(round(col("xv"), 6) * 1000000).cast("long"))
+      val stats = x.groupBy("dim").agg(min("xm").as("mn"), max("xm").as("mx"))
+      x.join(broadcast(stats), "dim")
+        .withColumn("q", when(col("mx") > col("mn"),
+          expr("(xm - mn) * 255 div (mx - mn)")).otherwise(0L))
+        .withColumn("err", col("xm") - expr("mn + q * (mx - mn) div 255"))
+        .groupBy("vec_id")
+        .agg(sum(expr("err * err")).as("err_sq_sum"),
+          max(abs(col("err"))).as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+
+    // q306 — INCREMENTAL CONNECTED-COMPONENTS MAINTENANCE: the
+    // cluster-maintenance member of the incremental family (q143
+    // dedup index, q244 ANN postings, q76 views) — a new document
+    // batch arrives and near-dup cluster labels are UPDATED without
+    // re-pairing the old corpus. Old-corpus connectivity is carried
+    // as (doc → label) edges from the previous assignment (sound
+    // because labels summarize exactly the old-old pairs, and LSH
+    // band signatures are per-doc — a bucket's old members paired
+    // before). New candidates come only from band buckets a NEW doc
+    // touches, pairs restricted to new-touching, verified at the q38
+    // threshold. The gate is the STRONG claim: incremental labels ≡
+    // the full q38 recompute (the oracle IS the full recompute) —
+    // min-label CC over labels0-edges ∪ new pairs converges to the
+    // same representatives. Cost: probe ∝ new batch × bucket density,
+    // CC rounds ∝ diameter, never old-corpus re-pairing.
+    "q306_incremental_cc" -> ((s, d) => {
+      val base = docsWithDups(s, d)
+      val isNew = col("doc_id") % 5 === 4
+      val oldD = base.where(!isNew)
+      val labels0 = Cluster.connectedComponents(
+        oldD.select("doc_id"),
+        NearDup.jaccardPairs(oldD, "doc_id", "text", threshold = 0.8),
+        "doc_id", "doc_a", "doc_b")
+      val bs = NearDup.bands(base, "doc_id", "text")
+      val hot = bs.where(isNew).select("band", "key").distinct()
+      val cand = bs.join(hot, Seq("band", "key"))
+        .groupBy("band", "key")
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), " +
+            "y -> struct(x as doc_a, y as doc_b))))")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+        .where(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
+      val texts = base.select(col("doc_id"), col("text"))
+      val pairsNew = cand
+        .join(texts.toDF("doc_a", "text_a"), "doc_a")
+        .join(texts.toDF("doc_b", "text_b"), "doc_b")
+        .where(round(expr("shingle_jaccard(text_a, text_b, 3)"), 6) >= 0.8)
+        .select("doc_a", "doc_b")
+      val edges = labels0.select(col("doc_id").as("doc_a"),
+          col("cluster").as("doc_b"))
+        .unionByName(pairsNew)
+      Cluster.connectedComponents(base.select("doc_id"), edges,
+        "doc_id", "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
+    // q307 — WEIGHTED RESERVOIR SAMPLE (Efraimidis–Spirakis A-Res):
+    // THE distributed weighted-sampling-without-replacement primitive
+    // — per source, keep the k=8 docs with the largest u^(1/w)
+    // (w = n_chars), equivalently the largest ln(u)/w, so long docs
+    // are proportionally likelier without ever sorting the corpus.
+    // Deterministic u from md5 (seedless, engine-exact); ln(u) as a
+    // micro-log DIFFERENCE: runtime ⌊ln(num)·10⁶⌋ over num ≤ 10⁶
+    // (inside MicroLogBoundarySpec's audited ≥16-ulp domain) minus
+    // the PINNED literal ⌊ln(10⁶+1)·10⁶⌋; the division by w is exact
+    // integer (both engines truncate toward zero). Plan: scan-side
+    // keys, ONE bounded top_k partial agg per source — the exchange
+    // carries ≤8 rows per source, never a per-source sort.
+    "q307_weighted_reservoir" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("num", expr(
+          "cast(conv(substring(md5(concat('ares:', " +
+            "cast(doc_id as string))), 1, 8), 16, 10) as bigint) " +
+            "% 1000000 + 1"))
+        .withColumn("key", expr(
+          "(cast(floor(ln(cast(num as double)) * 1000000) as bigint) " +
+            s"- ${AresLnDen}L) div n_chars"))
+        .groupBy("source")
+        .agg(expr("top_k(key, doc_id, 8)").as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("pos", "x")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("x.id").as("doc_id"), col("x.score").as("key_micro"))
+        .orderBy("source", "rank")
     })
   )
 
@@ -3503,6 +3707,107 @@ object PipelineQueries {
         s"$duckSigBands, $duckClusterCtes " +
         "SELECT id AS doc_id, min(lbl) AS cluster FROM cc " +
         "GROUP BY id ORDER BY doc_id"),
+
+    // the incremental maintenance path must reach EXACTLY the full
+    // q38 recompute — the oracle IS that recompute, verbatim
+    "q306_incremental_cc" ->
+      (s"WITH RECURSIVE all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
+        s"$duckSigBands, $duckClusterCtes " +
+        "SELECT id AS doc_id, min(lbl) AS cluster FROM cc " +
+        "GROUP BY id ORDER BY doc_id"),
+
+    // same md5-hashed distinct shingles, same bottom-64 merge
+    // arithmetic (list slices over sorted distinct lists), same exact
+    // audit joins
+    "q303_kmv_sketch" ->
+      (s"WITH n AS (SELECT doc_id, source, $duckNorm AS ntext " +
+        "FROM documents), " +
+        "tk AS (SELECT doc_id, source, string_split(ntext, ' ') AS toks " +
+        "FROM n), " +
+        "sh0 AS (SELECT doc_id, source, CASE WHEN len(toks) < 3 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh " +
+        "FROM tk), " +
+        "shd AS (SELECT DISTINCT source, " +
+        "('0x' || substr(md5(t), 1, 8))::BIGINT + 1 AS h FROM " +
+        "(SELECT source, unnest(list_distinct(sh)) AS t FROM sh0)), " +
+        "skt AS (SELECT source, count(*) AS n_h, " +
+        "list_sort(list(h))[1:64] AS vals FROM shd GROUP BY 1), " +
+        "pr AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "list_sort(list_distinct(a.vals || b.vals)) AS u, " +
+        "a.vals AS va, b.vals AS vb " +
+        "FROM skt a JOIN skt b ON a.source < b.source), " +
+        "est AS (SELECT src_a, src_b, len(u) AS nu, " +
+        "u[least(len(u), 64)] AS theta, " +
+        "len(list_intersect(u[1:least(len(u), 64)], " +
+        "list_intersect(va, vb))) AS rho FROM pr), " +
+        "estv AS (SELECT src_a, src_b, " +
+        "CASE WHEN nu >= 64 THEN 270582939648 // theta " +
+        "ELSE nu END AS est_union, rho, nu FROM est), " +
+        "ex AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "count(*) AS exact_inter FROM shd a JOIN shd b " +
+        "ON b.h = a.h AND a.source < b.source GROUP BY 1, 2), " +
+        "nx AS (SELECT source, count(*) AS n FROM shd GROUP BY 1) " +
+        "SELECT e.src_a, e.src_b, CAST(e.est_union AS BIGINT) AS est_union, " +
+        "CAST(CASE WHEN e.nu >= 64 THEN e.rho * e.est_union // 64 " +
+        "ELSE e.rho END AS BIGINT) AS est_inter, " +
+        "CAST(na.n + nb.n - COALESCE(ex.exact_inter, 0) AS BIGINT) " +
+        "AS exact_union, " +
+        "CAST(COALESCE(ex.exact_inter, 0) AS BIGINT) AS exact_inter " +
+        "FROM estv e " +
+        "JOIN nx na ON na.source = e.src_a " +
+        "JOIN nx nb ON nb.source = e.src_b " +
+        "LEFT JOIN ex ON ex.src_a = e.src_a AND ex.src_b = e.src_b " +
+        "ORDER BY e.src_a, e.src_b"),
+
+    // same md5 bucket/sign split, same signed-count fold
+    "q304_feature_hashing" ->
+      (s"WITH n0 AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, unnest(toks) AS tok FROM n0), " +
+        "hh AS (SELECT doc_id, " +
+        "('0x' || substr(md5('fh:' || tok), 1, 8))::BIGINT AS h FROM t), " +
+        "bv AS (SELECT doc_id, h % 64 AS bucket, " +
+        "SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS v " +
+        "FROM hh GROUP BY 1, 2), " +
+        "nz AS (SELECT * FROM bv WHERE v <> 0) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz, " +
+        "CAST(SUM(v * v) AS BIGINT) AS l2sq, " +
+        "CAST(SUM(abs(v)) AS BIGINT) AS l1 " +
+        "FROM nz GROUP BY 1 ORDER BY doc_id"),
+
+    // same per-dim min/max micros, same integer quantize/dequant grid
+    "q305_int8_quant" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb " +
+        "FROM embeddings), " +
+        "x AS (SELECT vec_id, generate_subscripts(emb, 1) AS dim, " +
+        "CAST(round(round(unnest(emb), 6) * 1000000) AS BIGINT) AS xm " +
+        "FROM e), " +
+        "st AS (SELECT dim, min(xm) AS mn, max(xm) AS mx FROM x " +
+        "GROUP BY 1), " +
+        "j AS (SELECT vec_id, xm, mn, mx, CASE WHEN mx > mn " +
+        "THEN (xm - mn) * 255 // (mx - mn) ELSE 0 END AS q " +
+        "FROM x JOIN st USING (dim)), " +
+        "d2 AS (SELECT vec_id, xm - (mn + q * (mx - mn) // 255) AS err " +
+        "FROM j) " +
+        "SELECT vec_id, CAST(SUM(err * err) AS BIGINT) AS err_sq_sum, " +
+        "CAST(MAX(abs(err)) AS BIGINT) AS max_abs_err " +
+        "FROM d2 GROUP BY 1 ORDER BY vec_id"),
+
+    // same md5 uniform, same micro-log difference with the pinned
+    // denominator literal, same truncating division by weight
+    "q307_weighted_reservoir" ->
+      ("WITH sc AS (SELECT doc_id, source, n_chars, " +
+        "('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)), 1, 8))" +
+        "::BIGINT % 1000000 + 1 AS num FROM documents), " +
+        "k AS (SELECT source, doc_id, " +
+        s"(CAST(floor(ln(num) * 1000000) AS BIGINT) - $AresLnDen) " +
+        "// n_chars AS key FROM sc), " +
+        "r AS (SELECT source, doc_id, key, row_number() OVER (" +
+        "PARTITION BY source ORDER BY key DESC, doc_id) AS rank FROM k) " +
+        "SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, " +
+        "key AS key_micro FROM r WHERE rank <= 8 ORDER BY source, rank"),
     "q88_neardup_prune" ->
       (s"WITH RECURSIVE all_docs AS ($dupCte), ${duckShingleCtes("all_docs")}, " +
         s"$duckSigBands, $duckClusterCtes, " +
