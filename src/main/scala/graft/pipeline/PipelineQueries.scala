@@ -2726,6 +2726,147 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q308 — CLUSTER PURITY vs GROUND-TRUTH LABELS: the first of the
+    // embedding-EVALUATION family (the `label` column is the held-out
+    // truth) — how label-homogeneous are the IVF buckets the ANN/
+    // semantic-dedup path actually searches? Per bucket: size, the
+    // majority label (ties → smallest label) and purity in integer
+    // micros. Plan: the q22 assignment (√N first-k centroids,
+    // broadcast) + two bounded partial aggs — buckets × labels is a
+    // fixed small grid, the corpus shuffles once on (bucket, label).
+    "q308_cluster_purity" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val kc = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      val assigned = AnnIvf.assignBuckets(
+        e.select("vec_id", "emb"), e.where(col("vec_id") < kc))
+      assigned.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("bucket", "label").agg(count(lit(1)).as("nbl"))
+        .groupBy("bucket")
+        .agg(sum("nbl").as("n"),
+          max_by(col("label"), struct(col("nbl"),
+            (-col("label")).as("nl"))).as("top_label"),
+          max_by(col("nbl"), struct(col("nbl"),
+            (-col("label")).as("nl"))).as("top_n"))
+        .select(col("bucket"), col("n"), col("top_label"),
+          expr("top_n * 1000000 div n").as("purity_micro"))
+        .orderBy("bucket")
+    }),
+
+    // q309 — NORMALIZED MUTUAL INFORMATION of buckets vs labels: the
+    // scale-free companion to q308's purity (purity inflates with
+    // bucket count; NMI does not). ALL-INTEGER information theory:
+    // every log is a micro-log of an EXACT INTEGER RATIO —
+    // I_scaled = Σ n_ij·(⌊ln(N·n_ij)·10⁶⌋ − ⌊ln(n_i·n_j)·10⁶⌋), the
+    // entropies likewise, and NMI = 2I/(H_b+H_l) leaves integers only
+    // in the final division (the common N scale cancels). Log
+    // arguments stay ≤ N² ≤ 4·10⁶ at gate scales — inside
+    // MicroLogBoundarySpec's audited ≥16-ulp domain. One grid-bounded
+    // agg over the q308 assignment.
+    "q309_cluster_nmi" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val kc = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      val grid = AnnIvf.assignBuckets(
+          e.select("vec_id", "emb"), e.where(col("vec_id") < kc))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("bucket", "label").agg(count(lit(1)).as("nij"))
+      val nb = grid.groupBy("bucket").agg(sum("nij").as("ni"))
+      val nl = grid.groupBy("label").agg(sum("nij").as("nj"))
+      val tot = grid.agg(sum("nij").as("n"))
+      def ml(x: String) = s"cast(floor(ln(cast(($x) as double)) * 1000000) as bigint)"
+      val iS = grid.join(nb, "bucket").join(nl, "label")
+        .crossJoin(broadcast(tot))
+        .agg(sum(expr(
+          s"nij * (${ml("n * nij")} - ${ml("ni * nj")})")).as("i_scaled"))
+      val hb = nb.crossJoin(broadcast(tot))
+        .agg(sum(expr(s"ni * (${ml("n")} - ${ml("ni")})")).as("h_bucket"))
+      val hl = nl.crossJoin(broadcast(tot))
+        .agg(sum(expr(s"nj * (${ml("n")} - ${ml("nj")})")).as("h_label"))
+      tot.crossJoin(broadcast(iS)).crossJoin(broadcast(hb))
+        .crossJoin(broadcast(hl))
+        .select(col("n"), col("i_scaled"), col("h_bucket"), col("h_label"),
+          expr("2 * i_scaled * 1000000 div (h_bucket + h_label)")
+            .as("nmi_micro"))
+    }),
+
+    // q310 — AVERAGE PRECISION of label retrieval: the
+    // order-sensitive eval between q230's recall and q240's NDCG —
+    // rank the corpus by cosine to each of 5 query vectors, relevance
+    // = shares the query's LABEL, AP = mean of precision@k over the
+    // relevant ranks (exact integers: prec@k = cum·10⁶ div k, AP =
+    // Σ div n_pos). P@10 rides along. The per-query ranking window
+    // partitions by qid (5 bounded partitions — an EVAL over a fixed
+    // query set, the q230/q240 contract; corpus side scans once).
+    "q310_avg_precision" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("label").as("qlabel"))
+      val scored = e.where(col("vec_id") >= 5).crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          round(round(Similarity.cosine(col("emb"), col("qemb")), 6)
+            * 1000000).cast("long").as("cm"),
+          (col("label") === col("qlabel")).cast("long").as("rel"))
+      val wr = Window.partitionBy("qid").orderBy(col("cm").desc, col("vec_id"))
+      val ranked = scored
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .withColumn("cum", sum("rel").over(
+          wr.rowsBetween(Window.unboundedPreceding, 0)))
+      ranked.groupBy("qid")
+        .agg(sum("rel").as("n_pos"),
+          sum(when(col("rel") === 1,
+            expr("cum * 1000000 div rank")).otherwise(0L)).as("ap_num"),
+          sum(when(col("rank") <= 10, col("rel")).otherwise(0L)).as("rel10"))
+        .select(col("qid"), col("n_pos"),
+          expr("ap_num div n_pos").as("ap_micro"),
+          expr("rel10 * 1000000 div 10").as("p10_micro"))
+        .orderBy("qid")
+    }),
+
+    // q311 — kNN LABEL ACCURACY: the classifier-free embedding-
+    // quality benchmark (can neighbors predict the label?) — each
+    // vector's top-3 in-bucket neighbors (q176's measured kNN-graph
+    // machinery, √N buckets, bounded top_k) vote; majority with ties
+    // → smallest label; accuracy per true label in integer micros.
+    // Vectors whose bucket holds no neighbor are excluded (stated
+    // rule, replayed in the oracle). Adds two bounded partial aggs to
+    // the measured q176 plan.
+    "q311_knn_label_acc" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val kc = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      val assigned = AnnIvf.assignBuckets(
+        e.select("vec_id", "emb"), e.where(col("vec_id") < kc))
+      val l = assigned.toDF("id_a", "emb_a", "bucket")
+      val r = assigned.toDF("id_b", "emb_b", "bucket")
+      val knn = l.join(r, Seq("bucket"))
+        .where(col("id_a") =!= col("id_b"))
+        .withColumn("sm",
+          round(Similarity.cosine(col("emb_a"), col("emb_b")) * 1000000)
+            .cast("long"))
+        .groupBy("id_a")
+        .agg(expr("top_k(sm, id_b, 3)").as("tk"))
+        .select(col("id_a"), explode(expr("transform(tk, x -> x.id)"))
+          .as("nn_id"))
+      val pred = knn
+        .join(e.select(col("vec_id").as("nn_id"),
+          col("label").as("nn_label")), "nn_id")
+        .groupBy("id_a", "nn_label").agg(count(lit(1)).as("c"))
+        .groupBy("id_a")
+        .agg(max_by(col("nn_label"), struct(col("c"),
+          (-col("nn_label")).as("nl"))).as("pred"))
+      pred.join(e.select(col("vec_id").as("id_a"), col("label")), "id_a")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n"), col("n_correct"),
+          expr("n_correct * 1000000 div n").as("acc_micro"))
+        .orderBy("label")
+    }),
+
     // q307 — WEIGHTED RESERVOIR SAMPLE (Efraimidis–Spirakis A-Res):
     // THE distributed weighted-sampling-without-replacement primitive
     // — per source, keep the k=8 docs with the largest u^(1/w)
@@ -3794,6 +3935,125 @@ object PipelineQueries {
         "SELECT vec_id, CAST(SUM(err * err) AS BIGINT) AS err_sq_sum, " +
         "CAST(MAX(abs(err)) AS BIGINT) AS max_abs_err " +
         "FROM d2 GROUP BY 1 ORDER BY vec_id"),
+
+    // IVF assignment replayed (√N first-k centroids, lowest-cid
+    // ties), per-bucket majority by (count DESC, label ASC)
+    "q308_cluster_purity" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label " +
+        "FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < " +
+        "CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)), " +
+        "assign AS (SELECT vec_id, cid AS bucket FROM (" +
+        "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn " +
+        "FROM e, c) WHERE rn = 1), " +
+        "g AS (SELECT a.bucket, e.label, count(*) AS nbl FROM assign a " +
+        "JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2), " +
+        "r AS (SELECT bucket, label, nbl, row_number() OVER (" +
+        "PARTITION BY bucket ORDER BY nbl DESC, label) AS rn, " +
+        "SUM(nbl) OVER (PARTITION BY bucket) AS n FROM g) " +
+        "SELECT bucket, CAST(n AS BIGINT) AS n, label AS top_label, " +
+        "CAST(nbl * 1000000 // n AS BIGINT) AS purity_micro " +
+        "FROM r WHERE rn = 1 ORDER BY bucket"
+    },
+
+    // same grid counts, same micro-log-of-exact-ratio arithmetic
+    "q309_cluster_nmi" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      val ml = (x: String) =>
+        s"CAST(floor(ln($x) * 1000000) AS BIGINT)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label " +
+        "FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < " +
+        "CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)), " +
+        "assign AS (SELECT vec_id, cid AS bucket FROM (" +
+        "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn " +
+        "FROM e, c) WHERE rn = 1), " +
+        "grid AS (SELECT a.bucket, e.label, count(*) AS nij FROM assign a " +
+        "JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2), " +
+        "nb AS (SELECT bucket, CAST(SUM(nij) AS BIGINT) AS ni FROM grid " +
+        "GROUP BY 1), " +
+        "nl AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS nj FROM grid " +
+        "GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM grid), " +
+        "i_s AS (SELECT CAST(SUM(g.nij * " +
+        s"(${ml("t.n * g.nij")} - ${ml("nb.ni * nl.nj")})) AS BIGINT) " +
+        "AS i_scaled FROM grid g JOIN nb USING (bucket) " +
+        "JOIN nl USING (label) CROSS JOIN tot t), " +
+        s"hb AS (SELECT CAST(SUM(ni * (${ml("t.n")} - ${ml("ni")})) " +
+        "AS BIGINT) AS h_bucket FROM nb CROSS JOIN tot t), " +
+        s"hl AS (SELECT CAST(SUM(nj * (${ml("t.n")} - ${ml("nj")})) " +
+        "AS BIGINT) AS h_label FROM nl CROSS JOIN tot t) " +
+        "SELECT t.n, i_s.i_scaled, hb.h_bucket, hl.h_label, " +
+        "CAST(2 * i_s.i_scaled * 1000000 // (hb.h_bucket + hl.h_label) " +
+        "AS BIGINT) AS nmi_micro " +
+        "FROM tot t CROSS JOIN i_s CROSS JOIN hb CROSS JOIN hl"
+    },
+
+    // same 5-query ranking, same exact prec@k folds
+    "q310_avg_precision" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, emb AS qemb, label AS qlabel FROM e " +
+        "WHERE vec_id < 5), " +
+        "s AS (SELECT q.qid, e.vec_id, " +
+        s"CAST(round(${cos("e.emb", "q.qemb")} * 1000000) AS BIGINT) AS cm, " +
+        "CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel " +
+        "FROM e, q WHERE e.vec_id >= 5), " +
+        "r AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cm DESC, vec_id) AS rank, " +
+        "SUM(rel) OVER (PARTITION BY qid ORDER BY cm DESC, vec_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s) " +
+        "SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_pos, " +
+        "CAST(CAST(SUM(CASE WHEN rel = 1 THEN cum * 1000000 // rank " +
+        "ELSE 0 END) AS BIGINT) // SUM(rel) AS BIGINT) AS ap_micro, " +
+        "CAST(SUM(CASE WHEN rank <= 10 THEN rel ELSE 0 END) * 1000000 " +
+        "// 10 AS BIGINT) AS p10_micro " +
+        "FROM r GROUP BY 1 ORDER BY qid"
+    },
+
+    // q176's in-bucket top-3 replay + majority vote by
+    // (count DESC, label ASC), per-true-label accuracy
+    "q311_knn_label_acc" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label " +
+        "FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < " +
+        "CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)), " +
+        "assign AS (SELECT vec_id, emb, cid AS bucket FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY " +
+        s"e.vec_id ORDER BY ${cos("e.emb", "c.cemb")} DESC, c.cid) AS rn " +
+        "FROM e, c) WHERE rn = 1), " +
+        "knn AS (SELECT id_a, id_b FROM (SELECT a.vec_id AS id_a, " +
+        "b.vec_id AS id_b, row_number() OVER (PARTITION BY a.vec_id " +
+        s"ORDER BY CAST(round(${cos("a.emb", "b.emb")} * 1000000) " +
+        "AS BIGINT) DESC, b.vec_id) AS rk " +
+        "FROM assign a JOIN assign b ON a.bucket = b.bucket " +
+        "AND a.vec_id <> b.vec_id) WHERE rk <= 3), " +
+        "votes AS (SELECT k.id_a, e.label AS nn_label, count(*) AS cnt " +
+        "FROM knn k JOIN e ON e.vec_id = k.id_b GROUP BY 1, 2), " +
+        "pred AS (SELECT id_a, nn_label AS pred FROM (SELECT id_a, " +
+        "nn_label, row_number() OVER (PARTITION BY id_a " +
+        "ORDER BY cnt DESC, nn_label) AS rn FROM votes) WHERE rn = 1) " +
+        "SELECT e.label, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_correct, " +
+        "CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) " +
+        "* 1000000 // count(*) AS BIGINT) AS acc_micro " +
+        "FROM pred p JOIN e ON e.vec_id = p.id_a " +
+        "GROUP BY 1 ORDER BY e.label"
+    },
 
     // same md5 uniform, same micro-log difference with the pinned
     // denominator literal, same truncating division by weight
