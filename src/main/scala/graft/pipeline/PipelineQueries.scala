@@ -2726,6 +2726,51 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q313 — TF-IDF SPARSE kNN (nearest document by weighted term
+    // overlap): the lexical similarity-search tier between exact
+    // shingle Jaccard (q18) and dense ANN (q22) — classic sparse
+    // retrieval over an inverted index with DF-CUT candidate
+    // blocking: only terms with 2 ≤ df ≤ 20 generate candidate pairs
+    // (Σ df² bounded by the cut; pairs sharing ONLY common terms are
+    // the accepted miss — the df-cut is the sparse analog of q117's
+    // prefix filter, stated and replayed in the oracle). Weights are
+    // exact integers: w = tf·(⌊ln N·100⌋ − ⌊ln df·100⌋) — CENTI-logs,
+    // not micros, so the Σ w_a·w_b·10⁶ fold stays in bigint (micro
+    // idf would overflow the dice numerator; at centi scale the floor
+    // boundaries are 10⁴× coarser than the audited micro domain).
+    // Score = weighted Dice 2·num·10⁶ div (na+nb) — sqrt-free, so no
+    // float crosses the gate; best neighbor per doc at ≥ 1%.
+    "q313_tfidf_knn" -> ((s, d) => {
+      val terms = docs(s, d)
+        .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfT = terms.groupBy("t").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, 20))
+      val nDocs = docs(s, d).count()
+      val w = terms.join(dfT, "t")
+        .withColumn("w", col("tf") *
+          (lit(math.floor(math.log(nDocs.toDouble) * 100).toLong)
+            - expr("cast(floor(ln(cast(df as double)) * 100) as bigint)")))
+      val norms = w.groupBy("doc_id").agg(sum(expr("w * w")).as("nrm"))
+      val wv = w.select("doc_id", "t", "w")
+      val num = wv.toDF("doc_a", "t", "w_a")
+        .join(wv.toDF("doc_b", "t", "w_b"), Seq("t"))
+        .where(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(expr("w_a * w_b")).as("num"))
+      val wbest = Window.partitionBy("doc_a")
+        .orderBy(col("dice_micro").desc, col("doc_b"))
+      num
+        .join(norms.toDF("doc_a", "na"), "doc_a")
+        .join(norms.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("dice_micro", expr("2 * num * 1000000 div (na + nb)"))
+        .withColumn("rn", row_number().over(wbest))
+        .where(col("rn") === 1 && col("dice_micro") >= 10000L)
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("nn_doc"),
+          col("dice_micro"))
+        .orderBy("doc_id")
+    }),
+
     // q308 — CLUSTER PURITY vs GROUND-TRUTH LABELS: the first of the
     // embedding-EVALUATION family (the `label` column is the held-out
     // truth) — how label-homogeneous are the IVF buckets the ANN/
@@ -3935,6 +3980,32 @@ object PipelineQueries {
         "SELECT vec_id, CAST(SUM(err * err) AS BIGINT) AS err_sq_sum, " +
         "CAST(MAX(abs(err)) AS BIGINT) AS max_abs_err " +
         "FROM d2 GROUP BY 1 ORDER BY vec_id"),
+
+    // same shingle tf, same df cut, same centi-log weights, same
+    // sqrt-free Dice fold and best-neighbor rule
+    "q313_tfidf_knn" ->
+      (s"WITH ${duckShingleCtes("documents")}, " +
+        "tm AS (SELECT doc_id, t, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(sh) AS t FROM sh) GROUP BY 1, 2), " +
+        "dfb AS (SELECT t, count(*) AS df FROM tm GROUP BY 1 " +
+        "HAVING count(*) BETWEEN 2 AND 20), " +
+        "w AS (SELECT tm.doc_id, tm.t, tm.tf * (" +
+        "CAST(floor(ln((SELECT count(*) FROM documents)) * 100) AS BIGINT) " +
+        "- CAST(floor(ln(dfb.df) * 100) AS BIGINT)) AS w " +
+        "FROM tm JOIN dfb USING (t)), " +
+        "nr AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm FROM w " +
+        "GROUP BY 1), " +
+        "nm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(SUM(a.w * b.w) AS BIGINT) AS num FROM w a " +
+        "JOIN w b ON b.t = a.t AND a.doc_id <> b.doc_id GROUP BY 1, 2), " +
+        "sc AS (SELECT doc_a, doc_b, CAST(2 * num * 1000000 // " +
+        "(na.nrm + nb.nrm) AS BIGINT) AS dice_micro FROM nm " +
+        "JOIN nr na ON na.doc_id = nm.doc_a " +
+        "JOIN nr nb ON nb.doc_id = nm.doc_b), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_a " +
+        "ORDER BY dice_micro DESC, doc_b) AS rn FROM sc) " +
+        "SELECT doc_a AS doc_id, doc_b AS nn_doc, dice_micro FROM r " +
+        "WHERE rn = 1 AND dice_micro >= 10000 ORDER BY doc_id"),
 
     // IVF assignment replayed (√N first-k centroids, lowest-cid
     // ties), per-bucket majority by (count DESC, label ASC)

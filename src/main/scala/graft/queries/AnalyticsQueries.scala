@@ -1062,6 +1062,46 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // q314 — PIVOT → UNPIVOT (melt) ROUND TRIP: the wide↔long
+    // reshaping surface (Spark's native `Dataset.unpivot`, the SQL
+    // UNPIVOT/pandas-melt role) under the gate — per-user event-type
+    // counts pivoted to a wide matrix, melted back, zero-fill rows
+    // dropped; the oracle is the DIRECT long-form aggregate, so any
+    // column/value misalignment in either reshape hash-mismatches.
+    // Plan: one partial-agg shuffle for the pivot (Spark folds the
+    // pivot into the aggregate — values list is declared, no second
+    // pass to discover it), melt is a scan-side explode.
+    "q314_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, d).groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "n")
+        .where(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    }),
+
+    // q315 — TIME-RANGE WINDOW FRAME: rolling 1-hour per-user volume
+    // via a RANGE BETWEEN frame on the event-time axis (interval
+    // frames, not row frames — the window form row counting can't
+    // express; peers at the exact same timestamp are IN the frame by
+    // SQL semantics, identical in both engines). Exact integer cents;
+    // partitions bounded per user.
+    "q315_range_frame" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-3600L * 1000000000L, 0L)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h_cents", sum("cents").over(w))
+        .select("user_id", "event_id", "n_1h", "sum_1h_cents")
+        .orderBy("user_id", "event_id")
+    }),
+
     // q197 — WEIGHTED MEDIAN: the robust weighted center (median
     // where each row counts `weight` times) Spark has no built-in
     // for — lower weighted median = the smallest value whose running
@@ -3658,6 +3698,22 @@ object AnalyticsQueries {
         "SELECT event_type, min(cents) AS wmedian_cents, " +
         "min(tot) AS total_wt FROM c WHERE cum * 2 >= tot " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    // the melt round trip must equal the direct long-form aggregate
+    "q314_unpivot" ->
+      ("SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY user_id, event_type"),
+
+    // same RANGE frame on the ns event-time axis, same peer rule
+    "q315_range_frame" ->
+      ("SELECT user_id, event_id, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n_1h, " +
+        "CAST(SUM(cents) OVER w AS BIGINT) AS sum_1h_cents " +
+        "FROM (SELECT user_id, event_id, epoch_ns(ts) AS tsn, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY tsn " +
+        "RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
 
     // same string-form digit extraction; the Benford expectations are
     // the SAME pinned literals the Spark plan uses (no runtime log)

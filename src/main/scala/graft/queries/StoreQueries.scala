@@ -890,6 +890,57 @@ object StoreQueries {
         .orderBy("user_id")
     }),
 
+    // q312 — STATEFUL AGGREGATION STANDING ON THE CHANGE FEED: the
+    // other half of the dynamic-table contract — q301 showed a
+    // foreachBatch consumer; here the feed flows into Spark's own
+    // STREAMING AGGREGATION (complete mode, state carried across
+    // micro-batches): change volume per (commit version, op) — the
+    // monitoring query every CDC deployment runs. Two passes on one
+    // checkpoint (commits 1-2, then commit 3 after a restart) force
+    // the agg state to survive the restart and merge the new
+    // version's counts. The oracle replays the normalized changelog
+    // per slice (latest per key by (ts, event_id), 'error' ≙ d) —
+    // exactly what each delta commit recorded.
+    "q312_stream_feed_agg" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-cfsa-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base) // idempotent per run
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val changelog = ev
+        .withColumn("__op",
+          when(col("event_type") === "error", "d").otherwise("u"))
+        .withColumn("__ord", struct(col("ts"), col("event_id")))
+      val src = UpsertTable(s, s"$base/src")
+      src.create(ev.schema, Seq("user_id"))
+      def commitSlice(r: Int): Unit =
+        src.merge(changelog.where(pmod(col("event_id"), lit(3)) === r),
+          opCol = Some("__op"), orderCol = Some("__ord"), delta = true)
+      def runPass(): Unit = {
+        val q = withShufflePartitions(s, 8) {
+          graft.streaming.ChangeFeed.readStream(s, s"$base/src")
+            .groupBy("_commit_version", "_change_op")
+            .agg(count(lit(1)).as("n_rows"),
+              min("user_id").as("min_key"), max("user_id").as("max_key"))
+            .writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", s"$base/cp")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(s"$base/out")
+            }
+            .start()
+        }
+        q.awaitTermination()
+      }
+      commitSlice(0); commitSlice(1)
+      runPass()
+      commitSlice(2)
+      runPass()
+      s.read.parquet(s"$base/out")
+        .orderBy("_commit_version", "_change_op")
+    }),
+
     // q51 — co-located bucketed join: both sides written ONCE as
     // bucketed tables (8 buckets on the join key, sorted within
     // buckets), then joined with zero exchanges — the scan's bucket
@@ -2225,6 +2276,24 @@ object StoreQueries {
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
         "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
+
+    // the feed-standing streaming aggregation must equal the batch
+    // replay of each slice's normalized changelog (one winner row per
+    // key per commit; distinct aggs are unsupported in streaming, so
+    // the key-range min/max stand in as the per-cell key evidence)
+    "q312_stream_feed_agg" ->
+      ("WITH s AS (SELECT user_id, event_id, event_type, ts, " +
+        "event_id % 3 AS slice FROM events), " +
+        "w AS (SELECT user_id, slice, event_type, row_number() OVER (" +
+        "PARTITION BY slice, user_id ORDER BY ts DESC, event_id DESC) " +
+        "AS rn FROM s), " +
+        "n AS (SELECT slice, user_id, CASE WHEN event_type = 'error' " +
+        "THEN 'd' ELSE 'u' END AS op FROM w WHERE rn = 1) " +
+        "SELECT CAST(slice + 2 AS BIGINT) AS _commit_version, " +
+        "op AS _change_op, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(min(user_id) AS BIGINT) AS min_key, " +
+        "CAST(max(user_id) AS BIGINT) AS max_key FROM n " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // the streamed-and-merged downstream table must equal the batch
     // changelog replay: per user the (slice, ts, event_id) winner
