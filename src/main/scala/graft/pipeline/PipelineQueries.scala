@@ -2726,6 +2726,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q318 — RENDEZVOUS (HRW) SHARD REBALANCING AUDIT: the sharding
+    // math a 1000-executor deployment lives on — each doc's shard is
+    // the argmax of md5(doc, shard) over the shard set (highest
+    // random weight), and the audit measures what GROWING 8 → 9
+    // shards moves. HRW's guarantee is the gate's shape: a doc either
+    // stays put or moves TO THE NEW shard (consistent-hashing's
+    // minimal-disruption property — every (old ≠ new) row must have
+    // new = 8, and ~1/9 of docs move). All integer md5 arithmetic,
+    // scan-side fan-out of 9 hash rows per doc collapsed by max_by
+    // partial aggs.
+    "q318_rendezvous_shards" -> ((s, d) => {
+      val hsh = docs(s, d)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(8L))).as("shard"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat('hrw:', " +
+            "cast(doc_id as string), ':', cast(shard as string))), " +
+            "1, 15), 16, 10) as bigint)"))
+      def owner(df: DataFrame, out: String) = df.groupBy("doc_id")
+        .agg(max_by(col("shard"), struct(col("h"),
+          (-col("shard")).as("ns"))).as(out))
+      owner(hsh.where(col("shard") < 8), "old_shard")
+        .join(owner(hsh, "new_shard"), "doc_id")
+        .groupBy("old_shard", "new_shard")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("moved", col("old_shard") =!= col("new_shard"))
+        .orderBy("old_shard", "new_shard")
+    }),
+
     // q313 — TF-IDF SPARSE kNN (nearest document by weighted term
     // overlap): the lexical similarity-search tier between exact
     // shingle Jaccard (q18) and dense ANN (q22) — classic sparse
@@ -3980,6 +4009,25 @@ object PipelineQueries {
         "SELECT vec_id, CAST(SUM(err * err) AS BIGINT) AS err_sq_sum, " +
         "CAST(MAX(abs(err)) AS BIGINT) AS max_abs_err " +
         "FROM d2 GROUP BY 1 ORDER BY vec_id"),
+
+    // same HRW argmax (h DESC, shard ASC) over both shard sets
+    "q318_rendezvous_shards" ->
+      ("WITH g AS (SELECT doc_id, unnest(generate_series(0, 8)) AS shard " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, shard, ('0x' || substr(md5('hrw:' || " +
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(shard AS VARCHAR)), " +
+        "1, 15))::BIGINT AS h FROM g), " +
+        "o8 AS (SELECT doc_id, shard AS old_shard FROM (" +
+        "SELECT doc_id, shard, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY h DESC, shard) AS rn FROM h WHERE shard < 8) " +
+        "WHERE rn = 1), " +
+        "o9 AS (SELECT doc_id, shard AS new_shard FROM (" +
+        "SELECT doc_id, shard, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY h DESC, shard) AS rn FROM h) WHERE rn = 1) " +
+        "SELECT old_shard, new_shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "old_shard <> new_shard AS moved " +
+        "FROM o8 JOIN o9 USING (doc_id) " +
+        "GROUP BY 1, 2, 4 ORDER BY old_shard, new_shard"),
 
     // same shingle tf, same df cut, same centi-log weights, same
     // sqrt-free Dice fold and best-neighbor rule

@@ -34,6 +34,19 @@ object AnalyticsQueries {
   private def SprtLlrPos = lit(SprtLlrPosL)
   private def SprtLlrNeg = lit(SprtLlrNegL)
 
+  /** q317's pinned SES weight ladders (α = 0.3, nano scale, indexed
+    * by lag k = 0..39): smooth term ⌊α·(1−α)^k·10⁹⌋ and init term
+    * ⌊(1−α)^k·10⁹⌋ — computed once, interpolated into BOTH engines,
+    * so no runtime pow crosses the gate. 40 lags covers the 30-day
+    * event span with margin.
+    */
+  private val SesSmoothW: Seq[Long] = (0 until 40).map { k =>
+    math.floor(0.3 * math.pow(0.7, k) * 1e9).toLong
+  }
+  private val SesInitW: Seq[Long] = (0 until 40).map { k =>
+    math.floor(math.pow(0.7, k) * 1e9).toLong
+  }
+
   /** q198's pinned Benford expectations ⌊log10(1+1/d)·10⁶⌋ for digits
     * 1..9 — computed once here and interpolated into BOTH engines as
     * integer literals (the SPRT/DCG convention above; no runtime
@@ -1100,6 +1113,68 @@ object AnalyticsQueries {
         .withColumn("sum_1h_cents", sum("cents").over(w))
         .select("user_id", "event_id", "n_1h", "sum_1h_cents")
         .orderBy("user_id", "event_id")
+    }),
+
+    // q316 — ECDF / RANK TABLE: per-type empirical CDF and
+    // percent-rank over the VALUE DOMAIN, not the row stream — the
+    // scale-correct form of cume_dist/percent_rank (a per-row window
+    // would sort whole types; the histogram form shuffles one row per
+    // (type, cents) and cums over the bounded distinct-value domain).
+    // Exact integers: cume = cum·10⁶ div n, percent_rank =
+    // (rank_min−1)·10⁶ div (n−1) with rank_min = 1 + count-below —
+    // SQL window semantics reproduced on the weighted domain.
+    "q316_ecdf_ranks" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("w"))
+      val wc = W.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wt = W.partitionBy("event_type")
+      hist
+        .withColumn("cum", sum("w").over(wc))
+        .withColumn("n", sum("w").over(wt))
+        .select(col("event_type"), col("cents"), col("w"),
+          expr("cum * 1000000 div n").as("cume_micro"),
+          expr("(cum - w) * 1000000 div (n - 1)").as("prank_micro"))
+        .orderBy("event_type", "cents")
+    }),
+
+    // q317 — SIMPLE EXPONENTIAL SMOOTHING (the forecasting fold under
+    // q276's MASE eval): per-type daily revenue smoothed at α = 0.3 —
+    // s₁ = x₁, s_t = α·x_t + (1−α)·s_{t−1}, unrolled to the exact
+    // weighted sum s_t = x₁·0.7^(t−1) + Σ α·0.7^(t−i)·x_i. BOTH
+    // weight ladders are PINNED nano-scale integer literals
+    // interpolated into both engines (⌊0.3·0.7^k·10⁹⌋ / ⌊0.7^k·10⁹⌋ —
+    // no runtime pow crosses the gate); the fold is an exact integer
+    // triangular join over the BOUNDED per-type day table (≤ 30² rows
+    // per type — the corpus aggregates once, the recurrence never
+    // sees event rows). Series indexed by observed-day rank, the
+    // standard irregular-series convention.
+    "q317_exp_smoothing" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "day").agg(sum("cents").as("x"))
+        .withColumn("idx", row_number().over(
+          W.partitionBy("event_type").orderBy("day")))
+      val wSm = array(SesSmoothW.map(lit): _*)
+      val wIn = array(SesInitW.map(lit): _*)
+      val l = daily.toDF("event_type", "day", "x", "idx")
+      val r = daily.select(col("event_type"), col("x").as("xi"),
+        col("idx").as("i"))
+      l.join(r, Seq("event_type"))
+        .where(col("i") <= col("idx"))
+        .withColumn("term", when(col("i") === 1,
+          col("xi") * element_at(wIn, (col("idx") - col("i") + 1).cast("int")))
+          .otherwise(
+            col("xi") * element_at(wSm, (col("idx") - col("i") + 1).cast("int"))))
+        .groupBy("event_type", "day", "x")
+        .agg(expr("sum(term) div 1000").as("ses_micro"))
+        .orderBy("event_type", "day")
     }),
 
     // q197 — WEIGHTED MEDIAN: the robust weighted center (median
@@ -3698,6 +3773,39 @@ object AnalyticsQueries {
         "SELECT event_type, min(cents) AS wmedian_cents, " +
         "min(tot) AS total_wt FROM c WHERE cum * 2 >= tot " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    // same weighted-domain cums, same exact rank arithmetic
+    "q316_ecdf_ranks" ->
+      ("WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) " +
+        "AS cents, count(*) AS w FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, cents, w, SUM(w) OVER (" +
+        "PARTITION BY event_type ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "SUM(w) OVER (PARTITION BY event_type) AS n FROM h) " +
+        "SELECT event_type, cents, CAST(w AS BIGINT) AS w, " +
+        "CAST(cum * 1000000 // n AS BIGINT) AS cume_micro, " +
+        "CAST((cum - w) * 1000000 // (n - 1) AS BIGINT) AS prank_micro " +
+        "FROM c ORDER BY event_type, cents"),
+
+    // same daily fold, same PINNED weight-ladder literals
+    "q317_exp_smoothing" -> {
+      val wSm = SesSmoothW.mkString("[", ", ", "]")
+      val wIn = SesInitW.mkString("[", ", ", "]")
+      "WITH daily AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "ix AS (SELECT event_type, day, x, row_number() OVER (" +
+        "PARTITION BY event_type ORDER BY day) AS idx FROM daily), " +
+        "j AS (SELECT a.event_type, a.day, a.x, " +
+        s"CASE WHEN b.i = 1 THEN b.xi * ($wIn)[a.idx - b.i + 1] " +
+        s"ELSE b.xi * ($wSm)[a.idx - b.i + 1] END AS term " +
+        "FROM ix a JOIN (SELECT event_type, x AS xi, idx AS i FROM ix) b " +
+        "ON b.event_type = a.event_type AND b.i <= a.idx) " +
+        "SELECT event_type, day, x, " +
+        "CAST(SUM(term) // 1000 AS BIGINT) AS ses_micro " +
+        "FROM j GROUP BY 1, 2, 3 ORDER BY event_type, day"
+    },
 
     // the melt round trip must equal the direct long-form aggregate
     "q314_unpivot" ->

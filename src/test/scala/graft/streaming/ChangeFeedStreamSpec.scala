@@ -79,6 +79,33 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
       Set((4L, Some("d4"), "u", v0 + 3)))
   }
 
+  test("additive schema evolution inside the stream null-fills older files") {
+    val src = tmpDir("srcev")
+    val t = UpsertTable(spark, src)
+    t.merge(Seq((1L, "a")).toDF("id", "v"), autoCreateKeys = Seq("id"))
+    val v0 = t.currentSnapshot.get.version
+    t.merge(Seq((2L, "b")).toDF("id", "v"), delta = true)
+    // additive evolution: later commit carries an extra column
+    t.merge(Seq((3L, "c", 7L)).toDF("id", "v", "extra"), delta = true)
+
+    val cp = tmpDir("cpev")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Any)]
+    // the stream pins the CURRENT (evolved) schema at definition time;
+    // the v0+1 file lacks `extra` and must read back as null
+    val q = ChangeFeed.readStream(spark, src, startingVersion = v0)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= b.select("id", "v", "extra").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.get(2)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.toSet === Set((2L, "b", null), (3L, "c", 7L)))
+  }
+
   test("full-history default fails loudly over a non-delta data commit") {
     val src = tmpDir("srcfail")
     val t = UpsertTable(spark, src)
