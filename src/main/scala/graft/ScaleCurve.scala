@@ -294,11 +294,12 @@ object ScaleCurve {
     md ++= "Caveat for the AUDIT family (q234/q246) and the brute-force\n" +
       "tier (q239): their ground-truth legs are DELIBERATELY\n" +
       "(sub-)quadratic — an exact-recall audit must pay for exact truth,\n" +
-      "which is why both audits run on fixed-fraction samples and the\n" +
-      "bitext miner is the documented q16-style brute-force tier whose\n" +
-      "production form runs on ANN candidate lists. Their alpha\n" +
-      "measures the truth leg's price, not a plan defect; the operators\n" +
-      "they audit (q17/q18, q151, q22/q63) are the scale path.\n\n"
+      "which is why both audits run on fixed-fraction samples. q239 is\n" +
+      "the TRUTH tier by contract; its production form is q300 (margins\n" +
+      "from IVF candidate lists, measured in the row below it — the\n" +
+      "alpha_tail gap between the two IS the point). The audit alphas\n" +
+      "measure the truth leg's price, not a plan defect; the operators\n" +
+      "they audit (q17/q18, q151, q22/q63, q300) are the scale path.\n\n"
     md ++= "Caveat for the BASKET-PAIRING family (q270/q273/q274/q275):\n" +
       "the ×4 replica multiplies ORDERS at a fixed catalog, so\n" +
       "within-order pair generation must track orders (α ≈ 1) while\n" +

@@ -342,6 +342,44 @@ object PipelineQueries {
           expr("n_verified * 1000000 div n_candidates").as("precision_micro"))
     }),
 
+    // q232 — LSH BAND-LEVEL AUDIT (fills the numbering gap, in its
+    // audit-family neighborhood): per-BAND candidate volume and
+    // verify precision of the MinHash blocking — the tuning signal
+    // behind the (bands × rows) trade every LSH deployment makes
+    // (more bands ⇒ recall up, per-band precision down; a band whose
+    // precision collapses is wasted candidate budget). Distinct pairs
+    // per band (the same bucket-expansion shape as candidatePairs,
+    // keeping the band id), verified at the q17/q18 threshold. Work
+    // is Σ bucket² per band — the LSH contract — plus one bounded
+    // per-band fold.
+    "q232_lsh_band_audit" -> ((s, d) => {
+      val base = docsWithDups(s, d)
+      val texts = base.select(col("doc_id"), col("text"))
+      val cand = NearDup.bands(base, "doc_id", "text")
+        .groupBy("band", "key")
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(col("band"), explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), " +
+            "y -> struct(x as doc_a, y as doc_b))))")).as("p"))
+        .select(col("band"), col("p.doc_a"), col("p.doc_b"))
+        .distinct()
+      cand
+        .join(texts.toDF("doc_a", "text_a"), "doc_a")
+        .join(texts.toDF("doc_b", "text_b"), "doc_b")
+        .withColumn("ok",
+          when(round(expr("shingle_jaccard(text_a, text_b, 3)"), 6) >= 0.8,
+            1L).otherwise(0L))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_candidates"), sum("ok").as("n_verified"))
+        .select(col("band").cast("long").as("band"), col("n_candidates"),
+          col("n_verified"),
+          expr("n_verified * 1000000 div n_candidates")
+            .as("precision_micro"))
+        .orderBy("band")
+    }),
+
     // q229 — LEAKAGE-SAFE CV FOLD SPLIT: the evaluation-hygiene twin
     // of q126's per-document split. A near-duplicate pair scattered
     // across train/eval folds leaks the answer (the Lee et al./
@@ -934,9 +972,9 @@ object PipelineQueries {
     // q300 — ANN-TIER BITEXT MINING: q239's PRODUCTION form under the
     // q16 contract — the margin scoring runs on IVF candidate lists
     // instead of the all-pairs cross join, closing the one measured
-    // quadratic tail (q239 α_tail 1.43/1.31 across rounds; THIS query
-    // measures α_tail 0.700 on the same corpus triple — see
-    // SCALE_CURVE.md).
+    // quadratic tail (q239 α_tail 1.3-1.4 across rounds; THIS query
+    // measures α_tail 0.72 on the same corpus triple, and is 1.4×
+    // cheaper in wall-clock at sf0.1 — see SCALE_CURVE.md).
     // Both directions' neighbor lists come from
     // [[AnnIvf.topKFromAssigned]] over k ≈ √N first-k centroids
     // (q36's scale rule: Σ bucket² ≈ N·√N), so the avgK neighborhood
@@ -4009,6 +4047,26 @@ object PipelineQueries {
         "SELECT vec_id, CAST(SUM(err * err) AS BIGINT) AS err_sq_sum, " +
         "CAST(MAX(abs(err)) AS BIGINT) AS max_abs_err " +
         "FROM d2 GROUP BY 1 ORDER BY vec_id"),
+
+    // same per-band distinct pairing, same jaccard threshold
+    "q232_lsh_band_audit" ->
+      (s"WITH RECURSIVE all_docs AS ($dupCte), " +
+        s"${duckShingleCtes("all_docs")}, $duckSigBandCtes, " +
+        "cand AS (SELECT DISTINCT a.band, a.doc_id AS doc_a, " +
+        "b.doc_id AS doc_b FROM bands a JOIN bands b " +
+        "ON a.band = b.band AND a.bkey = b.bkey " +
+        "AND a.doc_id < b.doc_id), " +
+        "v AS (SELECT c.band, CASE WHEN " +
+        "round(len(list_intersect(sa.sh, sb.sh)) / " +
+        "CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) >= 0.8 " +
+        "THEN 1 ELSE 0 END AS ok FROM cand c " +
+        "JOIN sh sa ON sa.doc_id = c.doc_a " +
+        "JOIN sh sb ON sb.doc_id = c.doc_b) " +
+        "SELECT CAST(band AS BIGINT) AS band, " +
+        "CAST(count(*) AS BIGINT) AS n_candidates, " +
+        "CAST(SUM(ok) AS BIGINT) AS n_verified, " +
+        "CAST(SUM(ok) * 1000000 // count(*) AS BIGINT) AS precision_micro " +
+        "FROM v GROUP BY band ORDER BY band"),
 
     // same HRW argmax (h DESC, shard ASC) over both shard sets
     "q318_rendezvous_shards" ->
