@@ -128,6 +128,14 @@ object PipelineQueries {
   }
   private val IdcgAt10: Long = DcgGains.sum
 
+  /** q321's pinned Bloom sizing factor ⌊−ln(0.01)/(ln 2)²·10⁶⌋ —
+    * bits-per-key for a 1 % target fpp, interpolated into both
+    * engines (ln 2 micros = 693147 rides next to it for the hash
+    * count).
+    */
+  private val BloomBitsFactorMicro: Long =
+    math.floor(-math.log(0.01) / (math.log(2d) * math.log(2d)) * 1e6).toLong
+
   /** q307's pinned A-Res uniform denominator ⌊ln(10⁶+1)·10⁶⌋ —
     * constant, so it is interpolated into BOTH engines as a literal
     * (only ln(num) over the ≤10⁶ integer domain stays runtime, under
@@ -2764,6 +2772,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q321 — BLOOM FILTER CAPACITY PLANNER: the sizing arithmetic
+    // behind every bloom this engine ships (per-file lookup blooms,
+    // q104's decontamination filter) — optimal bits
+    // m = ⌈−n·ln p / (ln 2)²⌉ and hash count k = round(m/n·ln 2) for
+    // a 1 % target fpp, per source. BOTH transcendental factors are
+    // pinned micro literals (−ln 0.01/(ln 2)² and ln 2, computed once
+    // in Scala, interpolated into both engines); the ceil/round land
+    // as exact integer divisions. One bounded per-source count — the
+    // planner costs nothing, which is the point of running it before
+    // a 100 TB build instead of after.
+    "q321_bloom_planner" -> ((s, d) => {
+      docs(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          expr(s"(n_docs * ${BloomBitsFactorMicro}L + 999999) div 1000000")
+            .as("m_bits"))
+        .withColumn("k_hashes",
+          expr("(m_bits * 693147 + n_docs * 500000) div (n_docs * 1000000)"))
+        .withColumn("bytes", expr("(m_bits + 7) div 8"))
+        .orderBy("source")
+    }),
+
     // q318 — RENDEZVOUS (HRW) SHARD REBALANCING AUDIT: the sharding
     // math a 1000-executor deployment lives on — each doc's shard is
     // the argmax of md5(doc, shard) over the shard set (highest
@@ -4067,6 +4096,18 @@ object PipelineQueries {
         "CAST(SUM(ok) AS BIGINT) AS n_verified, " +
         "CAST(SUM(ok) * 1000000 // count(*) AS BIGINT) AS precision_micro " +
         "FROM v GROUP BY band ORDER BY band"),
+
+    // same pinned sizing factors, same exact integer ceil/round
+    "q321_bloom_planner" ->
+      (s"WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY 1), " +
+        s"m AS (SELECT source, n_docs, (n_docs * $BloomBitsFactorMicro " +
+        "+ 999999) // 1000000 AS m_bits FROM g) " +
+        "SELECT source, n_docs, CAST(m_bits AS BIGINT) AS m_bits, " +
+        "CAST((m_bits * 693147 + n_docs * 500000) // " +
+        "(n_docs * 1000000) AS BIGINT) AS k_hashes, " +
+        "CAST((m_bits + 7) // 8 AS BIGINT) AS bytes " +
+        "FROM m ORDER BY source"),
 
     // same HRW argmax (h DESC, shard ASC) over both shard sets
     "q318_rendezvous_shards" ->

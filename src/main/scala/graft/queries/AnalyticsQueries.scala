@@ -34,6 +34,15 @@ object AnalyticsQueries {
   private def SprtLlrPos = lit(SprtLlrPosL)
   private def SprtLlrNeg = lit(SprtLlrNegL)
 
+  /** q320's pinned power-analysis z factor: (z_{α/2} + z_β)² at
+    * α = 0.05 two-sided / power 0.8 — (1.959964 + 0.841621)² in
+    * micro² — squared ONCE here and interpolated into both engines.
+    */
+  private val PowerZ2: Long = {
+    val z = 1959964L + 841621L
+    z * z
+  }
+
   /** q317's pinned SES weight ladders (α = 0.3, nano scale, indexed
     * by lag k = 0..39): smooth term ⌊α·(1−α)^k·10⁹⌋ and init term
     * ⌊(1−α)^k·10⁹⌋ — computed once, interpolated into BOTH engines,
@@ -1113,6 +1122,71 @@ object AnalyticsQueries {
         .withColumn("sum_1h_cents", sum("cents").over(w))
         .select("user_id", "event_id", "n_1h", "sum_1h_cents")
         .orderBy("user_id", "event_id")
+    }),
+
+    // q319 — SIMPSON'S PARADOX AUDIT: does the per-segment winner
+    // disagree with the aggregate winner? The classic confounding
+    // screen run before trusting any A/B readout (q161's z-test says
+    // "significant", this says "sliced by segment the sign FLIPS").
+    // Success = cents ≥ 5000, variant = user_id % 2 (q194's
+    // assignment), segments = event types. All comparisons are
+    // cross-multiplied exact integers (a·n_b vs b·n_a — no rate
+    // division decides anything; the micro rates are reporting
+    // columns only). One partial-agg pass; segment grid bounded.
+    "q319_simpson_audit" -> ((s, d) => {
+      val base = events(s, d)
+        .select(col("event_type"), (col("user_id") % 2).as("variant"),
+          when(round(col("value") * 100).cast("long") >= 5000L, 1L)
+            .otherwise(0L).as("succ"))
+      val seg = base.groupBy("event_type", "variant")
+        .agg(count(lit(1)).as("n"), sum("succ").as("s"))
+        .groupBy("event_type")
+        .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 0, col("s"))).as("s0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          sum(when(col("variant") === 1, col("s"))).as("s1"))
+      val tot = seg.agg(sum("n0").as("tn0"), sum("s0").as("ts0"),
+        sum("n1").as("tn1"), sum("s1").as("ts1"))
+      seg.crossJoin(broadcast(tot))
+        .select(col("event_type"),
+          expr("s0 * 1000000 div n0").as("rate0_micro"),
+          expr("s1 * 1000000 div n1").as("rate1_micro"),
+          (col("s1") * col("n0") > col("s0") * col("n1")).as("seg_v1_wins"),
+          (col("ts1") * col("tn0") > col("ts0") * col("tn1"))
+            .as("overall_v1_wins"),
+          ((col("s1") * col("n0") > col("s0") * col("n1")) =!=
+            (col("ts1") * col("tn0") > col("ts0") * col("tn1")))
+            .as("reversed"))
+        .orderBy("event_type")
+    }),
+
+    // q320 — A/B POWER ANALYSIS (required sample size): the question
+    // every experiment starts with — how many observations per arm to
+    // detect a 5.00 lift at α = 0.05 (two-sided) and power 0.8?
+    // n = 2(z_α/2 + z_β)²·σ²/δ², computed EXACTLY: the z factor is
+    // the pinned integer literal (1.959964 + 0.841621 in micros,
+    // squared once in Scala), σ² stays the exact rational
+    // (nΣx² − (Σx)²)/(n(n−1)) — the ceil-division runs over
+    // decimal(38) cross products, so no float touches the gate. One
+    // bounded per-type aggregate.
+    "q320_power_analysis" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sx"),
+          sum(expr("c * c")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          expr("sx div n").as("mean_cents_floor"),
+          expr("(n * sxx - sx * sx) div (n * (n - 1))").as("var_floor"),
+          // ceil( 2·Z²·num / (den·δ²·10¹²) ), δ = 500 cents
+          expr(s"cast((2 * cast(${PowerZ2}L as decimal(38,0)) * " +
+            "(n * sxx - sx * sx) + (n * (n - 1)) * 250000 * " +
+            "cast(1000000000000 as decimal(38,0)) - 1) div " +
+            "((n * (n - 1)) * 250000 * " +
+            "cast(1000000000000 as decimal(38,0))) as bigint)")
+            .as("n_required"))
+        .orderBy("event_type")
     }),
 
     // q316 — ECDF / RANK TABLE: per-type empirical CDF and
@@ -3773,6 +3847,44 @@ object AnalyticsQueries {
         "SELECT event_type, min(cents) AS wmedian_cents, " +
         "min(tot) AS total_wt FROM c WHERE cum * 2 >= tot " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    // same cross-multiplied winner comparisons, same micro rates
+    "q319_simpson_audit" ->
+      ("WITH b AS (SELECT event_type, user_id % 2 AS variant, " +
+        "CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000 " +
+        "THEN 1 ELSE 0 END AS succ FROM events), " +
+        "g AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN variant = 0 THEN succ ELSE 0 END) AS BIGINT) AS s0, " +
+        "CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN variant = 1 THEN succ ELSE 0 END) AS BIGINT) AS s1 " +
+        "FROM b GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n0) AS BIGINT) AS tn0, " +
+        "CAST(SUM(s0) AS BIGINT) AS ts0, CAST(SUM(n1) AS BIGINT) AS tn1, " +
+        "CAST(SUM(s1) AS BIGINT) AS ts1 FROM g) " +
+        "SELECT event_type, s0 * 1000000 // n0 AS rate0_micro, " +
+        "s1 * 1000000 // n1 AS rate1_micro, " +
+        "s1 * n0 > s0 * n1 AS seg_v1_wins, " +
+        "ts1 * tn0 > ts0 * tn1 AS overall_v1_wins, " +
+        "(s1 * n0 > s0 * n1) <> (ts1 * tn0 > ts0 * tn1) AS reversed " +
+        "FROM g CROSS JOIN t ORDER BY event_type"),
+
+    // same exact rational variance, same pinned z² literal, same
+    // HUGEINT ceil-division
+    "q320_power_analysis" ->
+      ("WITH a AS (SELECT event_type, count(*) AS n, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) AS sx, " +
+        "SUM(CAST(round(value * 100) AS BIGINT) * " +
+        "CAST(round(value * 100) AS BIGINT)) AS sxx " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "CAST(sx // n AS BIGINT) AS mean_cents_floor, " +
+        "CAST((n * sxx - sx * sx) // (n * (n - 1)) AS BIGINT) " +
+        "AS var_floor, " +
+        s"CAST((2 * ${PowerZ2}::HUGEINT * (n * sxx - sx * sx) + " +
+        "(n * (n - 1)) * 250000 * 1000000000000::HUGEINT - 1) // " +
+        "((n * (n - 1)) * 250000 * 1000000000000::HUGEINT) AS BIGINT) " +
+        "AS n_required FROM a ORDER BY event_type"),
 
     // same weighted-domain cums, same exact rank arithmetic
     "q316_ecdf_ranks" ->
