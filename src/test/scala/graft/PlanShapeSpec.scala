@@ -33,6 +33,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q11_join").contains("BroadcastHashJoin"))
   }
 
+  test("q300 ANN bitext tier keeps bucketed candidates and a broadcast audit leg") {
+    val p = plan("q300_bitext_ann")
+    // IVF assignment must stay a map-side partial argmax (the q22 shape)
+    assert(p.contains("partial_max_by"),
+      s"q300 lost the assignment partial aggregation:\n$p")
+    // centroids/probes/audit sample all broadcast — the corpus halves
+    // must never shuffle-pair (that is q239, the truth tier)
+    assert(p.contains("BroadcastExchange"), s"q300 lost its broadcasts:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q300's exact audit leg is not the broadcast-sample form:\n$p")
+  }
+
   test("dedup and changelog-normalize aggregate partially before the shuffle") {
     assert(plan("q13_dedup_exact").contains("partial_min"),
       "exact dedup lost map-side partial aggregation")
