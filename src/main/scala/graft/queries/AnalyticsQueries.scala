@@ -1124,6 +1124,32 @@ object AnalyticsQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // q324 — ACTIVITY STREAKS (gaps-and-islands): each user's longest
+    // run of CONSECUTIVE active days — the classic islands idiom
+    // (day − row_number is constant within an island), the
+    // engagement metric behind every retention dashboard and distinct
+    // from q92's gap sessions (calendar days, not event-time gaps).
+    // One distinct (user, day) shuffle, windows bounded by ≤ 30 days
+    // per user, ties broken to the EARLIEST streak.
+    "q324_activity_streaks" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val days = events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      days
+        .withColumn("grp",
+          col("day") - row_number().over(
+            W.partitionBy("user_id").orderBy("day")))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+        .groupBy("user_id")
+        .agg(max_by(struct(col("len"), col("start_day")),
+          struct(col("len"), (-col("start_day")).as("ns"))).as("best"))
+        .select(col("user_id"), col("best.len").as("streak_len"),
+          col("best.start_day").as("streak_start_day"))
+        .orderBy("user_id")
+    }),
+
     // q319 — SIMPSON'S PARADOX AUDIT: does the per-segment winner
     // disagree with the aggregate winner? The classic confounding
     // screen run before trusting any A/B readout (q161's z-test says
@@ -3847,6 +3873,20 @@ object AnalyticsQueries {
         "SELECT event_type, min(cents) AS wmedian_cents, " +
         "min(tot) AS total_wt FROM c WHERE cum * 2 >= tot " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    // same islands arithmetic, same earliest-streak tie rule
+    "q324_activity_streaks" ->
+      ("WITH dd AS (SELECT DISTINCT user_id, " +
+        "epoch_ns(ts) // 86400000000000 AS day FROM events), " +
+        "g AS (SELECT user_id, day, day - row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY day) AS grp FROM dd), " +
+        "st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, " +
+        "min(day) AS start_day FROM g GROUP BY 1, 2), " +
+        "r AS (SELECT user_id, len, start_day, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY len DESC, start_day) AS rn FROM st) " +
+        "SELECT user_id, len AS streak_len, " +
+        "CAST(start_day AS BIGINT) AS streak_start_day FROM r " +
+        "WHERE rn = 1 ORDER BY user_id"),
 
     // same cross-multiplied winner comparisons, same micro rates
     "q319_simpson_audit" ->

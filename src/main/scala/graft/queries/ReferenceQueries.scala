@@ -181,6 +181,54 @@ object ReferenceQueries {
         .limit(10)
     }),
 
+    // q322 — SMALL-QUANTITY REVENUE (TPC-H Q17 shape): the classic
+    // CORRELATED-SUBQUERY decorrelation — "lineitems whose quantity
+    // is below 20 % of their part's average" becomes a per-part
+    // aggregate joined back to the fact table (Catalyst plans the
+    // per-part stats once; a naive engine re-evaluates the subquery
+    // per row). The 0.2·avg comparison is CROSS-MULTIPLIED exact
+    // integers (qty·5·cnt < Σqty — no division, no float), revenue
+    // folds to cents before the one global sum. Part dim broadcast.
+    "q322_small_qty_revenue" -> ((s, d) => {
+      val l = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("ep_cents"))
+      val stats = l.groupBy("l_partkey")
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("sq"))
+      val p = Tables.load(s, d, "part")
+        .where(col("p_brand") === "Brand#3").select("p_partkey")
+      l.join(stats, "l_partkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(col("qty") * 5 * col("cnt") < col("sq"))
+        .agg(count(lit(1)).as("n_lines"),
+          coalesce(sum("ep_cents"), lit(0L)).as("total_cents"))
+        .select(col("n_lines"), col("total_cents"),
+          expr("total_cents div 7").as("avg_yearly_cents"))
+    }),
+
+    // q323 — LARGE-VOLUME ORDERS (TPC-H Q18 shape): the HAVING-driven
+    // semi-join — orders whose total quantity exceeds the threshold,
+    // found by aggregating the fact table FIRST (one partial-agg
+    // shuffle on the join key) and joining the small surviving set
+    // back to orders and customers; the fact table is never joined
+    // wide. Quantities exact longs; top-20 under a full tie order.
+    "q323_large_orders" -> ((s, d) => {
+      val big = Tables.load(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .where(col("total_qty") > 170L)
+      Tables.load(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long")
+            .as("o_totalprice_cents"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Q154 — STAR-SCHEMA JOIN (TPC-H Q5 shape, one rung up from
     // q24's Q3): six tables, selective region + date-window filter,
     // revenue per nation. Join planning is the point at 100 TB:
@@ -998,6 +1046,33 @@ object ReferenceQueries {
         "SELECT l.k AS k, l.n_l, r.n_r FROM l JOIN r " +
         "ON l.k IS NOT DISTINCT FROM r.k " +
         "ORDER BY k NULLS FIRST"),
+    // same decorrelated per-part stats, same cross-multiplied 0.2·avg
+    "q322_small_qty_revenue" ->
+      ("WITH s AS (SELECT l_partkey, count(*) AS cnt, " +
+        "SUM(CAST(l_quantity AS BIGINT)) AS sq FROM lineitem GROUP BY 1), " +
+        "q AS (SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS ep " +
+        "FROM lineitem l JOIN s ON s.l_partkey = l.l_partkey " +
+        "JOIN part p ON p.p_partkey = l.l_partkey " +
+        "AND p.p_brand = 'Brand#3' " +
+        "WHERE CAST(l.l_quantity AS BIGINT) * 5 * s.cnt < s.sq) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(COALESCE(SUM(ep), 0) AS BIGINT) AS total_cents, " +
+        "CAST(COALESCE(SUM(ep), 0) // 7 AS BIGINT) AS avg_yearly_cents " +
+        "FROM q"),
+
+    // same agg-first HAVING semi-join, same tie order
+    "q323_large_orders" ->
+      ("WITH big AS (SELECT l_orderkey, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty " +
+        "FROM lineitem GROUP BY 1 HAVING " +
+        "SUM(CAST(l_quantity AS BIGINT)) > 170) " +
+        "SELECT c.c_custkey, o.o_orderkey, " +
+        "CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents, " +
+        "b.total_qty FROM big b " +
+        "JOIN orders o ON o.o_orderkey = b.l_orderkey " +
+        "JOIN customer c ON c.c_custkey = o.o_custkey " +
+        "ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 20"),
+
     "q156_except_all" ->
       ("SELECT k, COUNT(*) AS n FROM (" +
         "SELECT l_orderkey AS k FROM lineitem " +
