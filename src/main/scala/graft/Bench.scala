@@ -104,13 +104,11 @@ object Bench {
       } + "\""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$warn$fail,"sf":${jstr(sfDir)}}"""
-    // the driver captures a bounded TAIL of the sbt output; a long
-    // per-query map once pushed the total off the end of the capture.
-    // Persist the full record to a file AND print it first, so it
-    // survives any truncation of the trailing sbt chatter
-    // default under the build dir: a bare `sbt runMain graft.Bench`
-    // from the repo root must never silently clobber the TRACKED
-    // BENCH_LOCAL.json record (refreshing that is a deliberate copy)
+    // Persist the FULL canonical record (every query, full-precision
+    // seconds) to a file — the tracked BENCH_LOCAL.json copy is the
+    // durable per-query record. Default under the build dir: a bare
+    // `sbt runMain graft.Bench` from the repo root must never silently
+    // clobber the TRACKED record (refreshing that is a deliberate copy)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "target/bench/BENCH_LOCAL.json")
     try {
@@ -119,36 +117,43 @@ object Bench {
       java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $out: $e") }
-    println(json)
-    // per-query record in SHORT self-contained chunk lines (values at
-    // ms precision): the driver's round file keeps a bounded TAIL of
-    // this output, and one 8 KB map line was historically cut mid-JSON
-    // (BENCH_r06/r07 carry "parsed": null) — 40-query chunks keep each
-    // line ~1.5 KB so round-over-round per-query comparison parses
-    // from the round file alone, no target/bench dependency
+    // STDOUT LAYOUT CONTRACT — every line short enough to survive the
+    // driver's capture. Two historical failure modes drive it:
+    //   (a) a line-level cut around ~8 KB once chopped the full
+    //       name-keyed map mid-JSON (BENCH_r06/r07 "parsed": null) —
+    //       so NO stdout line here exceeds ~3 KB, and the line whose
+    //       metric is "total" (the one a parser greps for) is a SHORT
+    //       FLAT object, never the full map;
+    //   (b) the round file keeps only a ~2 KB TAIL — so the last two
+    //       lines are (values-only per-query ms record, short total),
+    //       which together fit the tail with room to spare.
     def fmt3(d: Double): String =
       if (d.isInfinity) "\"failed\"" else f"$d%.3f"
+    // 1) name-keyed per-query map in ~40-query chunk lines (~1.2 KB
+    //    each, individually parseable) for full-stdout consumers
     names.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
       val m = chunk.map(n => "\"" + n + "\":" + fmt3(best(n)))
         .mkString("{", ",", "}")
       println(s"""{"metric":"queries_chunk","chunk":$i,"n_chunks":${(names.size + 39) / 40},"queries":$m}""")
     }
-    // whole-suite per-query record as ONE ~2 KB values-only line,
-    // emitted second-to-LAST: the round file keeps a bounded TAIL of
-    // this output, and r08's tail lost name-keyed chunks 1-4 — names
-    // here are implied by sorted-key order (guarded by names_md5, the
-    // keys are in the repo at the same commit), values are ms ints
-    // (-1 = failed), so round-over-round comparison of EVERY query
-    // parses from the round file alone
+    // 2) whole-suite values-only ms record (second-to-last; ~1.6 KB):
+    //    names are implied by sorted-key order, guarded by names_md5
+    //    (md5 of the comma-joined sorted names — reproducible from the
+    //    repo or any CORRECTNESS file at the same commit); -1 = failed.
+    //    Round-over-round comparison of EVERY query parses from the
+    //    round file's tail alone.
     val msArr = names.map(n =>
       if (best(n).isInfinity) -1L else math.round(best(n) * 1000)).mkString("[", ",", "]")
     val namesMd5 = java.security.MessageDigest.getInstance("MD5")
       .digest(names.mkString(",").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    println(s"""{"metric":"bench_ms","n":${names.size},"order":"name-sorted","names_md5":"$namesMd5","ms":$msArr}""")
-    // compact trailer LAST: a tail-capture keeps the final lines, so
-    // the totals survive even when earlier lines are cut short
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"n_failed":${failed.size},"full_record":${jstr(out)},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"bench_ms","n":${names.size},"names_md5":"$namesMd5","ms":$msArr}""")
+    // 3) the canonical "total" line LAST: short, FLAT apart from a
+    //    3-slowest headline map, always complete in the tail — this is
+    //    the line a driver-side json parse should land on
+    val slow = names.sortBy(n => -best(n).min(1e18)).take(3)
+      .map(n => "\"" + n + "\":" + fmt3(best(n))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"n_failed":${failed.size},"queries":$slow,"queries_note":"3 slowest; full map in queries_chunk lines + full_record"$warn$fail,"full_record":${jstr(out)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

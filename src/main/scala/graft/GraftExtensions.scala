@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // overlay reads of delta-bearing store tables with the
     // merge-on-read plan; delta-free tables keep the pure DSv2 scan
     extensions.injectPostHocResolutionRule(graft.catalog.GraftDeltaReadRule)
+    // SQL TVF over the change feed: SELECT * FROM
+    // table_changes('cat.ns.t', fromV [, toV]) — the Delta-parity
+    // surface letting a pure-SQL consumer reach row-level CDC
+    extensions.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.catalog.GraftTableChanges.getClass.getName,
+        "table_changes"),
+      (args: Seq[Expression]) => graft.catalog.GraftTableChanges.build(args)))
     extensions.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -265,8 +265,15 @@ object ScaleCurve {
       }
       .map { case (name, boundNote) =>
       val perPoint = points.map { case (label, dir) =>
+        // progress events reach the listener ASYNCHRONOUSLY via the
+        // shared listener bus: drain it before the reset (so a prior
+        // point's late event can't bleed into this window) and again
+        // after awaitTermination (so the final micro-batch's event —
+        // often the peak — is counted before the read)
+        org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
         peakState.set(0)
         val t = time(name, dir)
+        org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
         (label, peakState.get(), t)
       }
       (name, boundNote, perPoint)

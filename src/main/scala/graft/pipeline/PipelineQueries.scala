@@ -516,46 +516,57 @@ object PipelineQueries {
         .limit(20)
     }),
 
-    // q275 — LOCAL CLUSTERING COEFFICIENT: per-node triangle density
-    // cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)) on the repeat-co-purchase
-    // graph — the node-level refinement of q136's global triangle
-    // count, and the standard "is this neighborhood a community or a
-    // star" signal. Same degree-oriented wedge closure as q136 (Σ
-    // d_out² ≤ m^1.5, one hash join closes wedges); each closed wedge
-    // is a triangle found ONCE, then exploded to its three vertices
-    // for the per-node credit. cc lands in exact integer micros
-    // (2·T·10⁶ div deg·(deg−1)); deg < 2 nodes report null. Oracle:
-    // the naive a<b<c triple join credited per vertex — proving the
-    // orientation loses/double-counts nothing node-wise either.
+    // q275 — LOCAL CLUSTERING COEFFICIENT (hub-capped): per-node
+    // triangle density cc(v) = 2·T(v)/(k_v·(k_v−1)) on the
+    // repeat-co-purchase graph — the node-level refinement of q136's
+    // global triangle count, and the standard "is this neighborhood a
+    // community or a star" signal. SEMANTICS (the q274 deployment
+    // cut, part of the operator contract): each node's neighborhood
+    // is the deterministic bottom-32-by-md5 SAMPLE of its neighbors —
+    // k_v = min(deg v, 32) — so cc is EXACT for every deg ≤ 32 node
+    // and a fixed-size uniform-sample density estimate for hubs.
+    // Unlike q274 (whose per-center cost is LINEAR in its cap), cc
+    // pays C(K,2) pairs per node, so the cap sits at 32: the pair
+    // stage is ≤ 496·|V| and the adjacency stages ≤ 2·|E| (the
+    // uncapped exact closure measured α_tail 1.50 on the ×4 densified
+    // stress graph — a 222-degree node there costs 24,531 exact wedges
+    // vs 496 sampled ones).
+    // Plan: the per-node sample is a MERGEABLE bounded partial agg
+    // (top_k on the md5 rank — a hub's adjacency combines map-side,
+    // never concentrating in one task), then sampled-neighbor pairs
+    // close against the edge set with one hash join. cc lands in
+    // exact integer micros (2·T·10⁶ div k_v·(k_v−1)); deg < 2 nodes
+    // report null. Oracle: identical md5 sample via row_number, naive
+    // pair closure — the sampling contract itself is gated.
     "q275_clustering_coeff" -> ((s, d) => {
-      // three consumers (degrees, orientation, wedge closure) —
-      // materialize once, the q285 rationale
+      val K = 32
+      // two consumers (adjacency build + pair closure) — materialize
+      // once, the q285 rationale
       val u0 = repeatCoEdges(s, d)
       val und = if (s.sparkContext.getCheckpointDir.isDefined)
         u0.checkpoint(eager = true) else u0.localCheckpoint(true)
-      val deg = und.select(col("lo").as("n"))
-        .unionByName(und.select(col("hi").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg"))
-      val loFirst = und
-        .join(deg.toDF("lo", "dlo"), "lo")
-        .join(deg.toDF("hi", "dhi"), "hi")
-        .withColumn("lo_first",
-          col("dlo") < col("dhi") ||
-            (col("dlo") === col("dhi") && col("lo") < col("hi")))
-      val oriented = loFirst.select(
-        when(col("lo_first"), col("lo")).otherwise(col("hi")).as("src"),
-        when(col("lo_first"), col("hi")).otherwise(col("lo")).as("dst"))
-      val tri = oriented.toDF("src", "b")
-        .join(oriented.toDF("src", "c"), "src")
-        .where(col("b") < col("c"))
-        .join(und.toDF("b", "c"), Seq("b", "c"))
-        .select(explode(array(col("src"), col("b"), col("c"))).as("n"))
-        .groupBy("n").agg(count(lit(1)).as("tri"))
-      deg.join(tri, Seq("n"), "left")
-        .select(col("n").as("item"), col("dg").as("deg"),
-          coalesce(col("tri"), lit(0L)).as("triangles"),
+      val sym = und.select(col("lo").as("v"), col("hi").as("u"))
+        .unionByName(und.select(col("hi").as("v"), col("lo").as("u")))
+      val agg0 = sym
+        .withColumn("h", expr("cast(conv(substring(" +
+          "md5(concat('cc:', v, ':', u)), 1, 15), 16, 10) as bigint)"))
+        .groupBy("v")
+        .agg(count(lit(1)).as("dg"), expr(s"top_k(-h, u, $K)").as("tk"))
+      // two consumers (sample explode + per-node degree report)
+      val agg = if (s.sparkContext.getCheckpointDir.isDefined)
+        agg0.checkpoint(eager = true) else agg0.localCheckpoint(true)
+      val samp = agg.select(col("v"),
+        explode(expr("transform(tk, x -> x.id)")).as("u"))
+      val triS = samp.toDF("v", "a").join(samp.toDF("v", "b"), "v")
+        .where(col("a") < col("b"))
+        .join(und.toDF("a", "b"), Seq("a", "b"))
+        .groupBy("v").agg(count(lit(1)).as("tri_s"))
+      agg.select("v", "dg").join(triS, Seq("v"), "left")
+        .withColumn("triangles", coalesce(col("tri_s"), lit(0L)))
+        .select(col("v").as("item"), col("dg").as("deg"), col("triangles"),
           when(col("dg") >= 2L,
-            expr("2 * coalesce(tri, 0L) * 1000000 div (dg * (dg - 1))"))
+            expr(s"2 * triangles * 1000000 div " +
+              s"(least(dg, ${K}L) * (least(dg, ${K}L) - 1))"))
             .as("cc_micro"))
         .orderBy("item")
     }),
@@ -2936,7 +2947,9 @@ object PipelineQueries {
     // rank the corpus by cosine to each of 5 query vectors, relevance
     // = shares the query's LABEL, AP = mean of precision@k over the
     // relevant ranks (exact integers: prec@k = cum·10⁶ div k, AP =
-    // Σ div n_pos). P@10 rides along. The per-query ranking window
+    // Σ div n_pos; a query with ZERO relevant docs reports AP 0 — the
+    // standard convention, guarded in both engines where DuckDB's //
+    // would otherwise error on the 0 denominator). P@10 rides along. The per-query ranking window
     // partitions by qid (5 bounded partitions — an EVAL over a fixed
     // query set, the q230/q240 contract; corpus side scans once).
     "q310_avg_precision" -> ((s, d) => {
@@ -2961,7 +2974,8 @@ object PipelineQueries {
             expr("cum * 1000000 div rank")).otherwise(0L)).as("ap_num"),
           sum(when(col("rank") <= 10, col("rel")).otherwise(0L)).as("rel10"))
         .select(col("qid"), col("n_pos"),
-          expr("ap_num div n_pos").as("ap_micro"),
+          expr("case when n_pos > 0 then ap_num div n_pos else 0 end")
+            .as("ap_micro"),
           expr("rel10 * 1000000 div 10").as("p10_micro"))
         .orderBy("qid")
     }),
@@ -3226,23 +3240,27 @@ object PipelineQueries {
 
     // the naive a<b<c triple join, credited per vertex — the
     // orientation-free ground truth
+    // same md5 bottom-32 neighbor sample (row_number replay), same
+    // pair closure and k_v·(k_v−1) denominator — the hub-cap sampling
+    // CONTRACT is gated, not just the arithmetic
     "q275_clustering_coeff" ->
       (s"WITH it AS MATERIALIZED ($itemsCte), " +
         s"ed AS MATERIALIZED ($coEdgeCte), " +
-        "dg AS (SELECT n, COUNT(*) AS dg FROM " +
-        "(SELECT lo AS n FROM ed UNION ALL SELECT hi FROM ed) " +
-        "GROUP BY 1), " +
-        "tr AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c " +
-        "FROM ed e1 JOIN ed e2 ON e1.lo = e2.lo AND e1.hi < e2.hi " +
-        "JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi), " +
-        "tc AS (SELECT n, COUNT(*) AS tri FROM " +
-        "(SELECT a AS n FROM tr UNION ALL SELECT b FROM tr " +
-        "UNION ALL SELECT c FROM tr) GROUP BY 1) " +
-        "SELECT dg.n AS item, dg.dg AS deg, " +
+        "sym AS (SELECT lo AS v, hi AS u FROM ed " +
+        "UNION ALL SELECT hi, lo FROM ed), " +
+        "dg AS (SELECT v, COUNT(*) AS dg FROM sym GROUP BY 1), " +
+        "samp AS MATERIALIZED (SELECT v, u FROM (SELECT v, u, " +
+        "row_number() OVER (PARTITION BY v ORDER BY " +
+        "('0x' || substr(md5('cc:' || v || ':' || u), 1, 15))::BIGINT" +
+        ") AS rn FROM sym) WHERE rn <= 32), " +
+        "tc AS (SELECT a.v, COUNT(*) AS tri FROM samp a " +
+        "JOIN samp b ON a.v = b.v AND a.u < b.u " +
+        "JOIN ed ON ed.lo = a.u AND ed.hi = b.u GROUP BY 1) " +
+        "SELECT dg.v AS item, dg.dg AS deg, " +
         "COALESCE(tc.tri, 0) AS triangles, " +
         "CASE WHEN dg.dg >= 2 THEN 2 * COALESCE(tc.tri, 0) * 1000000 " +
-        "// (dg.dg * (dg.dg - 1)) END AS cc_micro " +
-        "FROM dg LEFT JOIN tc ON dg.n = tc.n ORDER BY item"),
+        "// (least(dg.dg, 32) * (least(dg.dg, 32) - 1)) END AS cc_micro " +
+        "FROM dg LEFT JOIN tc ON dg.v = tc.v ORDER BY item"),
 
     // same ≥4-char/≥3-count word graph, same md5 node ids, all 5
     // integer PageRank rounds replayed (the q115 chain)
@@ -3496,7 +3514,7 @@ object PipelineQueries {
         "WHERE rn = 1 AND margin_micro >= 1020000 ORDER BY x_id"
     },
     // full IVF replay of BOTH candidate directions (√N centroids,
-    // nprobe 4, top-8 lists), q239's margin arithmetic on the lists,
+    // nprobe 8, top-8 lists), q239's margin arithmetic on the lists,
     // plus the fixed-sample exact leg and the full-outer audit join
     "q300_bitext_ann" -> {
       val cosR = (a: String, b: String) =>
@@ -4232,8 +4250,10 @@ object PipelineQueries {
         "SUM(rel) OVER (PARTITION BY qid ORDER BY cm DESC, vec_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s) " +
         "SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_pos, " +
-        "CAST(CAST(SUM(CASE WHEN rel = 1 THEN cum * 1000000 // rank " +
-        "ELSE 0 END) AS BIGINT) // SUM(rel) AS BIGINT) AS ap_micro, " +
+        "CAST(CASE WHEN SUM(rel) > 0 THEN " +
+        "CAST(SUM(CASE WHEN rel = 1 THEN cum * 1000000 // rank " +
+        "ELSE 0 END) AS BIGINT) // SUM(rel) ELSE 0 END AS BIGINT) " +
+        "AS ap_micro, " +
         "CAST(SUM(CASE WHEN rank <= 10 THEN rel ELSE 0 END) * 1000000 " +
         "// 10 AS BIGINT) AS p10_micro " +
         "FROM r GROUP BY 1 ORDER BY qid"

@@ -1159,6 +1159,11 @@ object AnalyticsQueries {
     // cross-multiplied exact integers (a·n_b vs b·n_a — no rate
     // division decides anything; the micro rates are reporting
     // columns only). One partial-agg pass; segment grid bounded.
+    // Degenerate-group guard: a segment missing one variant pivots to
+    // n=0 (explicit otherwise(0), not NULL) so the winner comparisons
+    // stay deterministic booleans, and a 0-denominator rate reports
+    // the documented -1 sentinel — mirrored in the oracle, where
+    // DuckDB would otherwise hard-error on the division.
     "q319_simpson_audit" -> ((s, d) => {
       val base = events(s, d)
         .select(col("event_type"), (col("user_id") % 2).as("variant"),
@@ -1167,16 +1172,18 @@ object AnalyticsQueries {
       val seg = base.groupBy("event_type", "variant")
         .agg(count(lit(1)).as("n"), sum("succ").as("s"))
         .groupBy("event_type")
-        .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
-          sum(when(col("variant") === 0, col("s"))).as("s0"),
-          sum(when(col("variant") === 1, col("n"))).as("n1"),
-          sum(when(col("variant") === 1, col("s"))).as("s1"))
+        .agg(sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("s")).otherwise(0L)).as("s0"),
+          sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("s")).otherwise(0L)).as("s1"))
       val tot = seg.agg(sum("n0").as("tn0"), sum("s0").as("ts0"),
         sum("n1").as("tn1"), sum("s1").as("ts1"))
       seg.crossJoin(broadcast(tot))
         .select(col("event_type"),
-          expr("s0 * 1000000 div n0").as("rate0_micro"),
-          expr("s1 * 1000000 div n1").as("rate1_micro"),
+          expr("case when n0 > 0 then s0 * 1000000 div n0 else -1 end")
+            .as("rate0_micro"),
+          expr("case when n1 > 0 then s1 * 1000000 div n1 else -1 end")
+            .as("rate1_micro"),
           (col("s1") * col("n0") > col("s0") * col("n1")).as("seg_v1_wins"),
           (col("ts1") * col("tn0") > col("ts0") * col("tn1"))
             .as("overall_v1_wins"),
@@ -1192,8 +1199,10 @@ object AnalyticsQueries {
     // n = 2(z_α/2 + z_β)²·σ²/δ², computed EXACTLY: the z factor is
     // the pinned integer literal (1.959964 + 0.841621 in micros,
     // squared once in Scala), σ² stays the exact rational
-    // (nΣx² − (Σx)²)/(n(n−1)) — the ceil-division runs over
-    // decimal(38) cross products, so no float touches the gate. One
+    // (nΣx² − (Σx)²)/(n(n−1)) — n, Σx, Σx² are cast to decimal(38,0)
+    // BEFORE every multiplication (the oracle mirrors with HUGEINT),
+    // so no 64-bit product can silently wrap where DuckDB would error:
+    // both engines share the same exact 38-digit integer domain. One
     // bounded per-type aggregate.
     "q320_power_analysis" -> ((s, d) => {
       events(s, d)
@@ -1202,16 +1211,19 @@ object AnalyticsQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("c").as("sx"),
           sum(expr("c * c")).as("sxx"))
+        .withColumn("nD", expr("cast(n as decimal(38,0))"))
+        .withColumn("num",
+          expr("nD * cast(sxx as decimal(38,0)) - " +
+            "cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))"))
+        .withColumn("den", expr("nD * cast(n - 1 as decimal(38,0))"))
         .select(col("event_type"), col("n"),
           expr("sx div n").as("mean_cents_floor"),
-          expr("(n * sxx - sx * sx) div (n * (n - 1))").as("var_floor"),
+          expr("cast(num div den as bigint)").as("var_floor"),
           // ceil( 2·Z²·num / (den·δ²·10¹²) ), δ = 500 cents
-          expr(s"cast((2 * cast(${PowerZ2}L as decimal(38,0)) * " +
-            "(n * sxx - sx * sx) + (n * (n - 1)) * 250000 * " +
-            "cast(1000000000000 as decimal(38,0)) - 1) div " +
-            "((n * (n - 1)) * 250000 * " +
-            "cast(1000000000000 as decimal(38,0))) as bigint)")
-            .as("n_required"))
+          expr(s"cast((2 * cast(${PowerZ2}L as decimal(38,0)) * num + " +
+            "den * 250000 * cast(1000000000000 as decimal(38,0)) - 1) div " +
+            "(den * 250000 * cast(1000000000000 as decimal(38,0))) " +
+            "as bigint)").as("n_required"))
         .orderBy("event_type")
     }),
 
@@ -1222,7 +1234,10 @@ object AnalyticsQueries {
     // (type, cents) and cums over the bounded distinct-value domain).
     // Exact integers: cume = cum·10⁶ div n, percent_rank =
     // (rank_min−1)·10⁶ div (n−1) with rank_min = 1 + count-below —
-    // SQL window semantics reproduced on the weighted domain.
+    // SQL window semantics reproduced on the weighted domain. The
+    // n−1 denominator is greatest(n−1, 1): a single-row type reports
+    // percent_rank 0 (the SQL convention) instead of Spark-NULL vs
+    // DuckDB-error divergence.
     "q316_ecdf_ranks" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val hist = events(s, d)
@@ -1237,7 +1252,8 @@ object AnalyticsQueries {
         .withColumn("n", sum("w").over(wt))
         .select(col("event_type"), col("cents"), col("w"),
           expr("cum * 1000000 div n").as("cume_micro"),
-          expr("(cum - w) * 1000000 div (n - 1)").as("prank_micro"))
+          expr("(cum - w) * 1000000 div greatest(n - 1, 1)")
+            .as("prank_micro"))
         .orderBy("event_type", "cents")
     }),
 
@@ -3888,7 +3904,8 @@ object AnalyticsQueries {
         "CAST(start_day AS BIGINT) AS streak_start_day FROM r " +
         "WHERE rn = 1 ORDER BY user_id"),
 
-    // same cross-multiplied winner comparisons, same micro rates
+    // same cross-multiplied winner comparisons, same micro rates,
+    // same -1 sentinel on a 0-denominator rate (DuckDB // errors on 0)
     "q319_simpson_audit" ->
       ("WITH b AS (SELECT event_type, user_id % 2 AS variant, " +
         "CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000 " +
@@ -3902,29 +3919,33 @@ object AnalyticsQueries {
         "t AS (SELECT CAST(SUM(n0) AS BIGINT) AS tn0, " +
         "CAST(SUM(s0) AS BIGINT) AS ts0, CAST(SUM(n1) AS BIGINT) AS tn1, " +
         "CAST(SUM(s1) AS BIGINT) AS ts1 FROM g) " +
-        "SELECT event_type, s0 * 1000000 // n0 AS rate0_micro, " +
-        "s1 * 1000000 // n1 AS rate1_micro, " +
+        "SELECT event_type, " +
+        "CASE WHEN n0 > 0 THEN s0 * 1000000 // n0 ELSE -1 END AS rate0_micro, " +
+        "CASE WHEN n1 > 0 THEN s1 * 1000000 // n1 ELSE -1 END AS rate1_micro, " +
         "s1 * n0 > s0 * n1 AS seg_v1_wins, " +
         "ts1 * tn0 > ts0 * tn1 AS overall_v1_wins, " +
         "(s1 * n0 > s0 * n1) <> (ts1 * tn0 > ts0 * tn1) AS reversed " +
         "FROM g CROSS JOIN t ORDER BY event_type"),
 
     // same exact rational variance, same pinned z² literal, same
-    // HUGEINT ceil-division
+    // HUGEINT ceil-division; n/sx/sxx promoted to HUGEINT BEFORE
+    // every product, mirroring the Spark side's decimal(38,0) casts
     "q320_power_analysis" ->
       ("WITH a AS (SELECT event_type, count(*) AS n, " +
         "SUM(CAST(round(value * 100) AS BIGINT)) AS sx, " +
         "SUM(CAST(round(value * 100) AS BIGINT) * " +
         "CAST(round(value * 100) AS BIGINT)) AS sxx " +
-        "FROM events GROUP BY 1) " +
+        "FROM events GROUP BY 1), " +
+        "b AS (SELECT event_type, n, sx, " +
+        "n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT AS num, " +
+        "n::HUGEINT * (n - 1)::HUGEINT AS den FROM a) " +
         "SELECT event_type, CAST(n AS BIGINT) AS n, " +
         "CAST(sx // n AS BIGINT) AS mean_cents_floor, " +
-        "CAST((n * sxx - sx * sx) // (n * (n - 1)) AS BIGINT) " +
-        "AS var_floor, " +
-        s"CAST((2 * ${PowerZ2}::HUGEINT * (n * sxx - sx * sx) + " +
-        "(n * (n - 1)) * 250000 * 1000000000000::HUGEINT - 1) // " +
-        "((n * (n - 1)) * 250000 * 1000000000000::HUGEINT) AS BIGINT) " +
-        "AS n_required FROM a ORDER BY event_type"),
+        "CAST(num // den AS BIGINT) AS var_floor, " +
+        s"CAST((2 * ${PowerZ2}::HUGEINT * num + " +
+        "den * 250000 * 1000000000000::HUGEINT - 1) // " +
+        "(den * 250000 * 1000000000000::HUGEINT) AS BIGINT) " +
+        "AS n_required FROM b ORDER BY event_type"),
 
     // same weighted-domain cums, same exact rank arithmetic
     "q316_ecdf_ranks" ->
@@ -3936,7 +3957,8 @@ object AnalyticsQueries {
         "SUM(w) OVER (PARTITION BY event_type) AS n FROM h) " +
         "SELECT event_type, cents, CAST(w AS BIGINT) AS w, " +
         "CAST(cum * 1000000 // n AS BIGINT) AS cume_micro, " +
-        "CAST((cum - w) * 1000000 // (n - 1) AS BIGINT) AS prank_micro " +
+        "CAST((cum - w) * 1000000 // greatest(n - 1, 1) AS BIGINT) " +
+        "AS prank_micro " +
         "FROM c ORDER BY event_type, cents"),
 
     // same daily fold, same PINNED weight-ladder literals

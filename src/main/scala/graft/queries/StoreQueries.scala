@@ -1090,6 +1090,39 @@ object StoreQueries {
         .orderBy("batch_no", "user_id")
     }),
 
+    // q325 — CHANGE FEED VIA PURE SQL: q70's exact feed reproduced
+    // through the `table_changes('cat.ns.t', fromV, toV)` TVF with
+    // spark.sql ONLY — the Delta-parity surface that lets the
+    // reference's query-layer consumer (README.md:175-179, who speaks
+    // SQL and nothing else) reach row-level CDC the way it already
+    // reaches time travel, `.snapshots` and DML. Setup commits are the
+    // q70 API merges against a CATALOG-warehouse table; the consumed
+    // plan is the identical O(changed rows) delta-file scan (the TVF
+    // expands to readChanges at analysis; TableChangesSpec pins
+    // SQL == API and the loud expired/non-delta failures).
+    "q325_sql_table_changes" -> ((s, d) => {
+      ensureCatalog(s)
+      val tbl = "feed_" + math.abs(d.hashCode).toString
+      deleteRecursively(Paths.get(warehouse, "cdc", tbl))
+      Files.createDirectories(Paths.get(warehouse, "cdc"))
+      val ev = Tables.load(s, d, "events")
+        .withColumn("__op",
+          when(col("event_type") === "error", "d").otherwise("u"))
+        .withColumn("__ord", struct(col("ts"), col("event_id")))
+        .select("event_id", "user_id", "event_type", "__op", "__ord")
+      val t = UpsertTable(s, Paths.get(warehouse, "cdc", tbl).toString)
+      t.merge(ev.where(col("event_id") % 2 === 0), opCol = Some("__op"),
+        orderCol = Some("__ord"), autoCreateKeys = Seq("user_id"),
+        delta = true)
+      val v0 = t.currentSnapshot.get.version
+      t.merge(ev.where(col("event_id") % 2 === 1), opCol = Some("__op"),
+        orderCol = Some("__ord"), delta = true)
+      s.sql(s"SELECT user_id, event_id, event_type, _change_op, " +
+        s"_commit_version - ${v0 - 1} AS batch_no " +
+        s"FROM table_changes('$CatalogName.cdc.$tbl', ${v0 - 1}, ${v0 + 1}) " +
+        "ORDER BY batch_no, user_id")
+    }),
+
     // q75 — gap SESSIONIZATION as a real stateful stream under the
     // oracle: the q42 batch twin re-computed by Sessionize
     // (flatMapGroupsWithState, event-time timeouts). All real events
@@ -2515,6 +2548,15 @@ object StoreQueries {
     // the change feed must equal each commit's normalized changelog:
     // per-key last row within its half, error rows as 'd'
     "q70_change_feed" ->
+      ("WITH halves AS (SELECT *, event_id % 2 AS h FROM events), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h, user_id " +
+        "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM halves) " +
+        "SELECT user_id, event_id, event_type, " +
+        "CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS _change_op, " +
+        "h + 1 AS batch_no FROM r WHERE rn = 1 ORDER BY batch_no, user_id"),
+
+    // identical feed semantics to q70 — the TVF must not change one row
+    "q325_sql_table_changes" ->
       ("WITH halves AS (SELECT *, event_id % 2 AS h FROM events), " +
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h, user_id " +
         "ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM halves) " +

@@ -50,8 +50,15 @@ import graft.store.{SnapshotLog, UpsertTable}
   * the documented feed contract (`_change_op` u/d, `_commit_version`)
   * declaratively, exactly like [[UpsertTable.readChanges]]. Additive
   * schema evolution inside the stream null-fills older files
-  * (user-specified-schema parquet reads); read-promotable widenings
-  * are served by cast-on-read like the batch path.
+  * (user-specified-schema parquet reads). Widenings differ from the
+  * batch path: batch readChanges reads each commit under its own
+  * schema and casts per-commit (alignTypes), while the stream reads
+  * every delta file under the pinned stream-start schema — so only
+  * widenings the vectorized parquet reader itself promotes (the
+  * Spark 4 set: int→long, float→double, int→double, decimal scale-up)
+  * are served; an exotic widening alignTypes could cast but parquet
+  * cannot promote fails the stream loudly rather than silently
+  * diverging (ChangeFeedStreamSpec pins the promotable set).
   */
 class ChangeFeedProvider extends TableProvider with DataSourceRegister {
 

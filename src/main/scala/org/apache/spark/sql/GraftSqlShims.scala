@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShims {
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
+  /** The inverse direction: the analyzed LogicalPlan under a DataFrame
+    * — lets the `table_changes` TVF hand an API-built feed back to the
+    * analyzer as the function's expansion.
+    */
+  def planOf(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }

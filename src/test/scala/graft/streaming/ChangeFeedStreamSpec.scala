@@ -106,6 +106,32 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
     assert(got.toSet === Set((2L, "b", null), (3L, "c", 7L)))
   }
 
+  test("int->long widening inside the stream is served by parquet promotion") {
+    val src = tmpDir("srcw")
+    val t = UpsertTable(spark, src)
+    t.merge(Seq((1L, 7)).toDF("id", "age"), autoCreateKeys = Seq("id"))
+    val v0 = t.currentSnapshot.get.version
+    t.merge(Seq((2L, 8)).toDF("id", "age"), delta = true) // int32 file
+    t.merge(Seq((3L, 9L)).toDF("id", "age"), delta = true) // widens to int64
+    assert(t.read().schema("age").dataType ===
+      org.apache.spark.sql.types.LongType)
+
+    // the stream pins the WIDENED schema; the v0+1 delta file still
+    // holds int32 pages and must come back as long via the vectorized
+    // reader's own type promotion (the Spark 4 promotable set) — the
+    // stream has no per-commit alignTypes leg, unlike batch readChanges
+    val cp = tmpDir("cpw")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    runStream(src, cp, fromVersion = v0) { (b: DataFrame, _: Long) =>
+      assert(b.schema("age").dataType ===
+        org.apache.spark.sql.types.LongType)
+      got ++= b.select("id", "age").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      ()
+    }
+    assert(got.toSet === Set((2L, 8L), (3L, 9L)))
+  }
+
   test("full-history default fails loudly over a non-delta data commit") {
     val src = tmpDir("srcfail")
     val t = UpsertTable(spark, src)
