@@ -119,12 +119,20 @@ object CurationQueries {
     // move): 20% of parts get a mutated twin (first name char → 'z',
     // brand/size/type kept), truth = (id_b − id_a = 10⁷). Features:
     // JW ≥ 0.9, 4-char name prefix, type equality. m/u rates are
-    // Laplace-smoothed counts from ONE aggregation over the blocked
-    // pairs (broadcast back as a 1-row table); weights are micro-log
+    // Laplace-smoothed integer counts; weights are micro-log
     // DIFFERENCES of exact integer products (the q77 idiom — no
-    // float division before the log). Plan: the pair generator is
-    // q151's measured (brand,size)+length-band blocking; the corpus
-    // is scanned twice (estimate, then score) and never all-paired.
+    // float division before the log).
+    // Scale design (the round-9 fix — enumerating every blocked pair
+    // TWICE and sorting them all measured α_tail 1.05): both
+    // estimation legs are LINEAR — m-rates from the labeled truth via
+    // its keyed equi-join (id, id+10⁷), u-rates from the classic
+    // random-pairing estimator (each record paired once with its
+    // md5-ring neighbor inside 256 bounded shards — one window pass,
+    // N/2 pairs, the textbook "u = agreement among random pairs"
+    // form, truth-diff pairs excluded) — and the q151 measured
+    // blocked enumeration then runs ONCE, pipelined straight into the
+    // ≥ 0 log-odds DECISION: the operator emits the match set (what a
+    // linkage deployment keeps), never a sorted all-candidates dump.
     "q261_fellegi_sunter" -> ((s, d) => {
       val p0 = graft.Tables.load(s, d, "part")
         .select(col("p_partkey").as("id"), col("p_name").as("name"),
@@ -135,27 +143,57 @@ object CurationQueries {
           concat(lit("z"), expr("substring(name, 2)")).as("name"),
           col("brand"), col("size"), col("ptype"))
       val u = p0.unionByName(twins)
+      val gcols = Seq(
+        (round(expr("jaro_winkler(name_a, name_b)"), 6) >= 0.9).as("g1"),
+        (expr("substring(name_a, 1, 4)") ===
+          expr("substring(name_b, 1, 4)")).as("g2"),
+        (col("type_a") === col("type_b")).as("g3"))
+      // m-rates: the planted truth is a KEYED join — linear, never
+      // rediscovered through block enumeration
+      val mp = p0.where(col("id") % 5 === 0)
+        .select(col("id").as("id_a"), col("name").as("name_a"),
+          col("ptype").as("type_a"))
+        .join(twins.select(col("id").as("id_b"), col("name").as("name_b"),
+          col("ptype").as("type_b")),
+          col("id_b") === col("id_a") + 10000000L)
+        .select(gcols: _*)
+      val mEst = mp.agg(count(lit(1)).as("mden"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("m1"),
+        sum(when(col("g2"), 1L).otherwise(0L)).as("m2"),
+        sum(when(col("g3"), 1L).otherwise(0L)).as("m3"))
+      // u-rates: md5-ring random pairing (deterministic, shard-bounded
+      // windows — no global sort), accidental truth pairs excluded
+      val wRing = Window.partitionBy("shard").orderBy("h", "id")
+      val ring = u
+        .withColumn("h", expr("cast(conv(substring(" +
+          "md5(concat('fs:', id)), 1, 15), 16, 10) as bigint)"))
+        .withColumn("shard", pmod(col("h"), lit(256L)))
+        .withColumn("rn", row_number().over(wRing))
+      val ra = ring.where(col("rn") % 2 === 1)
+        .select(col("shard"), expr("(rn + 1) div 2").as("k"),
+          col("id").as("id_a"), col("name").as("name_a"),
+          col("ptype").as("type_a"))
+      val rb = ring.where(col("rn") % 2 === 0)
+        .select(col("shard"), expr("rn div 2").as("k"),
+          col("id").as("id_b"), col("name").as("name_b"),
+          col("ptype").as("type_b"))
+      val rp = ra.join(rb, Seq("shard", "k"))
+        .where(abs(col("id_a") - col("id_b")) =!= 10000000L)
+        .select(gcols: _*)
+      val uEst = rp.agg(count(lit(1)).as("uden"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("u1"),
+        sum(when(col("g2"), 1L).otherwise(0L)).as("u2"),
+        sum(when(col("g3"), 1L).otherwise(0L)).as("u3"))
+      // scoring leg: q151's measured blocking, ONE pass, decision cut
       val a = u.toDF("id_a", "name_a", "brand", "size", "type_a")
       val b = u.toDF("id_b", "name_b", "brand", "size", "type_b")
       val pairs = a.join(b, Seq("brand", "size"))
         .where(col("id_a") < col("id_b"))
         .where(greatest(length(col("name_a")), length(col("name_b"))) <=
           least(length(col("name_a")), length(col("name_b"))) * 4)
-        .select(col("id_a"), col("id_b"),
-          (col("id_b") - col("id_a") === 10000000L).as("is_true"),
-          (round(expr("jaro_winkler(name_a, name_b)"), 6) >= 0.9).as("g1"),
-          (expr("substring(name_a, 1, 4)") ===
-            expr("substring(name_b, 1, 4)")).as("g2"),
-          (col("type_a") === col("type_b")).as("g3"))
-      val est = pairs.agg(
-        sum(when(col("is_true"), 1L).otherwise(0L)).as("mden"),
-        sum(when(!col("is_true"), 1L).otherwise(0L)).as("uden"),
-        sum(when(col("is_true") && col("g1"), 1L).otherwise(0L)).as("m1"),
-        sum(when(!col("is_true") && col("g1"), 1L).otherwise(0L)).as("u1"),
-        sum(when(col("is_true") && col("g2"), 1L).otherwise(0L)).as("m2"),
-        sum(when(!col("is_true") && col("g2"), 1L).otherwise(0L)).as("u2"),
-        sum(when(col("is_true") && col("g3"), 1L).otherwise(0L)).as("m3"),
-        sum(when(!col("is_true") && col("g3"), 1L).otherwise(0L)).as("u3"))
+        .select(Seq(col("id_a"), col("id_b"),
+          (col("id_b") - col("id_a") === 10000000L).as("is_true")) ++
+          gcols: _*)
       def ml(x: String) = s"floor(ln($x) * 1000000)"
       def wa(f: Int) = s"(${ml(s"(m$f + 1) * (uden + 2)")} " +
         s"- ${ml(s"(u$f + 1) * (mden + 2)")})"
@@ -163,49 +201,75 @@ object CurationQueries {
         s"- ${ml(s"(uden + 1 - u$f) * (mden + 2)")})"
       val score = (1 to 3).map(f =>
         s"(case when g$f then ${wa(f)} else ${wd(f)} end)").mkString(" + ")
-      pairs.crossJoin(broadcast(est))
+      pairs.crossJoin(broadcast(mEst)).crossJoin(broadcast(uEst))
         .select(col("id_a"), col("id_b"), col("is_true"),
           expr(s"cast($score as bigint)").as("score_micro"))
-        .withColumn("match_decision", col("score_micro") >= 0L)
+        .where(col("score_micro") >= 0L)
         .orderBy("id_a", "id_b")
     }),
 
     // q246 — BLOCKING-QUALITY AUDIT: the meta-evaluation of q151/
     // q170's entity-matching blocking (the q234/q230 audit family,
     // turned on record linkage): PAIR COMPLETENESS = what fraction of
-    // true matches (Jaro-Winkler ≥ 0.85 over ALL pairs, blocking-
-    // free) the (brand,size)+length-band blocking retains, and
-    // REDUCTION RATIO = what fraction of the quadratic pair space it
-    // prunes. Measuring PC inherently costs the all-pairs truth leg,
-    // so the audit runs on a 10% key sample (p_partkey % 10 — the
-    // q234 sampled-audit contract; production audits a partition and
-    // extrapolates). Both ratios in integer micros; the zero-truth
-    // edge is total by a CASE.
+    // true matches (Jaro-Winkler ≥ 0.85, blocking-free) the
+    // (brand,size)+length-band blocking retains, and REDUCTION RATIO
+    // = what fraction of the quadratic pair space it prunes.
+    // Scale split (the round-9 fix — a 10% key sample still grows
+    // with the corpus, so its all-pairs truth leg measured α_tail
+    // 1.31): RR needs NO pair enumeration at all — candidate counts
+    // come exactly from the (brand, size, name-length) histogram
+    // (Σ c_i·c_j over band-compatible length cells + C(c,2) on the
+    // diagonal; the length domain is a few dozen cells per block),
+    // and the full pair space is C(N,2) in closed form over
+    // decimal(38) — both EXACT on the whole corpus at any scale. PC
+    // keeps the inherently quadratic truth leg but on a FIXED-SIZE
+    // deterministic sample (the 1024 md5-lowest ids — the q234
+    // sampled-audit contract, constant cost at any corpus size):
+    // n_true/n_found/pc_micro are the sample's estimate of the same
+    // corpus ratio. Both ratios in integer micros; zero-truth edge
+    // total by a CASE.
     "q246_blocking_audit" -> ((s, d) => {
       val p = graft.Tables.load(s, d, "part")
-        .where(col("p_partkey") % 10 === 0)
         .select(col("p_partkey").as("id"), col("p_name").as("name"),
           col("p_brand").as("brand"), col("p_size").as("size"))
-      val a = p.toDF("id_a", "name_a", "brand_a", "size_a")
-      val b = p.toDF("id_b", "name_b", "brand_b", "size_b")
-      a.join(b, col("id_a") < col("id_b"))
+      val nTot = p.agg(count(lit(1)).as("n"))
+      val hist = p.groupBy(col("brand"), col("size"),
+        length(col("name")).as("len")).agg(count(lit(1)).as("c"))
+      val candCnt = hist.toDF("brand", "size", "len_a", "ca")
+        .join(hist.toDF("brand", "size", "len_b", "cb"),
+          Seq("brand", "size"))
+        .where(col("len_a") <= col("len_b") &&
+          col("len_b") <= col("len_a") * 4)
+        .agg(coalesce(sum(when(col("len_a") < col("len_b"),
+          col("ca") * col("cb"))
+          .otherwise(expr("ca * (ca - 1) div 2"))), lit(0L)).as("n_cand"))
+      val samp = p
+        .withColumn("h", expr("cast(conv(substring(" +
+          "md5(concat('aud:', id)), 1, 15), 16, 10) as bigint)"))
+        .orderBy("h").limit(1024)
+        .select("id", "name", "brand", "size")
+      val a = samp.toDF("id_a", "name_a", "brand_a", "size_a")
+      val b = samp.toDF("id_b", "name_b", "brand_b", "size_b")
+      val truth = a.join(b, col("id_a") < col("id_b"))
         .withColumn("is_true",
           round(expr("jaro_winkler(name_a, name_b)"), 6) >= 0.85)
         .withColumn("is_cand", col("brand_a") === col("brand_b") &&
           col("size_a") === col("size_b") &&
           greatest(length(col("name_a")), length(col("name_b"))) <=
             least(length(col("name_a")), length(col("name_b"))) * 4)
-        .agg(count(lit(1)).as("n_all_pairs"),
-          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
-          sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_cand"),
+        .agg(sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
           sum(when(col("is_true") && col("is_cand"), 1L).otherwise(0L))
             .as("n_found"))
-        .select(col("n_all_pairs"), col("n_true"), col("n_cand"),
-          col("n_found"),
+      nTot.crossJoin(broadcast(candCnt)).crossJoin(broadcast(truth))
+        .select(
+          expr("cast(cast(n as decimal(38,0)) * (n - 1) div 2 as bigint)")
+            .as("n_all_pairs"),
+          col("n_true"), col("n_cand"), col("n_found"),
           expr("case when n_true = 0 then 1000000 " +
             "else n_found * 1000000 div n_true end").as("pc_micro"),
-          expr("(n_all_pairs - n_cand) * 1000000 div n_all_pairs")
-            .as("rr_micro"))
+          expr("cast((cast(n as decimal(38,0)) * (n - 1) div 2 - n_cand) " +
+            "* 1000000 div (cast(n as decimal(38,0)) * (n - 1) div 2) " +
+            "as bigint)").as("rr_micro"))
     }),
 
     // q242 — WATER-FILLING TOKEN BUDGET: the fair-share allocator a
@@ -1802,8 +1866,9 @@ object CurationQueries {
         "(SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_edges, " +
         "(SELECT CAST(c AS BIGINT) FROM cy) AS n_cyclic_triads"),
 
-    // identical planted twins, blocking, Laplace-smoothed m/u
-    // estimates, and micro-log weight arithmetic on exact products
+    // identical planted twins, keyed-truth m-leg, md5-ring random-
+    // pairing u-leg (row_number replay), blocking and micro-log
+    // weight arithmetic on exact products, same ≥ 0 decision cut
     "q261_fellegi_sunter" -> {
       def ml(x: String) = s"CAST(FLOOR(ln($x) * 1000000) AS BIGINT)"
       def wa(f: Int) = s"(${ml(s"(m$f + 1) * (uden + 2)")} " +
@@ -1818,6 +1883,30 @@ object CurationQueries {
         "'z' || substr(name, 2) AS name, brand, size, ptype " +
         "FROM p0 WHERE id % 5 = 0), " +
         "u AS (SELECT * FROM p0 UNION ALL SELECT * FROM tw), " +
+        "mp AS (SELECT " +
+        "(round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9) AS g1, " +
+        "(substr(a.name, 1, 4) = substr(b.name, 1, 4)) AS g2, " +
+        "(a.ptype = b.ptype) AS g3 " +
+        "FROM p0 a JOIN tw b ON b.id = a.id + 10000000 " +
+        "WHERE a.id % 5 = 0), " +
+        "mest AS (SELECT COUNT(*) AS mden, " +
+        "SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS m1, " +
+        "SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS m2, " +
+        "SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS m3 FROM mp), " +
+        "rg AS (SELECT id, name, ptype, " +
+        "('0x' || substr(md5('fs:' || id), 1, 15))::BIGINT AS h FROM u), " +
+        "sh AS (SELECT *, h % 256 AS shard, row_number() OVER (" +
+        "PARTITION BY h % 256 ORDER BY h, id) AS rn FROM rg), " +
+        "rp AS (SELECT " +
+        "(round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9) AS g1, " +
+        "(substr(a.name, 1, 4) = substr(b.name, 1, 4)) AS g2, " +
+        "(a.ptype = b.ptype) AS g3 " +
+        "FROM sh a JOIN sh b ON a.shard = b.shard AND b.rn = a.rn + 1 " +
+        "WHERE a.rn % 2 = 1 AND abs(a.id - b.id) <> 10000000), " +
+        "uest AS (SELECT COUNT(*) AS uden, " +
+        "SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS u1, " +
+        "SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS u2, " +
+        "SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS u3 FROM rp), " +
         "pr AS (SELECT a.id AS id_a, b.id AS id_b, " +
         "(b.id - a.id = 10000000) AS is_true, " +
         "(round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9) " +
@@ -1827,42 +1916,43 @@ object CurationQueries {
         "FROM u a JOIN u b ON a.brand = b.brand AND a.size = b.size " +
         "AND a.id < b.id " +
         "AND greatest(length(a.name), length(b.name)) <= " +
-        "least(length(a.name), length(b.name)) * 4), " +
-        "est AS (SELECT " +
-        "SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS mden, " +
-        "SUM(CASE WHEN NOT is_true THEN 1 ELSE 0 END) AS uden, " +
-        "SUM(CASE WHEN is_true AND g1 THEN 1 ELSE 0 END) AS m1, " +
-        "SUM(CASE WHEN NOT is_true AND g1 THEN 1 ELSE 0 END) AS u1, " +
-        "SUM(CASE WHEN is_true AND g2 THEN 1 ELSE 0 END) AS m2, " +
-        "SUM(CASE WHEN NOT is_true AND g2 THEN 1 ELSE 0 END) AS u2, " +
-        "SUM(CASE WHEN is_true AND g3 THEN 1 ELSE 0 END) AS m3, " +
-        "SUM(CASE WHEN NOT is_true AND g3 THEN 1 ELSE 0 END) AS u3 " +
-        "FROM pr) " +
+        "least(length(a.name), length(b.name)) * 4) " +
         "SELECT id_a, id_b, is_true, " +
-        s"CAST($score AS BIGINT) AS score_micro, " +
-        s"(($score) >= 0) AS match_decision " +
-        "FROM pr CROSS JOIN est ORDER BY id_a, id_b"
+        s"CAST($score AS BIGINT) AS score_micro " +
+        "FROM pr CROSS JOIN mest CROSS JOIN uest " +
+        s"WHERE ($score) >= 0 ORDER BY id_a, id_b"
     },
 
-    // same sample, same match rule (jaro_winkler_similarity ≡ the
-    // native jaro_winkler — the q151-proven pairing), same blocking
-    // predicate
+    // same closed-form C(N,2) + histogram candidate count, same
+    // md5-lowest-1024 truth sample, same match rule
+    // (jaro_winkler_similarity ≡ the native jaro_winkler — the
+    // q151-proven pairing), same blocking predicate
     "q246_blocking_audit" ->
       ("WITH p AS (SELECT p_partkey AS id, p_name AS name, " +
-        "p_brand AS brand, p_size AS size FROM part " +
-        "WHERE p_partkey % 10 = 0), " +
+        "p_brand AS brand, p_size AS size FROM part), " +
+        "nn AS (SELECT COUNT(*) AS n FROM p), " +
+        "hist AS (SELECT brand, size, length(name) AS len, " +
+        "COUNT(*) AS c FROM p GROUP BY 1, 2, 3), " +
+        "cand AS (SELECT COALESCE(CAST(SUM(CASE WHEN a.len = b.len " +
+        "THEN a.c * (a.c - 1) // 2 ELSE a.c * b.c END) AS BIGINT), 0) " +
+        "AS n_cand FROM hist a JOIN hist b " +
+        "ON a.brand = b.brand AND a.size = b.size " +
+        "AND a.len <= b.len AND b.len <= a.len * 4), " +
+        "samp AS (SELECT id, name, brand, size FROM (SELECT *, " +
+        "('0x' || substr(md5('aud:' || id), 1, 15))::BIGINT AS h " +
+        "FROM p) ORDER BY h LIMIT 1024), " +
         "pr AS (SELECT " +
         "(round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.85) " +
         "AS is_true, " +
         "(a.brand = b.brand AND a.size = b.size AND " +
         "greatest(length(a.name), length(b.name)) <= " +
         "least(length(a.name), length(b.name)) * 4) AS is_cand " +
-        "FROM p a JOIN p b ON a.id < b.id) " +
-        "SELECT COUNT(*) AS n_all_pairs, " +
+        "FROM samp a JOIN samp b ON a.id < b.id) " +
+        "SELECT " +
+        "CAST(n::HUGEINT * (n - 1) // 2 AS BIGINT) AS n_all_pairs, " +
         "CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_true, " +
-        "CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_cand, " +
+        "n_cand, " +
         "CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS n_found, " +
         "CAST(CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) = 0 " +
@@ -1870,8 +1960,10 @@ object CurationQueries {
         "SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) * 1000000 " +
         "// SUM(CASE WHEN is_true THEN 1 ELSE 0 END) END AS BIGINT) " +
         "AS pc_micro, " +
-        "CAST((COUNT(*) - SUM(CASE WHEN is_cand THEN 1 ELSE 0 END)) " +
-        "* 1000000 // COUNT(*) AS BIGINT) AS rr_micro FROM pr"),
+        "CAST((n::HUGEINT * (n - 1) // 2 - n_cand) * 1000000 " +
+        "// (n::HUGEINT * (n - 1) // 2) AS BIGINT) AS rr_micro " +
+        "FROM pr CROSS JOIN nn CROSS JOIN cand " +
+        "GROUP BY n, n_cand"),
 
     // identical sort order, division-free capped predicate, truncating
     // λ and largest-prefix remainder bonus

@@ -232,8 +232,9 @@ object Multimodal {
       // the telephony 2:1 COMPRESSED encodings) decode through the
       // JDK's own FormatConversionProvider to the canonical 16-bit
       // PCM form; the expansion tables are fixed by ITU G.711, so the
-      // decode is bit-deterministic (UlawCodecSpec pins all 256
-      // values against the closed form the q302 oracle uses)
+      // decode is bit-deterministic (UlawCodecSpec/AlawCodecSpec pin
+      // all 256 values of BOTH tables against the closed forms the
+      // q302/q326 oracles use)
       val enc = in0.getFormat.getEncoding
       val in =
         if (enc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
@@ -692,6 +693,51 @@ object Multimodal {
     val mant = v & 0x0f
     val mag = (((mant << 3) + 0x84) << exp) - 0x84
     if ((v & 0x80) != 0) -mag else mag
+  }
+
+  /** ITU G.711 A-law expansion table: 8-bit companded byte → 16-bit
+    * linear sample, the fixed closed form (even-bit inversion 0x55,
+    * 3-bit segment, 4-bit mantissa; segment 0 adds 8, higher segments
+    * add 0x108 then shift) — the same table every conforming decoder
+    * ships. AlawCodecSpec asserts the JDK's converter agrees on all
+    * 256 values, and q326's oracle gets these values interpolated as
+    * SQL literals — the µ-law (q302) contract, second G.711 leg.
+    */
+  val AlawDecodeTable: Array[Int] = Array.tabulate(256) { b =>
+    val v = b ^ 0x55
+    val seg = (v >> 4) & 0x07
+    val mant = v & 0x0f
+    val mag = seg match {
+      case 0 => (mant << 4) + 8
+      case 1 => (mant << 4) + 0x108
+      case _ => ((mant << 4) + 0x108) << (seg - 1)
+    }
+    if ((v & 0x80) != 0) mag else -mag
+  }
+
+  /** Deterministic synthetic A-law WAV clip: same companded-byte
+    * polynomial and length rule as [[synthUlawWav]], wrapped by the
+    * JDK writer as a real WAVE with format tag 6 (A-law), so q326's
+    * oracle recomputes every decoded sample as
+    * `AlawDecodeTable[(id·131 + i·7) mod 256]`.
+    */
+  def synthAlawWav(id: Long): Array[Byte] = {
+    val n = 800 + (id % 5).toInt * 160
+    val u = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      u(i) = (((id * 131 + i * 7) % 256) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ALAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(u), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic synthetic µ-law WAV clip: sample `i`'s COMPANDED

@@ -1678,6 +1678,42 @@ object PipelineQueries {
         .orderBy("media_id", "bucket")
     }),
 
+    // q326 — G.711 A-LAW decode under the oracle: the second
+    // companded telephony encoding (WAVE format tag 6) through the
+    // exact q302 contract — real A-law WAVE containers authored by
+    // the JDK writer, expanded by the REAL JDK ALAW→PCM converter,
+    // oracle recomputing every decoded sample as
+    // AlawDecodeTable[(id·131+i·7) mod 256] with the table as SQL
+    // literals; AlawCodecSpec pins JDK ≡ closed form on all 256
+    // bytes. Same batched mapPartitions scan-side plan as q302.
+    "q326_alaw_decode" -> ((s, d) => {
+      import s.implicits._
+      val nBuckets = 4
+      val media = docs(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.Media(
+          id, "audio", Multimodal.synthAlawWav(id), 0, 0, 0, 0L, "wav")))
+      media.mapPartitions { it =>
+        it.grouped(Multimodal.DefaultBatchSize).flatMap(_.flatMap { m =>
+          val raw = Multimodal.AudioCodec.decode(m.payload, m.format)
+          val (rate, n) = Multimodal.AudioCodec.rawDims(raw)
+          val sums = new Array[Long](nBuckets)
+          val peaks = new Array[Long](nBuckets)
+          var i = 0
+          while (i < n) {
+            val v = Multimodal.AudioCodec.rawSample(raw, i)
+            sums(i % nBuckets) += v
+            if (math.abs(v) > peaks(i % nBuckets))
+              peaks(i % nBuckets) = math.abs(v)
+            i += 1
+          }
+          (0 until nBuckets).map(b => (m.media_id, rate.toLong, n.toLong,
+            b.toLong, sums(b), peaks(b)))
+        })
+      }.toDF("media_id", "sample_rate", "n_samples", "bucket", "ssum", "peak")
+        .orderBy("media_id", "bucket")
+    }),
+
     // q80 — REAL video decode under the oracle: deterministic
     // uncompressed-DIB AVI containers (a real RIFF mux) run through
     // the REAL frameSample operator with VideoCodec (RIFF demux +
@@ -3884,6 +3920,25 @@ object PipelineQueries {
     // JDK ULAW->PCM converter over real WAVE containers
     "q302_ulaw_decode" -> {
       val tbl = graft.pipeline.Multimodal.UlawDecodeTable
+        .mkString("[", ", ", "]")
+      "WITH dims AS (SELECT doc_id AS id, 800 + (doc_id % 5) * 160 AS n " +
+        "FROM documents WHERE doc_id < 200), " +
+        "sm AS (SELECT id, n, unnest(generate_series(0, n - 1)) AS i " +
+        "FROM dims), " +
+        s"v AS (SELECT id, n, i % 4 AS bucket, ($tbl)[" +
+        "CAST((id * 131 + i * 7) % 256 AS INT) + 1] AS s FROM sm) " +
+        "SELECT id AS media_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+        "CAST(n AS BIGINT) AS n_samples, bucket, " +
+        "CAST(SUM(s) AS BIGINT) AS ssum, " +
+        "CAST(MAX(abs(s)) AS BIGINT) AS peak " +
+        "FROM v GROUP BY id, n, bucket ORDER BY media_id, bucket"
+    },
+
+    // decoded sample = the G.711 A-law table literal at the
+    // companded-byte polynomial — the engine must reach these through
+    // the REAL JDK ALAW->PCM converter over real WAVE containers
+    "q326_alaw_decode" -> {
+      val tbl = graft.pipeline.Multimodal.AlawDecodeTable
         .mkString("[", ", ", "]")
       "WITH dims AS (SELECT doc_id AS id, 800 + (doc_id % 5) * 160 AS n " +
         "FROM documents WHERE doc_id < 200), " +
