@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{IngestJob, JsonField, Topic}
 
 /** Measured scale curves for the pairing operators (MinHash/LSH
   * near-dup, connected-components clustering, hyperplane-LSH ANN,
@@ -30,6 +33,24 @@ object ScaleCurve {
   private def rot(n: Int): String = {
     val a = "abcdefghijklmnopqrstuvwxyz"
     a.drop(n) + a.take(n)
+  }
+
+  /** ×16 documents replica (the one-decade confirmation corpus): same
+    * bijective per-replica rotation contract as [[buildX4]], documents
+    * only — the three confirmed operators are all document-paired.
+    */
+  private def buildX16Docs(spark: SparkSession, srcDir: String,
+      outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docsX16 = (0 until 16).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + r * 10000000L).as("doc_id"),
+        translate(col("text"),
+          "abcdefghijklmnopqrstuvwxyz", rot(7 * r % 26)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    docsX16.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
   /** Replica-salted 4× corpus dirs (documents + embeddings parquet). */
@@ -280,6 +301,68 @@ object ScaleCurve {
     }
     spark.streams.removeListener(listener)
 
+    // INGEST THROUGHPUT: the reference's actual operating point — S1
+    // topic → JSON parse (P1–P4, P6) → keyed upsert merge (C1/C2) as
+    // DELTA commits (the O(batch)-per-trigger 100 TB path) — measured
+    // as rows/s at the three event scales. AvailableNow drains the
+    // topic through the identical code path a 10 s ProcessingTime
+    // trigger commits per micro-batch (IngestJob.start is shared), so
+    // the number is the per-commit pipeline cost with trigger idle
+    // time factored out. The scale claim under test: rows/s holds
+    // ~flat as the stream grows 40× — commit cost is O(batch) + O(log
+    // manifest), never O(table).
+    val runIngest = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .forall(_.split(",").map(_.trim).toSet.contains("ingest_throughput"))
+    val ingestResults = if (!runIngest) Seq.empty else points.map {
+      case (label, dir) =>
+        val rows = sizes(label)("events")
+        val ts = (1 to reps).map { r =>
+          val base = sys.props("java.io.tmpdir") +
+            s"/graft-scale-ingest-${ProcessHandle.current().pid()}-$label-$r"
+          Fs.deleteRecursively(java.nio.file.Paths.get(base))
+          val ev = spark.read.parquet(s"$dir/events.parquet")
+            .select("event_id", "user_id", "event_type")
+          Topic.produce(ev.coalesce(4), s"$base/topic")
+          val job = IngestJob(
+            topicDir = s"$base/topic",
+            tablePath = s"$base/table",
+            keyField = "user_id",
+            fields = Seq(JsonField("user_id", "BIGINT"),
+              JsonField("event_id", "BIGINT"),
+              JsonField("event_type", "STRING")),
+            checkpointDir = s"$base/cp",
+            trigger = Trigger.AvailableNow(),
+            deltaMerges = true)
+          val t0 = System.nanoTime()
+          job.start(spark).awaitTermination()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Fs.deleteRecursively(java.nio.file.Paths.get(base))
+          dt
+        }
+        (label, rows, ts.min)
+    }
+
+    // ONE-DECADE CONFIRMATION: for the worst measured tails that
+    // remain, a ×16 documents corpus adds one more doubling-decade —
+    // the x4→x16 slope must not drift above the claimed exponent
+    // (a tail that only holds for one ×4 step is not a scale claim)
+    val confirmOps = Seq("q108_passjoin_editdist", "q117_ppjoin_jaccard",
+      "q121_containment_join").filter(n => results.exists(_._1 == n))
+    val x16 = sys.props("java.io.tmpdir") +
+      s"/graft-scale-x16-${ProcessHandle.current().pid()}"
+    val confirmResults = if (confirmOps.isEmpty) Seq.empty else {
+      Fs.deleteRecursively(java.nio.file.Paths.get(x16))
+      buildX16Docs(spark, sfBig, x16)
+      val n16 = spark.read.parquet(s"$x16/documents.parquet").count()
+      val rs = confirmOps.map { name =>
+        val t16 = (1 to reps).map(_ => time(name, x16)).min
+        val t4 = results.find(_._1 == name).get._2(2)._2
+        (name, n16, t16, math.log(t16 / t4) / math.log(4.0))
+      }
+      Fs.deleteRecursively(java.nio.file.Paths.get(x16))
+      rs
+    }
+
     val md = new StringBuilder
     md ++= "# SCALE_CURVE — measured scaling of the pairing operators\n\n"
     md ++= "Generated by `graft.ScaleCurve` (min of " + reps + " reps per " +
@@ -300,11 +383,14 @@ object ScaleCurve {
       "scale path when it does not.\n\n"
     md ++= "Caveat for the AUDIT family (q234/q246) and the brute-force\n" +
       "tier (q239): their ground-truth legs are DELIBERATELY\n" +
-      "(sub-)quadratic — an exact-recall audit must pay for exact truth,\n" +
-      "which is why both audits run on fixed-fraction samples. q239 is\n" +
-      "the TRUTH tier by contract; its production form is q300 (margins\n" +
-      "from IVF candidate lists, measured in the row below it — the\n" +
-      "alpha_tail gap between the two IS the point). The audit alphas\n" +
+      "(sub-)quadratic — an exact-recall audit must pay for exact truth.\n" +
+      "q234 runs its truth on a fixed-fraction sample; q246 (round-10)\n" +
+      "runs PC on a FIXED-SIZE 1024-id md5 sample (constant cost at any\n" +
+      "corpus) and computes RR exactly in closed form from block-size\n" +
+      "histograms, so its alpha now tracks the linear histogram scan.\n" +
+      "q239 is the TRUTH tier by contract; its production form is q300\n" +
+      "(margins from IVF candidate lists, measured in the row below it —\n" +
+      "the alpha_tail gap between the two IS the point). The audit alphas\n" +
       "measure the truth leg's price, not a plan defect; the operators\n" +
       "they audit (q17/q18, q151, q22/q63, q300) are the scale path.\n\n"
     md ++= "Caveat for the BASKET-PAIRING family (q270/q273/q274/q275):\n" +
@@ -353,6 +439,35 @@ object ScaleCurve {
         s"| ${rpk.mkString(" / ")} " +
         f"| ${perPoint.map(p => f"${p._3}%.1f").mkString(" / ")} |\n"
     }
+    if (confirmResults.nonEmpty) {
+      md ++= "\n## One-decade confirmation (sf0.1×16, documents)\n\n"
+      md ++= "The three worst remaining tails re-measured one more " +
+        "doubling-decade\nout (×16 documents, same bijective replica " +
+        "contract): the x4→x16 slope\nmust hold the claimed exponent — " +
+        "a tail that only holds for one ×4\nstep is not a scale " +
+        "claim.\n\n"
+      md ++= "| operator | n x16 | t x16 | alpha x4->x16 |\n|---|---|---|---|\n"
+      confirmResults.foreach { case (name, n16, t16, a16) =>
+        md ++= f"| $name | $n16 | $t16%.2f s | $a16%.2f |\n"
+      }
+    }
+    if (ingestResults.nonEmpty) {
+      md ++= "\n## Ingest throughput (S1 topic → JSON parse → keyed " +
+        "delta merge)\n\n"
+      md ++= "The reference's operating point measured end-to-end: " +
+        "IngestJob (the\nq37 surface) with deltaMerges — topic files " +
+        "→ get_json_object parse +\nconstraints → upsert merge as " +
+        "O(batch) delta commits — drained by\nAvailableNow through " +
+        "the same per-commit path a 10 s ProcessingTime\ntrigger " +
+        "takes (idle time factored out); min of " + reps + " runs, " +
+        "each from a\nfresh topic/table/checkpoint. Claim: rows/s " +
+        "~flat across 40× growth —\ncommit cost is O(batch), never " +
+        "O(table).\n\n"
+      md ++= "| point | rows | wall (s) | rows/s |\n|---|---|---|---|\n"
+      ingestResults.foreach { case (label, rows, t) =>
+        md ++= f"| $label | $rows | $t%.1f | ${rows / t}%.0f |\n"
+      }
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_CURVE.md"),
         md.toString.getBytes("UTF-8"))
@@ -362,7 +477,13 @@ object ScaleCurve {
       streamResults.map { case (name, _, perPoint) =>
         s""""$name":{"peak_state_rows":[${perPoint.map(_._2).mkString(",")}],""" +
           s""""keys":[${points.map(p => eventKeys(p._1)).mkString(",")}]}"""
-      }.mkString(",\"streaming_state\":{", ",", "}}"))
+      }.mkString(",\"streaming_state\":{", ",", "}") +
+      confirmResults.map { case (name, _, t16, a16) =>
+        f""""$name":{"t16":$t16%.2f,"alpha_x4_x16":$a16%.3f}"""
+      }.mkString(",\"x16_confirm\":{", ",", "}") +
+      ingestResults.map { case (label, rows, t) =>
+        f""""$label":${rows / t}%.0f"""
+      }.mkString(",\"ingest_rows_per_s\":{", ",", "}}"))
     println(json)
     Fs.deleteRecursively(java.nio.file.Paths.get(x4))
     spark.stop()

@@ -61,4 +61,48 @@ object PageRank {
     }
     r.select(col("node"), col("r"))
   }
+
+  /** Personalized PageRank: identical integer fixed point, but ALL
+    * reset mass returns to the SEED set (uniform over |S|) instead of
+    * the whole graph — the random-walk-with-restart relevance that
+    * ranks "nodes near these seeds" (similar-item retrieval from a
+    * co-occurrence graph). Same broadcast-rank plan shape; seeds ride
+    * as a broadcast flag column.
+    *
+    * @param seeds (node: long) — the restart set; must intersect the
+    *              graph (fails loudly on an empty intersection rather
+    *              than emitting an all-zero vector)
+    */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "personalized pagerank needs at least one iteration")
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val sd = seeds.select(col("node")).distinct()
+      .join(nodes, "node") // seeds outside the graph carry no mass
+      .withColumn("__seed", lit(1L))
+    // loud failure beats an all-null rank vector (div-0 reset share)
+    require(!sd.isEmpty,
+      "personalized pagerank: seed set does not intersect the graph")
+    val withS = nodes
+      .join(broadcast(sd), Seq("node"), "left")
+      .crossJoin(broadcast(sd.agg(count(lit(1)).as("__ns"))))
+    val ow = edges.groupBy("src").agg(sum("w").as("outw"))
+    val e = edges.join(ow, "src")
+    var r = withS.select(col("node"), col("__seed"), col("__ns"),
+      expr(s"case when __seed = 1 then $SCALE div __ns else 0 end").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(broadcast(r.select(col("node").as("src"), col("r"))), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(r div outw) * w")).as("__s"))
+      r = withS.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("__seed"), col("__ns"),
+          (expr(s"case when __seed = 1 then ${SCALE * 15L / 100L} " +
+            "div __ns else 0 end") +
+            expr("85 * coalesce(__s, 0) div 100")).as("r"))
+    }
+    r.select(col("node"), col("r"))
+  }
 }

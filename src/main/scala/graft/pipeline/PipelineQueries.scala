@@ -571,6 +571,93 @@ object PipelineQueries {
         .orderBy("item")
     }),
 
+    // q329 — PERSONALIZED PAGERANK (random walk with restart): "items
+    // near THESE items" on the repeat-co-purchase graph — the
+    // graph-native similar-item retrieval next to q274's one-hop
+    // Adamic-Adar (PPR aggregates ALL paths with decay, the standard
+    // co-occurrence recommender score). Seeds = the Brand#11 catalog
+    // slice; all reset mass returns uniformly to the seeds
+    // ([[PageRank.personalizedRanks]] — q115's integer fixed point
+    // with a seed-flag reset, 5 rounds, broadcast rank vector). Top
+    // 20 by rank under a full (r, node) tie order; oracle replays all
+    // 5 integer rounds.
+    "q329_personalized_pagerank" -> ((s, d) => {
+      val und = repeatCoEdges(s, d)
+      val e = und.select(col("lo").as("src"), col("hi").as("dst"),
+        lit(1L).as("w"))
+        .unionByName(und.select(col("hi").as("src"), col("lo").as("dst"),
+          lit(1L).as("w")))
+      val seeds = Tables.load(s, d, "part")
+        .where(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").cast("long").as("node"))
+      PageRank.personalizedRanks(e, seeds, iters = 5)
+        .orderBy(desc("r"), col("node"))
+        .limit(20)
+    }),
+
+    // q330 — DIRICHLET QUERY LIKELIHOOD (Zhai & Lafferty): the
+    // language-model retrieval tier next to q59's BM25 — score(q,d) =
+    // Σ_t ln((tf + μ·cf_t/C)/(|d| + μ)), the Bayesian-smoothed
+    // unigram LM that never zeroes out on a missing term. The query
+    // is the corpus's own top-3-df terms (deterministic, replayed by
+    // the oracle). EXACT integer form: each term contributes
+    // ml(tf·C + μ·cf_t) − ml((|d|+μ)·C) with ml the floor micro-log
+    // of an exact integer product (the q77 idiom) and μ = 2000
+    // pinned — split as a present-terms inverted-index leg + a
+    // doc-only length term + a query constant, so every doc is scored
+    // (absent terms included) while the join only touches postings of
+    // the 3 query terms. Top-10 under (score desc, doc_id).
+    "q330_dirichlet_ql" -> ((s, d) => {
+      val mu = 2000L
+      def ml(x: String) = s"cast(floor(ln($x) * 1000000) as bigint)"
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+      val cTot = lens.agg(sum("len").as("c"))
+      val cf = tf.groupBy("t")
+        .agg(sum("tf").as("cf"), count(lit(1)).as("df"))
+      val q = cf.orderBy(desc("df"), col("t")).limit(3).select("t", "cf")
+      val qBase = q.agg(sum(expr(ml(s"$mu * cf"))).as("qbase"))
+      val pres = tf.join(broadcast(q), "t").crossJoin(broadcast(cTot))
+        .select(col("doc_id"),
+          (expr(ml(s"tf * c + $mu * cf")) - expr(ml(s"$mu * cf")))
+            .as("dlt"))
+        .groupBy("doc_id").agg(sum("dlt").as("presum"))
+      lens.crossJoin(broadcast(cTot)).crossJoin(broadcast(qBase))
+        .join(pres, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("presum"), lit(0L)) + col("qbase")
+            - lit(3L) * expr(ml(s"(len + $mu) * c"))).as("score_micro"))
+        .orderBy(desc("score_micro"), col("doc_id"))
+        .limit(10)
+    }),
+
+    // q331 — CHAO1 VOCABULARY RICHNESS: how much vocabulary has the
+    // corpus NOT yet seen? The capture-recapture estimator every
+    // corpus-growth decision leans on (is another crawl worth it?) —
+    // bias-corrected Chao1 = D + f₁(f₁−1)/(2(f₂+1)) per language from
+    // the frequency-of-frequencies table (f₁ = singleton tokens, f₂ =
+    // doubletons). Plan: token counts (one shuffle), counts-of-counts
+    // (bounded second agg), closed form in exact integer micros with
+    // decimal(38) products — no estimator iteration, no pairing.
+    "q331_chao1_vocab" -> ((s, d) => {
+      val cnt = docs(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("lang", "t").agg(count(lit(1)).as("n"))
+      cnt.groupBy("lang")
+        .agg(count(lit(1)).as("d_vocab"),
+          sum(when(col("n") === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("n") === 2L, 1L).otherwise(0L)).as("f2"))
+        .select(col("lang"), col("d_vocab"), col("f1"), col("f2"),
+          expr("cast(d_vocab as decimal(38,0)) * 1000000 + " +
+            "cast(f1 as decimal(38,0)) * (f1 - 1) * 1000000 div " +
+            "(2 * (f2 + 1))").cast("long").as("chao1_micro"))
+        .orderBy("lang")
+    }),
+
     // q282 — TEXTRANK KEYWORDS (Mihalcea & Tarau): corpus keywords as
     // PageRank over the word-adjacency graph — the graph-centrality
     // alternative to q58's TF-IDF and q123's PMI (PMI scores PAIRS,
@@ -3297,6 +3384,79 @@ object PipelineQueries {
         "CASE WHEN dg.dg >= 2 THEN 2 * COALESCE(tc.tri, 0) * 1000000 " +
         "// (least(dg.dg, 32) * (least(dg.dg, 32) - 1)) END AS cc_micro " +
         "FROM dg LEFT JOIN tc ON dg.v = tc.v ORDER BY item"),
+
+    // same seed slice, all 5 seed-reset integer rounds replayed
+    // (the q115 chain with restart mass on the seeds)
+    "q329_personalized_pagerank" -> {
+      val base =
+        s"WITH it AS MATERIALIZED ($itemsCte), " +
+          s"ed AS MATERIALIZED ($coEdgeCte), " +
+          "e AS MATERIALIZED (SELECT lo AS src, hi AS dst, 1 AS w FROM ed " +
+          "UNION ALL SELECT hi, lo, 1 FROM ed), " +
+          "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+          "sd AS (SELECT DISTINCT nodes.node FROM nodes JOIN " +
+          "(SELECT DISTINCT CAST(p_partkey AS BIGINT) AS node FROM part " +
+          "WHERE p_brand = 'Brand#11') s ON nodes.node = s.node), " +
+          "ns AS (SELECT COUNT(*) AS nsd FROM sd), " +
+          "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw " +
+          "FROM e GROUP BY 1), " +
+          "r0 AS (SELECT nodes.node, CASE WHEN sd.node IS NOT NULL " +
+          "THEN CAST(1000000000000 // nsd AS BIGINT) ELSE 0 END AS r " +
+          "FROM nodes LEFT JOIN sd ON nodes.node = sd.node CROSS JOIN ns)"
+      val iters = (1 to 5).map { i =>
+        s"r$i AS MATERIALIZED (SELECT nodes.node, " +
+          "CAST((CASE WHEN sd.node IS NOT NULL THEN 150000000000 // nsd " +
+          "ELSE 0 END) + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r " +
+          "FROM nodes LEFT JOIN sd ON nodes.node = sd.node CROSS JOIN ns " +
+          s"LEFT JOIN (SELECT e.dst, SUM((p.r // ow.outw) * e.w) AS s " +
+          s"FROM r${i - 1} p JOIN e ON p.node = e.src " +
+          "JOIN ow ON e.src = ow.src GROUP BY e.dst) c " +
+          "ON nodes.node = c.dst)"
+      }.mkString(", ")
+      s"$base, $iters SELECT node, r FROM r5 ORDER BY r DESC, node LIMIT 20"
+    },
+
+    // same top-3-df query, same μ = 2000 and exact-product micro-logs
+    "q330_dirichlet_ql" -> {
+      def ml(x: String) = s"CAST(FLOOR(ln($x) * 1000000) AS BIGINT)"
+      s"WITH tk AS (SELECT doc_id, unnest(string_split($duckNorm, ' ')) " +
+        "AS t FROM documents), " +
+        "tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tk WHERE t <> '' " +
+        "GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len " +
+        "FROM tf GROUP BY 1), " +
+        "ct AS (SELECT CAST(SUM(len) AS BIGINT) AS c FROM lens), " +
+        "cf AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS cf, COUNT(*) AS df " +
+        "FROM tf GROUP BY 1), " +
+        "q AS (SELECT t, cf FROM cf ORDER BY df DESC, t LIMIT 3), " +
+        s"qb AS (SELECT CAST(SUM(${ml("2000 * cf")}) AS BIGINT) AS qbase " +
+        "FROM q), " +
+        "pres AS (SELECT doc_id, " +
+        s"CAST(SUM(${ml("tf * c + 2000 * cf")} - ${ml("2000 * cf")}) " +
+        "AS BIGINT) AS presum " +
+        "FROM tf JOIN q USING (t) CROSS JOIN ct GROUP BY 1) " +
+        "SELECT doc_id, CAST(COALESCE(presum, 0) + qbase - " +
+        s"3 * ${ml("(len + 2000) * c")} AS BIGINT) AS score_micro " +
+        "FROM lens CROSS JOIN ct CROSS JOIN qb " +
+        "LEFT JOIN pres USING (doc_id) " +
+        "ORDER BY score_micro DESC, doc_id LIMIT 10"
+    },
+
+    // same frequency-of-frequencies closed form, HUGEINT products
+    "q331_chao1_vocab" ->
+      (s"WITH tk AS (SELECT lang, unnest(string_split($duckNorm, ' ')) " +
+        "AS t FROM documents), " +
+        "cnt AS (SELECT lang, t, COUNT(*) AS n FROM tk WHERE t <> '' " +
+        "GROUP BY 1, 2), " +
+        "g AS (SELECT lang, COUNT(*) AS d_vocab, " +
+        "SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1, " +
+        "SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2 FROM cnt " +
+        "GROUP BY 1) " +
+        "SELECT lang, CAST(d_vocab AS BIGINT) AS d_vocab, " +
+        "CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, " +
+        "CAST(d_vocab::HUGEINT * 1000000 + " +
+        "f1::HUGEINT * (f1 - 1) * 1000000 // (2 * (f2 + 1)) AS BIGINT) " +
+        "AS chao1_micro FROM g ORDER BY lang"),
 
     // same ≥4-char/≥3-count word graph, same md5 node ids, all 5
     // integer PageRank rounds replayed (the q115 chain)

@@ -1227,6 +1227,87 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q327 — MANN-WHITNEY U (rank-sum test): the nonparametric
+    // two-sample comparison next to q161's z-test — does variant 1's
+    // value DISTRIBUTION stochastically dominate variant 0's, without
+    // any normality assumption? Computed scale-correctly on the
+    // (type, cents) VALUE-DOMAIN histogram (the q316 move — a per-row
+    // rank window would sort whole types; here one row per distinct
+    // cents value, bounded windows): doubled midranks 2·below+ties+1
+    // keep tie-averaged ranks in exact integers, U₁ reported as
+    // 2U₁ = ΣR₁ₓ₂ − n₁(n₁+1), and the rank-biserial effect size is
+    // the exact AUC = U₁/(n₀·n₁) in integer micros. decimal(38)
+    // products (the q320 contract) so nothing wraps at corpus scale.
+    "q327_mann_whitney" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("user_id") % 2).as("v"))
+        .groupBy("event_type", "cents")
+        .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("c1"))
+      val wb = W.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+      hist
+        .withColumn("below", coalesce(sum(col("c0") + col("c1")).over(wb),
+          lit(0L)))
+        .withColumn("mr2", lit(2L) * col("below") + col("c0") + col("c1")
+          + 1L)
+        .groupBy("event_type")
+        .agg(sum("c0").as("n0"), sum("c1").as("n1"),
+          sum(expr("c1 * cast(mr2 as decimal(38,0))")).as("r1d"))
+        .select(col("event_type"), col("n0"), col("n1"),
+          expr("cast(r1d - cast(n1 as decimal(38,0)) * (n1 + 1) " +
+            "as bigint)").as("u1_x2"),
+          expr("cast(case when n0 > 0 and n1 > 0 then " +
+            "(r1d - cast(n1 as decimal(38,0)) * (n1 + 1)) * 1000000 div " +
+            "(2 * cast(n0 as decimal(38,0)) * n1) else -1 end as bigint)")
+            .as("auc_micro"))
+        .orderBy("event_type")
+    }),
+
+    // q328 — KOLMOGOROV-SMIRNOV TWO-SAMPLE STATISTIC: the
+    // distribution-equality screen next to q327's location test — the
+    // max ECDF gap between the two variants, per event type. Same
+    // value-domain histogram plan; the gap is the CROSS-MULTIPLIED
+    // integer |cum₀·n₁ − cum₁·n₀| (no rate division decides anything),
+    // D in integer micros = max·10⁶ div (n₀·n₁), and the location of
+    // the max (smallest cents achieving it — a deterministic argmax)
+    // rides along. decimal(38) products throughout.
+    "q328_ks_two_sample" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("user_id") % 2).as("v"))
+        .groupBy("event_type", "cents")
+        .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("c1"))
+      val wc = W.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wt = W.partitionBy("event_type")
+      val gaps = hist
+        .withColumn("cum0", sum("c0").over(wc))
+        .withColumn("cum1", sum("c1").over(wc))
+        .withColumn("n0", sum("c0").over(wt))
+        .withColumn("n1", sum("c1").over(wt))
+        .withColumn("gap", abs(expr("cum0 * cast(n1 as decimal(38,0)) " +
+          "- cum1 * cast(n0 as decimal(38,0))")))
+      gaps.withColumn("mx", max("gap").over(wt))
+        .groupBy("event_type")
+        .agg(max("n0").as("n0"), max("n1").as("n1"),
+          max("gap").as("dnum"),
+          min(when(col("gap") === col("mx"), col("cents")))
+            .as("ks_at_cents"))
+        .select(col("event_type"), col("n0"), col("n1"),
+          expr("cast(case when n0 > 0 and n1 > 0 then dnum * 1000000 div " +
+            "(cast(n0 as decimal(38,0)) * n1) else -1 end as bigint)")
+            .as("d_micro"),
+          col("ks_at_cents"))
+        .orderBy("event_type")
+    }),
+
     // q316 — ECDF / RANK TABLE: per-type empirical CDF and
     // percent-rank over the VALUE DOMAIN, not the row stream — the
     // scale-correct form of cume_dist/percent_rank (a per-row window
@@ -3946,6 +4027,59 @@ object AnalyticsQueries {
         "den * 250000 * 1000000000000::HUGEINT - 1) // " +
         "(den * 250000 * 1000000000000::HUGEINT) AS BIGINT) " +
         "AS n_required FROM b ORDER BY event_type"),
+
+    // same doubled-midrank arithmetic on the value-domain histogram,
+    // same HUGEINT products and -1 degenerate sentinel
+    "q327_mann_whitney" ->
+      ("WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) " +
+        "AS cents, user_id % 2 AS v FROM events), " +
+        "h AS (SELECT event_type, cents, " +
+        "SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS c0, " +
+        "SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS c1 " +
+        "FROM b GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, cents, c0, c1, " +
+        "COALESCE(SUM(c0 + c1) OVER (PARTITION BY event_type " +
+        "ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS below FROM h), " +
+        "g AS (SELECT event_type, CAST(SUM(c0) AS HUGEINT) AS n0, " +
+        "CAST(SUM(c1) AS HUGEINT) AS n1, " +
+        "SUM(c1::HUGEINT * (2 * below + c0 + c1 + 1)) AS r1d " +
+        "FROM r GROUP BY 1) " +
+        "SELECT event_type, CAST(n0 AS BIGINT) AS n0, " +
+        "CAST(n1 AS BIGINT) AS n1, " +
+        "CAST(r1d - n1 * (n1 + 1) AS BIGINT) AS u1_x2, " +
+        "CAST(CASE WHEN n0 > 0 AND n1 > 0 THEN " +
+        "(r1d - n1 * (n1 + 1)) * 1000000 // (2 * n0 * n1) " +
+        "ELSE -1 END AS BIGINT) AS auc_micro " +
+        "FROM g ORDER BY event_type"),
+
+    // same cross-multiplied ECDF gaps, same deterministic argmax
+    "q328_ks_two_sample" ->
+      ("WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) " +
+        "AS cents, user_id % 2 AS v FROM events), " +
+        "h AS (SELECT event_type, cents, " +
+        "SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS c0, " +
+        "SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS c1 " +
+        "FROM b GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, cents, " +
+        "SUM(c0) OVER (PARTITION BY event_type ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0, " +
+        "SUM(c1) OVER (PARTITION BY event_type ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1, " +
+        "SUM(c0) OVER (PARTITION BY event_type) AS n0, " +
+        "SUM(c1) OVER (PARTITION BY event_type) AS n1 FROM h), " +
+        "gp AS (SELECT event_type, cents, n0, n1, " +
+        "abs(cum0::HUGEINT * n1 - cum1::HUGEINT * n0) AS gap FROM g), " +
+        "mx AS (SELECT event_type, cents, n0, n1, gap, " +
+        "MAX(gap) OVER (PARTITION BY event_type) AS mxg FROM gp) " +
+        "SELECT event_type, CAST(MAX(n0) AS BIGINT) AS n0, " +
+        "CAST(MAX(n1) AS BIGINT) AS n1, " +
+        "CAST(CASE WHEN MAX(n0) > 0 AND MAX(n1) > 0 THEN " +
+        "MAX(gap) * 1000000 // (MAX(n0)::HUGEINT * MAX(n1)) " +
+        "ELSE -1 END AS BIGINT) AS d_micro, " +
+        "CAST(MIN(CASE WHEN gap = mxg THEN cents END) AS BIGINT) " +
+        "AS ks_at_cents " +
+        "FROM mx GROUP BY event_type ORDER BY event_type"),
 
     // same weighted-domain cums, same exact rank arithmetic
     "q316_ecdf_ranks" ->
