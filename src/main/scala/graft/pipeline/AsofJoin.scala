@@ -55,4 +55,36 @@ object AsofJoin {
       .withColumn(payloadCol, col("__asof.p"))
       .drop("__pv", "__asof", "__t", "__side")
   }
+
+  /** Forward as-of join: attach to each left row the payload of the
+    * EARLIEST right row with the same key and time at-or-after the
+    * left row's time (the label-attachment join — "first conversion
+    * after exposure"). Mirror of [[backward]]: same union + one key
+    * shuffle, the carry window just looks FORWARD (`first(payload)
+    * IGNORE NULLS` over `[current, following]`); lefts sort before
+    * rights at equal time → inclusive at-or-after, equal-time right
+    * ties resolve deterministically to the SMALLEST payload.
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: Column, rightTime: Column, payloadCol: String): DataFrame = {
+    require(!left.columns.contains(payloadCol),
+      s"left side already has a column named $payloadCol; " +
+        "rename it first — the as-of join attaches the right payload under that name")
+    val l = left
+      .withColumn("__t", leftTime)
+      .withColumn("__side", lit(0))
+    val r = right
+      .select(col(keyCol), rightTime.as("__t"),
+        struct(col(payloadCol).as("p")).as("__pv"))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__t"), col("__side"), col("__pv"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u
+      .withColumn("__asof", first(col("__pv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .withColumn(payloadCol, col("__asof.p"))
+      .drop("__pv", "__asof", "__t", "__side")
+  }
 }

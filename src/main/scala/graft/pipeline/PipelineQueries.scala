@@ -595,6 +595,86 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // q334 — LABEL PROPAGATION COMMUNITIES (Raghavan et al.): the
+    // lightweight community detector beside q38's connected components
+    // (LPA splits a connected graph into dense regions; CC only finds
+    // disconnected ones) and the input role q285's modularity can
+    // score. Synchronous update, 4 fixed rounds: every node adopts
+    // the most frequent label among its neighbors, ties to the
+    // SMALLEST label (fully deterministic — no arrival-order
+    // dependence). Per round: one neighbor-label join + two partial
+    // aggs (count, then max_by mode), lineage truncated per round;
+    // work is O(|E|) per round, rounds fixed. Oracle replays all 4
+    // rounds as a MATERIALIZED CTE chain with row_number ties.
+    "q334_label_propagation" -> ((s, d) => {
+      def mat(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(eager = true) else df.localCheckpoint(true)
+      val und = repeatCoEdges(s, d)
+      val sym = mat(und.select(col("lo").as("v"), col("hi").as("u"))
+        .unionByName(und.select(col("hi").as("v"), col("lo").as("u"))))
+      var lab = sym.select(col("v").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to 4) {
+        lab = mat(sym
+          .join(lab.select(col("node").as("u"), col("label").as("nl")), "u")
+          .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("v").as("node"))
+          .agg(max_by(col("nl"),
+            struct(col("cnt"), (-col("nl")).as("neg"))).as("label")))
+      }
+      lab.select(col("node").as("item"), col("label").as("community"))
+        .orderBy("item")
+    }),
+
+    // q335 — ROUGE-N OVERLAP EVAL: clipped n-gram recall of candidate
+    // documents against a fixed 5-document reference set — the
+    // summarization/paraphrase evaluation metric, run corpus-wide the
+    // way a distillation pipeline scores generations against
+    // references. ROUGE-N = Σ_g min(tf_ref, tf_cand) / Σ_g tf_ref in
+    // integer micros for N = 1, 2. Plan: the reference n-gram table
+    // is 5 docs (BROADCAST); candidates explode once and join on the
+    // gram — the corpus never self-pairs. Top-3 candidates per
+    // reference via the composite-score top_k partial agg
+    // (rouge2·2·10⁶ + rouge1 — both < 2·10⁶, so order = (rouge2,
+    // rouge1, doc_id asc) exactly), never a per-ref sort window.
+    "q335_rouge_eval" -> ((s, d) => {
+      def grams(df: DataFrame): DataFrame = {
+        val toks = df.select(col("doc_id"),
+          TextOps.tokens(col("text")).as("toks"))
+        toks.select(col("doc_id"), explode(col("toks")).as("g"))
+          .where(col("g") =!= "").withColumn("kind", lit(1L))
+          .unionByName(toks.where(size(col("toks")) >= 2)
+            .select(col("doc_id"),
+              explode(TextOps.shingles(col("toks"), 2)).as("g"))
+            .withColumn("kind", lit(2L)))
+          .groupBy("doc_id", "g", "kind").agg(count(lit(1)).as("tf"))
+      }
+      val refs = grams(docs(s, d).where(col("doc_id") < 5))
+        .toDF("ref_id", "g", "kind", "rtf")
+      val refTot = refs.groupBy("ref_id", "kind").agg(sum("rtf").as("rtot"))
+      val clips = grams(docs(s, d).where(col("doc_id") >= 5))
+        .join(broadcast(refs), Seq("g", "kind"))
+        .groupBy("ref_id", "doc_id", "kind")
+        .agg(sum(least(col("tf"), col("rtf"))).as("clip"))
+      val scored = clips
+        .join(broadcast(refTot), Seq("ref_id", "kind"))
+        .groupBy("ref_id", "doc_id")
+        .agg(sum(when(col("kind") === 1L,
+          expr("clip * 1000000 div rtot")).otherwise(0L)).as("r1"),
+          sum(when(col("kind") === 2L,
+            expr("clip * 1000000 div rtot")).otherwise(0L)).as("r2"))
+      scored
+        .groupBy("ref_id")
+        .agg(expr("top_k(r2 * 2000000 + r1, doc_id, 3)").as("tk"))
+        .select(col("ref_id"), posexplode(col("tk")))
+        .select(col("ref_id"), (col("pos") + 1L).as("rank"),
+          col("col.id").as("doc_id"),
+          (col("col.score") % 2000000L).as("rouge1_micro"),
+          expr("col.score div 2000000").as("rouge2_micro"))
+        .orderBy("ref_id", "rank")
+    }),
+
     // q330 — DIRICHLET QUERY LIKELIHOOD (Zhai & Lafferty): the
     // language-model retrieval tier next to q59's BM25 — score(q,d) =
     // Σ_t ln((tf + μ·cf_t/C)/(|d| + μ)), the Bayesian-smoothed
@@ -3415,6 +3495,58 @@ object PipelineQueries {
       }.mkString(", ")
       s"$base, $iters SELECT node, r FROM r5 ORDER BY r DESC, node LIMIT 20"
     },
+
+    // all 4 synchronous min-tie mode rounds replayed as a
+    // MATERIALIZED CTE chain
+    "q334_label_propagation" -> {
+      val base =
+        s"WITH it AS MATERIALIZED ($itemsCte), " +
+          s"ed AS MATERIALIZED ($coEdgeCte), " +
+          "sym AS MATERIALIZED (SELECT lo AS v, hi AS u FROM ed " +
+          "UNION ALL SELECT hi, lo FROM ed), " +
+          "l0 AS (SELECT DISTINCT v AS node, v AS label FROM sym)"
+      val iters = (1 to 4).map { i =>
+        s"l$i AS MATERIALIZED (SELECT v AS node, label FROM (" +
+          "SELECT s.v, p.label, COUNT(*) AS cnt, row_number() OVER (" +
+          "PARTITION BY s.v ORDER BY COUNT(*) DESC, p.label) AS rn " +
+          s"FROM sym s JOIN l${i - 1} p ON s.u = p.node " +
+          "GROUP BY s.v, p.label) WHERE rn = 1)"
+      }.mkString(", ")
+      s"$base, $iters SELECT node AS item, label AS community " +
+        "FROM l4 ORDER BY item"
+    },
+
+    // same clipped-count recall arithmetic, same (rouge2, rouge1,
+    // doc_id) top-3 order via row_number
+    "q335_rouge_eval" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "g1 AS (SELECT doc_id, unnest(toks) AS g, 1 AS kind FROM tk), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(" +
+        "range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g, " +
+        "2 AS kind FROM tk WHERE len(toks) >= 2), " +
+        "gr AS (SELECT doc_id, g, kind, COUNT(*) AS tf FROM " +
+        "(SELECT * FROM g1 UNION ALL SELECT * FROM g2) " +
+        "WHERE g <> '' GROUP BY 1, 2, 3), " +
+        "refs AS (SELECT doc_id AS ref_id, g, kind, tf AS rtf FROM gr " +
+        "WHERE doc_id < 5), " +
+        "rt AS (SELECT ref_id, kind, CAST(SUM(rtf) AS BIGINT) AS rtot " +
+        "FROM refs GROUP BY 1, 2), " +
+        "cl AS (SELECT r.ref_id, c.doc_id, r.kind, " +
+        "SUM(least(c.tf, r.rtf)) AS clip FROM gr c " +
+        "JOIN refs r ON c.g = r.g AND c.kind = r.kind " +
+        "WHERE c.doc_id >= 5 GROUP BY 1, 2, 3), " +
+        "sc AS (SELECT ref_id, doc_id, " +
+        "CAST(SUM(CASE WHEN kind = 1 THEN clip * 1000000 // rtot " +
+        "ELSE 0 END) AS BIGINT) AS r1, " +
+        "CAST(SUM(CASE WHEN kind = 2 THEN clip * 1000000 // rtot " +
+        "ELSE 0 END) AS BIGINT) AS r2 " +
+        "FROM cl JOIN rt USING (ref_id, kind) GROUP BY 1, 2), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY ref_id " +
+        "ORDER BY r2 DESC, r1 DESC, doc_id) AS rnk FROM sc) " +
+        "SELECT ref_id, CAST(rnk AS BIGINT) AS rank, doc_id, " +
+        "r1 AS rouge1_micro, r2 AS rouge2_micro " +
+        "FROM rk WHERE rnk <= 3 ORDER BY ref_id, rank"),
 
     // same top-3-df query, same μ = 2000 and exact-product micro-logs
     "q330_dirichlet_ql" -> {

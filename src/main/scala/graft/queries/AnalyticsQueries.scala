@@ -2123,6 +2123,61 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // q333 — HOLM STEP-DOWN (FWER control): the conservative sibling
+    // of q271's BH-FDR screen over the SAME per-(type, day) uniformity
+    // cells and the same exact 2-dof p = exp(−χ²/2) closed form —
+    // Holm rejects the k smallest p's while EVERY j ≤ k satisfies
+    // p₍ⱼ₎·(m−j+1) ≤ α (the running max makes the step-down monotone,
+    // so no rejection gap can reopen). Identical deterministic tie
+    // order to q271; the rank and running-max legs are self-joins
+    // over the BOUNDED cell grid (|types|·|days|), never a global
+    // window over event rows.
+    "q333_holm_stepdown" -> ((s, d) => {
+      val cells = events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          expr("user_id % 3").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val byDay = cells.groupBy("event_type", "day")
+        .agg(sum(when(col("b") === 0L, col("c")).otherwise(0L)).as("o0"),
+          sum(when(col("b") === 1L, col("c")).otherwise(0L)).as("o1"),
+          sum(when(col("b") === 2L, col("c")).otherwise(0L)).as("o2"))
+        .withColumn("n_day", col("o0") + col("o1") + col("o2"))
+      val byType = byDay.groupBy("event_type")
+        .agg(sum("o0").as("c0"), sum("o1").as("c1"), sum("o2").as("c2"),
+          sum("n_day").as("n_type"))
+      val term = (o: String, c: String) =>
+        s"(case when $c = 0 then 0.0D else " +
+          s"pow(cast($o as double) - cast(n_day as double) * $c / n_type, 2) " +
+          s"/ (cast(n_day as double) * $c / n_type) end)"
+      val p = byDay.join(byType, "event_type")
+        .withColumn("chi2", expr(
+          term("o0", "c0") + " + " + term("o1", "c1") + " + " +
+            term("o2", "c2")))
+        .select(col("event_type"), col("day"), col("n_day"),
+          expr("cast(floor(exp(-chi2 / 2.0D) * 1000000) as bigint)")
+            .as("p_micro"))
+      val o = p.toDF("et2", "day2", "nd2", "pm2")
+      val ranked = p.join(o,
+          col("pm2") < col("p_micro") ||
+            (col("pm2") === col("p_micro") && (col("et2") < col("event_type") ||
+              (col("et2") === col("event_type") && col("day2") < col("day")))),
+          "left")
+        .groupBy("event_type", "day", "n_day", "p_micro")
+        .agg((count(col("et2")) + 1L).as("rk"))
+      val m = ranked.agg(count(lit(1)).as("m"))
+      val terms = ranked.crossJoin(broadcast(m))
+        .withColumn("hterm", col("p_micro") * (col("m") - col("rk") + 1L))
+      val t2 = terms.select(col("rk").as("rk2"), col("hterm").as("hterm2"))
+      terms.join(t2, col("rk2") <= col("rk"))
+        .groupBy("event_type", "day", "n_day", "p_micro", "rk")
+        .agg(max("hterm2").as("hmax"))
+        .select(col("event_type"), col("day"), col("n_day"),
+          col("p_micro"), col("rk"),
+          (col("hmax") <= 50000L).as("rejected_holm"))
+        .orderBy("event_type", "day")
+    }),
+
     // q272 — SPEARMAN RANK CORRELATION: does daily spend CO-MOVE with
     // daily traffic per type? Rank-based so one outlier day cannot
     // fabricate correlation (the q267/q269 robustness family applied
@@ -3271,6 +3326,45 @@ object AnalyticsQueries {
         "SELECT event_type, day, CAST(n_day AS BIGINT) AS n_day, " +
         "p_micro, rk, rk <= kstar AS rejected FROM r CROSS JOIN ks " +
         "ORDER BY event_type, day"),
+    // q271's exact p chain verbatim + the Holm running-max step-down
+    "q333_holm_stepdown" ->
+      ("WITH ce AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, user_id % 3 AS b, " +
+        "COUNT(*) AS c FROM events GROUP BY 1, 2, 3), " +
+        "bd AS (SELECT event_type, day, " +
+        "SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS o0, " +
+        "SUM(CASE WHEN b = 1 THEN c ELSE 0 END) AS o1, " +
+        "SUM(CASE WHEN b = 2 THEN c ELSE 0 END) AS o2 " +
+        "FROM ce GROUP BY 1, 2), " +
+        "bd2 AS (SELECT *, o0 + o1 + o2 AS n_day FROM bd), " +
+        "bt AS (SELECT event_type, SUM(o0) AS c0, SUM(o1) AS c1, " +
+        "SUM(o2) AS c2, SUM(n_day) AS n_type FROM bd2 GROUP BY 1), " +
+        "p AS (SELECT bd2.event_type, day, n_day, " +
+        "CAST(FLOOR(exp(-(" +
+        "(CASE WHEN c0 = 0 THEN 0.0 ELSE " +
+        "pow(CAST(o0 AS DOUBLE) - CAST(n_day AS DOUBLE) * c0 / n_type, 2) " +
+        "/ (CAST(n_day AS DOUBLE) * c0 / n_type) END) + " +
+        "(CASE WHEN c1 = 0 THEN 0.0 ELSE " +
+        "pow(CAST(o1 AS DOUBLE) - CAST(n_day AS DOUBLE) * c1 / n_type, 2) " +
+        "/ (CAST(n_day AS DOUBLE) * c1 / n_type) END) + " +
+        "(CASE WHEN c2 = 0 THEN 0.0 ELSE " +
+        "pow(CAST(o2 AS DOUBLE) - CAST(n_day AS DOUBLE) * c2 / n_type, 2) " +
+        "/ (CAST(n_day AS DOUBLE) * c2 / n_type) END)" +
+        ") / 2.0) * 1000000) AS BIGINT) AS p_micro " +
+        "FROM bd2 JOIN bt USING (event_type)), " +
+        "r AS (SELECT event_type, day, n_day, p_micro, " +
+        "CAST(row_number() OVER (ORDER BY p_micro, event_type, day) " +
+        "AS BIGINT) AS rk FROM p), " +
+        "mm AS (SELECT COUNT(*) AS m FROM r), " +
+        "h AS (SELECT r.*, p_micro * (m - rk + 1) AS hterm " +
+        "FROM r CROSS JOIN mm), " +
+        "hm AS (SELECT a.event_type, a.day, a.n_day, a.p_micro, a.rk, " +
+        "MAX(b.hterm) AS hmax FROM h a JOIN h b ON b.rk <= a.rk " +
+        "GROUP BY 1, 2, 3, 4, 5) " +
+        "SELECT event_type, day, CAST(n_day AS BIGINT) AS n_day, " +
+        "p_micro, rk, hmax <= 50000 AS rejected_holm " +
+        "FROM hm ORDER BY event_type, day"),
+
     // same daily cells, exact S and tie-corrected var18, identical
     // continuity-corrected z formula text
     "q269_mann_kendall" ->

@@ -393,6 +393,30 @@ object ReferenceQueries {
         .orderBy("event_id")
     }),
 
+    // q332 — FORWARD as-of join (q35's mirror): each event enriched
+    // with the customer's EARLIEST order at-or-after the event time —
+    // the label-attachment join ("first conversion after exposure")
+    // every outcome pipeline runs. Same union + single key shuffle;
+    // the carry window looks forward (AsofJoin.forward), equal-time
+    // right ties to the smallest orderkey.
+    "q332_asof_forward" -> ((s, d) => {
+      val ev = events(s, d).select(
+        col("user_id").as("k"),
+        col("event_id"),
+        col("ts")) // ns epoch (nanosAsLong)
+      val ord = Tables.load(s, d, "orders")
+      graft.pipeline.AsofJoin.forward(
+        left = ev,
+        right = ord.select(col("o_custkey").as("k"),
+          col("o_orderdate"), col("o_orderkey")),
+        keyCol = "k",
+        leftTime = expr("ts div 1000"), // ns -> µs
+        rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
+        payloadCol = "o_orderkey")
+        .select(col("event_id"), col("o_orderkey").as("next_orderkey"))
+        .orderBy("event_id")
+    }),
+
     // Q41 — exact quantiles per group (linear interpolation, the
     // quantile_cont contract). Exact `percentile` buffers each group's
     // values — fine for low-cardinality groups like these; a
@@ -930,6 +954,20 @@ object ReferenceQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey " +
         "FROM u) " +
         "SELECT event_id, asof_orderkey FROM c WHERE side = 1 ORDER BY event_id"),
+    // same union + window replay, carry looking FORWARD (lefts sort
+    // before rights at equal time -> inclusive at-or-after)
+    "q332_asof_forward" ->
+      ("WITH l AS (SELECT user_id AS k, epoch_ns(ts) // 1000 AS t, event_id, " +
+        "NULL::BIGINT AS o_orderkey, 0 AS side FROM events), " +
+        "r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, " +
+        "NULL::BIGINT AS event_id, o_orderkey, 1 AS side FROM orders), " +
+        "u AS (SELECT * FROM l UNION ALL SELECT * FROM r), " +
+        "c AS (SELECT *, first_value(o_orderkey IGNORE NULLS) OVER (" +
+        "PARTITION BY k ORDER BY t, side, o_orderkey " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) " +
+        "AS next_orderkey FROM u) " +
+        "SELECT event_id, next_orderkey FROM c WHERE side = 0 " +
+        "ORDER BY event_id"),
     "q29_rollup" ->
       ("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sv " +
         "FROM events GROUP BY ROLLUP(event_type) " +
