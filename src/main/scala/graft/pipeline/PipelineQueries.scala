@@ -582,7 +582,13 @@ object PipelineQueries {
     // 20 by rank under a full (r, node) tie order; oracle replays all
     // 5 integer rounds.
     "q329_personalized_pagerank" -> ((s, d) => {
-      val und = repeatCoEdges(s, d)
+      // the rank loop consumes the edge table EVERY round — without
+      // materialization the whole co-purchase pair-gen re-runs 5×
+      // (measured 10.0 s → the edges are the dominant cost, not the
+      // bounded integer iteration); the q285/q274 rationale
+      val u0 = repeatCoEdges(s, d)
+      val und = if (s.sparkContext.getCheckpointDir.isDefined)
+        u0.checkpoint(eager = true) else u0.localCheckpoint(true)
       val e = und.select(col("lo").as("src"), col("hi").as("dst"),
         lit(1L).as("w"))
         .unionByName(und.select(col("hi").as("src"), col("lo").as("dst"),

@@ -2169,7 +2169,10 @@ object AnalyticsQueries {
       val terms = ranked.crossJoin(broadcast(m))
         .withColumn("hterm", col("p_micro") * (col("m") - col("rk") + 1L))
       val t2 = terms.select(col("rk").as("rk2"), col("hterm").as("hterm2"))
-      terms.join(t2, col("rk2") <= col("rk"))
+      // broadcast the (rk, hterm) side: the bounded cell grid rides a
+      // BroadcastNestedLoopJoin (the q271 rank-leg shape), never a
+      // CartesianProduct exchange
+      terms.join(broadcast(t2), col("rk2") <= col("rk"))
         .groupBy("event_type", "day", "n_day", "p_micro", "rk")
         .agg(max("hterm2").as("hmax"))
         .select(col("event_type"), col("day"), col("n_day"),
