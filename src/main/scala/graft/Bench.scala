@@ -153,7 +153,9 @@ object Bench {
     //    the line a driver-side json parse should land on
     val slow = names.sortBy(n => -best(n).min(1e18)).take(3)
       .map(n => "\"" + n + "\":" + fmt3(best(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"n_failed":${failed.size},"queries":$slow,"queries_note":"3 slowest; full map in queries_chunk lines + full_record"$warn$fail,"full_record":${jstr(out)},"sf":${jstr(sfDir)}}""")
+    // value at ms precision and a terse note: this line + the full
+    // bench_ms line + sbt's success line must all fit the ~2 KB tail
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"n_queries":${names.size},"n_failed":${failed.size},"queries":$slow,"queries_note":"3 slowest; full map in chunks + full_record"$warn$fail,"full_record":${jstr(out)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
