@@ -1308,6 +1308,41 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q336 — QQ SHIFT TABLE (quantile treatment effects): WHERE in
+    // the distribution does variant 1 differ from variant 0 — the
+    // per-percentile complement to q328's single KS number and q327's
+    // single location test (a tail-only lift is invisible to a mean
+    // test and unlocated by KS). Lower weighted percentiles at the
+    // 5%..95% grid from the (type, variant, cents) histogram: q_k =
+    // min cents with 20·cum ≥ k·tot (division-free, exact integers),
+    // computed for all 19 cuts in ONE pass by joining the cumulative
+    // cells against the broadcast 19-row grid — bounded-domain
+    // windows, never a per-row sort.
+    "q336_qq_shift" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("user_id") % 2).as("v"))
+        .groupBy("event_type", "v", "cents").agg(count(lit(1)).as("w"))
+      val wc = W.partitionBy("event_type", "v").orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wt = W.partitionBy("event_type", "v")
+      val cum = hist
+        .withColumn("cum", sum("w").over(wc))
+        .withColumn("tot", sum("w").over(wt))
+      val ks = s.range(1, 20).select(col("id").as("k"))
+      val qs = cum.join(broadcast(ks), expr("cum * 20 >= k * tot"))
+        .groupBy("event_type", "v", "k").agg(min("cents").as("q"))
+      qs.groupBy("event_type", "k")
+        .agg(max(when(col("v") === 0, col("q"))).as("q0_cents"),
+          max(when(col("v") === 1, col("q"))).as("q1_cents"))
+        .select(col("event_type"), (col("k") * 5).as("pct"),
+          col("q0_cents"), col("q1_cents"),
+          (col("q1_cents") - col("q0_cents")).as("shift_cents"))
+        .orderBy("event_type", "pct")
+    }),
+
     // q316 — ECDF / RANK TABLE: per-type empirical CDF and
     // percent-rank over the VALUE DOMAIN, not the row stream — the
     // scale-correct form of cume_dist/percent_rank (a per-row window
@@ -4177,6 +4212,28 @@ object AnalyticsQueries {
         "CAST(MIN(CASE WHEN gap = mxg THEN cents END) AS BIGINT) " +
         "AS ks_at_cents " +
         "FROM mx GROUP BY event_type ORDER BY event_type"),
+
+    // same division-free 20·cum ≥ k·tot percentile rule on the same
+    // histogram cells, same 19-cut grid
+    "q336_qq_shift" ->
+      ("WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) " +
+        "AS cents, user_id % 2 AS v FROM events), " +
+        "h AS (SELECT event_type, v, cents, COUNT(*) AS w " +
+        "FROM b GROUP BY 1, 2, 3), " +
+        "c AS (SELECT event_type, v, cents, " +
+        "SUM(w) OVER (PARTITION BY event_type, v ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "SUM(w) OVER (PARTITION BY event_type, v) AS tot FROM h), " +
+        "kk AS (SELECT unnest(generate_series(1, 19)) AS k), " +
+        "q AS (SELECT event_type, v, k, MIN(cents) AS q " +
+        "FROM c CROSS JOIN kk WHERE cum * 20 >= k * tot " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT event_type, CAST(k * 5 AS BIGINT) AS pct, " +
+        "MAX(CASE WHEN v = 0 THEN q END) AS q0_cents, " +
+        "MAX(CASE WHEN v = 1 THEN q END) AS q1_cents, " +
+        "MAX(CASE WHEN v = 1 THEN q END) - " +
+        "MAX(CASE WHEN v = 0 THEN q END) AS shift_cents " +
+        "FROM q GROUP BY 1, 2 ORDER BY event_type, pct"),
 
     // same weighted-domain cums, same exact rank arithmetic
     "q316_ecdf_ranks" ->
