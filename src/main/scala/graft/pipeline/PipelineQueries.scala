@@ -3258,6 +3258,94 @@ object PipelineQueries {
         .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
           col("x.id").as("doc_id"), col("x.score").as("key_micro"))
         .orderBy("source", "rank")
+    }),
+
+    // q342 — BLEU OVERLAP EVAL: the precision-side complement to
+    // q335's ROUGE recall — clipped n-gram PRECISION (N = 1, 2) plus
+    // the brevity penalty, the generation-eval metric a distillation
+    // pipeline reads next to ROUGE. Scored in EXACT integers as
+    // 2·log BLEU micros: score = 2·bp + (ml(clip1) − ml(tot1)) +
+    // (ml(clip2') − ml(tot2)) with ml the audited ⌊ln(int)·10⁶⌋
+    // idiom (MicroLogBoundarySpec), bp = 0 when c ≥ r else
+    // −((r−c)·10⁶ div c) (positive division, sign reattached — both
+    // engines truncate identically), and clip2' = greatest(clip2, 1)
+    // (smoothing-1: a shared unigram implies clip1 ≥ 1, bigrams may
+    // still miss). Docs under 2 tokens are excluded (tot2 ≥ 1 by
+    // construction). Plan mirrors q335: the 5-doc reference n-gram
+    // table broadcasts, candidates explode once and join on the gram
+    // — the corpus never self-pairs; top-3 per reference via the
+    // bounded top_k partial agg (score DESC, doc_id ASC), never a
+    // per-ref sort.
+    "q342_bleu_eval" -> ((s, d) => {
+      def grams(df: DataFrame): DataFrame = {
+        val toks = df.select(col("doc_id"),
+          TextOps.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+        toks.select(col("doc_id"), explode(col("toks")).as("g"))
+          .where(col("g") =!= "").withColumn("kind", lit(1L))
+          .unionByName(toks
+            .select(col("doc_id"),
+              explode(TextOps.shingles(col("toks"), 2)).as("g"))
+            .withColumn("kind", lit(2L)))
+          .groupBy("doc_id", "g", "kind").agg(count(lit(1)).as("tf"))
+      }
+      def ml(x: String) = s"cast(floor(ln($x) * 1000000) as bigint)"
+      val refs = grams(docs(s, d).where(col("doc_id") < 5))
+        .toDF("ref_id", "g", "kind", "rtf")
+      val refLen = refs.where(col("kind") === 1L)
+        .groupBy("ref_id").agg(sum("rtf").as("rlen"))
+      val cand = grams(docs(s, d).where(col("doc_id") >= 5))
+      val candTot = cand.groupBy("doc_id", "kind").agg(sum("tf").as("tot"))
+        .groupBy("doc_id")
+        .agg(max(when(col("kind") === 1L, col("tot"))).as("tot1"),
+          max(when(col("kind") === 2L, col("tot"))).as("tot2"))
+      val clips = cand.join(broadcast(refs), Seq("g", "kind"))
+        .groupBy("ref_id", "doc_id")
+        .agg(sum(when(col("kind") === 1L, least(col("tf"), col("rtf")))
+            .otherwise(0L)).as("clip1"),
+          sum(when(col("kind") === 2L, least(col("tf"), col("rtf")))
+            .otherwise(0L)).as("clip2"))
+      clips
+        .join(candTot, "doc_id")
+        .join(broadcast(refLen), "ref_id")
+        .withColumn("clip2s", greatest(col("clip2"), lit(1L)))
+        .withColumn("bp", when(col("tot1") >= col("rlen"), 0L)
+          .otherwise(-expr("(rlen - tot1) * 1000000 div tot1")))
+        .withColumn("s2x", col("bp") * 2L
+          + (expr(ml("clip1")) - expr(ml("tot1")))
+          + (expr(ml("clip2s")) - expr(ml("tot2"))))
+        .groupBy("ref_id")
+        .agg(expr("top_k(s2x, doc_id, 3)").as("tk"))
+        .select(col("ref_id"), posexplode(col("tk")).as(Seq("pos", "x")))
+        .select(col("ref_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("x.id").as("doc_id"), col("x.score").as("bleu2x_micro"))
+        .orderBy("ref_id", "rank")
+    }),
+
+    // q343 — GRID-BLOCKED DBSCAN: density-based clustering over the
+    // embedding table's first two coordinates (mill-scale integers) —
+    // the noise-aware clustering the near-dup family lacks (CC needs
+    // an edge rule, k-means needs k; DBSCAN discovers both cluster
+    // count and outliers). eps = 15, minPts = 4 neighbors (self
+    // excluded). THE SCALE DESIGN: cell size = eps, so every ≤ eps
+    // pair lands in adjacent cells — the left side explodes to its
+    // 9-cell neighborhood and the pairing is a pure EQUI-join on the
+    // cell key (shuffle-partitionable, never a coordinate range
+    // join); candidates are distance²-verified in integers.
+    // Coordinates are shifted +10⁵ before the cell division so
+    // truncation equals floor (|coord| ≤ 10³ by the embedding
+    // contract). Core = deg ≥ minPts; clusters = min-label connected
+    // components over core-core edges (Cluster.connectedComponents,
+    // the audited q38 fixpoint); border points adopt the min
+    // neighboring core label; noise reports cluster −1.
+    "q343_dbscan_grid" -> ((s, d) => {
+      val p = embs(s, d).select(col("vec_id"),
+        expr("cast(round(cast(element_at(embedding, 1) as double) * 1000) " +
+          "as bigint)").as("x"),
+        expr("cast(round(cast(element_at(embedding, 2) as double) * 1000) " +
+          "as bigint)").as("y"))
+      Dbscan.cluster(p, "vec_id", "x", "y", eps = 15L, minPts = 4)
+        .orderBy("vec_id")
     })
   )
 
@@ -5405,6 +5493,82 @@ object PipelineQueries {
         "JOIN c1 ON string_split(c2.b, ' ')[1] = c1.w1 CROSS JOIN vv) " +
         "SELECT bg.doc_id, COUNT(*) AS n_bigrams, " +
         "CAST(SUM(lm.li) // COUNT(*) AS BIGINT) AS nll_micro " +
-        "FROM bg JOIN lm USING (b) GROUP BY bg.doc_id ORDER BY doc_id")
+        "FROM bg JOIN lm USING (b) GROUP BY bg.doc_id ORDER BY doc_id"),
+
+    // same clipped-precision grams as the Spark side (kind-filtered
+    // union mirrors q335), same 2·log-BLEU micro score: brevity term
+    // via positive truncating division with the sign reattached, the
+    // same audited ⌊ln(int)·10⁶⌋ idiom, clip2 smoothed to ≥ 1
+    "q342_bleu_eval" -> {
+      def ml(x: String) = s"CAST(FLOOR(ln($x) * 1000000) AS BIGINT)"
+      s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "tk2 AS (SELECT * FROM tk WHERE len(toks) >= 2), " +
+        "g1 AS (SELECT doc_id, unnest(toks) AS g, 1 AS kind FROM tk2), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(" +
+        "range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g, " +
+        "2 AS kind FROM tk2), " +
+        "gr AS (SELECT doc_id, g, kind, COUNT(*) AS tf FROM " +
+        "(SELECT * FROM g1 UNION ALL SELECT * FROM g2) " +
+        "WHERE g <> '' GROUP BY 1, 2, 3), " +
+        "refs AS (SELECT doc_id AS ref_id, g, kind, tf AS rtf FROM gr " +
+        "WHERE doc_id < 5), " +
+        "rl AS (SELECT ref_id, CAST(SUM(rtf) AS BIGINT) AS rlen " +
+        "FROM refs WHERE kind = 1 GROUP BY 1), " +
+        "ct AS (SELECT doc_id, " +
+        "MAX(CASE WHEN kind = 1 THEN tot END) AS tot1, " +
+        "MAX(CASE WHEN kind = 2 THEN tot END) AS tot2 FROM " +
+        "(SELECT doc_id, kind, SUM(tf) AS tot FROM gr WHERE doc_id >= 5 " +
+        "GROUP BY 1, 2) GROUP BY 1), " +
+        "cl AS (SELECT r.ref_id, c.doc_id, " +
+        "SUM(CASE WHEN c.kind = 1 THEN LEAST(c.tf, r.rtf) ELSE 0 END) " +
+        "AS clip1, " +
+        "SUM(CASE WHEN c.kind = 2 THEN LEAST(c.tf, r.rtf) ELSE 0 END) " +
+        "AS clip2 FROM gr c JOIN refs r ON c.g = r.g AND c.kind = r.kind " +
+        "WHERE c.doc_id >= 5 GROUP BY 1, 2), " +
+        "sc AS (SELECT ref_id, cl.doc_id, " +
+        "(CASE WHEN tot1 >= rlen THEN 0 " +
+        "ELSE -((rlen - tot1) * 1000000 // tot1) END) * 2 " +
+        s"+ (${ml("clip1")} - ${ml("tot1")}) " +
+        s"+ (${ml("greatest(clip2, 1)")} - ${ml("tot2")}) AS s2x " +
+        "FROM cl JOIN ct ON ct.doc_id = cl.doc_id " +
+        "JOIN rl USING (ref_id)), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY ref_id " +
+        "ORDER BY s2x DESC, doc_id) AS rnk FROM sc) " +
+        "SELECT ref_id, CAST(rnk AS BIGINT) AS rank, doc_id, " +
+        "CAST(s2x AS BIGINT) AS bleu2x_micro " +
+        "FROM rk WHERE rnk <= 3 ORDER BY ref_id, rank"
+    },
+
+    // same mill-scale coordinates and eps/minPts; the oracle pairs
+    // directly on distance² (the grid is a lossless candidate
+    // superset — cell size = eps), recursive min-label closure over
+    // core-core edges, min-core-neighbor border adoption
+    "q343_dbscan_grid" ->
+      ("WITH RECURSIVE p AS (SELECT vec_id, " +
+        "CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x, " +
+        "CAST(round(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y " +
+        "FROM embeddings), " +
+        "nb AS (SELECT a.vec_id AS a, b.vec_id AS b FROM p a JOIN p b " +
+        "ON a.vec_id <> b.vec_id AND " +
+        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 225), " +
+        "core AS (SELECT a AS vec_id FROM nb GROUP BY a " +
+        "HAVING COUNT(*) >= 4), " +
+        "ce AS (SELECT n.a, n.b FROM nb n " +
+        "JOIN core ca ON ca.vec_id = n.a " +
+        "JOIN core cb ON cb.vec_id = n.b), " +
+        "cc(id, lbl) AS (SELECT vec_id, vec_id FROM core " +
+        "UNION SELECT e.b, c.lbl FROM cc c JOIN ce e ON e.a = c.id), " +
+        "lab AS (SELECT id AS vec_id, MIN(lbl) AS cluster FROM cc " +
+        "GROUP BY 1), " +
+        "bc AS (SELECT n.a AS vec_id, MIN(l.cluster) AS bcl FROM nb n " +
+        "JOIN lab l ON l.vec_id = n.b GROUP BY 1) " +
+        "SELECT p.vec_id, " +
+        "CAST(CASE WHEN lab.cluster IS NOT NULL THEN 2 " +
+        "WHEN bc.bcl IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS role, " +
+        "CAST(COALESCE(lab.cluster, bc.bcl, -1) AS BIGINT) AS cluster " +
+        "FROM p LEFT JOIN lab ON lab.vec_id = p.vec_id " +
+        "LEFT JOIN bc ON bc.vec_id = p.vec_id " +
+        "ORDER BY p.vec_id")
   )
 }

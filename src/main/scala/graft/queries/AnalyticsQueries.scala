@@ -3144,6 +3144,220 @@ object AnalyticsQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_bins"), sum("term").as("psi_micro"))
         .orderBy("event_type")
+    }),
+
+    // q337 — CHI-SQUARE INDEPENDENCE + CRAMÉR'S V: is event_type
+    // independent of the user cohort (user_id % 4) — the categorical
+    // association test beside q238's continuous KS and q195's mutual
+    // information. χ² = Σ_cells (O·N − r·c)²·10⁶ div (N·r·c), the
+    // per-cell floored-micro sum BOTH engines compute identically
+    // (products in decimal(38): O·N is rows² — 10¹⁹-safe to ~3·10⁹
+    // rows, the per-partition cell count at 100 TB after the
+    // partial agg). ZERO cells matter (they contribute r·c·10⁶/N), so
+    // the full type × cohort grid is built by crossing the two
+    // BOUNDED margin tables and left-joining observed counts.
+    // V² = χ²/(N·(min(rows,cols)−1)) in the same micros. Plan: one
+    // partial-agg shuffle of ≤ |types|·|cohorts| cells; margins and
+    // the grid are broadcast-sized.
+    "q337_chisq_cramers" -> ((s, d) => {
+      val cell = events(s, d)
+        .select(col("event_type").as("t"), (col("user_id") % 4).as("b"))
+        .groupBy("t", "b").agg(count(lit(1)).as("o"))
+      val rows = cell.groupBy("t").agg(sum("o").as("r"))
+      val cols = cell.groupBy("b").agg(sum("o").as("c"))
+      val tot = cell.agg(sum("o").as("n"))
+      rows.crossJoin(broadcast(cols))
+        .join(cell, Seq("t", "b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("t"), col("b"), col("r"), col("c"), col("n"),
+          coalesce(col("o"), lit(0L)).as("o"))
+        .select(col("t"), col("b"), col("n"),
+          expr("cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c")
+            .as("dlt"), col("r"), col("c"))
+        .select(col("t"), col("b"), col("n"),
+          expr("dlt * dlt * 1000000 div (cast(n as decimal(38,0)) * r * c)")
+            .as("term"))
+        .agg(max("n").as("nn"), countDistinct("t").as("nt"),
+          countDistinct("b").as("nb"), sum("term").as("chi2"))
+        .select(col("nn").as("n"),
+          ((col("nt") - 1) * (col("nb") - 1)).as("dof"),
+          col("chi2").cast("long").as("chi2_micro"),
+          expr("cast(chi2 div (nn * (least(nt, nb) - 1)) as bigint)")
+            .as("v2_micro"))
+    }),
+
+    // q338 — EXPECTED CALIBRATION ERROR: the one-number summary of
+    // q237's reliability diagram — ECE = Σ_b n_b·|pos_rate_b −
+    // mean_p_b| div N and MCE = max_b of the same gap, over the SAME
+    // ten equal-width bins, the same hardσ propensity, the same
+    // integer micros (per-bin rates are the floored micro divisions
+    // q237 gates, so the two queries can never disagree about a bin).
+    // Plan: identical to q237 — scan-side projection, one ≤ 10-cell
+    // partial agg, then a driver-free single-row fold of the cells.
+    "q338_ece_calibration" -> ((s, d) => {
+      events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+          when(col("event_type") === "purchase", 1000000L)
+            .otherwise(0L).as("ym"))
+        .withColumn("p_micro",
+          least(greatest(expr("(cents - 25000) * 1000000 div 20000 div 4 " +
+            "+ 500000"), lit(0L)), lit(1000000L)))
+        .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("nb"),
+          expr("sum(p_micro) div count(1)").as("mp"),
+          expr("sum(ym) div count(1)").as("pr"))
+        .agg(sum("nb").as("n"),
+          expr("sum(nb * abs(pr - mp)) div sum(nb)").as("ece_micro"),
+          max(expr("abs(pr - mp)")).as("mce_micro"))
+    }),
+
+    // q339 — FLEISS' KAPPA: multi-rater agreement per language — the
+    // R > 2 generalization of q286's Cohen's kappa, the number an
+    // annotation pipeline reads before trusting its label pool. Three
+    // deterministic raters assign one of four categories per document
+    // (md5("fk:r:doc_id") — seedless, engine-exact). EXACT rational
+    // arithmetic with every division last: with A = Σ_i Σ_j n_ij² −
+    // nR (so P̄ = A/D1, D1 = nR(R−1)) and B = Σ_j C_j² (so P̄_e =
+    // B/D2, D2 = (nR)²), κ = (A·D2 − B·D1)/(D1·(D2 − B)) — integer
+    // numerator and denominator in decimal(38), one sign-aware micro
+    // division at the end (both engines truncate toward zero, so the
+    // κ < 0 worse-than-chance case crosses the gate exactly). The
+    // all-agree B = D2 edge reports κ = 10⁶. Plan: per-(doc, cat)
+    // counts partial-agg to per-doc ssq, then per-lang single-row
+    // folds — the rating table is the only corpus-sized stage.
+    "q339_fleiss_kappa" -> ((s, d) => {
+      val ratings = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), lit(2))).as("r"))
+        .withColumn("cat",
+          conv(substring(md5(concat(lit("fk:"), col("r").cast("string"),
+            lit(":"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long") % 4)
+      val perDoc = ratings.groupBy("lang", "doc_id", "cat")
+        .agg(count(lit(1)).as("nij"))
+      val aLeg = perDoc.groupBy("lang")
+        .agg(sum(expr("nij * nij")).as("ssq"),
+          countDistinct("doc_id").as("n_items"))
+        .select(col("lang"), col("n_items"),
+          (col("ssq") - col("n_items") * 3L).as("a"))
+      val bLeg = perDoc.groupBy("lang", "cat")
+        .agg(sum("nij").as("cj"))
+        .groupBy("lang")
+        .agg(sum(expr("cast(cj as decimal(38,0)) * cj")).as("b"))
+      aLeg.join(bLeg, "lang")
+        .select(col("lang"), col("n_items"),
+          expr("cast(n_items * 3 as decimal(38,0))").as("nr"), col("a"),
+          col("b"))
+        .select(col("lang"), col("n_items"),
+          expr("cast(a as decimal(38,0)) * (nr * nr) - b * (nr * 2)")
+            .as("num"),
+          expr("(nr * 2) * (nr * nr - b)").as("den"))
+        .select(col("lang"), col("n_items"),
+          expr("cast(case when den = 0 then 1000000 " +
+            "when num >= 0 then (num * 1000000) div den " +
+            "else -((-num * 1000000) div den) end as bigint)")
+            .as("kappa_micro"))
+        .orderBy("lang")
+    }),
+
+    // q340 — ONE-WAY ANOVA F: does mean value differ across the five
+    // event types — the k-group generalization of q161's two-sample
+    // z-test, on the same cents domain. Sums-of-squares via the exact
+    // integer identities SST·N = N·Q − S² and SSW·n_g = n_g·Q_g −
+    // S_g² (squares in decimal(38): Q is rows·cents² — 10¹⁹-safe well
+    // past the bench scale, and the per-group products stay bounded
+    // because the corpus collapses to k = |types| cells first).
+    // Floored cents² units (micro precision is noise at this
+    // magnitude); ssb = greatest(sst − ssw, 0) so the floor residue
+    // can never push a zero-effect F negative; F_micro =
+    // ssb·(N−k)·10⁶ div (ssw·(k−1)). Plan: ONE partial-agg shuffle to
+    // k cells, then a single-row fold.
+    "q340_anova_f" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type").as("g"),
+          expr("cast(round(value * 100) as bigint)").as("x"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("ng"), sum("x").as("sg"),
+          sum(expr("cast(x as decimal(38,0)) * x")).as("qg"))
+        .select(col("ng"), col("sg"), col("qg"),
+          expr("(qg * ng - cast(sg as decimal(38,0)) * sg) div ng")
+            .as("sswg"))
+        .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+          sum("sg").as("st"), sum("qg").as("qt"), sum("sswg").as("ssw"))
+        .select(col("n"), col("k"), col("ssw"),
+          expr("(qt * n - cast(st as decimal(38,0)) * st) div n").as("sst"))
+        .select(col("n"), col("k"),
+          col("ssw").cast("long").as("ssw_c2"),
+          expr("cast(greatest(sst - ssw, 0) as bigint)").as("ssb_c2"))
+        .select(col("n"), col("k"), col("ssw_c2"), col("ssb_c2"),
+          expr("cast(cast(ssb_c2 as decimal(38,0)) * (n - k) * 1000000 " +
+            "div (greatest(ssw_c2, 1) * (k - 1)) as bigint)").as("f_micro"))
+    }),
+
+    // q341 — DIFFERENCE-IN-DIFFERENCES: the panel-data causal
+    // estimator next to q175's CUPED and q284's IPW — treatment =
+    // user_id % 2, post-period = day ≥ 19738 (Jan 16, the window
+    // midpoint, pinned), outcome = mean cents per (type, period,
+    // arm). DiD = (post_t − pre_t) − (post_c − pre_c) over the four
+    // floored micro-cent means (subtraction only — no division ever
+    // sees a negative). Plan: one partial-agg shuffle to 4 cells per
+    // type, then a bounded pivot fold; the day and arm keys are
+    // scan-side integer arithmetic.
+    "q341_diff_in_diff" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"),
+          (expr("ts div 86400000000000") >= 19738L).cast("long").as("post"),
+          (col("user_id") % 2).as("treat"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .groupBy("event_type", "post", "treat")
+        .agg(sum("cents").as("sc"), count(lit(1)).as("nc"))
+        .withColumn("m", expr("sc * 1000000 div nc"))
+        .groupBy("event_type")
+        .agg(max(when(col("post") === 0 && col("treat") === 0, col("m")))
+            .as("m_pre_ctl"),
+          max(when(col("post") === 1 && col("treat") === 0, col("m")))
+            .as("m_post_ctl"),
+          max(when(col("post") === 0 && col("treat") === 1, col("m")))
+            .as("m_pre_trt"),
+          max(when(col("post") === 1 && col("treat") === 1, col("m")))
+            .as("m_post_trt"))
+        .select(col("event_type"), col("m_pre_ctl"), col("m_post_ctl"),
+          col("m_pre_trt"), col("m_post_trt"),
+          ((col("m_post_trt") - col("m_pre_trt"))
+            - (col("m_post_ctl") - col("m_pre_ctl"))).as("did_micro"))
+        .orderBy("event_type")
+    }),
+
+    // q344 — FUNCTIONAL-DEPENDENCY AUDIT: does LHS determine RHS —
+    // the schema-discovery profiling pass beside q280's referential
+    // integrity and q214's column profile, over three candidate FDs
+    // a warehouse would actually check. Per FD: LHS group count,
+    // groups violating (> 1 distinct RHS), and the classic g₃ error
+    // (minimum rows to delete for the FD to hold = Σ_g (n_g −
+    // max-RHS-count_g)). Plan: one partial-agg shuffle to (lhs, rhs)
+    // cells per table, a second bounded one to lhs groups, then a
+    // 3-row union — never a distinct over raw rows.
+    "q344_fd_audit" -> ((s, d) => {
+      def fd(df: DataFrame, lhs: String, rhs: String, name: String)
+      : DataFrame =
+        df.groupBy(col(lhs).as("l"), col(rhs).cast("string").as("rv"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("l").agg(sum("c").as("tot"), max("c").as("mx"),
+            count(lit(1)).as("ndv"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("viol_groups"),
+            sum(col("tot") - col("mx")).as("g3_rows"))
+          .select(lit(name).as("fd"), col("n_groups"), col("viol_groups"),
+            col("g3_rows"))
+      fd(Tables.load(s, d, "documents"), "source", "lang",
+        "documents:source->lang")
+        .unionByName(fd(Tables.load(s, d, "orders"), "o_custkey",
+          "o_orderstatus", "orders:o_custkey->o_orderstatus"))
+        .unionByName(fd(Tables.load(s, d, "lineitem"), "l_orderkey",
+          "l_returnflag", "lineitem:l_orderkey->l_returnflag"))
+        .orderBy("fd")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -4918,5 +5132,136 @@ object AnalyticsQueries {
           s"CAST(min($e) AS VARCHAR) AS min_s, " +
           s"CAST(max($e) AS VARCHAR) AS max_s FROM events"
       }.mkString(" UNION ALL ") + ") ORDER BY col_name"
+    },
+
+    // same full type × cohort grid (zero cells included), same
+    // per-cell floored-micro χ² terms in HUGEINT
+    "q337_chisq_cramers" ->
+      ("WITH cell AS (SELECT event_type AS t, user_id % 4 AS b, " +
+        "COUNT(*) AS o FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT t, SUM(o) AS r FROM cell GROUP BY 1), " +
+        "c AS (SELECT b, SUM(o) AS c FROM cell GROUP BY 1), " +
+        "tot AS (SELECT SUM(o) AS n FROM cell), " +
+        "grid AS (SELECT r.t, c.b, r.r, c.c, n, COALESCE(cell.o, 0) AS o " +
+        "FROM r CROSS JOIN c CROSS JOIN tot " +
+        "LEFT JOIN cell ON cell.t = r.t AND cell.b = c.b), " +
+        "terms AS (SELECT t, b, n, " +
+        "(o::HUGEINT * n - r::HUGEINT * c) AS dlt, r, c FROM grid), " +
+        "f AS (SELECT MAX(n) AS nn, COUNT(DISTINCT t) AS nt, " +
+        "COUNT(DISTINCT b) AS nb, " +
+        "SUM(dlt * dlt * 1000000 // (n::HUGEINT * r * c)) AS chi2 " +
+        "FROM terms) " +
+        "SELECT CAST(nn AS BIGINT) AS n, " +
+        "CAST((nt - 1) * (nb - 1) AS BIGINT) AS dof, " +
+        "CAST(chi2 AS BIGINT) AS chi2_micro, " +
+        "CAST(chi2 // (nn * (LEAST(nt, nb) - 1)) AS BIGINT) AS v2_micro " +
+        "FROM f"),
+
+    // same ten bins and floored per-bin rates as q237, then the
+    // weighted |gap| fold
+    "q338_ece_calibration" ->
+      ("WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END AS ym " +
+        "FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "p AS (SELECT ym, LEAST(GREATEST(" +
+        "(cents - 25000) * 1000000 // 20000 // 4 + 500000, 0), 1000000" +
+        ") AS p_micro FROM b), " +
+        "g AS (SELECT LEAST(p_micro // 100000, 9) AS bin, " +
+        "COUNT(*) AS nb, SUM(p_micro) // COUNT(*) AS mp, " +
+        "SUM(ym) // COUNT(*) AS pr FROM p GROUP BY 1) " +
+        "SELECT CAST(SUM(nb) AS BIGINT) AS n, " +
+        "CAST(SUM(nb * abs(pr - mp)) // SUM(nb) AS BIGINT) AS ece_micro, " +
+        "CAST(MAX(abs(pr - mp)) AS BIGINT) AS mce_micro FROM g"),
+
+    // same md5 raters and categories, same integer κ rational with
+    // the sign-aware truncating division
+    "q339_fleiss_kappa" ->
+      ("WITH ratings AS (SELECT doc_id, lang, r, " +
+        "('0x' || substr(md5('fk:' || r || ':' || doc_id), 1, 4))::BIGINT " +
+        "% 4 AS cat FROM documents " +
+        "CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r)), " +
+        "pd AS (SELECT lang, doc_id, cat, COUNT(*) AS nij " +
+        "FROM ratings GROUP BY 1, 2, 3), " +
+        "al AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_items, " +
+        "SUM(nij * nij) - COUNT(DISTINCT doc_id) * 3 AS a FROM pd " +
+        "GROUP BY 1), " +
+        "bl AS (SELECT lang, SUM(cj::HUGEINT * cj) AS b FROM " +
+        "(SELECT lang, cat, SUM(nij) AS cj FROM pd GROUP BY 1, 2) " +
+        "GROUP BY 1), " +
+        "k AS (SELECT al.lang, n_items, " +
+        "a::HUGEINT * ((n_items * 3)::HUGEINT * (n_items * 3)) " +
+        "- b * ((n_items * 3)::HUGEINT * 2) AS num, " +
+        "((n_items * 3)::HUGEINT * 2) * " +
+        "((n_items * 3)::HUGEINT * (n_items * 3) - b) AS den " +
+        "FROM al JOIN bl ON bl.lang = al.lang) " +
+        "SELECT lang, CAST(n_items AS BIGINT) AS n_items, " +
+        "CAST(CASE WHEN den = 0 THEN 1000000 " +
+        "WHEN num >= 0 THEN (num * 1000000) // den " +
+        "ELSE -((-num * 1000000) // den) END AS BIGINT) AS kappa_micro " +
+        "FROM k ORDER BY lang"),
+
+    // same exact sums-of-squares identities, same floored cents²
+    // units and ssb clamp
+    "q340_anova_f" ->
+      ("WITH g AS (SELECT event_type AS g, " +
+        "CAST(round(value * 100) AS BIGINT) AS x FROM events), " +
+        "per AS (SELECT g, COUNT(*) AS ng, SUM(x) AS sg, " +
+        "SUM(x::HUGEINT * x) AS qg FROM g GROUP BY 1), " +
+        "leg AS (SELECT ng, sg, qg, " +
+        "(qg * ng - sg::HUGEINT * sg) // ng AS sswg FROM per), " +
+        "f AS (SELECT SUM(ng) AS n, COUNT(*) AS k, SUM(sg) AS st, " +
+        "SUM(qg) AS qt, SUM(sswg) AS ssw FROM leg), " +
+        "t AS (SELECT n, k, ssw, " +
+        "(qt * n - st::HUGEINT * st) // n AS sst FROM f), " +
+        "u AS (SELECT n, k, CAST(ssw AS BIGINT) AS ssw_c2, " +
+        "CAST(GREATEST(sst - ssw, 0) AS BIGINT) AS ssb_c2 FROM t) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, " +
+        "ssw_c2, ssb_c2, " +
+        "CAST(ssb_c2::HUGEINT * (n - k) * 1000000 " +
+        "// (GREATEST(ssw_c2, 1)::HUGEINT * (k - 1)) AS BIGINT) " +
+        "AS f_micro FROM u"),
+
+    // same pinned day-19738 pivot, same four floored micro-cent means
+    "q341_diff_in_diff" ->
+      ("WITH b AS (SELECT event_type, " +
+        "CASE WHEN epoch_ns(ts) // 86400000000000 >= 19738 " +
+        "THEN 1 ELSE 0 END AS post, user_id % 2 AS treat, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "cellm AS (SELECT event_type, post, treat, " +
+        "SUM(cents) * 1000000 // COUNT(*) AS m FROM b GROUP BY 1, 2, 3) " +
+        "SELECT event_type, " +
+        "CAST(MAX(CASE WHEN post = 0 AND treat = 0 THEN m END) AS BIGINT) " +
+        "AS m_pre_ctl, " +
+        "CAST(MAX(CASE WHEN post = 1 AND treat = 0 THEN m END) AS BIGINT) " +
+        "AS m_post_ctl, " +
+        "CAST(MAX(CASE WHEN post = 0 AND treat = 1 THEN m END) AS BIGINT) " +
+        "AS m_pre_trt, " +
+        "CAST(MAX(CASE WHEN post = 1 AND treat = 1 THEN m END) AS BIGINT) " +
+        "AS m_post_trt, " +
+        "CAST((MAX(CASE WHEN post = 1 AND treat = 1 THEN m END) " +
+        "- MAX(CASE WHEN post = 0 AND treat = 1 THEN m END)) " +
+        "- (MAX(CASE WHEN post = 1 AND treat = 0 THEN m END) " +
+        "- MAX(CASE WHEN post = 0 AND treat = 0 THEN m END)) AS BIGINT) " +
+        "AS did_micro " +
+        "FROM cellm GROUP BY event_type ORDER BY event_type"),
+
+    // same three candidate FDs, same g₃ = Σ (n_g − max-RHS-count)
+    "q344_fd_audit" -> {
+      def fd(table: String, lhs: String, rhs: String, name: String) =
+        s"SELECT '$name' AS fd, COUNT(*) AS n_groups, " +
+          "CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS viol_groups, CAST(SUM(tot - mx) AS BIGINT) AS g3_rows " +
+          s"FROM (SELECT l, SUM(c) AS tot, MAX(c) AS mx, COUNT(*) AS ndv " +
+          s"FROM (SELECT $lhs AS l, CAST($rhs AS VARCHAR) AS rv, " +
+          s"COUNT(*) AS c FROM $table GROUP BY 1, 2) GROUP BY l)"
+      "SELECT * FROM (" +
+        fd("documents", "source", "lang", "documents:source->lang") +
+        " UNION ALL " +
+        fd("orders", "o_custkey", "o_orderstatus",
+          "orders:o_custkey->o_orderstatus") +
+        " UNION ALL " +
+        fd("lineitem", "l_orderkey", "l_returnflag",
+          "lineitem:l_orderkey->l_returnflag") +
+        ") ORDER BY fd"
     })
 }
