@@ -258,6 +258,51 @@ object ScaleCurve {
       (name, ts, ns, fit, tail)
     }
 
+    // SPATIAL PAIRING (q343 grid DBSCAN): the shared ×4 embedding
+    // replica is a per-dimension SIGN-FLIP — an isometry for the
+    // cosine operators, but WRONG for a 2-D spatial one (replica 3's
+    // first two dimensions keep their signs, so its projection lands
+    // exactly ON the original corpus and local density doubles — a
+    // stacking artifact, not scale). The honest spatial isometry is a
+    // TRANSLATION: each replica shifts dim-0 by +2.0·r (2000 mills ≫
+    // eps = 15), preserving every within-replica distance while
+    // keeping replicas mutually inert, so true neighbor mass grows
+    // exactly linearly in the replica count and the measured tail is
+    // the operator's, not the corpus builder's.
+    val runDbscan = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .forall(_.split(",").map(_.trim).toSet.contains("q343_dbscan_grid"))
+    val dbscanResults = if (!runDbscan) Seq.empty else {
+      val x4s = sys.props("java.io.tmpdir") +
+        s"/graft-scale-x4s-${ProcessHandle.current().pid()}"
+      Fs.deleteRecursively(java.nio.file.Paths.get(x4s))
+      val embsBig = spark.read.parquet(s"$sfBig/embeddings.parquet")
+      (0 until 4).map { r =>
+        if (r == 0) embsBig
+        else embsBig.select((col("vec_id") + r * 10000000L).as("vec_id"),
+          expr("cast(transform(embedding, (x, i) -> " +
+            s"CASE WHEN i = 0 THEN x + cast(2.0 * $r as float) ELSE x END) " +
+            "as array<float>)").as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$x4s/embeddings.parquet")
+      val name = "q343_dbscan_grid"
+      time(name, "/root/testdata/sf0.001") // warmup
+      val pts = Seq("sf0.01" -> sfSmall, "sf0.1" -> sfBig, "sf0.1x4" -> x4s)
+      val ts = pts.map { case (label, dir) =>
+        label -> (1 to reps).map(_ => time(name, dir)).min
+      }
+      val ns = Seq(sizes("sf0.01")("embeddings").toDouble,
+        sizes("sf0.1")("embeddings").toDouble,
+        sizes("sf0.1x4")("embeddings").toDouble)
+      val ls = ts.map(_._2)
+      val (xs, ys) = (ns.map(math.log), ls.map(math.log))
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val fit = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      val tail = math.log(ls(2) / ls(1)) / math.log(ns(2) / ns(1))
+      Seq((name, ts, ns, fit, tail))
+    }
+
     // STREAMING STATE CURVES: the stateful operators' bounded-state
     // claims, measured instead of argued — each op runs its real
     // checkpointed StreamingQuery harness at the three points while a
@@ -426,9 +471,16 @@ object ScaleCurve {
       "with its order book and keeps the graph sparse; the pair-gen\n" +
       "exponent is the scale claim, the graph-stage exponent the\n" +
       "fixed-catalog stress price.\n\n"
+    md ++= "Note for the SPATIAL operator (q343 grid DBSCAN): its ×4\n" +
+      "corpus is a TRANSLATED embedding replica (dim-0 shifted +2.0·r —\n" +
+      "a distance-preserving isometry that keeps replicas mutually\n" +
+      "inert), not the shared sign-flip replica, whose unchanged\n" +
+      "first-two-dims replica would stack on the original in 2-D\n" +
+      "projection and double local density (a corpus artifact, not\n" +
+      "operator scale).\n\n"
     md ++= "| operator | n (rows) | t sf0.01 | t sf0.1 | t sf0.1x4 | alpha_fit | alpha_tail |\n"
     md ++= "|---|---|---|---|---|---|---|\n"
-    results.foreach { case (name, ts, ns, fit, tail) =>
+    (results ++ dbscanResults).foreach { case (name, ts, ns, fit, tail) =>
       md ++= f"| $name | ${ns.map(_.toLong).mkString(" / ")} " +
         ts.map(t => f"| ${t._2}%.2f s ").mkString +
         f"| $fit%.2f | $tail%.2f |\n"
@@ -504,7 +556,7 @@ object ScaleCurve {
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_CURVE.md"),
         md.toString.getBytes("UTF-8"))
-    val json = results.map { case (name, _, _, fit, tail) =>
+    val json = (results ++ dbscanResults).map { case (name, _, _, fit, tail) =>
       f""""$name":{"alpha_fit":$fit%.3f,"alpha_tail":$tail%.3f}"""
     }.mkString("{\"metric\":\"scale_exponents\",", ",",
       streamResults.map { case (name, _, perPoint) =>

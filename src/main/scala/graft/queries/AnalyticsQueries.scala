@@ -3358,6 +3358,66 @@ object AnalyticsQueries {
         .unionByName(fd(Tables.load(s, d, "lineitem"), "l_orderkey",
           "l_returnflag", "lineitem:l_orderkey->l_returnflag"))
         .orderBy("fd")
+    }),
+
+    // q345 — McNEMAR PAIRED TEST: did the same users' purchase
+    // behavior change across q341's day-19738 pivot — the
+    // within-subject complement to the between-arm z-test (q161):
+    // only the DISCORDANT pairs carry signal. Per user: purchased in
+    // pre / in post as two binaries (one partial-agg shuffle on
+    // user_id); b = pre-only, c = post-only; χ² = (b−c)²·10⁶ div
+    // greatest(b+c, 1) — exact integers, the square in decimal(38)
+    // for petabyte-user counts. Single-row fold over the four bounded
+    // concordance cells.
+    "q345_mcnemar" -> ((s, d) => {
+      events(s, d)
+        .select(col("user_id"),
+          (expr("ts div 86400000000000") >= 19738L).cast("long").as("post"),
+          (col("event_type") === "purchase").cast("long").as("p"))
+        .groupBy("user_id")
+        .agg(max(when(col("post") === 0, col("p")).otherwise(0L)).as("pre"),
+          max(when(col("post") === 1, col("p")).otherwise(0L)).as("pst"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(expr("case when pre = 1 and pst = 1 then 1 else 0 end"))
+            .as("n_both"),
+          sum(expr("case when pre = 1 and pst = 0 then 1 else 0 end"))
+            .as("b_pre_only"),
+          sum(expr("case when pre = 0 and pst = 1 then 1 else 0 end"))
+            .as("c_post_only"))
+        .select(col("n_users"), col("n_both"), col("b_pre_only"),
+          col("c_post_only"),
+          expr("cast(cast(b_pre_only - c_post_only as decimal(38,0)) " +
+            "* (b_pre_only - c_post_only) * 1000000 " +
+            "div greatest(b_pre_only + c_post_only, 1) as bigint)")
+            .as("mcnemar_micro"))
+    }),
+
+    // q346 — SEQUENTIAL 2-PATTERN MINING: frequent "a … then b within
+    // the next 3 events" patterns with support counted in DISTINCT
+    // USERS — the PrefixSpan first level, distinct from q113's
+    // contiguous Markov transitions (gap-tolerant) and q270's
+    // unordered basket rules (ordered). Plan: ONE user-keyed shuffle;
+    // three lead() offsets over the per-user event order (ts,
+    // event_id — fully deterministic ties) generate gap-1..3
+    // occurrences scan-side, per-user pattern de-dup is a partial-agg
+    // distinct on (user, a, b), and the support table is bounded by
+    // |types|² — the corpus never self-joins.
+    "q346_seq2_mining" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val led = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("a"))
+        .withColumn("n1", lead("a", 1).over(w))
+        .withColumn("n2", lead("a", 2).over(w))
+        .withColumn("n3", lead("a", 3).over(w))
+      Seq("n1", "n2", "n3")
+        .map(c => led.where(col(c).isNotNull)
+          .select(col("user_id"), col("a"), col(c).as("b")))
+        .reduce(_ unionByName _)
+        .distinct()
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .orderBy("a", "b")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -5263,5 +5323,44 @@ object AnalyticsQueries {
         fd("lineitem", "l_orderkey", "l_returnflag",
           "lineitem:l_orderkey->l_returnflag") +
         ") ORDER BY fd"
-    })
+    },
+
+    // same day-19738 pivot, same discordant-cell χ² with the b+c = 0
+    // guard
+    "q345_mcnemar" ->
+      ("WITH u AS (SELECT user_id, " +
+        "MAX(CASE WHEN epoch_ns(ts) // 86400000000000 < 19738 " +
+        "AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pre, " +
+        "MAX(CASE WHEN epoch_ns(ts) // 86400000000000 >= 19738 " +
+        "AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pst " +
+        "FROM events GROUP BY 1), " +
+        "f AS (SELECT COUNT(*) AS n_users, " +
+        "SUM(CASE WHEN pre = 1 AND pst = 1 THEN 1 ELSE 0 END) AS n_both, " +
+        "SUM(CASE WHEN pre = 1 AND pst = 0 THEN 1 ELSE 0 END) " +
+        "AS b_pre_only, " +
+        "SUM(CASE WHEN pre = 0 AND pst = 1 THEN 1 ELSE 0 END) " +
+        "AS c_post_only FROM u) " +
+        "SELECT CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(n_both AS BIGINT) AS n_both, " +
+        "CAST(b_pre_only AS BIGINT) AS b_pre_only, " +
+        "CAST(c_post_only AS BIGINT) AS c_post_only, " +
+        "CAST((b_pre_only - c_post_only)::HUGEINT " +
+        "* (b_pre_only - c_post_only) * 1000000 " +
+        "// GREATEST(b_pre_only + c_post_only, 1) AS BIGINT) " +
+        "AS mcnemar_micro FROM f"),
+
+    // same (ts, event_id) per-user order, same gap-1..3 leads and
+    // distinct-user support
+    "q346_seq2_mining" ->
+      ("WITH e AS (SELECT user_id, event_type AS a, " +
+        "lead(event_type, 1) OVER w AS n1, " +
+        "lead(event_type, 2) OVER w AS n2, " +
+        "lead(event_type, 3) OVER w AS n3 FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "p AS (SELECT DISTINCT user_id, a, b FROM (" +
+        "SELECT user_id, a, n1 AS b FROM e WHERE n1 IS NOT NULL " +
+        "UNION ALL SELECT user_id, a, n2 FROM e WHERE n2 IS NOT NULL " +
+        "UNION ALL SELECT user_id, a, n3 FROM e WHERE n3 IS NOT NULL)) " +
+        "SELECT a, b, COUNT(*) AS support FROM p " +
+        "GROUP BY 1, 2 ORDER BY a, b"))
 }

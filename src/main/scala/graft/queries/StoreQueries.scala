@@ -2039,6 +2039,87 @@ object StoreQueries {
       finalState("account", "user_id", "email")
         .unionAll(finalState("product", "product_id", "product_name"))
         .orderBy("tbl", "id")
+    }),
+
+    // q347 — STREAMING QUANTILE SKETCH: q97's GK/KLL rank sketch as a
+    // CONTINUOUS query — per-type percentile_approx accumulates
+    // sketch state in the streaming agg across forced micro-batches
+    // (the buffer merges commute across any batch split), the q250
+    // harness pattern. Gate shape mirrors q97 exactly: the exact p50
+    // is hashed and the STREAMED sketch's answer is asserted in-band
+    // between the exact p45/p55 (a 50× cushion over the sketch's
+    // rank-error guarantee) — the merged sketch's raw output is
+    // partition-layout-specific, the band is not. At 100 TB the
+    // streamed sketch is the only viable path: fixed-size state per
+    // (type), one pass, no per-trigger sort.
+    "q347_stream_quantiles" -> ((s, d) => {
+      val sk = streamedEventAgg(s, d, "stream-gk",
+        Seq("event_id", "ts", "event_type", "value"),
+        "event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE") {
+        parsed =>
+          parsed.groupBy("event_type")
+            .agg(expr("percentile_approx(value, 0.5D, 1000)").as("est"))
+      }
+      Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+          expr("percentile(value, 0.45D)").as("__lo"),
+          expr("percentile(value, 0.55D)").as("__hi"))
+        .join(sk, "event_type")
+        .select(col("event_type"), col("p50_exact"),
+          (col("est") >= col("__lo") && col("est") <= col("__hi"))
+            .as("est_in_band"))
+        .orderBy("event_type")
+    }),
+
+    // q348 — WRITE-AUDIT-PUBLISH: the Iceberg WAP pattern on the
+    // store's own commit machinery — every batch lands as a real
+    // commit, an AUDIT query runs against the just-committed version,
+    // and a failing audit ROLLS the table BACK before any reader
+    // downstream of the publish step sees it (rollback is itself a
+    // commit; history stays append-only and auditable). Three
+    // batches: clean seed, clean increment (publishes), and a
+    // poisoned increment (null event_type rows — the audit's
+    // constraint) that must leave ZERO trace in the final state. The
+    // gate hashes the per-batch audit log AND the final row count, so
+    // a rollback that leaked rows, dropped good ones, or audited the
+    // wrong version breaks the hash. The audit here validates the
+    // FULL post-commit state (the strictest gate); the incremental
+    // production form audits `readChanges(before, after)` — O(batch)
+    // — and both ride the same publish/rollback, which are O(1)
+    // manifest commits. This is the 100 TB WAP shape.
+    "q348_wap_publish" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-wap-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val batches = Seq(
+        ("seed", ev.where(col("event_id") % 4 === 0)),
+        ("good", ev.where(col("event_id") % 4 === 1)),
+        ("poisoned", ev.where(col("event_id") % 4 === 2)
+          .withColumn("event_type",
+            when(col("value") >= 100.0, lit(null).cast("string"))
+              .otherwise(col("event_type")))))
+      val t = UpsertTable(s, s"$base/wap_events")
+      val log = batches.map { case (name, batch) =>
+        val before = t.currentSnapshot.map(_.version)
+        t.merge(batch, autoCreateKeys = Seq("event_id"), delta = true)
+        val audited = t.read()
+          .agg(count(lit(1)).as("rows"),
+            sum(when(col("event_type").isNull, 1L).otherwise(0L))
+              .as("nulls"))
+          .head()
+        val violations = audited.getLong(1)
+        val published = violations == 0L
+        if (!published) t.rollback(before.get)
+        (name, batch.count(), violations, published,
+          t.read().count())
+      }
+      import s.implicits._
+      log.toDF("batch", "rows_in", "violations", "published",
+          "table_rows_after")
+        .orderBy("batch")
     })
   )
 
@@ -2608,6 +2689,34 @@ object StoreQueries {
         "('account', 2, 'bob.new@example.com', 1757389556032031), " +
         "('product', 1, 'Walnut Coffee Table', 1757389556033782), " +
         "('product', 2, 'Simple Teak Dining Chair', 1757389556033782)" +
-        ") AS t(tbl, id, name, created_us) ORDER BY tbl, id")
+        ") AS t(tbl, id, name, created_us) ORDER BY tbl, id"),
+
+    // same q97 convention: exact p50 hashed, sketch asserted in-band
+    // (band membership is deterministic; the sketch's raw output is
+    // partition-layout-specific and never hashed)
+    "q347_stream_quantiles" ->
+      ("SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) " +
+        "AS p50_exact, TRUE AS est_in_band FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    // the WAP flow has a closed-form answer from the batch splits:
+    // the poisoned batch's violations are its value ≥ 100 rows and
+    // its commit must vanish from the final count
+    "q348_wap_publish" ->
+      ("WITH c AS (SELECT " +
+        "SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS s, " +
+        "SUM(CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END) AS g, " +
+        "SUM(CASE WHEN event_id % 4 = 2 THEN 1 ELSE 0 END) AS p, " +
+        "SUM(CASE WHEN event_id % 4 = 2 AND value >= 100.0 THEN 1 " +
+        "ELSE 0 END) AS v FROM events) " +
+        "SELECT * FROM (" +
+        "SELECT 'good' AS batch, CAST(g AS BIGINT) AS rows_in, " +
+        "CAST(0 AS BIGINT) AS violations, TRUE AS published, " +
+        "CAST(s + g AS BIGINT) AS table_rows_after FROM c " +
+        "UNION ALL SELECT 'poisoned', CAST(p AS BIGINT), " +
+        "CAST(v AS BIGINT), FALSE, CAST(s + g AS BIGINT) FROM c " +
+        "UNION ALL SELECT 'seed', CAST(s AS BIGINT), " +
+        "CAST(0 AS BIGINT), TRUE, CAST(s AS BIGINT) FROM c" +
+        ") ORDER BY batch")
   )
 }
