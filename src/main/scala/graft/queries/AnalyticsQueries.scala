@@ -3418,6 +3418,109 @@ object AnalyticsQueries {
         .distinct()
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
         .orderBy("a", "b")
+    }),
+
+    // q350 — MANTEL–HAENSZEL POOLED ODDS RATIO: the stratified 2×2
+    // estimator that answers the confounding q319's Simpson audit
+    // flags — exposure = user arm, outcome = value ≥ 100, strata =
+    // event_type. OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i) with each
+    // stratum term a floored micro (products in decimal(38) — rows²
+    // per stratum at scale), the closing ratio one more truncating
+    // division; a zero pooled denominator reports −1 in both engines.
+    // Plan: ONE partial-agg shuffle to 4 cells per stratum, bounded
+    // folds after.
+    "q350_mantel_haenszel" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"), (col("user_id") % 2).as("t"),
+          (col("value") >= 100.0).cast("long").as("y"))
+        .groupBy("event_type")
+        .agg(sum(expr("case when t = 1 and y = 1 then 1 else 0 end"))
+            .as("a"),
+          sum(expr("case when t = 1 and y = 0 then 1 else 0 end")).as("b"),
+          sum(expr("case when t = 0 and y = 1 then 1 else 0 end")).as("c"),
+          sum(expr("case when t = 0 and y = 0 then 1 else 0 end")).as("dd"),
+          count(lit(1)).as("n"))
+        .select(
+          expr("cast(a as decimal(38,0)) * dd * 1000000 div n").as("tn"),
+          expr("cast(b as decimal(38,0)) * c * 1000000 div n").as("td"))
+        .agg(count(lit(1)).as("n_strata"),
+          sum("tn").as("num"), sum("td").as("den"))
+        .select(col("n_strata"),
+          col("num").cast("long").as("num_micro"),
+          col("den").cast("long").as("den_micro"),
+          expr("cast(case when den = 0 then -1 " +
+            "else num * 1000000 div den end as bigint)").as("ormh_micro"))
+    }),
+
+    // q351 — BROWN–FORSYTHE VARIANCE EQUALITY: do the event types
+    // share a SPREAD (q340 asks about means) — the robust Levene
+    // variant: per-type lower MEDIAN from the bounded cents histogram
+    // (2·cum ≥ n, division-free), then q340's exact integer ANOVA
+    // identities on z = |x − med_g|. Two partial-agg shuffles (the
+    // histogram, then the z cells) and bounded folds — the corpus is
+    // never sorted per group.
+    "q351_levene_bf" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wc = W.partitionBy("g").orderBy("x")
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wt = W.partitionBy("g")
+      val ev = events(s, d).select(col("event_type").as("g"),
+        expr("cast(round(value * 100) as bigint)").as("x"))
+      val med = ev.groupBy("g", "x").agg(count(lit(1)).as("w"))
+        .withColumn("cum", sum("w").over(wc))
+        .withColumn("n", sum("w").over(wt))
+        .where(expr("cum * 2 >= n"))
+        .groupBy("g").agg(min("x").as("med"))
+      ev.join(broadcast(med), "g")
+        .select(col("g"), abs(col("x") - col("med")).as("z"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("ng"), sum("z").as("sg"),
+          sum(expr("cast(z as decimal(38,0)) * z")).as("qg"))
+        .select(col("ng"), col("sg"), col("qg"),
+          expr("(qg * ng - cast(sg as decimal(38,0)) * sg) div ng")
+            .as("sswg"))
+        .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+          sum("sg").as("st"), sum("qg").as("qt"), sum("sswg").as("ssw"))
+        .select(col("n"), col("k"), col("ssw"),
+          expr("(qt * n - cast(st as decimal(38,0)) * st) div n").as("sst"))
+        .select(col("n"), col("k"),
+          col("ssw").cast("long").as("ssw_c2"),
+          expr("cast(greatest(sst - ssw, 0) as bigint)").as("ssb_c2"))
+        .select(col("n"), col("k"), col("ssw_c2"), col("ssb_c2"),
+          expr("cast(cast(ssb_c2 as decimal(38,0)) * (n - k) * 1000000 " +
+            "div (greatest(ssw_c2, 1) * (k - 1)) as bigint)").as("f_micro"))
+    }),
+
+    // q352 — COCHRAN'S Q: did the same users' purchase behavior
+    // change across THREE ten-day windows — the k > 2 generalization
+    // of q345's McNemar (which it reduces to at k = 2), on correlated
+    // binaries. The division-free identity Q = (k−1)(k·ΣC_j² − N²) /
+    // (k·N − ΣR_i²) keeps everything integer until one micro
+    // division (k = 3 pinned; C_j = per-window positives, R_i =
+    // per-user positives, N = ΣR). ONE user-keyed partial agg to
+    // (user, 3 binaries), bounded folds after; a degenerate
+    // denominator (every user all-or-nothing) reports −1.
+    "q352_cochran_q" -> ((s, d) => {
+      events(s, d)
+        .select(col("user_id"),
+          least(expr("(ts div 86400000000000 - 19723) div 10"), lit(2L))
+            .as("win"),
+          (col("event_type") === "purchase").cast("long").as("p"))
+        .groupBy("user_id")
+        .agg(max(when(col("win") === 0, col("p")).otherwise(0L)).as("x1"),
+          max(when(col("win") === 1, col("p")).otherwise(0L)).as("x2"),
+          max(when(col("win") === 2, col("p")).otherwise(0L)).as("x3"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("x1").as("c1"), sum("x2").as("c2"), sum("x3").as("c3"),
+          sum(expr("(x1 + x2 + x3) * (x1 + x2 + x3)")).as("r2"))
+        .select(col("n_users"), col("c1"), col("c2"), col("c3"),
+          expr("cast(case when 3 * (c1 + c2 + c3) - r2 = 0 then -1 else " +
+            "2 * (3 * (cast(c1 as decimal(38,0)) * c1 " +
+            "+ cast(c2 as decimal(38,0)) * c2 " +
+            "+ cast(c3 as decimal(38,0)) * c3) " +
+            "- cast(c1 + c2 + c3 as decimal(38,0)) * (c1 + c2 + c3)) " +
+            "* 1000000 div (3 * (c1 + c2 + c3) - r2) end as bigint)")
+            .as("q_micro"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -5362,5 +5465,81 @@ object AnalyticsQueries {
         "UNION ALL SELECT user_id, a, n2 FROM e WHERE n2 IS NOT NULL " +
         "UNION ALL SELECT user_id, a, n3 FROM e WHERE n3 IS NOT NULL)) " +
         "SELECT a, b, COUNT(*) AS support FROM p " +
-        "GROUP BY 1, 2 ORDER BY a, b"))
+        "GROUP BY 1, 2 ORDER BY a, b"),
+
+    // same per-stratum floored micro terms, same −1 degenerate guard
+    "q350_mantel_haenszel" ->
+      ("WITH s AS (SELECT event_type, " +
+        "SUM(CASE WHEN user_id % 2 = 1 AND value >= 100.0 THEN 1 " +
+        "ELSE 0 END) AS a, " +
+        "SUM(CASE WHEN user_id % 2 = 1 AND value < 100.0 THEN 1 " +
+        "ELSE 0 END) AS b, " +
+        "SUM(CASE WHEN user_id % 2 = 0 AND value >= 100.0 THEN 1 " +
+        "ELSE 0 END) AS c, " +
+        "SUM(CASE WHEN user_id % 2 = 0 AND value < 100.0 THEN 1 " +
+        "ELSE 0 END) AS dd, COUNT(*) AS n FROM events GROUP BY 1), " +
+        "t AS (SELECT a::HUGEINT * dd * 1000000 // n AS tn, " +
+        "b::HUGEINT * c * 1000000 // n AS td FROM s), " +
+        "f AS (SELECT COUNT(*) AS n_strata, SUM(tn) AS num, " +
+        "SUM(td) AS den FROM t) " +
+        "SELECT CAST(n_strata AS BIGINT) AS n_strata, " +
+        "CAST(num AS BIGINT) AS num_micro, " +
+        "CAST(den AS BIGINT) AS den_micro, " +
+        "CAST(CASE WHEN den = 0 THEN -1 " +
+        "ELSE num * 1000000 // den END AS BIGINT) AS ormh_micro FROM f"),
+
+    // same histogram lower medians, same exact ANOVA identities on
+    // z = |x − med|
+    "q351_levene_bf" ->
+      ("WITH e AS (SELECT event_type AS g, " +
+        "CAST(round(value * 100) AS BIGINT) AS x FROM events), " +
+        "h AS (SELECT g, x, COUNT(*) AS w FROM e GROUP BY 1, 2), " +
+        "c AS (SELECT g, x, SUM(w) OVER (PARTITION BY g ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "SUM(w) OVER (PARTITION BY g) AS n FROM h), " +
+        "med AS (SELECT g, MIN(x) AS med FROM c WHERE cum * 2 >= n " +
+        "GROUP BY 1), " +
+        "z AS (SELECT e.g, abs(e.x - med.med) AS z FROM e " +
+        "JOIN med ON med.g = e.g), " +
+        "per AS (SELECT g, COUNT(*) AS ng, SUM(z) AS sg, " +
+        "SUM(z::HUGEINT * z) AS qg FROM z GROUP BY 1), " +
+        "leg AS (SELECT ng, sg, qg, " +
+        "(qg * ng - sg::HUGEINT * sg) // ng AS sswg FROM per), " +
+        "f AS (SELECT SUM(ng) AS n, COUNT(*) AS k, SUM(sg) AS st, " +
+        "SUM(qg) AS qt, SUM(sswg) AS ssw FROM leg), " +
+        "t AS (SELECT n, k, ssw, " +
+        "(qt * n - st::HUGEINT * st) // n AS sst FROM f), " +
+        "u AS (SELECT n, k, CAST(ssw AS BIGINT) AS ssw_c2, " +
+        "CAST(GREATEST(sst - ssw, 0) AS BIGINT) AS ssb_c2 FROM t) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, " +
+        "ssw_c2, ssb_c2, " +
+        "CAST(ssb_c2::HUGEINT * (n - k) * 1000000 " +
+        "// (GREATEST(ssw_c2, 1)::HUGEINT * (k - 1)) AS BIGINT) " +
+        "AS f_micro FROM u"),
+
+    // same three pinned ten-day windows, same division-free Q
+    // identity and −1 degenerate guard
+    "q352_cochran_q" ->
+      ("WITH u AS (SELECT user_id, " +
+        "MAX(CASE WHEN LEAST((epoch_ns(ts) // 86400000000000 - 19723) " +
+        "// 10, 2) = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS x1, " +
+        "MAX(CASE WHEN LEAST((epoch_ns(ts) // 86400000000000 - 19723) " +
+        "// 10, 2) = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS x2, " +
+        "MAX(CASE WHEN LEAST((epoch_ns(ts) // 86400000000000 - 19723) " +
+        "// 10, 2) = 2 AND event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS x3 FROM events GROUP BY 1), " +
+        "f AS (SELECT COUNT(*) AS n_users, SUM(x1) AS c1, " +
+        "SUM(x2) AS c2, SUM(x3) AS c3, " +
+        "SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS r2 FROM u) " +
+        "SELECT CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, " +
+        "CAST(c3 AS BIGINT) AS c3, " +
+        "CAST(CASE WHEN 3 * (c1 + c2 + c3) - r2 = 0 THEN -1 ELSE " +
+        "2 * (3 * (c1::HUGEINT * c1 + c2::HUGEINT * c2 " +
+        "+ c3::HUGEINT * c3) " +
+        "- (c1 + c2 + c3)::HUGEINT * (c1 + c2 + c3)) " +
+        "* 1000000 // (3 * (c1 + c2 + c3) - r2) END AS BIGINT) " +
+        "AS q_micro FROM f"))
 }

@@ -2120,6 +2120,35 @@ object StoreQueries {
       log.toDF("batch", "rows_in", "violations", "published",
           "table_rows_after")
         .orderBy("batch")
+    }),
+
+    // q349 — STREAMING HLL DISTINCT: q21's HyperLogLog++ sketch as a
+    // CONTINUOUS query — per-type approx_count_distinct(user_id)
+    // accumulates sketch registers in the streaming agg across forced
+    // micro-batches (register merges commute across any batch split),
+    // completing the streaming-sketch family (q102 CMS, q250
+    // Misra–Gries, q347 GK ranks). Gate shape mirrors q21 exactly:
+    // the exact per-type distinct is hashed and the STREAMED sketch
+    // is asserted within 3×rsd (15 %) of truth — the register layout
+    // is engine-internal, the band is not. Fixed KiB state per type,
+    // one pass; the exact leg exists only because the harness can
+    // afford truth.
+    "q349_stream_hll" -> ((s, d) => {
+      val sk = streamedEventAgg(s, d, "stream-hll",
+        Seq("event_id", "ts", "event_type", "user_id"),
+        "event_id BIGINT, ts BIGINT, event_type STRING, user_id BIGINT") {
+        parsed =>
+          parsed.groupBy("event_type")
+            .agg(approx_count_distinct(col("user_id")).as("est"))
+      }
+      Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(sk, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users"))
+            <= col("exact_users") * (3 * 0.05d)).as("est_in_band"))
+        .orderBy("event_type")
     })
   )
 
@@ -2717,6 +2746,13 @@ object StoreQueries {
         "CAST(v AS BIGINT), FALSE, CAST(s + g AS BIGINT) FROM c " +
         "UNION ALL SELECT 'seed', CAST(s AS BIGINT), " +
         "CAST(0 AS BIGINT), TRUE, CAST(s AS BIGINT) FROM c" +
-        ") ORDER BY batch")
+        ") ORDER BY batch"),
+
+    // same q21 convention: exact distinct hashed, streamed sketch
+    // asserted in the 3σ band (the oracle emits TRUE)
+    "q349_stream_hll" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, " +
+        "TRUE AS est_in_band FROM events " +
+        "GROUP BY event_type ORDER BY event_type")
   )
 }
