@@ -210,7 +210,10 @@ object ScaleCurve {
       "q270_assoc_rules" -> "lineitem",
       "q273_kcore" -> "lineitem",
       "q274_adamic_adar" -> "lineitem",
-      "q275_clustering_coeff" -> "lineitem")
+      "q275_clustering_coeff" -> "lineitem",
+      // capped 2-hop reach: same deg ≤ 64 center cut as q274, so the
+      // hop enumeration is bounded at 64·|E| on the densifying graph
+      "q355_reach_2hop" -> "lineitem")
       // dev tooling: SPARK_GRAFT_SCALE_ONLY=qX,qY measures a subset
       // and SKIPS the SCALE_CURVE.md rewrite (the tracked record is
       // always a full run)

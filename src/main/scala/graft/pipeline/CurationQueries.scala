@@ -1670,6 +1670,29 @@ object CurationQueries {
         .where(col("sim") >= 0.85)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")
+    }),
+
+    // q354 — L-DIVERSITY AUDIT: the release gate BESIDE q184's
+    // k-anonymity — a cell can clear k (enough distinct people) and
+    // still leak (everyone in it shares the sensitive value).
+    // Sensitive attribute = spend band (cents div 10000, the
+    // hundreds), quasi-identifiers = q184's (event_type, day) cells;
+    // per cell: distinct sensitive values; per type: cells failing
+    // l = 2 and l = 3, min l. Same one-partial-agg-cascade plan as
+    // q184, no new corpus pass.
+    "q354_l_diversity" -> ((s, d) => {
+      val cells = graft.Tables.load(s, d, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          expr("cast(round(value * 100) as bigint) div 10000").as("band"))
+        .groupBy("event_type", "day")
+        .agg(countDistinct("band").as("l_cell"))
+      cells.groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("l_cell") < 2, 1L).otherwise(0L)).as("n_fail_l2"),
+          sum(when(col("l_cell") < 3, 1L).otherwise(0L)).as("n_fail_l3"),
+          min("l_cell").as("min_l"))
+        .orderBy("event_type")
     }))
 
   // q130's corpus CTEs: banner-injected normalized text, token lists,
@@ -2758,5 +2781,18 @@ object CurationQueries {
         "(st.s1 - st.n * m.smicro) * (st.s1 - st.n * m.smicro) > " +
         "st.n * st.s2 - st.s1 * st.s1 AS is_outlier " +
         "FROM m JOIN st USING (bucket) ORDER BY vec_id"
-    })
+    },
+
+    // same q184 QI cells, same spend band and fail thresholds
+    "q354_l_diversity" ->
+      ("WITH c AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "count(DISTINCT CAST(round(value * 100) AS BIGINT) // 10000) " +
+        "AS l_cell FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, count(*) AS n_cells, " +
+        "CAST(sum(CASE WHEN l_cell < 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_fail_l2, " +
+        "CAST(sum(CASE WHEN l_cell < 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_fail_l3, min(l_cell) AS min_l " +
+        "FROM c GROUP BY event_type ORDER BY event_type"))
 }

@@ -3346,6 +3346,101 @@ object PipelineQueries {
           "as bigint)").as("y"))
       Dbscan.cluster(p, "vec_id", "x", "y", eps = 15L, minPts = 4)
         .orderBy("vec_id")
+    }),
+
+    // q353 — RM3 PSEUDO-RELEVANCE FEEDBACK: the query-expansion tier
+    // above q59's fixed-query BM25 — retrieve top-10 feedback docs,
+    // mine their 8 strongest expansion terms (Σ tf over the feedback
+    // set, original terms excluded, (weight desc, term) determinism),
+    // rescore the corpus with the weighted union query (originals at
+    // 1.0, expansions at 0.5·w/max_w) using the exact q59 BM25 form.
+    // Fully distributed — the expansion set is a broadcast DataFrame,
+    // never a driver collect. Plan: the token explode feeds (a) the
+    // 10-doc feedback tf (semi-join, tiny) and (b) the final scoring
+    // leg, which joins the BROADCAST ≤ 12-term query table BEFORE any
+    // tf groupBy — only matching postings ever shuffle. Scores use
+    // q59's bit-determinism contract (per-doc term contributions
+    // folded in term order, round 6).
+    "q353_rm3_expansion" -> ((s, d) => {
+      import s.implicits._
+      val origTerms = Seq("join", "hash", "vector", "stream")
+      val toks = docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+        .where(col("dl") > 0)
+      val stats = toks.agg(count(lit(1)).cast("double").as("nd"),
+        avg("dl").as("avgdl"))
+      val tokExpl = toks
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .where(col("term") =!= "")
+      val fb = Relevance.bm25TopK(docs(s, d), "doc_id", "text",
+        origTerms, k = 10).select("doc_id")
+      val exp = tokExpl.join(broadcast(fb), "doc_id")
+        .where(!col("term").isin(origTerms.map(lit): _*))
+        .groupBy("term").agg(count(lit(1)).as("w"))
+        .orderBy(desc("w"), col("term")).limit(8)
+      val maxw = exp.agg(max("w").as("maxw"))
+      val qterms = exp.crossJoin(broadcast(maxw))
+        .select(col("term"),
+          (lit(0.5d) * col("w").cast("double") / col("maxw").cast("double"))
+            .as("qw"))
+        .unionByName(origTerms.toDF("term").withColumn("qw", lit(1.0d)))
+      val tfQ = tokExpl.join(broadcast(qterms), "term")
+        .groupBy("doc_id", "dl", "term", "qw")
+        .agg(count(lit(1)).cast("double").as("tfc"))
+      val dfByTerm = tfQ.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("dfc"))
+      tfQ.join(broadcast(dfByTerm), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("sterm", col("qw") *
+          log(lit(1d) + (col("nd") - col("dfc") + 0.5d)
+            / (col("dfc") + 0.5d)) *
+          (col("tfc") * lit(Relevance.K1 + 1d)) /
+          (col("tfc") + lit(Relevance.K1) * (lit(1d - Relevance.B)
+            + lit(Relevance.B) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("term"), col("sterm")))),
+          lit(0d), (acc, x) => acc + x.getField("sterm")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // q355 — CAPPED 2-HOP REACH + HARMONIC-2 CENTRALITY: how much of
+    // the repeat-co-purchase graph each part reaches in ≤ 2 steps —
+    // the node-level spread signal beside q172's single-source BFS
+    // and q274's pairwise wedge scores. SEMANTICS (the q274
+    // deployment cut, part of the contract): second steps route only
+    // through centers of deg ≤ 64, so enumeration is bounded at
+    // 64·|E| (the uncapped wedge closure is the measured α 1.5–2.6
+    // failure mode) and the oracle applies the identical cut. n2
+    // counts DISTINCT 2-step endpoints that are not the node itself
+    // and not direct neighbors; h2 = n1 + n2/2 in exact micros. Plan:
+    // degree partial agg, hub filter BEFORE the hop join (the blow-up
+    // is structurally bounded, not optimizer-dependent), per-source
+    // distinct bounded by 64·deg.
+    "q355_reach_2hop" -> ((s, d) => {
+      val e0 = repeatCoEdges(s, d)
+      val e = if (s.sparkContext.getCheckpointDir.isDefined)
+        e0.checkpoint(eager = true) else e0.localCheckpoint(true)
+      val sym = e.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionByName(e.select(col("hi").as("src"), col("lo").as("dst")))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("n1"))
+      val nonHub = deg.where(col("n1") <= 64L).select(col("src").as("m"))
+      val adjCapped = sym.toDF("m", "w").join(nonHub, "m")
+      val hop2 = sym.toDF("src", "m").join(adjCapped, "m")
+        .where(col("w") =!= col("src"))
+        .select("src", "w").distinct()
+        .join(sym.toDF("src", "w"), Seq("src", "w"), "left_anti")
+        .groupBy("src").agg(count(lit(1)).as("n2"))
+      deg.join(hop2, Seq("src"), "left")
+        .select(col("src").as("item"), col("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
+        .withColumn("h2_micro",
+          col("n1") * 1000000L + col("n2") * 500000L)
+        .orderBy("item")
     })
   )
 
@@ -5569,6 +5664,82 @@ object PipelineQueries {
         "CAST(COALESCE(lab.cluster, bc.bcl, -1) AS BIGINT) AS cluster " +
         "FROM p LEFT JOIN lab ON lab.vec_id = p.vec_id " +
         "LEFT JOIN bc ON bc.vec_id = p.vec_id " +
-        "ORDER BY p.vec_id")
+        "ORDER BY p.vec_id"),
+
+    // the full RM3 replay: q59's feedback retrieval verbatim, the
+    // same (Σ tf desc, term) top-8 expansion, the same weighted-query
+    // rescore with term-ordered folds and one closing round
+    "q353_rm3_expansion" ->
+      (s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl " +
+        "FROM tk WHERE len(toks) > 0), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl " +
+        "FROM x), " +
+        "t AS (SELECT doc_id, dl, unnest(toks) AS term FROM x), " +
+        "tnz AS (SELECT * FROM t WHERE term <> ''), " +
+        "tf0 AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tfc " +
+        "FROM tnz WHERE term IN ('join', 'hash', 'vector', 'stream') " +
+        "GROUP BY 1, 2, 3), " +
+        "df0 AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf0 " +
+        "GROUP BY 1), " +
+        "sc0 AS (SELECT tf0.doc_id, tf0.term, " +
+        s"ln(1 + (st.nd - df0.dfc + 0.5) / (df0.dfc + 0.5)) * " +
+        s"(tf0.tfc * ${Relevance.K1 + 1d}) / " +
+        s"(tf0.tfc + ${Relevance.K1} * (${1d - Relevance.B} + " +
+        s"${Relevance.B} * tf0.dl / st.avgdl)) AS s " +
+        "FROM tf0 JOIN df0 USING (term) CROSS JOIN st), " +
+        "ag0 AS (SELECT doc_id, " +
+        "list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score " +
+        "FROM sc0 GROUP BY 1), " +
+        "fb AS (SELECT doc_id FROM ag0 ORDER BY score DESC, doc_id " +
+        "LIMIT 10), " +
+        "expt AS (SELECT term, COUNT(*) AS w FROM tnz JOIN fb " +
+        "USING (doc_id) WHERE term NOT IN " +
+        "('join', 'hash', 'vector', 'stream') " +
+        "GROUP BY 1 ORDER BY w DESC, term LIMIT 8), " +
+        "mx AS (SELECT MAX(w) AS maxw FROM expt), " +
+        "qt AS (SELECT term, 0.5 * w / maxw AS qw FROM expt CROSS JOIN mx " +
+        "UNION ALL SELECT unnest(['join', 'hash', 'vector', 'stream']), " +
+        "1.0), " +
+        "tfq AS (SELECT doc_id, dl, tnz.term, qw, " +
+        "CAST(count(*) AS DOUBLE) AS tfc FROM tnz " +
+        "JOIN qt ON qt.term = tnz.term GROUP BY 1, 2, 3, 4), " +
+        "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tfq " +
+        "GROUP BY 1), " +
+        "scq AS (SELECT tfq.doc_id, tfq.term, qw * " +
+        s"ln(1 + (st.nd - dfq.dfc + 0.5) / (dfq.dfc + 0.5)) * " +
+        s"(tfq.tfc * ${Relevance.K1 + 1d}) / " +
+        s"(tfq.tfc + ${Relevance.K1} * (${1d - Relevance.B} + " +
+        s"${Relevance.B} * tfq.dl / st.avgdl)) AS s " +
+        "FROM tfq JOIN dfq USING (term) CROSS JOIN st), " +
+        "agq AS (SELECT doc_id, " +
+        "list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score " +
+        "FROM scq GROUP BY 1), " +
+        "top AS (SELECT doc_id, score FROM agq ORDER BY score DESC, " +
+        "doc_id LIMIT 10) " +
+        "SELECT doc_id, round(score, 6) AS score FROM top " +
+        "ORDER BY doc_id"),
+
+    // same deg ≤ 64 center cut, same distinct-endpoint / anti-join
+    // accounting, same micro weights
+    "q355_reach_2hop" ->
+      (s"WITH it AS MATERIALIZED ($itemsCte), " +
+        s"ed AS MATERIALIZED ($coEdgeCte), " +
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM ed " +
+        "UNION ALL SELECT hi, lo FROM ed), " +
+        "dg AS (SELECT src, COUNT(*) AS n1 FROM sym GROUP BY 1), " +
+        "nh AS (SELECT src AS m FROM dg WHERE n1 <= 64), " +
+        "h2 AS (SELECT DISTINCT s1.src, s2.dst AS w FROM sym s1 " +
+        "JOIN nh ON nh.m = s1.dst " +
+        "JOIN sym s2 ON s2.src = s1.dst WHERE s2.dst <> s1.src), " +
+        "h2x AS (SELECT h2.src, h2.w FROM h2 WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sym WHERE sym.src = h2.src AND sym.dst = h2.w)), " +
+        "n2t AS (SELECT src, COUNT(*) AS n2 FROM h2x GROUP BY 1) " +
+        "SELECT dg.src AS item, CAST(dg.n1 AS BIGINT) AS n1, " +
+        "CAST(COALESCE(n2t.n2, 0) AS BIGINT) AS n2, " +
+        "CAST(dg.n1 * 1000000 + COALESCE(n2t.n2, 0) * 500000 AS BIGINT) " +
+        "AS h2_micro " +
+        "FROM dg LEFT JOIN n2t ON n2t.src = dg.src ORDER BY item")
   )
 }
