@@ -1672,6 +1672,44 @@ object CurationQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // q357 — BOX-FILTER IMAGE DOWNSAMPLE over the REAL codec: each
+    // synthetic PNG decodes through javax.imageio and 2×2
+    // box-averages to floor-half dimensions (truncating integer mean
+    // per channel — ImageCodec.boxDownsample), the antialiasing
+    // resize a vision pipeline runs before feature extraction (q131's
+    // nearest-neighbor decimation aliases; the box filter is the
+    // production default). Gated per image on output dims + exact
+    // per-channel pixel sums; the ORACLE recomputes decode →
+    // box-average from the closed-form pixel polynomial, so codec
+    // drift, an off-by-one block index, or rounding-mode drift all
+    // hash-mismatch. Plan: mapPartitions only for the binary codec
+    // (the documented seam); everything after is a scan-side
+    // projection of bounded per-image rows.
+    "q357_image_downsample" -> ((s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val raw = Multimodal.ImageCodec.decode(
+            Multimodal.synthImagePng(id), "png")
+          val small = Multimodal.ImageCodec.boxDownsample(raw)
+          val (w2, h2) = Multimodal.ImageCodec.rawDims(small)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var p = 0
+          while (p < w2 * h2) {
+            val o = 8 + p * 3
+            sr += small(o) & 0xff
+            sg += small(o + 1) & 0xff
+            sb += small(o + 2) & 0xff
+            p += 1
+          }
+          (id, w2.toLong, h2.toLong, sr, sg, sb)
+        }
+      }.toDF("img_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b")
+        .orderBy("img_id")
+    }),
+
     // q354 — L-DIVERSITY AUDIT: the release gate BESIDE q184's
     // k-anonymity — a cell can clear k (enough distinct people) and
     // still leak (everyone in it shares the sensitive value).
@@ -2782,6 +2820,36 @@ object CurationQueries {
         "st.n * st.s2 - st.s1 * st.s1 AS is_outlier " +
         "FROM m JOIN st USING (bucket) ORDER BY vec_id"
     },
+
+    // the downsample recomputed from the closed-form pixel
+    // polynomial: 2×2 blocks via a dx/dy grid, truncating per-channel
+    // means, exact sums
+    "q357_image_downsample" ->
+      ("WITH ids AS (SELECT doc_id AS id FROM documents " +
+        "WHERE doc_id < 100), " +
+        "dims AS (SELECT id, 16 + id % 16 AS w, 16 + id % 8 AS h " +
+        "FROM ids), " +
+        "gy AS (SELECT id, w, h, " +
+        "unnest(generate_series(0, h // 2 - 1)) AS y2 FROM dims), " +
+        "gx AS (SELECT id, w, h, y2, " +
+        "unnest(generate_series(0, w // 2 - 1)) AS x2 FROM gy), " +
+        "dd AS (SELECT unnest([0, 1]) AS dx), " +
+        "ee AS (SELECT unnest([0, 1]) AS dy), " +
+        "px AS (SELECT id, x2, y2, " +
+        "(id * 31 + (2 * x2 + dx) * 7 + (2 * y2 + dy) * 13) % 256 AS r, " +
+        "(id + (2 * x2 + dx) * 3 + (2 * y2 + dy) * 5) % 256 AS g, " +
+        "(id * 17 + (2 * x2 + dx) + (2 * y2 + dy) * 2) % 256 AS b " +
+        "FROM gx CROSS JOIN dd CROSS JOIN ee), " +
+        "o AS (SELECT id, x2, y2, SUM(r) // 4 AS r, SUM(g) // 4 AS g, " +
+        "SUM(b) // 4 AS b FROM px GROUP BY 1, 2, 3) " +
+        "SELECT o.id AS img_id, " +
+        "CAST(MAX(dims.w // 2) AS BIGINT) AS out_w, " +
+        "CAST(MAX(dims.h // 2) AS BIGINT) AS out_h, " +
+        "CAST(SUM(o.r) AS BIGINT) AS sum_r, " +
+        "CAST(SUM(o.g) AS BIGINT) AS sum_g, " +
+        "CAST(SUM(o.b) AS BIGINT) AS sum_b " +
+        "FROM o JOIN dims ON dims.id = o.id " +
+        "GROUP BY o.id ORDER BY img_id"),
 
     // same q184 QI cells, same spend band and fail thresholds
     "q354_l_diversity" ->

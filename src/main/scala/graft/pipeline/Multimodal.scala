@@ -111,6 +111,40 @@ object Multimodal {
       (raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
     }
 
+    /** 2×2 box-filter downsample of a canonical raw buffer: each
+      * output channel is the truncating mean of its four source
+      * pixels ((p₀₀ + p₀₁ + p₁₀ + p₁₁) div 4 — integer-exact,
+      * engine-replayable), odd trailing rows/columns dropped (floor
+      * dims). The antialiasing resize next to [[resize]]'s
+      * nearest-neighbor decimation — what a vision-data pipeline
+      * actually runs before feature extraction.
+      */
+    def boxDownsample(raw: Array[Byte]): Array[Byte] = {
+      val (w, h) = rawDims(raw)
+      val (w2, h2) = (w / 2, h / 2)
+      val out = new Array[Byte](8 + w2 * h2 * 3)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(0, w2); bb.putInt(4, h2)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          var c = 0
+          while (c < 3) {
+            val s = (raw(8 + (2 * y * w + 2 * x) * 3 + c) & 0xff) +
+              (raw(8 + (2 * y * w + 2 * x + 1) * 3 + c) & 0xff) +
+              (raw(8 + ((2 * y + 1) * w + 2 * x) * 3 + c) & 0xff) +
+              (raw(8 + ((2 * y + 1) * w + 2 * x + 1) * 3 + c) & 0xff)
+            out(8 + (y * w2 + x) * 3 + c) = (s / 4).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     private def toRaw(img: java.awt.image.BufferedImage): Array[Byte] = {
       val (w, h) = (img.getWidth, img.getHeight)
       val out = new Array[Byte](8 + w * h * 3)

@@ -3441,6 +3441,39 @@ object PipelineQueries {
         .withColumn("h2_micro",
           col("n1") * 1000000L + col("n2") * 500000L)
         .orderBy("item")
+    }),
+
+    // q356 — PASS@K ESTIMATOR: the unbiased code-eval metric
+    // (Chen et al., HumanEval) pass@k = 1 − C(n−c, k)/C(n, k) over
+    // n = 10 md5-deterministic attempts per task — the number an eval
+    // pipeline reports per problem before aggregating a model's
+    // solve rate. EXACT integers: the binomial ratio collapses to a
+    // falling-factorial product Π_{i<k}(n−c−i) / Π_{i<k}(n−i) (n
+    // pinned, so the denominator is a literal), one micro division,
+    // c > n−k short-circuits to 10⁶ before any factor can go
+    // negative. Plan: scan-side attempt explode (10 rows/task), ONE
+    // task-keyed partial agg, pass@{1,5,10} computed on the bounded
+    // per-task table.
+    "q356_pass_at_k" -> ((s, d) => {
+      def passK(k: Int): String = {
+        val num = (0 until k).map(i => s"(10 - c - $i)").mkString(" * ")
+        val den = (0 until k).map(i => 10L - i).product
+        s"cast(case when c > ${10 - k} then 1000000 " +
+          s"else 1000000 - ($num * 1000000) div $den end as bigint)"
+      }
+      docs(s, d).where(col("doc_id") < 50)
+        .select(col("doc_id").as("task_id"),
+          explode(sequence(lit(0), lit(9))).as("j"))
+        .withColumn("ok", (conv(substring(md5(concat(lit("pk:"),
+          col("task_id").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 8), 16, 10).cast("long") % 4 === 0)
+          .cast("long"))
+        .groupBy("task_id").agg(sum("ok").as("c"))
+        .select(col("task_id"), col("c"),
+          expr(passK(1)).as("pass1_micro"),
+          expr(passK(5)).as("pass5_micro"),
+          expr(passK(10)).as("pass10_micro"))
+        .orderBy("task_id")
     })
   )
 
@@ -5740,6 +5773,30 @@ object PipelineQueries {
         "CAST(COALESCE(n2t.n2, 0) AS BIGINT) AS n2, " +
         "CAST(dg.n1 * 1000000 + COALESCE(n2t.n2, 0) * 500000 AS BIGINT) " +
         "AS h2_micro " +
-        "FROM dg LEFT JOIN n2t ON n2t.src = dg.src ORDER BY item")
+        "FROM dg LEFT JOIN n2t ON n2t.src = dg.src ORDER BY item"),
+
+    // same md5 attempts, same falling-factorial binomial ratio and
+    // c > n−k short-circuit
+    "q356_pass_at_k" -> {
+      def passK(k: Int): String = {
+        val num = (0 until k).map(i => s"(10 - c - $i)").mkString(" * ")
+        val den = (0 until k).map(i => 10L - i).product
+        s"CAST(CASE WHEN c > ${10 - k} THEN 1000000 " +
+          s"ELSE 1000000 - ($num * 1000000) // $den END AS BIGINT)"
+      }
+      "WITH a AS (SELECT doc_id AS task_id, " +
+        "unnest(generate_series(0, 9)) AS j FROM documents " +
+        "WHERE doc_id < 50), " +
+        "o AS (SELECT task_id, CASE WHEN ('0x' || " +
+        "substr(md5('pk:' || task_id || ':' || j), 1, 8))::BIGINT % 4 = 0 " +
+        "THEN 1 ELSE 0 END AS ok FROM a), " +
+        "t AS (SELECT task_id, CAST(SUM(ok) AS BIGINT) AS c FROM o " +
+        "GROUP BY 1) " +
+        "SELECT task_id, c, " +
+        s"${passK(1)} AS pass1_micro, " +
+        s"${passK(5)} AS pass5_micro, " +
+        s"${passK(10)} AS pass10_micro " +
+        "FROM t ORDER BY task_id"
+    }
   )
 }
