@@ -1710,6 +1710,72 @@ object CurationQueries {
         .orderBy("img_id")
     }),
 
+    // q358 — UNIGRAM-LM TOKENIZER (SentencePiece role): the
+    // likelihood-based subword model NEXT TO q133's merge-based BPE —
+    // vocabulary = every character plus the top-20 weighted 2..4-gram
+    // substrings, piece price = −ln p(piece) in exact micros (the
+    // audited ⌊ln(int)·10⁶⌋ idiom as ml(tot) − ml(cnt)), and each
+    // word's OPTIMAL segmentation found by Viterbi DP over its
+    // positions. Determinism without path extraction: the DP runs on
+    // the combined integer cost2 = 32·Σprice + n_pieces, so the
+    // minimum is a single integer whose quotient/remainder decompose
+    // into (cost_micro, n_pieces) — equal-likelihood ties resolve to
+    // the fewest pieces, and no ambiguous path is ever needed.
+    // Bounds are part of the contract: words ≤ 12 chars (the DP
+    // unrolls 12 fixed rounds — the oracle replays the identical
+    // unroll), pieces ≤ 4 chars. Plan: the DP iterates on the
+    // DISTINCT-WORD table (vocabulary-sized, never the corpus), 4
+    // broadcast-vocab joins per round, lineage truncated per round
+    // (the q334 mat idiom); the corpus is touched exactly once to
+    // build word counts.
+    "q358_unigram_tokenizer" -> ((s, d) => {
+      def mat(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(eager = true) else df.localCheckpoint(true)
+      def ml(x: String) = s"cast(floor(ln($x) * 1000000) as bigint)"
+      val wv = mat(docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= 12)
+        .groupBy("w").agg(count(lit(1)).as("cnt")))
+      val occ = wv
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(1), length(col("w")))).as("st"))
+        .select(col("w"), col("cnt"), col("st"),
+          explode(sequence(lit(1), lit(4))).as("k"))
+        .where(col("st") + col("k") - 1 <= length(col("w")))
+        .select(expr("substring(w, st, k)").as("piece"), col("cnt"))
+      val pcnt = occ.groupBy("piece").agg(sum("cnt").as("pc"))
+      val vocab = pcnt.where(length(col("piece")) === 1)
+        .unionByName(pcnt.where(length(col("piece")) >= 2)
+          .orderBy(desc("pc"), col("piece")).limit(20))
+      val tot = vocab.agg(sum("pc").as("tot"))
+      val priced = mat(vocab.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          ((expr(ml("tot")) - expr(ml("pc"))) * 32L + 1L).as("price2")))
+      val base = wv.select(col("w"), col("cnt"),
+        length(col("w")).cast("long").as("l"))
+      // layers(p) = min cost2 to segment the first p chars
+      val layers = scala.collection.mutable.Map(
+        0 -> base.withColumn("best2", lit(0L)))
+      for (p <- 1 to 12) {
+        val cand = (1 to math.min(4, p)).map { k =>
+          layers(p - k).where(col("l") >= p)
+            .join(broadcast(priced),
+              expr(s"substring(w, ${p - k + 1}, $k)") === col("piece"))
+            .select(col("w"), col("cnt"), col("l"),
+              (col("best2") + col("price2")).as("b2"))
+        }.reduce(_ unionByName _)
+        layers(p) = mat(cand.groupBy("w", "cnt", "l")
+          .agg(min("b2").as("best2")))
+      }
+      (1 to 12).map(p => layers(p).where(col("l") === p))
+        .reduce(_ unionByName _)
+        .select(col("w").as("word"), col("cnt"),
+          (col("best2") % 32L).as("n_pieces"),
+          expr("best2 div 32").as("cost_micro"))
+        .orderBy("word")
+    }),
+
     // q354 — L-DIVERSITY AUDIT: the release gate BESIDE q184's
     // k-anonymity — a cell can clear k (enough distinct people) and
     // still leak (everyone in it shares the sensitive value).
@@ -2850,6 +2916,48 @@ object CurationQueries {
         "CAST(SUM(o.b) AS BIGINT) AS sum_b " +
         "FROM o JOIN dims ON dims.id = o.id " +
         "GROUP BY o.id ORDER BY img_id"),
+
+    // the identical 12-round Viterbi unroll: same vocabulary cut,
+    // same ml-difference prices, same combined cost2 integer
+    "q358_unigram_tokenizer" -> {
+      def ml(x: String) = s"CAST(FLOOR(ln($x) * 1000000) AS BIGINT)"
+      val sb = new StringBuilder
+      sb ++= s"WITH wv AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt " +
+        s"FROM (SELECT unnest(string_split($duckNorm, ' ')) AS w " +
+        "FROM documents) WHERE regexp_matches(w, '^[a-z0-9]+"
+      sb ++= "$') AND len(w) <= 12 GROUP BY 1), " +
+        "stp AS (SELECT w, cnt, unnest(generate_series(1, len(w))) AS s " +
+        "FROM wv), " +
+        "kk AS (SELECT unnest(generate_series(1, 4)) AS k), " +
+        "occ AS (SELECT substr(w, CAST(s AS INT), CAST(k AS INT)) " +
+        "AS piece, cnt FROM stp CROSS JOIN kk WHERE s + k - 1 <= len(w)), " +
+        "pc AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS pc FROM occ " +
+        "GROUP BY 1), " +
+        "vocab AS (SELECT piece, pc FROM pc WHERE len(piece) = 1 " +
+        "UNION ALL SELECT piece, pc FROM " +
+        "(SELECT piece, pc FROM pc WHERE len(piece) >= 2 " +
+        "ORDER BY pc DESC, piece LIMIT 20)), " +
+        "tt AS (SELECT CAST(SUM(pc) AS BIGINT) AS tot FROM vocab), " +
+        s"pr AS MATERIALIZED (SELECT piece, (${ml("tot")} - ${ml("pc")}) * 32 + 1 " +
+        "AS price2 FROM vocab CROSS JOIN tt), " +
+        "d0 AS MATERIALIZED (SELECT w, cnt, len(w) AS l, " +
+        "CAST(0 AS BIGINT) AS best2 FROM wv)"
+      for (p <- 1 to 12) {
+        val legs = (1 to math.min(4, p)).map { k =>
+          s"SELECT d.w, d.cnt, d.l, d.best2 + pr.price2 AS b2 " +
+            s"FROM d${p - k} d JOIN pr ON pr.piece = " +
+            s"substr(d.w, ${p - k + 1}, $k) WHERE d.l >= $p"
+        }.mkString(" UNION ALL ")
+        sb ++= s", d$p AS MATERIALIZED (SELECT w, cnt, l, MIN(b2) AS best2 FROM " +
+          s"($legs) GROUP BY 1, 2, 3)"
+      }
+      sb ++= " SELECT w AS word, cnt, best2 % 32 AS n_pieces, " +
+        "best2 // 32 AS cost_micro FROM (" +
+        (1 to 12).map(p => s"SELECT * FROM d$p WHERE l = $p")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY word"
+      sb.toString
+    },
 
     // same q184 QI cells, same spend band and fail thresholds
     "q354_l_diversity" ->
