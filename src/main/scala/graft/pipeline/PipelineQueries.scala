@@ -3474,6 +3474,46 @@ object PipelineQueries {
           expr(passK(5)).as("pass5_micro"),
           expr(passK(10)).as("pass10_micro"))
         .orderBy("task_id")
+    }),
+
+    // q360 — K-CENTER GREEDY SEEDING (Gonzalez farthest-point, the
+    // 2-approximation): the coreset / diverse-subset primitive a
+    // data-pruning or active-learning pass runs over the embedding
+    // table — start at the min vec_id, repeatedly add the point
+    // farthest from the chosen set, report each pick and the exact
+    // coverage radius² it certifies. EXACT integers end to end:
+    // vectors as mill-scaled 64-d int arrays, d² = Σ(aᵢ−bᵢ)² via
+    // zip_with (≤ 6.4·10⁷ per pair — no float ever), argmax under
+    // (d² desc, vec_id) fully deterministic. Plan per round: ONE
+    // broadcast of the single new seed row, a scan-side d² update of
+    // the min-distance state (the classic O(kN) form — never a k×N
+    // cross join), a 1-row TakeOrdered argmax; state lineage
+    // truncated per round. The oracle replays all 8 rounds as
+    // materialized CTEs.
+    "q360_kcenter_seeds" -> ((s, d) => {
+      def mat(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(eager = true) else df.localCheckpoint(true)
+      val pts = mat(embs(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "cast(round(cast(x as double) * 1000) as bigint))").as("v")))
+      val d2 = "aggregate(zip_with(v, sv, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (acc, e) -> acc + e)"
+      val seed0 = pts.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("sid"), col("v").as("sv"))
+      var state = mat(pts.crossJoin(broadcast(seed0))
+        .select(col("vec_id"), col("v"), expr(d2).as("d2min")))
+      val rounds = (1 to 8).map { r =>
+        val pick = state.orderBy(desc("d2min"), col("vec_id")).limit(1)
+          .select(col("vec_id").as("sid"), col("v").as("sv"),
+            col("d2min").as("radius2"))
+        state = mat(state.crossJoin(broadcast(pick.drop("radius2")))
+          .select(col("vec_id"), col("v"),
+            least(col("d2min"), expr(d2)).as("d2min")))
+        pick.select(lit(r.toLong).as("round"), col("sid").as("seed_id"),
+          col("radius2"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
     })
   )
 
@@ -5774,6 +5814,39 @@ object PipelineQueries {
         "CAST(dg.n1 * 1000000 + COALESCE(n2t.n2, 0) * 500000 AS BIGINT) " +
         "AS h2_micro " +
         "FROM dg LEFT JOIN n2t ON n2t.src = dg.src ORDER BY item"),
+
+    // the identical 8-round farthest-point replay as materialized
+    // CTEs: same mill-int vectors, same exact d², same (d² desc,
+    // vec_id) argmax
+    "q360_kcenter_seeds" -> {
+      val d2 = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> " +
+          s"($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      val sb = new StringBuilder
+      sb ++= "WITH p AS MATERIALIZED (SELECT vec_id, " +
+        "list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v " +
+        "FROM embeddings), " +
+        "s0 AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM p " +
+        "ORDER BY vec_id LIMIT 1), " +
+        "st0 AS MATERIALIZED (SELECT p.vec_id, p.v, " +
+        s"${d2("p.v", "s.sv")} AS d2min FROM p CROSS JOIN s0 s)"
+      for (r <- 1 to 8) {
+        sb ++= s", pk$r AS MATERIALIZED (SELECT vec_id AS sid, v AS sv, " +
+          s"d2min AS radius2 FROM st${r - 1} " +
+          "ORDER BY d2min DESC, vec_id LIMIT 1)"
+        if (r < 8)
+          sb ++= s", st$r AS MATERIALIZED (SELECT t.vec_id, t.v, " +
+            s"LEAST(t.d2min, ${d2("t.v", "k.sv")}) AS d2min " +
+            s"FROM st${r - 1} t CROSS JOIN pk$r k)"
+      }
+      sb ++= " SELECT * FROM (" +
+        (1 to 8).map(r => s"SELECT CAST($r AS BIGINT) AS round, " +
+          s"sid AS seed_id, CAST(radius2 AS BIGINT) AS radius2 FROM pk$r")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY round"
+      sb.toString
+    },
 
     // same md5 attempts, same falling-factorial binomial ratio and
     // c > n−k short-circuit

@@ -3521,6 +3521,36 @@ object AnalyticsQueries {
             "- cast(c1 + c2 + c3 as decimal(38,0)) * (c1 + c2 + c3)) " +
             "* 1000000 div (3 * (c1 + c2 + c3) - r2) end as bigint)")
             .as("q_micro"))
+    }),
+
+    // q359 — LAST-DIGIT UNIFORMITY AUDIT: the fraud screen NEXT TO
+    // q198's Benford first-digit test — genuine measurement noise
+    // makes the LAST digit of cents uniform, and a fabricator's
+    // round-number habit breaks exactly that. Per type: χ² against
+    // uniform over the 10-digit domain, per-cell floored micros
+    // ((10·O − N)²·10⁶ div (10·N), the q337 defined metric with
+    // E = N/10), ZERO digits included via the broadcast 10-row digit
+    // grid. One ≤ |types|·10-cell partial agg.
+    "q359_last_digit_audit" -> ((s, d) => {
+      val obs = events(s, d)
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint) % 10").as("dig"))
+        .groupBy("event_type", "dig").agg(count(lit(1)).as("o"))
+      val tot = obs.groupBy("event_type").agg(sum("o").as("n"))
+      val digs = s.range(0, 10).select(col("id").as("dig"))
+      tot.crossJoin(broadcast(digs))
+        .join(obs, Seq("event_type", "dig"), "left")
+        .select(col("event_type"), col("n"),
+          coalesce(col("o"), lit(0L)).as("o"))
+        .select(col("event_type"), col("n"),
+          expr("cast((cast(o as decimal(38,0)) * 10 - n) " +
+            "* (cast(o as decimal(38,0)) * 10 - n) * 1000000 " +
+            "div (cast(n as decimal(38,0)) * 10) as bigint)").as("term"))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), sum("term").as("chi2"))
+        .select(col("event_type"), col("n"),
+          col("chi2").cast("long").as("chi2_micro"), lit(9L).as("dof"))
+        .orderBy("event_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -5541,5 +5571,24 @@ object AnalyticsQueries {
         "+ c3::HUGEINT * c3) " +
         "- (c1 + c2 + c3)::HUGEINT * (c1 + c2 + c3)) " +
         "* 1000000 // (3 * (c1 + c2 + c3) - r2) END AS BIGINT) " +
-        "AS q_micro FROM f"))
+        "AS q_micro FROM f"),
+
+    // same zero-inclusive 10-digit grid, same floored-micro cells
+    "q359_last_digit_audit" ->
+      ("WITH obs AS (SELECT event_type, " +
+        "CAST(round(value * 100) AS BIGINT) % 10 AS dig, COUNT(*) AS o " +
+        "FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type, SUM(o) AS n FROM obs GROUP BY 1), " +
+        "digs AS (SELECT unnest(generate_series(0, 9)) AS dig), " +
+        "grid AS (SELECT tot.event_type, tot.n, " +
+        "COALESCE(obs.o, 0) AS o FROM tot CROSS JOIN digs " +
+        "LEFT JOIN obs ON obs.event_type = tot.event_type " +
+        "AND obs.dig = digs.dig), " +
+        "t AS (SELECT event_type, n, " +
+        "(o::HUGEINT * 10 - n) * (o::HUGEINT * 10 - n) * 1000000 " +
+        "// (n::HUGEINT * 10) AS term FROM grid) " +
+        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
+        "CAST(SUM(term) AS BIGINT) AS chi2_micro, " +
+        "CAST(9 AS BIGINT) AS dof " +
+        "FROM t GROUP BY event_type ORDER BY event_type"))
 }

@@ -651,4 +651,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"q282 lost the broadcast rank join:\n$p")
   }
+
+  test("grid DBSCAN pairs on the cell key: hash join, never nested-loop") {
+    val p = plan("q343_dbscan_grid")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q343 degraded to a nested-loop candidate join:\n$p")
+    assert(p.contains("jcx") && p.contains("jcy"),
+      s"q343 lost the 9-cell equi-join key:\n$p")
+  }
+
+  test("RM3 joins the broadcast query-term table before any tf aggregation") {
+    val p = plan("q353_rm3_expansion")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q353 lost the broadcast term-table join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"),
+      s"q353 gained a corpus-sized join:\n$p")
+  }
+
+  test("2-hop reach: hub cap filters before the hop join, distinct partial-aggs") {
+    val p = plan("q355_reach_2hop")
+    assert(!p.contains("Window"), s"q355 gained a window exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"q355 degree/reach counts lost map-side partial aggregation:\n$p")
+  }
+
+  test("sequential mining windows by user, support never sorts globally") {
+    val p = plan("q346_seq2_mining")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"q346 lost its per-user window partitioning:\n$p")
+    assert(!p.contains("SinglePartition") ||
+      p.contains("windowspecdefinition(user_id"),
+      s"q346 moved the event stream to a single partition:\n$p")
+  }
 }
