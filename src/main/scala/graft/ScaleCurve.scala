@@ -35,14 +35,34 @@ object ScaleCurve {
     a.drop(n) + a.take(n)
   }
 
+  /** Per-replica letter permutation. Pure rotations have PERIOD 26:
+    * at reps > 26, rot(7·r % 26) repeats and replicas r and r−26
+    * become VERBATIM copies — planting exact cross-replica twins that
+    * blow the pairing operators' candidate mass superlinearly (the
+    * round-10 ×32 "drift" was exactly this corpus artifact: measured
+    * candidate rows grew 2.75× for 2× docs, and true pairs 3.4×, at
+    * the colliding ×32 point). For r ≥ 26 the rotation composes with
+    * a transposition of the target alphabet's first two characters —
+    * a swapped rotation is order-breaking at one position, so it
+    * differs from every pure rotation and from every other swapped
+    * one: injective through 52 replicas, still bijective per replica
+    * (within-replica shingle relations exactly preserved).
+    */
+  private def perm(r: Int): String = {
+    val base = rot(7 * r % 26)
+    if (r < 26) base
+    else "" + base(1) + base(0) + base.substring(2)
+  }
+
   /** ×n documents replica (the confirmation-decade corpora): same
-    * bijective per-replica rotation contract as [[buildX4]], documents
-    * only — the confirmed operators are all document-paired. Verified
-    * corpus property: the distinct-3-shingle df² mass grows EXACTLY
-    * linearly in the replica count (vocabularies stay disjoint, max df
-    * constant — measured ratio 4.0 between ×4 and ×16), so any
-    * superlinear time step is a runtime transition, not candidate
-    * growth.
+    * bijective per-replica permutation contract as [[buildX4]],
+    * documents only — the confirmed operators are all
+    * document-paired. Verified corpus property: the distinct-3-shingle
+    * df² mass grows EXACTLY linearly in the replica count
+    * (vocabularies stay disjoint, max df constant — measured ratio
+    * 4.0 between ×4 and ×16, and the [[perm]] swap keeps that holding
+    * past 26 replicas), so any superlinear time step is a runtime
+    * transition, not candidate growth.
     */
   private def buildXnDocs(spark: SparkSession, srcDir: String,
       outDir: String, reps: Int): Unit = {
@@ -52,7 +72,7 @@ object ScaleCurve {
       else docs.select(
         (col("doc_id") + r * 10000000L).as("doc_id"),
         translate(col("text"),
-          "abcdefghijklmnopqrstuvwxyz", rot(7 * r % 26)).as("text"),
+          "abcdefghijklmnopqrstuvwxyz", perm(r)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     docsXn.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -66,7 +86,7 @@ object ScaleCurve {
       else docs.select(
         (col("doc_id") + r * 10000000L).as("doc_id"),
         translate(col("text"),
-          "abcdefghijklmnopqrstuvwxyz", rot(7 * r % 26)).as("text"),
+          "abcdefghijklmnopqrstuvwxyz", perm(r)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     docsX4.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -94,7 +114,7 @@ object ScaleCurve {
       else part.select(
         (col("p_partkey") + r * 10000000L).as("p_partkey"),
         translate(col("p_name"),
-          "abcdefghijklmnopqrstuvwxyz", rot(7 * r % 26)).as("p_name"),
+          "abcdefghijklmnopqrstuvwxyz", perm(r)).as("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
     }.reduce(_ unionByName _)
     partX4.write.mode("overwrite").parquet(s"$outDir/part.parquet")
@@ -417,9 +437,25 @@ object ScaleCurve {
         Fs.deleteRecursively(java.nio.file.Paths.get(dir))
         buildXnDocs(spark, sfBig, dir, mult)
         val n = spark.read.parquet(s"$dir/documents.parquet").count()
-        val m = confirmOps.map { name =>
-          name -> (n, (1 to reps).map(_ => time(name, dir)).min)
-        }.toMap
+        // SPILL-AWARE PARTITIONING (the sizing rule the curve exists
+        // to validate): the main table's points run at
+        // shuffle.partitions = cpus, which at ×16/×32 data puts
+        // gigabytes of verify-stage token arrays through single
+        // partitions — the measured slope then reads the SPILL
+        // boundary of a fixed harness config, not the operator (q121
+        // measured 1.3–1.9 with high run-to-run variance at 8
+        // partitions). A real deployment scales partition count with
+        // data (a 1000-executor cluster runs thousands); the confirm
+        // decades do the same: partitions = cpus·mult/4, so per-
+        // partition bytes match the ×4 point's.
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          (cpus.toInt * mult / 4).max(cpus.toInt).toString)
+        val m = try {
+          confirmOps.map { name =>
+            name -> (n, (1 to reps).map(_ => time(name, dir)).min)
+          }.toMap
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
         Fs.deleteRecursively(java.nio.file.Paths.get(dir))
         m
       }
@@ -531,7 +567,29 @@ object ScaleCurve {
         "asymptotic plan, a\nself-join side cannot broadcast at " +
         "scale). That one-time constant\ncliff reads as a big x4→x16 " +
         "exponent; x16→x32 is the post-transition\nslope the next 10× " +
-        "follows — THAT is the scale claim.\n\n"
+        "follows — THAT is the scale claim. The reading\nline for it: " +
+        "these joins do LINEAR work in the (linear) candidate\nmass, " +
+        "so the honest post-transition asymptote is slope ≈ 1 — a\n" +
+        "smaller slope means fixed costs still amortizing; the failure " +
+        "mode\nthe decade exists to catch is a slope heading past " +
+        "~1.3 toward 2.\n\n" +
+        "Two round-10 (second-pass) harness adjudications, both baked in here: (1) " +
+        "the\n×32 corpus was INVALID before this pass — per-replica " +
+        "rotations have\nperiod 26, so replicas 26..31 duplicated " +
+        "replicas 0..5 VERBATIM and\nplanted exact cross-replica twins " +
+        "(measured: candidate rows ×2.75\nand true pairs ×3.4 at 2× " +
+        "docs). The builder now composes a\ntransposition past r = 26 " +
+        "(see ScaleCurve.perm), injective through\n52 replicas; every " +
+        "×32 number before the fix (including round 10's\nq121 " +
+        "pre/post-fix 113.7 s / 58.0 s pair) measured the artifact " +
+        "corpus\nand is superseded. (2) The decade points scale " +
+        "shuffle.partitions\nwith the corpus (cpus·mult/4 — constant " +
+        "per-partition bytes); at the\nmain table's fixed cpus " +
+        "partitions the ×32 verify stage crosses the\nspill boundary " +
+        "and the measurement turns bimodal (q121 read 1.3–1.9\n" +
+        "across runs at 8 partitions, 0.96 stable once partitioned to " +
+        "size —\nthe spill-aware sizing rule, validated rather than " +
+        "violated by the\nharness).\n\n"
       md ++= "| operator | n x16 | t x16 | alpha x4->x16 | n x32 | " +
         "t x32 | alpha x16->x32 |\n|---|---|---|---|---|---|---|\n"
       confirmResults.foreach { case (name, n16, t16, a16, n32, t32, a32) =>
