@@ -323,6 +323,7 @@ object ScaleCurve {
       val fit = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
         xs.map(x => (x - mx) * (x - mx)).sum
       val tail = math.log(ls(2) / ls(1)) / math.log(ns(2) / ns(1))
+      Fs.deleteRecursively(java.nio.file.Paths.get(x4s))
       Seq((name, ts, ns, fit, tail))
     }
 

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * the cell key — shuffle-partitionable, AQE-skewable, never a
   * coordinate range join. Coordinates are shifted by `shift` before
   * the cell division so truncating `div` equals floor division
-  * (callers guarantee x, y > −shift; the default covers the ±10³
-  * mill-scale embedding contract with 100× headroom). Distance
+  * (x, y > −shift is a runtime-ENFORCED contract — an assert_true
+  * inside the cell expression fails the job loudly rather than
+  * misassigning cells; the default covers the ±10³ mill-scale
+  * embedding contract with 100× headroom). Distance
   * verification is exact integer arithmetic; labels are component-min
   * ids via the audited [[Cluster.connectedComponents]] fixpoint, so
   * results are deterministic and engine-replayable.
@@ -42,7 +44,19 @@ object Dbscan {
     val p = points
       .select(col(idCol).as("vid"), col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y"))
-      .withColumn("cx", expr(s"(x + $shift) div $eps"))
+      // the x, y > −shift contract is ENFORCED, not assumed: a
+      // coordinate at or below −shift would make truncating `div`
+      // diverge from floor division and silently misassign cells near
+      // zero (dropping ≤ eps neighbor pairs) — assert_true keeps the
+      // check inside the live cell expression (a dropped side column
+      // would be pruned away by Catalyst), raising loudly scan-side
+      // instead of returning a wrong clustering. Cost: one comparison
+      // per row inside codegen.
+      .withColumn("cx", expr(
+        s"(x + $shift) div $eps + ifnull(assert_true(" +
+          s"x > ${-shift}L and y > ${-shift}L, " +
+          s"'dbscan: coordinate at or below -$shift breaks the " +
+          "floor-division cell grid'), 0L)"))
       .withColumn("cy", expr(s"(y + $shift) div $eps"))
     val probes = p
       .select(col("vid").as("a"), col("x").as("ax"), col("y").as("ay"),

@@ -3443,6 +3443,100 @@ object PipelineQueries {
         .orderBy("item")
     }),
 
+    // q361 — DEGREE ASSORTATIVITY (Newman's r): do hub parts
+    // co-purchase with other hubs (r > 0) or with the long tail
+    // (r < 0)? The one-number mixing summary next to q275's local
+    // clustering and q274's link prediction. Computed over DIRECTED
+    // EDGE STUBS (each undirected edge contributes both
+    // orientations — the standard convention): with symmetric
+    // marginals Σx = Σy and Σx² = Σy², Pearson's r collapses to the
+    // EXACT RATIONAL (M·Σxy − Σx·Σy)/(M·Σx² − (Σx)²) — no sqrt ever
+    // enters, so the gate is pure integers end-to-end. Every product
+    // is decimal(38,0) (HUGEINT in the oracle — M·Σxy is stubs ×
+    // stubs·deg² and wraps 64 bits long before petabyte graphs); a
+    // zero denominator (all degrees equal) reports the documented 0
+    // sentinel in both engines. Plan: degree table = one partial agg
+    // over 2|E| stubs, two node-keyed hash joins attach endpoint
+    // degrees (shuffle on node id, AQE-skewable), ONE scalar fold —
+    // never a pair blow-up.
+    "q361_degree_assortativity" -> ((s, d) => {
+      val e = repeatCoEdges(s, d)
+      val sym = e.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionByName(e.select(col("hi").as("src"), col("lo").as("dst")))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("dgr"))
+      sym
+        .join(deg.toDF("src", "dx"), "src")
+        .join(deg.toDF("dst", "dy"), "dst")
+        .agg(count(lit(1)).as("m"),
+          sum(expr("cast(dx as decimal(38,0))")).as("sx"),
+          sum(expr("cast(dx as decimal(38,0)) * dx")).as("sxx"),
+          sum(expr("cast(dx as decimal(38,0)) * dy")).as("sxy"))
+        .select(col("m").as("m_stubs"),
+          expr("cast(sx as bigint)").as("sum_deg"),
+          expr("cast(cast(m as decimal(38,0)) * sxy - sx * sx as bigint)")
+            .as("num"),
+          expr("cast(cast(m as decimal(38,0)) * sxx - sx * sx as bigint)")
+            .as("den"),
+          expr("cast(case when cast(m as decimal(38,0)) * sxx - sx * sx " +
+            "> 0 then (cast(m as decimal(38,0)) * sxy - sx * sx) " +
+            "* 1000000 div (cast(m as decimal(38,0)) * sxx - sx * sx) " +
+            "else 0 end as bigint)").as("assort_micro"))
+    }),
+
+    // q362 — MMD EMBEDDING SHIFT (linear kernel): the
+    // distribution-shift test for EMBEDDING columns, next to the
+    // scalar drift family (q223 PSI, q238/q328 KS, q231 streamed) —
+    // "did the corpus's representation distribution move between two
+    // sources?" With the linear kernel, MMD² collapses CLOSED-FORM to
+    // ‖μ_A − μ_B‖² — two mean vectors, NO pair enumeration (the
+    // kernel trick that makes the metric O(N·dim) where the generic
+    // estimator is O(N²)·dim — the only form that survives 100 TB).
+    // EXACT integers: mill-int vectors (the q360 convention), per-dim
+    // difference numerator SxA·Nb − SxB·Na over the common
+    // denominator Na·Nb, squared contribution in value²-micros
+    // (mill² ≡ value²·10⁻⁶, so the integer IS the micro), every
+    // product decimal(38,0)/HUGEINT. The scalar MMD² row (dim −1) is
+    // the SUM OF FLOORED per-dim contributions — the documented
+    // convention, replayed identically by the oracle. Plan: one
+    // posexplode scan → ONE (dim)-keyed partial agg (64 groups), the
+    // two counts ride a broadcast 1-row fold; nothing ever pairs.
+    "q362_mmd_shift" -> ((s, d) => {
+      val p = embs(s, d).select(col("vec_id"),
+        pmod(col("vec_id"), lit(2L)).as("side"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("side"), (col("pos") + 1).as("dim"),
+          round(col("x").cast("double") * 1000).cast("long").as("mv"))
+      val n = embs(s, d).agg(
+        sum(when(pmod(col("vec_id"), lit(2L)) === 0, 1L).otherwise(0L))
+          .as("na"),
+        sum(when(pmod(col("vec_id"), lit(2L)) === 1, 1L).otherwise(0L))
+          .as("nb"))
+      val perDim = p.groupBy("dim")
+        .agg(sum(when(col("side") === 0, col("mv")).otherwise(0L)).as("sa"),
+          sum(when(col("side") === 1, col("mv")).otherwise(0L)).as("sb"))
+        .crossJoin(broadcast(n))
+        .select(col("dim").cast("long").as("dim"), col("na"), col("nb"),
+          expr("cast(cast(sa as decimal(38,0)) * nb - " +
+            "cast(sb as decimal(38,0)) * na as bigint)").as("diff_num"),
+          expr("cast(cast(cast(sa as decimal(38,0)) * nb - " +
+            "cast(sb as decimal(38,0)) * na as decimal(38,0)) * 1000 " +
+            "div (cast(na as decimal(38,0)) * nb) as bigint)")
+            .as("mean_diff_micro"),
+          expr("cast(cast(cast(sa as decimal(38,0)) * nb - " +
+            "cast(sb as decimal(38,0)) * na as decimal(38,0)) * " +
+            "cast(cast(sa as decimal(38,0)) * nb - " +
+            "cast(sb as decimal(38,0)) * na as decimal(38,0)) " +
+            "div (cast(na as decimal(38,0)) * nb * na * nb) as bigint)")
+            .as("contrib_micro"))
+      perDim.unionByName(
+        perDim.groupBy(col("na"), col("nb"))
+          .agg(sum("contrib_micro").as("contrib_micro"))
+          .select(lit(-1L).as("dim"), col("na"), col("nb"),
+            lit(0L).as("diff_num"), lit(0L).as("mean_diff_micro"),
+            col("contrib_micro")))
+        .orderBy("dim")
+    }),
+
     // q356 — PASS@K ESTIMATOR: the unbiased code-eval metric
     // (Chen et al., HumanEval) pass@k = 1 − C(n−c, k)/C(n, k) over
     // n = 10 md5-deterministic attempts per task — the number an eval
@@ -5814,6 +5908,53 @@ object PipelineQueries {
         "CAST(dg.n1 * 1000000 + COALESCE(n2t.n2, 0) * 500000 AS BIGINT) " +
         "AS h2_micro " +
         "FROM dg LEFT JOIN n2t ON n2t.src = dg.src ORDER BY item"),
+
+    // same directed-stub fold, HUGEINT products mirroring the
+    // decimal(38,0) casts, same 0 sentinel on a flat degree sequence
+    "q361_degree_assortativity" ->
+      (s"WITH it AS MATERIALIZED ($itemsCte), " +
+        s"ed AS MATERIALIZED ($coEdgeCte), " +
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM ed " +
+        "UNION ALL SELECT hi, lo FROM ed), " +
+        "dg AS (SELECT src, COUNT(*) AS dgr FROM sym GROUP BY 1), " +
+        "st AS (SELECT a.dgr::HUGEINT AS dx, b.dgr::HUGEINT AS dy " +
+        "FROM sym s JOIN dg a ON s.src = a.src " +
+        "JOIN dg b ON s.dst = b.src), " +
+        "f AS (SELECT COUNT(*)::HUGEINT AS m, SUM(dx) AS sx, " +
+        "SUM(dx * dx) AS sxx, SUM(dx * dy) AS sxy FROM st) " +
+        "SELECT CAST(m AS BIGINT) AS m_stubs, CAST(sx AS BIGINT) " +
+        "AS sum_deg, CAST(m * sxy - sx * sx AS BIGINT) AS num, " +
+        "CAST(m * sxx - sx * sx AS BIGINT) AS den, " +
+        "CAST(CASE WHEN m * sxx - sx * sx > 0 THEN " +
+        "(m * sxy - sx * sx) * 1000000 // (m * sxx - sx * sx) " +
+        "ELSE 0 END AS BIGINT) AS assort_micro FROM f"),
+
+    // same mill-int vectors, same common-denominator difference
+    // numerators, HUGEINT squares, same sum-of-floored-contribs
+    // total row at dim = -1
+    "q362_mmd_shift" ->
+      ("WITH p AS (SELECT vec_id, vec_id % 2 AS s, " +
+        "list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v " +
+        "FROM embeddings), " +
+        "n AS (SELECT CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) " +
+        "AS HUGEINT) AS na, CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 " +
+        "END) AS HUGEINT) AS nb FROM p), " +
+        "x AS (SELECT s, i AS dim, v[CAST(i AS INT)] AS mv " +
+        "FROM p, range(1, 65) t(i)), " +
+        "g AS (SELECT dim, CAST(SUM(CASE WHEN s = 0 THEN mv ELSE 0 " +
+        "END) AS HUGEINT) AS sa, CAST(SUM(CASE WHEN s = 1 THEN mv " +
+        "ELSE 0 END) AS HUGEINT) AS sb FROM x GROUP BY 1), " +
+        "pd AS (SELECT dim, na, nb, sa * nb - sb * na AS dn " +
+        "FROM g CROSS JOIN n) " +
+        "SELECT CAST(dim AS BIGINT) AS dim, CAST(na AS BIGINT) AS na, " +
+        "CAST(nb AS BIGINT) AS nb, CAST(dn AS BIGINT) AS diff_num, " +
+        "CAST(dn * 1000 // (na * nb) AS BIGINT) AS mean_diff_micro, " +
+        "CAST(dn * dn // (na * nb * na * nb) AS BIGINT) AS contrib_micro " +
+        "FROM pd " +
+        "UNION ALL SELECT -1, CAST(na AS BIGINT), CAST(nb AS BIGINT), " +
+        "0, 0, CAST(SUM(dn * dn // (na * nb * na * nb)) AS BIGINT) " +
+        "FROM pd GROUP BY na, nb ORDER BY dim"),
 
     // the identical 8-round farthest-point replay as materialized
     // CTEs: same mill-int vectors, same exact d², same (d² desc,

@@ -1178,18 +1178,26 @@ object AnalyticsQueries {
           sum(when(col("variant") === 1, col("s")).otherwise(0L)).as("s1"))
       val tot = seg.agg(sum("n0").as("tn0"), sum("s0").as("ts0"),
         sum("n1").as("tn1"), sum("s1").as("ts1"))
+      // every product is decimal(38,0) (HUGEINT in the oracle): the
+      // cross-multiplied winner tests are counts × counts — 64-bit
+      // products wrap silently past ~3·10⁹ rows per cell, exactly the
+      // petabyte regime the cross-multiplication exists for
       seg.crossJoin(broadcast(tot))
         .select(col("event_type"),
-          expr("case when n0 > 0 then s0 * 1000000 div n0 else -1 end")
-            .as("rate0_micro"),
-          expr("case when n1 > 0 then s1 * 1000000 div n1 else -1 end")
-            .as("rate1_micro"),
-          (col("s1") * col("n0") > col("s0") * col("n1")).as("seg_v1_wins"),
-          (col("ts1") * col("tn0") > col("ts0") * col("tn1"))
-            .as("overall_v1_wins"),
-          ((col("s1") * col("n0") > col("s0") * col("n1")) =!=
-            (col("ts1") * col("tn0") > col("ts0") * col("tn1")))
-            .as("reversed"))
+          expr("case when n0 > 0 then " +
+            "cast(cast(s0 as decimal(38,0)) * 1000000 div n0 as bigint) " +
+            "else -1 end").as("rate0_micro"),
+          expr("case when n1 > 0 then " +
+            "cast(cast(s1 as decimal(38,0)) * 1000000 div n1 as bigint) " +
+            "else -1 end").as("rate1_micro"),
+          expr("cast(s1 as decimal(38,0)) * n0 > " +
+            "cast(s0 as decimal(38,0)) * n1").as("seg_v1_wins"),
+          expr("cast(ts1 as decimal(38,0)) * tn0 > " +
+            "cast(ts0 as decimal(38,0)) * tn1").as("overall_v1_wins"),
+          expr("(cast(s1 as decimal(38,0)) * n0 > " +
+            "cast(s0 as decimal(38,0)) * n1) != " +
+            "(cast(ts1 as decimal(38,0)) * tn0 > " +
+            "cast(ts0 as decimal(38,0)) * tn1)").as("reversed"))
         .orderBy("event_type")
     }),
 
@@ -1205,19 +1213,26 @@ object AnalyticsQueries {
     // both engines share the same exact 38-digit integer domain. One
     // bounded per-type aggregate.
     "q320_power_analysis" -> ((s, d) => {
+      // the ACCUMULATORS are decimal too, not just the closing
+      // products: sum(c·c) in BIGINT wraps once n·c̄² crosses 2⁶³ —
+      // with $1000 events (c² = 10¹⁰) that is ~10⁹ rows per type,
+      // i.e. ~100 GB, far below the design point. decimal(38,0)
+      // partial aggs merge exactly; the oracle accumulates
+      // SUM(c::HUGEINT · c) in lockstep
       events(s, d)
         .select(col("event_type"),
           round(col("value") * 100).cast("long").as("c"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("c").as("sx"),
-          sum(expr("c * c")).as("sxx"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(c as decimal(38,0))")).as("sx"),
+          sum(expr("cast(c as decimal(38,0)) * c")).as("sxx"))
         .withColumn("nD", expr("cast(n as decimal(38,0))"))
         .withColumn("num",
           expr("nD * cast(sxx as decimal(38,0)) - " +
             "cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))"))
         .withColumn("den", expr("nD * cast(n - 1 as decimal(38,0))"))
         .select(col("event_type"), col("n"),
-          expr("sx div n").as("mean_cents_floor"),
+          expr("cast(sx div n as bigint)").as("mean_cents_floor"),
           expr("cast(num div den as bigint)").as("var_floor"),
           // ceil( 2·Z²·num / (den·δ²·10¹²) ), δ = 500 cents
           expr(s"cast((2 * cast(${PowerZ2}L as decimal(38,0)) * num + " +
@@ -3551,6 +3566,101 @@ object AnalyticsQueries {
         .select(col("event_type"), col("n"),
           col("chi2").cast("long").as("chi2_micro"), lit(9L).as("dof"))
         .orderBy("event_type")
+    }),
+
+    // q363 — T-CLOSENESS AUDIT: the third rung of the release-gate
+    // ladder (q184 k-anonymity → q354 l-diversity → here): a cell can
+    // have enough people AND diverse sensitive values and still leak
+    // when its DISTRIBUTION skews far from the table's — t-closeness
+    // bounds the Earth-Mover's Distance between cell and global
+    // distributions over the ORDERED sensitive attribute (spend band,
+    // q354's cents div 10⁴). For ordered categories EMD is the exact
+    // rational Σ_k |cum_cell − cum_glob| / (B−1) — computed with the
+    // common-denominator integer form |cumc·Ng − cumg·Nc| (every
+    // product decimal(38,0)/HUGEINT; cum × table-rows is rows² at
+    // petabyte scale), one floored micro division per cell, B < 2
+    // reporting the −1 sentinel in both engines. Plan: the cell×band
+    // GRID is bounded (cells × global band domain, both
+    // fixed-cardinality) and built from TWO partial-agg passes over
+    // the corpus; the cum window partitions BY CELL (bounded rows
+    // per partition = |bands|), never globally.
+    "q363_t_closeness" -> ((s, d) => {
+      val b = events(s, d).select(col("event_type"),
+        expr("ts div 86400000000000").as("day"),
+        expr("cast(round(value * 100) as bigint) div 10000").as("band"))
+      val cellBand = b.groupBy("event_type", "day", "band")
+        .agg(count(lit(1)).as("o"))
+      val glob = b.groupBy("band").agg(count(lit(1)).as("gb"))
+      val tot = glob.agg(sum("gb").as("ng"), count(lit(1)).as("nbq"))
+      val cells = b.groupBy("event_type", "day").agg(count(lit(1)).as("nc"))
+      val wc = Window.partitionBy("event_type", "day").orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val perCell = cells.crossJoin(broadcast(glob))
+        .join(cellBand, Seq("event_type", "day", "band"), "left")
+        .na.fill(0L, Seq("o"))
+        .withColumn("cumc", sum("o").over(wc))
+        .withColumn("cumg", sum("gb").over(wc))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", expr("abs(cast(cumc as decimal(38,0)) * ng " +
+          "- cast(cumg as decimal(38,0)) * nc)"))
+        .groupBy("event_type", "day")
+        .agg(max("nc").as("nc"), max("ng").as("ngx"),
+          max("nbq").as("nb"), sum("term").as("emd_num"))
+        .select(col("event_type"), col("day"),
+          expr("cast(case when nb >= 2 then emd_num * 1000000 div " +
+            "(cast(nb - 1 as decimal(38,0)) * nc * ngx) " +
+            "else -1 end as bigint)").as("emd_micro"))
+      perCell.groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          max("emd_micro").as("max_emd_micro"),
+          sum(when(col("emd_micro") > 150000L, 1L).otherwise(0L))
+            .as("n_fail_t15"))
+        .orderBy("event_type")
+    }),
+
+    // q364 — JACKKNIFE VARIANCE (delete-one-day): the deterministic
+    // resampling estimator NEXT TO q233's hash-seeded Poisson
+    // bootstrap — leave-one-group-out is canonical when the data has
+    // natural blocks (days) and needs NO randomness, so the gate is
+    // exact end-to-end. Metric: the q319 conversion rate
+    // (cents ≥ 5000) per type; θ_(i) = (S−s_i)·10⁶ div (N−n_i) on
+    // the FLOORED-MICRO scale (the gate contract — both engines
+    // replay identical floors), var_jk = (g−1)·(g·Σθ² − (Σθ)²) div g²
+    // in micro², spread = max−min θ. A single-day type (g = 1, no
+    // leave-one-out possible) reports the −1 sentinels. Every product
+    // decimal(38,0)/HUGEINT. Plan: ONE (type, day)-keyed partial agg
+    // over the corpus; everything after runs on the bounded
+    // type×day table.
+    "q364_jackknife_day" -> ((s, d) => {
+      val perDay = events(s, d).select(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          when(expr("cast(round(value * 100) as bigint)") >= 5000L, 1L)
+            .otherwise(0L).as("succ"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("ni"), sum("succ").as("si"))
+      val totals = perDay.groupBy("event_type")
+        .agg(sum("ni").as("n"), sum("si").as("st"), count(lit(1)).as("g"))
+      val loo = perDay.join(totals, "event_type")
+        .where(col("n") > col("ni"))
+        .select(col("event_type"),
+          expr("cast(st - si as decimal(38,0)) * 1000000 div (n - ni)")
+            .as("theta"))
+      val jk = loo.groupBy("event_type")
+        .agg(count(lit(1)).as("gj"), sum("theta").as("sth"),
+          sum(expr("cast(theta as decimal(38,0)) * theta")).as("sth2"),
+          max("theta").as("thmax"), min("theta").as("thmin"))
+      totals.join(jk, Seq("event_type"), "left")
+        .select(col("event_type"), col("g").as("g_days"),
+          expr("cast(cast(st as decimal(38,0)) * 1000000 div n as bigint)")
+            .as("theta_micro"),
+          expr("cast(case when gj >= 2 then (gj - 1) * " +
+            "(cast(gj as decimal(38,0)) * sth2 - " +
+            "cast(sth as decimal(38,0)) * sth) div " +
+            "(cast(gj as decimal(38,0)) * gj) " +
+            "else -1 end as bigint)").as("jk_var_micro2"),
+          expr("cast(case when gj >= 2 then thmax - thmin " +
+            "else -1 end as bigint)").as("jk_spread_micro"))
+        .orderBy("event_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -4540,20 +4650,26 @@ object AnalyticsQueries {
         "CAST(SUM(s0) AS BIGINT) AS ts0, CAST(SUM(n1) AS BIGINT) AS tn1, " +
         "CAST(SUM(s1) AS BIGINT) AS ts1 FROM g) " +
         "SELECT event_type, " +
-        "CASE WHEN n0 > 0 THEN s0 * 1000000 // n0 ELSE -1 END AS rate0_micro, " +
-        "CASE WHEN n1 > 0 THEN s1 * 1000000 // n1 ELSE -1 END AS rate1_micro, " +
-        "s1 * n0 > s0 * n1 AS seg_v1_wins, " +
-        "ts1 * tn0 > ts0 * tn1 AS overall_v1_wins, " +
-        "(s1 * n0 > s0 * n1) <> (ts1 * tn0 > ts0 * tn1) AS reversed " +
+        "CAST(CASE WHEN n0 > 0 THEN s0::HUGEINT * 1000000 // n0 " +
+        "ELSE -1 END AS BIGINT) AS rate0_micro, " +
+        "CAST(CASE WHEN n1 > 0 THEN s1::HUGEINT * 1000000 // n1 " +
+        "ELSE -1 END AS BIGINT) AS rate1_micro, " +
+        "s1::HUGEINT * n0 > s0::HUGEINT * n1 AS seg_v1_wins, " +
+        "ts1::HUGEINT * tn0 > ts0::HUGEINT * tn1 AS overall_v1_wins, " +
+        "(s1::HUGEINT * n0 > s0::HUGEINT * n1) <> " +
+        "(ts1::HUGEINT * tn0 > ts0::HUGEINT * tn1) AS reversed " +
         "FROM g CROSS JOIN t ORDER BY event_type"),
 
     // same exact rational variance, same pinned z² literal, same
     // HUGEINT ceil-division; n/sx/sxx promoted to HUGEINT BEFORE
-    // every product, mirroring the Spark side's decimal(38,0) casts
+    // every product, mirroring the Spark side's decimal(38,0) casts —
+    // including the SUM(c·c) ACCUMULATOR's element product (HUGEINT
+    // there ↔ decimal(38,0) sum on the Spark side), so neither engine
+    // ever rides a 64-bit partial sum
     "q320_power_analysis" ->
       ("WITH a AS (SELECT event_type, count(*) AS n, " +
         "SUM(CAST(round(value * 100) AS BIGINT)) AS sx, " +
-        "SUM(CAST(round(value * 100) AS BIGINT) * " +
+        "SUM(CAST(round(value * 100) AS HUGEINT) * " +
         "CAST(round(value * 100) AS BIGINT)) AS sxx " +
         "FROM events GROUP BY 1), " +
         "b AS (SELECT event_type, n, sx, " +
@@ -5590,5 +5706,71 @@ object AnalyticsQueries {
         "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
         "CAST(SUM(term) AS BIGINT) AS chi2_micro, " +
         "CAST(9 AS BIGINT) AS dof " +
-        "FROM t GROUP BY event_type ORDER BY event_type"))
+        "FROM t GROUP BY event_type ORDER BY event_type"),
+
+    // same bounded cell×band grid, same common-denominator cum
+    // differences in HUGEINT, same (B−1)-scaled floored micro EMD and
+    // −1 sentinel
+    "q363_t_closeness" ->
+      ("WITH b AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, " +
+        "CAST(round(value * 100) AS BIGINT) // 10000 AS band " +
+        "FROM events), " +
+        "cb AS (SELECT event_type, day, band, COUNT(*) AS o " +
+        "FROM b GROUP BY 1, 2, 3), " +
+        "gl AS (SELECT band, COUNT(*) AS gb FROM b GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(gb) AS HUGEINT) AS ng, " +
+        "COUNT(*) AS nb FROM gl), " +
+        "ce AS (SELECT event_type, day, COUNT(*) AS nc " +
+        "FROM b GROUP BY 1, 2), " +
+        "grid AS (SELECT ce.event_type, ce.day, ce.nc, gl.band, gl.gb, " +
+        "COALESCE(cb.o, 0) AS o FROM ce CROSS JOIN gl " +
+        "LEFT JOIN cb ON cb.event_type = ce.event_type " +
+        "AND cb.day = ce.day AND cb.band = gl.band), " +
+        "cum AS (SELECT event_type, day, nc, " +
+        "SUM(o) OVER w AS cumc, SUM(gb) OVER w AS cumg FROM grid " +
+        "WINDOW w AS (PARTITION BY event_type, day ORDER BY band " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "pc AS (SELECT event_type, day, MAX(nc) AS nc, MAX(t.ng) AS ng, " +
+        "MAX(t.nb) AS nb, " +
+        "SUM(abs(cumc::HUGEINT * t.ng - cumg::HUGEINT * nc)) AS emd_num " +
+        "FROM cum CROSS JOIN t GROUP BY 1, 2), " +
+        "pe AS (SELECT event_type, CASE WHEN nb >= 2 THEN " +
+        "CAST(emd_num * 1000000 // ((nb - 1)::HUGEINT * nc * ng) " +
+        "AS BIGINT) ELSE -1 END AS emd_micro FROM pc) " +
+        "SELECT event_type, COUNT(*) AS n_cells, " +
+        "MAX(emd_micro) AS max_emd_micro, " +
+        "CAST(SUM(CASE WHEN emd_micro > 150000 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_fail_t15 " +
+        "FROM pe GROUP BY 1 ORDER BY 1"),
+
+    // same floored-micro leave-one-out estimates, HUGEINT squares,
+    // same (g−1)·(g·Σθ²−(Σθ)²)//g² variance and −1 single-day
+    // sentinels
+    "q364_jackknife_day" ->
+      ("WITH pd AS (SELECT event_type, " +
+        "epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS ni, " +
+        "SUM(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000 " +
+        "THEN 1 ELSE 0 END) AS si " +
+        "FROM events GROUP BY 1, 2), " +
+        "tt AS (SELECT event_type, SUM(ni) AS n, SUM(si) AS st, " +
+        "COUNT(*) AS g FROM pd GROUP BY 1), " +
+        "loo AS (SELECT pd.event_type, " +
+        "(tt.st - pd.si)::HUGEINT * 1000000 // (tt.n - pd.ni) AS theta " +
+        "FROM pd JOIN tt ON tt.event_type = pd.event_type " +
+        "WHERE tt.n > pd.ni), " +
+        "jk AS (SELECT event_type, COUNT(*) AS gj, SUM(theta) AS sth, " +
+        "SUM(theta * theta) AS sth2, MAX(theta) AS thmax, " +
+        "MIN(theta) AS thmin FROM loo GROUP BY 1) " +
+        "SELECT tt.event_type, CAST(tt.g AS BIGINT) AS g_days, " +
+        "CAST(tt.st::HUGEINT * 1000000 // tt.n AS BIGINT) " +
+        "AS theta_micro, " +
+        "CAST(CASE WHEN jk.gj >= 2 THEN (jk.gj - 1) * " +
+        "(jk.gj::HUGEINT * jk.sth2 - jk.sth::HUGEINT * jk.sth) " +
+        "// (jk.gj::HUGEINT * jk.gj) ELSE -1 END AS BIGINT) " +
+        "AS jk_var_micro2, " +
+        "CAST(CASE WHEN jk.gj >= 2 THEN jk.thmax - jk.thmin " +
+        "ELSE -1 END AS BIGINT) AS jk_spread_micro " +
+        "FROM tt LEFT JOIN jk ON jk.event_type = tt.event_type " +
+        "ORDER BY tt.event_type"))
 }

@@ -2127,10 +2127,16 @@ object StoreQueries {
     // accumulates sketch registers in the streaming agg across forced
     // micro-batches (register merges commute across any batch split),
     // completing the streaming-sketch family (q102 CMS, q250
-    // Misra–Gries, q347 GK ranks). Gate shape mirrors q21 exactly:
-    // the exact per-type distinct is hashed and the STREAMED sketch
-    // is asserted within 3×rsd (15 %) of truth — the register layout
-    // is engine-internal, the band is not. Fixed KiB state per type,
+    // Misra–Gries, q347 GK ranks). Gate shape mirrors q21: the exact
+    // per-type distinct is hashed and the STREAMED sketch is asserted
+    // within 4×rsd (20 %) of truth — the register layout is
+    // engine-internal, the band is not. The estimate itself is
+    // DETERMINISTIC given the data (HLL register merge is elementwise
+    // max — commutative/idempotent across any batch split), so the
+    // band only has to absorb fixture-to-fixture estimator error, and
+    // 4×rsd (~99.99 % for a fresh draw) keeps a legitimate run from
+    // failing the gate nondeterministically where 3×rsd (~99 %) left
+    // a one-in-a-hundred refresh exposed. Fixed KiB state per type,
     // one pass; the exact leg exists only because the harness can
     // afford truth.
     "q349_stream_hll" -> ((s, d) => {
@@ -2147,7 +2153,7 @@ object StoreQueries {
         .join(sk, "event_type")
         .select(col("event_type"), col("exact_users"),
           (abs(col("est") - col("exact_users"))
-            <= col("exact_users") * (3 * 0.05d)).as("est_in_band"))
+            <= col("exact_users") * (4 * 0.05d)).as("est_in_band"))
         .orderBy("event_type")
     })
   )
@@ -2730,7 +2736,12 @@ object StoreQueries {
 
     // the WAP flow has a closed-form answer from the batch splits:
     // the poisoned batch's violations are its value ≥ 100 rows and
-    // its commit must vanish from the final count
+    // its commit must vanish from the final count. publish/rollback
+    // for that batch is CONDITIONED on v — a scale factor whose
+    // event_id%4=2 slice happens to carry no value ≥ 100 row makes
+    // the batch legitimately clean (it publishes, rows stay), and the
+    // oracle must agree with a correct implementation rather than
+    // hardcoding the poisoned outcome of the current fixtures
     "q348_wap_publish" ->
       ("WITH c AS (SELECT " +
         "SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS s, " +
@@ -2743,13 +2754,15 @@ object StoreQueries {
         "CAST(0 AS BIGINT) AS violations, TRUE AS published, " +
         "CAST(s + g AS BIGINT) AS table_rows_after FROM c " +
         "UNION ALL SELECT 'poisoned', CAST(p AS BIGINT), " +
-        "CAST(v AS BIGINT), FALSE, CAST(s + g AS BIGINT) FROM c " +
+        "CAST(v AS BIGINT), v = 0, " +
+        "CAST(CASE WHEN v = 0 THEN s + g + p ELSE s + g END AS BIGINT) " +
+        "FROM c " +
         "UNION ALL SELECT 'seed', CAST(s AS BIGINT), " +
         "CAST(0 AS BIGINT), TRUE, CAST(s AS BIGINT) FROM c" +
         ") ORDER BY batch"),
 
     // same q21 convention: exact distinct hashed, streamed sketch
-    // asserted in the 3σ band (the oracle emits TRUE)
+    // asserted in the 4×rsd band (the oracle emits TRUE)
     "q349_stream_hll" ->
       ("SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, " +
         "TRUE AS est_in_band FROM events " +

@@ -680,8 +680,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q346_seq2_mining")
     assert(p.contains("windowspecdefinition(user_id"),
       s"q346 lost its per-user window partitioning:\n$p")
-    assert(!p.contains("SinglePartition") ||
-      p.contains("windowspecdefinition(user_id"),
+    // the lead() window must be fed by a user-keyed hash exchange and
+    // the plan must carry NO single-partition exchange anywhere — the
+    // former disjunctive form was tautological (its second disjunct
+    // was the first assertion) and could never catch the regression
+    // it named
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"q346 window input is not hash-distributed by user:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
       s"q346 moved the event stream to a single partition:\n$p")
   }
 }

@@ -103,4 +103,20 @@ class DbscanGridSpec extends AnyFunSuite {
     assert(got(1L) === (2L, 1L) && got(6L) === (1L, 1L)
       && got(7L) === (0L, -1L))
   }
+
+  test("a coordinate at or below -shift fails loudly instead of misassigning cells") {
+    // x = −shift would make truncating `div` diverge from floor
+    // division around zero — the in-plan assert_true must surface as
+    // a job failure, never a silently wrong clustering
+    val pts = Seq((1L, 0L, 0L), (2L, -100000L, 5L))
+    val ex = intercept[Exception] {
+      Dbscan.cluster(pts.toDF("id", "x", "y"), "id", "x", "y",
+        eps = 6L, minPts = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("dbscan")),
+      s"expected the dbscan contract message, got: $ex")
+  }
 }
