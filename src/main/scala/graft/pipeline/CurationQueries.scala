@@ -1672,6 +1672,53 @@ object CurationQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // q367 — SORTED-NEIGHBORHOOD entity blocking (Hernández–Stolfo
+    // SNM): the THIRD blocking scheme in the matching family —
+    // q151's attribute blocks miss pairs whose brand/size disagree,
+    // q108/q117's content signatures need token overlap; SNM instead
+    // sorts the whole catalog by name and pairs every record with its
+    // w−1 = 7 sort neighbors, catching prefix-similar records across
+    // any attribute disagreement. THE SCALE DESIGN: the global sort
+    // POSITION is the q40 two-level prefix sum (per-prefix-block
+    // totals → tiny ordered window over the bounded block table →
+    // block-partitioned row_number) — never an unpartitioned
+    // window — and the neighbor pairing is a pos-div-w BAND JOIN
+    // (left row explodes to exactly 2 bucket keys, each (a,b) pair
+    // lands in exactly one bucket), so candidates are w·N with one
+    // equi-join shuffle. Verification is the family's jaro_winkler
+    // ≥ 0.85 (native codegen expr, DuckDB twin pinned by q151).
+    "q367_sorted_neighborhood" -> ((s, d) => {
+      val W = 8
+      val p = graft.Tables.load(s, d, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+        .withColumn("blkk", substring(col("name"), 1, 2))
+      val totals = p.groupBy("blkk").agg(count(lit(1)).as("tot"))
+      // the one ordered window runs over the bounded prefix-block
+      // table (≤ |alphabet|² rows), the Pack.withGlobalOffset shape
+      val wPrefix = Window.orderBy("blkk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefixes = totals
+        .withColumn("off", coalesce(sum("tot").over(wPrefix), lit(0L)))
+        .select("blkk", "off")
+      val wLocal = Window.partitionBy("blkk").orderBy("name", "id")
+      val pos = p.join(broadcast(prefixes), "blkk")
+        .withColumn("pos", col("off") + row_number().over(wLocal))
+        .select("id", "name", "pos")
+      val a = pos.select(col("id").as("id_a"), col("name").as("name_a"),
+        col("pos").as("pos_a"),
+        explode(array(expr(s"pos div $W"), expr(s"pos div $W + 1")))
+          .as("jb"))
+      val b = pos.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("pos").as("pos_b"), expr(s"pos div $W").as("jb"))
+      a.join(b, "jb")
+        .where(expr(s"pos_b - pos_a between 1 and ${W - 1}"))
+        .withColumn("sim", round(expr("jaro_winkler(name_a, name_b)"), 6))
+        .where(col("sim") >= 0.85)
+        .select(col("id_a"), col("id_b"),
+          (col("pos_b") - col("pos_a")).as("gap"), col("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // q357 — BOX-FILTER IMAGE DOWNSAMPLE over the REAL codec: each
     // synthetic PNG decodes through javax.imageio and 2×2
     // box-averages to floor-half dimensions (truncating integer mean
@@ -1797,6 +1844,50 @@ object CurationQueries {
           sum(when(col("l_cell") < 3, 1L).otherwise(0L)).as("n_fail_l3"),
           min("l_cell").as("min_l"))
         .orderBy("event_type")
+    }),
+
+    // q366 — AMS F2 SKETCH (tug-of-war): Alon–Matias–Szegedy's
+    // second-moment estimator — F2 = Σf² of the token-frequency
+    // vector (the self-join size / repeat-rate statistic behind skew
+    // planning) from NINE ±1 projections instead of the frequency
+    // table: X_r = Σ_t s_r(t)·f(t), E[X²] = F2, answer = median of
+    // the 9 squares. Completes the sketch shelf (q21 HLL counts
+    // distinct ≈ F0, q95 CMS point counts, q97 GK ranks — F2 is the
+    // moment none of them gives). Signs are md5-parity derived
+    // (engine-reproducible, 4-wise-independence stand-in), so the
+    // gate is EXACT integers end-to-end: the X_r accumulate in
+    // BIGINT (|X| ≤ corpus tokens), squares and F2 in
+    // decimal(38,0)/HUGEINT, the in-band boolean [F2/4, 3·F2] is the
+    // estimator's documented tolerance (median-of-9 over a
+    // Var ≤ 2F2² estimator — and md5-deterministic besides). The
+    // exact leg exists only because the harness can afford truth.
+    // Plan: ONE corpus scan → token-frequency partial agg; the
+    // 9-way sign explode runs on the VOCABULARY table (9 rows per
+    // distinct term, never per corpus token), folding to 9 rows.
+    "q366_ams_f2" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val exact = tf.agg(
+        sum(expr("cast(f as decimal(38,0)) * f")).as("f2"),
+        count(lit(1)).as("n_terms"))
+      val est = tf
+        .select(col("w"), col("f"),
+          explode(sequence(lit(0), lit(8))).as("r"))
+        .withColumn("sgn", when(substring(md5(concat(lit("ams"),
+            col("r").cast("string"), lit(":"), col("w"))), 1, 1)
+          .isin("1", "3", "5", "7", "9", "b", "d", "f"), -1L)
+          .otherwise(1L))
+        .groupBy("r").agg(sum(col("sgn") * col("f")).as("x"))
+        .select(expr("cast(x as decimal(38,0)) * x").as("e"))
+      val med = est.orderBy("e").limit(5).agg(max("e").as("f2e"))
+      exact.crossJoin(broadcast(med))
+        .select(col("n_terms"),
+          expr("cast(f2 as bigint)").as("f2_exact"),
+          expr("cast(f2e as bigint)").as("f2_est"),
+          (col("f2e") <= col("f2") * 3 && col("f2e") * 4 >= col("f2"))
+            .as("est_in_band"))
     }))
 
   // q130's corpus CTEs: banner-injected normalized text, token lists,
@@ -2970,5 +3061,39 @@ object CurationQueries {
         "AS n_fail_l2, " +
         "CAST(sum(CASE WHEN l_cell < 3 THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_fail_l3, min(l_cell) AS min_l " +
-        "FROM c GROUP BY event_type ORDER BY event_type"))
+        "FROM c GROUP BY event_type ORDER BY event_type"),
+
+    // the plain global-window twin of the two-level prefix sum, same
+    // (name, id) total order, same w = 8 neighborhood and jw gate
+    "q367_sorted_neighborhood" ->
+      ("WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part), " +
+        "pos AS (SELECT id, name, " +
+        "row_number() OVER (ORDER BY name, id) AS pos FROM p), " +
+        "c AS (SELECT a.id AS id_a, b.id AS id_b, " +
+        "b.pos - a.pos AS gap, " +
+        "round(jaro_winkler_similarity(a.name, b.name), 6) AS sim " +
+        "FROM pos a JOIN pos b ON b.pos > a.pos AND b.pos < a.pos + 8) " +
+        "SELECT id_a, id_b, gap, sim FROM c WHERE sim >= 0.85 " +
+        "ORDER BY id_a, id_b"),
+
+    // identical md5-parity signs over the same vocabulary, HUGEINT
+    // squares, same median-of-9 (max of the bottom five) and band
+    "q366_ams_f2" ->
+      (s"WITH tk AS (SELECT unnest(string_split($duckNorm, ' ')) AS w " +
+        "FROM documents), " +
+        "tf AS (SELECT w, COUNT(*) AS f FROM tk WHERE w <> '' " +
+        "GROUP BY 1), " +
+        "ex AS (SELECT CAST(SUM(f::HUGEINT * f) AS HUGEINT) AS f2, " +
+        "COUNT(*) AS n_terms FROM tf), " +
+        "es AS (SELECT r, SUM(CASE WHEN substr(md5('ams' || " +
+        "CAST(r AS VARCHAR) || ':' || w), 1, 1) IN " +
+        "('1','3','5','7','9','b','d','f') THEN -f ELSE f END) AS x " +
+        "FROM tf, range(0, 9) t(r) GROUP BY 1), " +
+        "e2 AS (SELECT x::HUGEINT * x AS e FROM es), " +
+        "med AS (SELECT MAX(e) AS f2e FROM " +
+        "(SELECT e FROM e2 ORDER BY e LIMIT 5)) " +
+        "SELECT n_terms, CAST(f2 AS BIGINT) AS f2_exact, " +
+        "CAST(f2e AS BIGINT) AS f2_est, " +
+        "f2e <= f2 * 3 AND f2e * 4 >= f2 AS est_in_band " +
+        "FROM ex CROSS JOIN med"))
 }

@@ -681,6 +681,44 @@ object PipelineQueries {
         .orderBy("ref_id", "rank")
     }),
 
+    // q368 — CHARACTER ERROR RATE (CER): the Levenshtein-based
+    // transcription metric (the ASR/OCR complement to q335's n-gram
+    // ROUGE and q342's BLEU — those reward overlap, this charges
+    // every INSERTION/DELETION/SUBSTITUTION at character level).
+    // Hypotheses are deterministic md5-corrupted twins of each
+    // reference (position-keyed: p = 1/16 token drop, p = 2/16
+    // substitution — the corruption IS part of the gate, replayed
+    // verbatim), texts are capped at the first 30 tokens so the
+    // per-row DP is bounded (~O(200²) — the documented contract; an
+    // uncapped 100 TB corpus would pay len² per doc). Both engines
+    // run their NATIVE levenshtein (unit costs, the textbook DP) on
+    // identical strings, so the distance is exact; CER lands as one
+    // floored micro division. Plan: everything is scan-side per-row
+    // expression work (one bounded lambda per doc — no shuffle at
+    // all until the gate's orderBy); at 100 TB this runs at
+    // parquet-scan speed.
+    "q368_cer_eval" -> ((s, d) => {
+      def key(iExpr: String) =
+        s"md5(concat('cer:', cast(doc_id as string), ':', " +
+          s"cast($iExpr as string), ':', t))"
+      docs(s, d)
+        .withColumn("toks30", slice(TextOps.tokens(col("text")), 1, 30))
+        .where(size(col("toks30")) > 0)
+        .withColumn("ref", array_join(col("toks30"), " "))
+        .withColumn("hyp", expr(
+          "array_join(filter(transform(toks30, (t, i) -> " +
+            s"case when substring(${key("i")}, 1, 1) = '0' " +
+            "then cast(null as string) " +
+            s"when substring(${key("i")}, 1, 1) in ('1', '2') " +
+            "then 'zzz' else t end), x -> x is not null), ' ')"))
+        .select(col("doc_id"),
+          length(col("ref")).cast("long").as("ref_chars"),
+          levenshtein(col("ref"), col("hyp")).cast("long").as("dist"),
+          expr("cast(cast(levenshtein(ref, hyp) as bigint) * 1000000 " +
+            "div length(ref) as bigint)").as("cer_micro"))
+        .orderBy("doc_id")
+    }),
+
     // q330 — DIRICHLET QUERY LIKELIHOOD (Zhai & Lafferty): the
     // language-model retrieval tier next to q59's BM25 — score(q,d) =
     // Σ_t ln((tf + μ·cf_t/C)/(|d| + μ)), the Bayesian-smoothed
@@ -5908,6 +5946,29 @@ object PipelineQueries {
         "CAST(dg.n1 * 1000000 + COALESCE(n2t.n2, 0) * 500000 AS BIGINT) " +
         "AS h2_micro " +
         "FROM dg LEFT JOIN n2t ON n2t.src = dg.src ORDER BY item"),
+
+    // DuckDB's native levenshtein on the identical md5-corrupted
+    // twin strings (1-based list positions shifted to the Spark
+    // lambda's 0-based index), same 30-token cap and floored micro
+    "q368_cer_eval" ->
+      (s"WITH tk AS (SELECT doc_id, " +
+        s"string_split($duckNorm, ' ')[1:30] AS toks FROM documents), " +
+        "h AS (SELECT doc_id, array_to_string(toks, ' ') AS ref, " +
+        "array_to_string(list_filter(list_transform(" +
+        "range(1, len(toks) + 1), i -> " +
+        "CASE WHEN substr(md5('cer:' || CAST(doc_id AS VARCHAR) || " +
+        "':' || CAST(i - 1 AS VARCHAR) || ':' || toks[CAST(i AS INT)])" +
+        ", 1, 1) = '0' THEN NULL " +
+        "WHEN substr(md5('cer:' || CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(i - 1 AS VARCHAR) || ':' || toks[CAST(i AS INT)]), 1, 1) " +
+        "IN ('1', '2') THEN 'zzz' ELSE toks[CAST(i AS INT)] END), " +
+        "x -> x IS NOT NULL), ' ') AS hyp " +
+        "FROM tk WHERE len(toks) > 0) " +
+        "SELECT doc_id, CAST(length(ref) AS BIGINT) AS ref_chars, " +
+        "CAST(levenshtein(ref, hyp) AS BIGINT) AS dist, " +
+        "CAST(levenshtein(ref, hyp)::BIGINT * 1000000 // length(ref) " +
+        "AS BIGINT) AS cer_micro " +
+        "FROM h ORDER BY doc_id"),
 
     // same directed-stub fold, HUGEINT products mirroring the
     // decimal(38,0) casts, same 0 sentinel on a flat degree sequence

@@ -3661,6 +3661,50 @@ object AnalyticsQueries {
           expr("cast(case when gj >= 2 then thmax - thmin " +
             "else -1 end as bigint)").as("jk_spread_micro"))
         .orderBy("event_type")
+    }),
+
+    // q365 — IPF RAKING (iterative proportional fitting): the survey
+    // statistician's reweighting workhorse, here as the dataset
+    // BALANCER a training-data mix needs — per-cell weights over the
+    // (event_type × day-of-week) grid raked so BOTH weighted
+    // marginals approach uniform targets, without touching the joint
+    // structure (each round scales whole rows/columns — the
+    // max-entropy fit to the marginal constraints). EXACT integers:
+    // micro-scale weights, fixed targets T_k = ⌊M·10⁶/K⌋ computed
+    // once, each round w′ = ⌊w·T_k / marg_k⌋ with every product
+    // decimal(38,0)/HUGEINT, three rounds (row, col, row) unrolled in
+    // BOTH engines — floors replayed, so the gate is exact despite
+    // the iteration. Plan: ONE corpus-keyed partial agg builds the
+    // bounded grid (|types|·7 cells); every round after is a
+    // grid-sized groupBy + join with lineage truncated per round (the
+    // q358 mat idiom). The corpus is touched exactly once.
+    "q365_ipf_raking" -> ((s, d) => {
+      def mat(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(eager = true) else df.localCheckpoint(true)
+      val g0 = events(s, d).select(col("event_type"),
+          expr("(ts div 86400000000000) % 7").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      val tot = g0.agg(sum("n").as("ntot"),
+        countDistinct("event_type").as("nr"), countDistinct("dow").as("nc"))
+      def step(df: DataFrame, key: String, nK: String): DataFrame = {
+        val m = df.groupBy(key)
+          .agg(sum(expr("cast(n as decimal(38,0)) * w")).as("marg"))
+        mat(df.join(m, Seq(key))
+          .withColumn("w", expr("cast(cast(w as decimal(38,0)) * " +
+            s"(cast(ntot as decimal(38,0)) * 1000000 div $nK) " +
+            "div marg as bigint)"))
+          .drop("marg"))
+      }
+      val w0 = mat(g0.crossJoin(broadcast(tot))
+        .withColumn("w", lit(1000000L)))
+      val w3 = step(step(step(w0, "event_type", "nr"), "dow", "nc"),
+        "event_type", "nr")
+      w3.select(col("event_type"), col("dow"), col("n"),
+          col("w").as("w_micro"),
+          expr("cast(cast(n as decimal(38,0)) * w div 1000000 as bigint)")
+            .as("fitted_mass"))
+        .orderBy("event_type", "dow")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -5772,5 +5816,38 @@ object AnalyticsQueries {
         "CAST(CASE WHEN jk.gj >= 2 THEN jk.thmax - jk.thmin " +
         "ELSE -1 END AS BIGINT) AS jk_spread_micro " +
         "FROM tt LEFT JOIN jk ON jk.event_type = tt.event_type " +
-        "ORDER BY tt.event_type"))
+        "ORDER BY tt.event_type"),
+
+    // the identical three unrolled raking rounds: same once-computed
+    // integer targets, same HUGEINT products, same floors
+    "q365_ipf_raking" ->
+      ("WITH g0 AS (SELECT event_type, " +
+        "(epoch_ns(ts) // 86400000000000) % 7 AS dow, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT CAST(SUM(n) AS HUGEINT) AS ntot, " +
+        "COUNT(DISTINCT event_type) AS nr, " +
+        "COUNT(DISTINCT dow) AS nc FROM g0), " +
+        "w0 AS (SELECT event_type, dow, n, " +
+        "CAST(1000000 AS HUGEINT) AS w FROM g0), " +
+        "m1 AS (SELECT event_type, SUM(n::HUGEINT * w) AS marg " +
+        "FROM w0 GROUP BY 1), " +
+        "w1 AS (SELECT w0.event_type, dow, n, " +
+        "w * (t.ntot * 1000000 // t.nr) // m1.marg AS w " +
+        "FROM w0 JOIN m1 ON m1.event_type = w0.event_type " +
+        "CROSS JOIN t), " +
+        "m2 AS (SELECT dow, SUM(n::HUGEINT * w) AS marg " +
+        "FROM w1 GROUP BY 1), " +
+        "w2 AS (SELECT event_type, w1.dow, n, " +
+        "w * (t.ntot * 1000000 // t.nc) // m2.marg AS w " +
+        "FROM w1 JOIN m2 ON m2.dow = w1.dow CROSS JOIN t), " +
+        "m3 AS (SELECT event_type, SUM(n::HUGEINT * w) AS marg " +
+        "FROM w2 GROUP BY 1), " +
+        "w3 AS (SELECT w2.event_type, dow, n, " +
+        "w * (t.ntot * 1000000 // t.nr) // m3.marg AS w " +
+        "FROM w2 JOIN m3 ON m3.event_type = w2.event_type " +
+        "CROSS JOIN t) " +
+        "SELECT event_type, CAST(dow AS BIGINT) AS dow, " +
+        "CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS w_micro, " +
+        "CAST(n::HUGEINT * w // 1000000 AS BIGINT) AS fitted_mass " +
+        "FROM w3 ORDER BY 1, 2"))
 }
