@@ -2127,6 +2127,101 @@ object PipelineQueries {
         .orderBy("media_id", "win_idx")
     }),
 
+    // q369 — FRAME AUTOCORRELATION / PITCH CUE: per-frame
+    // autocorrelation at pinned lags over the REAL WAV codec — the
+    // periodicity feature a speech pipeline computes right after
+    // q178's VAD energy (YIN/autocorr pitch detectors start exactly
+    // here), and unlike a DFT it needs NO transcendental
+    // coefficients, so the gate stays EXACT INTEGERS: R(ℓ) =
+    // Σ_n x[n]·x[n+ℓ] over each 160-sample frame (zero-padded tail,
+    // n ≤ 159−ℓ), ℓ ∈ {20, 40} (200/400 Hz at 8 kHz), R(0) = frame
+    // energy, periodicity = max(R20, R40)·10⁶ div R0 — products
+    // ≤ 2¹⁵·2¹⁵·160 fit comfortably in BIGINT, R0 = 0 cannot occur
+    // (the sample polynomial never zeroes a whole frame) but guards
+    // to −1 anyway. The oracle recomputes every sample from the
+    // closed-form PCM polynomial (the q79 contract) — codec drift,
+    // frame misalignment, or an off-by-one lag all hash-mismatch.
+    // Plan: mapPartitions ONLY for the codec (payloads never
+    // shuffle); the ≤ 9 frame rows per clip are the only exchange.
+    "q369_audio_autocorr" -> ((s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.flatMap { id =>
+          val raw = Multimodal.AudioCodec.decode(
+            Multimodal.synthWav(id), "wav")
+          val (_, n) = Multimodal.AudioCodec.rawDims(raw)
+          (0 until n / 160).map { wi =>
+            def r(lag: Int): Long = {
+              var acc = 0L
+              var i = wi * 160
+              while (i < (wi + 1) * 160 - lag) {
+                acc += Multimodal.AudioCodec.rawSample(raw, i).toLong *
+                  Multimodal.AudioCodec.rawSample(raw, i + lag).toLong
+                i += 1
+              }
+              acc
+            }
+            val (r0, r20, r40) = (r(0), r(20), r(40))
+            (id, wi.toLong, r0, r20, r40,
+              if (r0 > 0L) math.max(r20, r40) * 1000000L / r0 else -1L)
+          }
+        }
+      }.toDF("media_id", "win_idx", "r0", "r20", "r40", "period_micro")
+        .orderBy("media_id", "win_idx")
+    }),
+
+    // q370 — SOBEL EDGE ENERGY over the REAL image codec: the
+    // gradient-magnitude statistic (|Gx|+|Gy| over interior pixels of
+    // the r+g+b luminance) — the blur/sharpness quality filter a
+    // vision-data pipeline runs beside q131's pHash (similarity) and
+    // q357's box downsample (resize); low edge energy = blurry or
+    // flat asset, a standard curation drop rule. EXACT integers: the
+    // 3×3 kernels are integer, luminance is an integer sum, the
+    // per-image mean is one floored micro division. The oracle
+    // rebuilds every pixel from the closed-form polynomial and
+    // applies the SAME kernels via an 8-offset scatter-sum — decoder
+    // drift, a flipped kernel, or a boundary off-by-one all
+    // hash-mismatch. Plan: mapPartitions only for the codec; one
+    // bounded row per image leaves the scan.
+    "q370_sobel_energy" -> ((s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val raw = Multimodal.ImageCodec.decode(
+            Multimodal.synthImagePng(id), "png")
+          val (w, h) = Multimodal.ImageCodec.rawDims(raw)
+          def lum(x: Int, y: Int): Long = {
+            val o = 8 + (y * w + x) * 3
+            (raw(o) & 0xff).toLong + (raw(o + 1) & 0xff) +
+              (raw(o + 2) & 0xff)
+          }
+          var sum = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = lum(x + 1, y - 1) + 2 * lum(x + 1, y) +
+                lum(x + 1, y + 1) - lum(x - 1, y - 1) -
+                2 * lum(x - 1, y) - lum(x - 1, y + 1)
+              val gy = lum(x - 1, y + 1) + 2 * lum(x, y + 1) +
+                lum(x + 1, y + 1) - lum(x - 1, y - 1) -
+                2 * lum(x, y - 1) - lum(x + 1, y - 1)
+              sum += math.abs(gx) + math.abs(gy)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong, h.toLong, sum,
+            sum * 1000000L / ((w - 2).toLong * (h - 2)))
+        }
+      }.toDF("media_id", "w", "h", "edge_sum", "mean_edge_micro")
+        .orderBy("media_id")
+    }),
+
     // q52 — eval-set DECONTAMINATION: training documents sharing any
     // 4-gram shingle with the (small) eval set — the pre-training
     // hygiene pass that keeps benchmark text out of the corpus. Eval
@@ -5946,6 +6041,71 @@ object PipelineQueries {
         "CAST(dg.n1 * 1000000 + COALESCE(n2t.n2, 0) * 500000 AS BIGINT) " +
         "AS h2_micro " +
         "FROM dg LEFT JOIN n2t ON n2t.src = dg.src ORDER BY item"),
+
+    // every sample recomputed from the closed-form PCM polynomial
+    // (the q79 contract), same frame/lag accounting, same floors
+    "q369_audio_autocorr" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, " +
+        "800 + (doc_id % 5) * 160 AS n FROM documents " +
+        "WHERE doc_id < 200), " +
+        "fr AS (SELECT media_id, " +
+        "unnest(range(0, n // 160)) AS wi FROM ids), " +
+        "sm AS (SELECT media_id, wi, " +
+        "unnest(range(wi * 160, wi * 160 + 160)) AS i FROM fr), " +
+        "sx AS (SELECT media_id, wi, i, " +
+        "((media_id * 7919 + i * 31) % 65536) - 32768 AS x FROM sm), " +
+        "rr AS (SELECT a.media_id, a.wi, " +
+        "SUM(a.x * a.x) AS r0, " +
+        "SUM(CASE WHEN b20.x IS NULL THEN 0 ELSE a.x * b20.x END) " +
+        "AS r20, " +
+        "SUM(CASE WHEN b40.x IS NULL THEN 0 ELSE a.x * b40.x END) " +
+        "AS r40 " +
+        "FROM sx a " +
+        "LEFT JOIN sx b20 ON b20.media_id = a.media_id " +
+        "AND b20.wi = a.wi AND b20.i = a.i + 20 " +
+        "LEFT JOIN sx b40 ON b40.media_id = a.media_id " +
+        "AND b40.wi = a.wi AND b40.i = a.i + 40 " +
+        "GROUP BY 1, 2) " +
+        "SELECT media_id, CAST(wi AS BIGINT) AS win_idx, " +
+        "CAST(r0 AS BIGINT) AS r0, CAST(r20 AS BIGINT) AS r20, " +
+        "CAST(r40 AS BIGINT) AS r40, " +
+        "CAST(CASE WHEN r0 > 0 THEN " +
+        "greatest(r20, r40) * 1000000 // r0 ELSE -1 END AS BIGINT) " +
+        "AS period_micro " +
+        "FROM rr ORDER BY media_id, win_idx"),
+
+    // the same 3×3 kernels applied as an 8-offset scatter-sum over
+    // pixels rebuilt from the closed-form polynomial; interior-only
+    // centers, same |Gx|+|Gy| fold and floored micro mean
+    "q370_sobel_energy" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, " +
+        "16 + (doc_id % 16) AS w, 16 + (doc_id % 8) AS h " +
+        "FROM documents WHERE doc_id < 200), " +
+        "xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x " +
+        "FROM ids), " +
+        "ys AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y " +
+        "FROM xs), " +
+        "pl AS (SELECT media_id, w, h, x, y, " +
+        "((media_id * 31 + x * 7 + y * 13) % 256) + " +
+        "((media_id + x * 3 + y * 5) % 256) + " +
+        "((media_id * 17 + x + y * 2) % 256) AS lum FROM ys), " +
+        "off AS (SELECT * FROM (VALUES " +
+        "(-1, -1, -1, -1), (0, -1, 0, -2), (1, -1, 1, -1), " +
+        "(-1, 0, -2, 0), (1, 0, 2, 0), " +
+        "(-1, 1, -1, 1), (0, 1, 0, 2), (1, 1, 1, 1)) " +
+        "o(dx, dy, kx, ky)), " +
+        "g AS (SELECT media_id, w, h, x - dx AS cx, y - dy AS cy, " +
+        "SUM(lum * kx) AS gx, SUM(lum * ky) AS gy " +
+        "FROM pl CROSS JOIN off GROUP BY 1, 2, 3, 4, 5), " +
+        "e AS (SELECT media_id, w, h, " +
+        "SUM(abs(gx) + abs(gy)) AS edge_sum FROM g " +
+        "WHERE cx >= 1 AND cx < w - 1 AND cy >= 1 AND cy < h - 1 " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(w AS BIGINT) AS w, " +
+        "CAST(h AS BIGINT) AS h, CAST(edge_sum AS BIGINT) AS edge_sum, " +
+        "CAST(edge_sum * 1000000 // ((w - 2) * (h - 2)) AS BIGINT) " +
+        "AS mean_edge_micro " +
+        "FROM e ORDER BY media_id"),
 
     // DuckDB's native levenshtein on the identical md5-corrupted
     // twin strings (1-based list positions shifted to the Spark
