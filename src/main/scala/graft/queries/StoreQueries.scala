@@ -2122,6 +2122,83 @@ object StoreQueries {
         .orderBy("batch")
     }),
 
+    // q371 — MERKLE CONTENT AUDIT: per-bucket commutative set hashes
+    // over the store's logical rows (UpsertTable.bucketFingerprints —
+    // the Iceberg manifest-checksum role done at ROW level), gating
+    // three invariants a 100 TB table-integrity sweep lives on:
+    // (1) LOCALITY — after a delta commit, exactly the buckets
+    // holding batch keys change fingerprint (a changed untouched
+    // bucket = corruption or nondeterministic read; an unchanged
+    // touched bucket = lost update); (2) the ROOT fingerprint moves;
+    // (3) INCREMENTALITY — fp(v2) − fp(v1) per bucket equals
+    // Σhash(new rows) − Σhash(replaced rows) computed from the BATCH
+    // KEYS ALONE, i.e. the audit that re-verifies a commit is
+    // O(batch), never O(table) (the set hash is a sum, so the
+    // difference telescopes). Bucket membership is layout arithmetic
+    // the oracle can't replay, so the gate is the q149 convention:
+    // closed-form row counts + in-band booleans, with the hash
+    // machinery itself proven by MerkleAuditSpec (a single flipped
+    // row must flip its bucket and the root).
+    "q371_merkle_audit" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-merkle-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = UpsertTable(s, s"$base/merkle_events")
+      t.merge(ev.where(col("event_id") % 3 === 0),
+        autoCreateKeys = Seq("event_id"), delta = true)
+      val v1 = t.currentSnapshot.get.version
+      // sparse update batch with CHANGED values: every touched key's
+      // row really changes, so touched buckets MUST move
+      val batch2 = ev.where(col("event_id") % 97 === 0)
+        .withColumn("value", col("value") + 1.0)
+      t.merge(batch2, delta = true)
+      val v2 = t.currentSnapshot.get.version
+      val nb = t.currentSnapshot.get.numBuckets
+      val fp1 = t.bucketFingerprints(Some(v1)).toDF("bucket", "n1", "f1")
+      val fp2 = t.bucketFingerprints(Some(v2)).toDF("bucket", "n2", "f2")
+      val joined = fp1.join(fp2, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("f1"), lit(0L).cast("decimal(38,0)")).as("f1"),
+          coalesce(col("f2"), lit(0L).cast("decimal(38,0)")).as("f2"))
+      val expected = batch2
+        .withColumn("bucket", UpsertTable.bucketExpr(Seq("event_id"), nb))
+        .select("bucket").distinct()
+      val changed = joined.where(col("f1") =!= col("f2")).select("bucket")
+      val changedMatch = changed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(changed).isEmpty
+      val rootChanged = joined.agg(
+        (sum("f1") =!= sum("f2")).as("rc")).head().getBoolean(0)
+      // O(batch) incremental re-verification from the batch keys only
+      val keys2 = batch2.select("event_id")
+      def keyedFp(version: Long) = {
+        val df = t.readVersion(version).join(keys2, "event_id")
+        df.withColumn("__rh", UpsertTable.rowFingerprint(df.columns))
+          .withColumn("bucket",
+            UpsertTable.bucketExpr(Seq("event_id"), nb))
+          .groupBy("bucket")
+          .agg(sum(expr("cast(__rh as decimal(38,0))")).as("kf"))
+      }
+      val deltaExpected = keyedFp(v2).toDF("bucket", "kn")
+        .join(keyedFp(v1).toDF("bucket", "ko"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("kn"), lit(0L).cast("decimal(38,0)")) -
+            coalesce(col("ko"), lit(0L).cast("decimal(38,0)"))).as("dk"))
+      val incrementalOk = joined
+        .join(deltaExpected, Seq("bucket"), "full_outer")
+        .select(
+          (coalesce(col("f2"), lit(0L).cast("decimal(38,0)")) -
+            coalesce(col("f1"), lit(0L).cast("decimal(38,0)"))).as("df"),
+          coalesce(col("dk"), lit(0L).cast("decimal(38,0)")).as("dk"))
+        .where(col("df") =!= col("dk")).isEmpty
+      import s.implicits._
+      Seq((t.readVersion(v1).count(), t.readVersion(v2).count(),
+        changedMatch, rootChanged, incrementalOk))
+        .toDF("rows_before", "rows_after", "changed_match",
+          "root_changed", "incremental_ok")
+    }),
+
     // q349 — STREAMING HLL DISTINCT: q21's HyperLogLog++ sketch as a
     // CONTINUOUS query — per-type approx_count_distinct(user_id)
     // accumulates sketch registers in the streaming agg across forced
@@ -2760,6 +2837,17 @@ object StoreQueries {
         "UNION ALL SELECT 'seed', CAST(s AS BIGINT), " +
         "CAST(0 AS BIGINT), TRUE, CAST(s AS BIGINT) FROM c" +
         ") ORDER BY batch"),
+
+    // q149 convention: closed-form row counts from the batch splits,
+    // layout-dependent invariants asserted in-band (oracle emits
+    // TRUE; MerkleAuditSpec proves the hash machinery bites)
+    "q371_merkle_audit" ->
+      ("SELECT CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS rows_before, " +
+        "CAST(SUM(CASE WHEN event_id % 3 = 0 OR event_id % 97 = 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS rows_after, " +
+        "TRUE AS changed_match, TRUE AS root_changed, " +
+        "TRUE AS incremental_ok FROM events"),
 
     // same q21 convention: exact distinct hashed, streamed sketch
     // asserted in the 4×rsd band (the oracle emits TRUE)

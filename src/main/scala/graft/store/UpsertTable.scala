@@ -99,6 +99,33 @@ class UpsertTable(spark: SparkSession, val location: String) {
   def readVersion(version: Long): DataFrame =
     readSnapshot(SnapshotLog.read(location, version))
 
+  /** Merkle-style logical content fingerprints, one row per key
+    * bucket: `(bucket, n_rows, fp)` where `fp` is the SUM of per-row
+    * hash integers (60-bit md5 prefix of the row's sorted-column JSON)
+    * as an exact decimal(38,0) — a commutative SET hash, so it is a
+    * mergeable partial aggregate (scales like any groupBy at 100 TB),
+    * layout-independent (same logical rows ⇒ same fp under any file
+    * arrangement, compaction, or partitioning), and INCREMENTALLY
+    * maintainable: fp(after) − fp(before) = Σ hash(new rows) −
+    * Σ hash(replaced rows), which is how q371 audits a delta commit
+    * in O(batch) instead of re-reading the table. The root (whole
+    * table) fingerprint is the sum over buckets. Collision note: a
+    * forged collision needs md5-prefix sums to match — fine for
+    * corruption/drift AUDITS (the Iceberg manifest-checksum role),
+    * not a cryptographic commitment.
+    */
+  def bucketFingerprints(version: Option[Long] = None): DataFrame = {
+    val snap = version.map(SnapshotLog.read(location, _))
+      .getOrElse(snapshotOrFail)
+    val df = version.map(readVersion).getOrElse(read())
+    df.withColumn("__rh", UpsertTable.rowFingerprint(df.columns))
+      .withColumn("__b",
+        UpsertTable.bucketExpr(snap.keyCols, snap.numBuckets))
+      .groupBy(col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("cast(__rh as decimal(38,0))")).as("fp"))
+  }
+
   /** Schema as of a committed version (time-travel reads). */
   def schemaAt(version: Long): StructType =
     DataType.fromJson(SnapshotLog.read(location, version).schemaJson)
@@ -1056,6 +1083,16 @@ object UpsertTable {
 
   def bucketExpr(keys: Seq[String], numBuckets: Int): Column =
     pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Per-row 60-bit content hash over the given columns in NAME order
+    * (sorted, so projection order can't change the fingerprint) —
+    * the row term of [[UpsertTable.bucketFingerprints]]'s commutative
+    * set hash. md5 (not xxhash) so audits are reproducible across
+    * engines and releases.
+    */
+  def rowFingerprint(columns: Seq[String]): Column = expr(
+    s"cast(conv(substring(md5(to_json(struct(${
+      columns.sorted.mkString(", ")}))), 1, 15), 16, 10) as bigint)")
 
   /** Widenings the parquet reader serves by CAST-ON-READ over files
     * written at the narrower type (probed against Spark 4.1's
