@@ -2122,6 +2122,59 @@ object StoreQueries {
         .orderBy("batch")
     }),
 
+    // q372 — BRANCH/TAG REFS (WAP, branch style): the OTHER
+    // write-audit-publish shape next to q348's rollback style —
+    // writers advance the table HEAD commit by commit, readers
+    // consume the `main` BRANCH ref, and the audit gate publishes by
+    // FAST-FORWARDING the ref (O(1) metadata move, nothing rolled
+    // back: the failed commit stays on the head for forensics,
+    // invisible through the ref). A `baseline` TAG pins the seed
+    // version immutably, and snapshot EXPIRY must honor both pins
+    // (the Iceberg ref-retention rule) — the harness runs
+    // expireSnapshots(0) after the flow and re-reads both refs
+    // through it. Publish decisions are CONDITIONED on the actual
+    // violation count (the q348 oracle contract), so a scale factor
+    // whose poisoned slice is legitimately clean publishes in both
+    // engines. Gate: closed-form row counts per ref + in-band
+    // booleans; ref mechanics proven by RefSpec.
+    "q372_store_branches" -> ((s, d) => {
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-refs-${ProcessHandle.current().pid()}-${math.abs(d.hashCode)}")
+      deleteRecursively(base)
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = UpsertTable(s, s"$base/ref_events")
+      t.merge(ev.where(col("event_id") % 4 === 0),
+        autoCreateKeys = Seq("event_id"), delta = true)
+      t.createTag("baseline")
+      t.createBranch("main")
+      def auditAndPublish(batch: org.apache.spark.sql.DataFrame): Long = {
+        t.merge(batch, delta = true)
+        val violations = t.read()
+          .agg(sum(when(col("event_type").isNull, 1L).otherwise(0L)))
+          .head().getLong(0)
+        if (violations == 0L) t.fastForward("main")
+        violations
+      }
+      auditAndPublish(ev.where(col("event_id") % 4 === 1))
+      auditAndPublish(ev.where(col("event_id") % 4 === 2)
+        .withColumn("event_type",
+          when(col("value") >= 100.0, lit(null).cast("string"))
+            .otherwise(col("event_type"))))
+      val published = t.readRef("main").count()
+      val head = t.read().count()
+      val tagRows = t.readRef("baseline").count()
+      // expiry must not GC ref-pinned versions (retention 0 = expire
+      // everything it legally can)
+      t.expireSnapshots(retentionMs = 0L)
+      val refsSurvive = t.readRef("baseline").count() == tagRows &&
+        t.readRef("main").count() == published
+      import s.implicits._
+      Seq((published, head, tagRows, refsSurvive))
+        .toDF("rows_published", "rows_head", "rows_tag",
+          "refs_survive_expiry")
+    }),
+
     // q371 — MERKLE CONTENT AUDIT: per-bucket commutative set hashes
     // over the store's logical rows (UpsertTable.bucketFingerprints —
     // the Iceberg manifest-checksum role done at ROW level), gating
@@ -2837,6 +2890,22 @@ object StoreQueries {
         "UNION ALL SELECT 'seed', CAST(s AS BIGINT), " +
         "CAST(0 AS BIGINT), TRUE, CAST(s AS BIGINT) FROM c" +
         ") ORDER BY batch"),
+
+    // closed-form per-ref row counts from the batch splits, publish
+    // conditioned on the poisoned slice's actual violation count
+    // (the q348 contract); ref mechanics live in RefSpec
+    "q372_store_branches" ->
+      ("WITH c AS (SELECT " +
+        "SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS s, " +
+        "SUM(CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END) AS g, " +
+        "SUM(CASE WHEN event_id % 4 = 2 THEN 1 ELSE 0 END) AS p, " +
+        "SUM(CASE WHEN event_id % 4 = 2 AND value >= 100.0 THEN 1 " +
+        "ELSE 0 END) AS v FROM events) " +
+        "SELECT CAST(CASE WHEN v = 0 THEN s + g + p ELSE s + g END " +
+        "AS BIGINT) AS rows_published, " +
+        "CAST(s + g + p AS BIGINT) AS rows_head, " +
+        "CAST(s AS BIGINT) AS rows_tag, " +
+        "TRUE AS refs_survive_expiry FROM c"),
 
     // q149 convention: closed-form row counts from the batch splits,
     // layout-dependent invariants asserted in-band (oracle emits

@@ -139,3 +139,55 @@ object SnapshotLog {
   def delete(tableRoot: String, version: Long): Unit =
     Files.deleteIfExists(snapshotsDir(tableRoot).resolve(f"v$version%08d.json"))
 }
+
+/** A named snapshot ref — the Iceberg branch/tag analog. `kind` is
+  * "tag" (immutable pin) or "branch" (fast-forwardable pointer, e.g.
+  * the WAP `main` publish ref readers consume while writers advance
+  * the head). Refs pin their version against [[UpsertTable.expireSnapshots]].
+  */
+case class TableRef(name: String, kind: String, version: Long)
+
+object RefLog {
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  private val NamePattern = "^[A-Za-z0-9_.-]{1,64}$".r
+
+  def refsDir(tableRoot: String): Path = Paths.get(tableRoot, "_refs")
+
+  private def refPath(tableRoot: String, name: String): Path = {
+    require(NamePattern.findFirstIn(name).isDefined,
+      s"invalid ref name '$name' (want [A-Za-z0-9_.-]{1,64})")
+    refsDir(tableRoot).resolve(s"$name.json")
+  }
+
+  def list(tableRoot: String): Seq[TableRef] =
+    graft.Fs.children(refsDir(tableRoot))
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => mapper.readValue(Files.readAllBytes(p), classOf[TableRef]))
+      .sortBy(_.name)
+
+  def read(tableRoot: String, name: String): Option[TableRef] = {
+    val p = refPath(tableRoot, name)
+    if (Files.exists(p))
+      Some(mapper.readValue(Files.readAllBytes(p), classOf[TableRef]))
+    else None
+  }
+
+  /** Atomic write-or-replace (tmp + move); exclusive creation is
+    * enforced by callers via [[read]] under the table lock.
+    */
+  def write(tableRoot: String, ref: TableRef): Unit = {
+    val dir = refsDir(tableRoot)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, s".${ref.name}", ".tmp")
+    Files.write(tmp,
+      mapper.writeValueAsString(ref).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, refPath(tableRoot, ref.name),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def delete(tableRoot: String, name: String): Boolean =
+    Files.deleteIfExists(refPath(tableRoot, name))
+}

@@ -859,17 +859,89 @@ class UpsertTable(spark: SparkSession, val location: String) {
       deleted.toList.sorted
     }
 
+  // ---- Named refs: Iceberg-style tags + the WAP publish branch ----
+
+  /** Immutable named pin of a committed version (Iceberg tag). Fails
+    * if the name exists — tags never move; [[dropRef]] removes them.
+    */
+  def createTag(name: String, version: Option[Long] = None): Unit =
+    synchronized { writeRef(name, "tag", version, mustBeNew = true) }
+
+  /** Fast-forwardable named pointer (Iceberg branch). The WAP shape:
+    * writers advance the table HEAD commit by commit; readers consume
+    * a branch ref (e.g. "main") that [[fastForward]] advances only
+    * after the audit passes — unpublished commits stay visible to the
+    * auditor on the head, invisible through the ref, and nothing is
+    * ever rolled back (q348 shows the rollback WAP style; this is the
+    * branch style). O(1) metadata either way.
+    */
+  def createBranch(name: String, version: Option[Long] = None): Unit =
+    synchronized { writeRef(name, "branch", version, mustBeNew = true) }
+
+  private def writeRef(name: String, kind: String, version: Option[Long],
+      mustBeNew: Boolean): Unit = {
+    require(!mustBeNew || RefLog.read(location, name).isEmpty,
+      s"ref '$name' already exists for $location")
+    val v = version.getOrElse(snapshotOrFail.version)
+    require(SnapshotLog.listVersions(location).contains(v),
+      s"ref '$name' target v$v does not exist for $location")
+    RefLog.write(location, TableRef(name, kind, v))
+  }
+
+  /** All named refs, sorted by name. */
+  def refs(): Seq[TableRef] = RefLog.list(location)
+
+  /** Time-travel read through a named ref. */
+  def readRef(name: String): DataFrame =
+    readVersion(refOrFail(name).version)
+
+  /** Version a ref currently pins. */
+  def refVersion(name: String): Long = refOrFail(name).version
+
+  private def refOrFail(name: String): TableRef =
+    RefLog.read(location, name).getOrElse(
+      throw new IllegalStateException(s"no ref '$name' for $location"))
+
+  /** Advance a BRANCH ref to a later committed version (default: the
+    * current head) — the WAP publish step. Tags refuse; moving
+    * backward refuses (that is what [[rollback]] + a fresh ref are
+    * for, keeping publish history monotonic).
+    */
+  def fastForward(name: String, toVersion: Option[Long] = None): Unit =
+    synchronized {
+      val ref = refOrFail(name)
+      require(ref.kind == "branch",
+        s"ref '$name' is a ${ref.kind} — tags are immutable")
+      val to = toVersion.getOrElse(snapshotOrFail.version)
+      require(to >= ref.version,
+        s"fast-forward of '$name' to v$to would move backward " +
+          s"from v${ref.version}")
+      require(SnapshotLog.listVersions(location).contains(to),
+        s"fast-forward target v$to does not exist for $location")
+      RefLog.write(location, ref.copy(version = to))
+    }
+
+  /** Remove a ref (tag or branch); its pinned version becomes
+    * expirable again. Returns whether it existed.
+    */
+  def dropRef(name: String): Boolean =
+    synchronized { RefLog.delete(location, name) }
+
   /** Snapshot expiry (C6; reference snapshot_mgmt.py:17-18
     * `expire_snapshots(retention_threshold => '6h')`): drop manifests
-    * older than the retention (never the current one) and delete data
-    * files no remaining manifest references.
+    * older than the retention (never the current one, never a version
+    * pinned by a named ref — the Iceberg rule that makes tags/branches
+    * safe against maintenance) and delete data files no remaining
+    * manifest references.
     */
   def expireSnapshots(retentionMs: Long): Unit = synchronized {
     val versions = SnapshotLog.listVersions(location)
     if (versions.size <= 1) return
     val cutoff = System.currentTimeMillis() - retentionMs
+    val pinned = RefLog.list(location).map(_.version).toSet
     val (latest, older) = (versions.last, versions.init)
-    val expired = older.filter(v => SnapshotLog.read(location, v).timestampMs < cutoff)
+    val expired = older.filter(v => !pinned(v) &&
+      SnapshotLog.read(location, v).timestampMs < cutoff)
     if (expired.isEmpty) return
     val live = (versions.diff(expired)).map(SnapshotLog.read(location, _))
     val liveFiles = live.flatMap(_.files.map(_.path)).toSet
