@@ -78,6 +78,50 @@ object ScaleCurve {
     docsXn.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  /** ×n PART replica (the attribute-blocked confirmation corpus):
+    * brand/size/type VERBATIM (fixed-cardinality blocking domain —
+    * replication grows the blocks, exactly what a bigger catalog does
+    * to attribute blocking), names rotated bijectively per replica
+    * (within-replica JW/edit structure preserved, cross-replica names
+    * decorrelated). Replica id stride is 10⁸, NOT the documents' 10⁷:
+    * q261 derives planted twins at id + 10⁷, so a 10⁷ replica stride
+    * would collide twin ids with replica 1's id range and pollute the
+    * linkage truth join (a corpus artifact of the same class as the
+    * round-10 rotation-period bug — caught and fixed round 11; every
+    * earlier attribute-family ×4 number measured the colliding
+    * corpus).
+    */
+  private def buildXnPart(spark: SparkSession, srcDir: String,
+      outDir: String, reps: Int): Unit = {
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
+    val partXn = (0 until reps).map { r =>
+      if (r == 0) part
+      else part.select(
+        (col("p_partkey") + r * 100000000L).as("p_partkey"),
+        translate(col("p_name"),
+          "abcdefghijklmnopqrstuvwxyz", perm(r)).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }.reduce(_ unionByName _)
+    partXn.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+  }
+
+  /** ×n EVENTS replica (the ingest-decade corpus): user_id shifted
+    * (n× the keys the keyed merge must track), event_id shifted
+    * (uniqueness), times verbatim (a denser stream, the per-commit
+    * worst case).
+    */
+  private def buildXnEvents(spark: SparkSession, srcDir: String,
+      outDir: String, reps: Int): Unit = {
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val evXn = (0 until reps).map { r =>
+      if (r == 0) ev
+      else ev
+        .withColumn("user_id", col("user_id") + r * 10000000L)
+        .withColumn("event_id", col("event_id") + r * 1000000000L)
+    }.reduce(_ unionByName _)
+    evXn.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   /** Replica-salted 4× corpus dirs (documents + embeddings parquet). */
   private def buildX4(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -103,21 +147,7 @@ object ScaleCurve {
     }.reduce(_ unionByName _)
     embsX4.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // part replicas keep brand/size/type VERBATIM (the catalog blocking
-    // attributes are a fixed-cardinality domain — replication grows the
-    // blocks, exactly what a bigger catalog does to attribute blocking)
-    // and rotate names bijectively (within-replica JW/edit structure
-    // preserved, cross-replica names decorrelated)
-    val part = spark.read.parquet(s"$srcDir/part.parquet")
-    val partX4 = (0 until 4).map { r =>
-      if (r == 0) part
-      else part.select(
-        (col("p_partkey") + r * 10000000L).as("p_partkey"),
-        translate(col("p_name"),
-          "abcdefghijklmnopqrstuvwxyz", perm(r)).as("p_name"),
-        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
-    }.reduce(_ unionByName _)
-    partX4.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    buildXnPart(spark, srcDir, outDir, 4)
 
     // lineitem replicas shift ONLY the order key: same catalog, 4× the
     // baskets — exactly what a growing order book does to basket
@@ -135,14 +165,7 @@ object ScaleCurve {
     // streaming state must track) and event_id (uniqueness); times are
     // kept verbatim so the watermark/window span is unchanged and the
     // stream gets DENSER, the stateful worst case
-    val ev = spark.read.parquet(s"$srcDir/events.parquet")
-    val evX4 = (0 until 4).map { r =>
-      if (r == 0) ev
-      else ev
-        .withColumn("user_id", col("user_id") + r * 10000000L)
-        .withColumn("event_id", col("event_id") + r * 1000000000L)
-    }.reduce(_ unionByName _)
-    evX4.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    buildXnEvents(spark, srcDir, outDir, 4)
   }
 
   def main(args: Array[String]): Unit = {
@@ -387,9 +410,19 @@ object ScaleCurve {
     // manifest), never O(table).
     val runIngest = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .forall(_.split(",").map(_.trim).toSet.contains("ingest_throughput"))
-    val ingestResults = if (!runIngest) Seq.empty else points.map {
-      case (label, dir) =>
-        val rows = sizes(label)("events")
+    def ingestFields = Seq(JsonField("user_id", "BIGINT"),
+      JsonField("event_id", "BIGINT"), JsonField("event_type", "STRING"))
+    val ingestResults = if (!runIngest) Seq.empty else {
+      // ×16 events decade point: one more step past the ×4 corpus
+      // (160× sf0.01) — the claim under test is still rows/s holding
+      // ~flat, i.e. commit cost O(batch) + O(log manifest)
+      val x16e = sys.props("java.io.tmpdir") +
+        s"/graft-scale-x16e-${ProcessHandle.current().pid()}"
+      Fs.deleteRecursively(java.nio.file.Paths.get(x16e))
+      buildXnEvents(spark, sfBig, x16e, 16)
+      val ingestPoints = points :+ ("sf0.1x16" -> x16e)
+      val perPoint = ingestPoints.map { case (label, dir) =>
+        val rows = spark.read.parquet(s"$dir/events.parquet").count()
         val ts = (1 to reps).map { r =>
           val base = sys.props("java.io.tmpdir") +
             s"/graft-scale-ingest-${ProcessHandle.current().pid()}-$label-$r"
@@ -401,9 +434,7 @@ object ScaleCurve {
             topicDir = s"$base/topic",
             tablePath = s"$base/table",
             keyField = "user_id",
-            fields = Seq(JsonField("user_id", "BIGINT"),
-              JsonField("event_id", "BIGINT"),
-              JsonField("event_type", "STRING")),
+            fields = ingestFields,
             checkpointDir = s"$base/cp",
             trigger = Trigger.AvailableNow(),
             deltaMerges = true)
@@ -414,6 +445,45 @@ object ScaleCurve {
           dt
         }
         (label, rows, ts.min)
+      }
+      Fs.deleteRecursively(java.nio.file.Paths.get(x16e))
+      // TWO CONCURRENT TOPICS → TWO TABLES (the reference's actual
+      // dual-pipeline shape — S6 routes account+product streams side
+      // by side): both jobs share the local[cpus] session the way two
+      // streaming queries share a cluster; the claim is that commit
+      // cost stays O(batch) under CONCURRENT tables (no cross-table
+      // lock/contention term), i.e. combined rows/s lands near the
+      // single-topic rate at the same total volume.
+      val twoTopic = {
+        val ts = (1 to reps).map { r =>
+          val base = sys.props("java.io.tmpdir") +
+            s"/graft-scale-ingest2-${ProcessHandle.current().pid()}-$r"
+          Fs.deleteRecursively(java.nio.file.Paths.get(base))
+          val ev = spark.read.parquet(s"$sfBig/events.parquet")
+            .select("event_id", "user_id", "event_type")
+          Topic.produce(ev.where(col("event_id") % 2 === 0).coalesce(4),
+            s"$base/topicA")
+          Topic.produce(ev.where(col("event_id") % 2 === 1).coalesce(4),
+            s"$base/topicB")
+          def job(tag: String) = IngestJob(
+            topicDir = s"$base/topic$tag",
+            tablePath = s"$base/table$tag",
+            keyField = "user_id",
+            fields = ingestFields,
+            checkpointDir = s"$base/cp$tag",
+            trigger = Trigger.AvailableNow(),
+            deltaMerges = true)
+          val t0 = System.nanoTime()
+          val (qa, qb) = (job("A").start(spark), job("B").start(spark))
+          qa.awaitTermination()
+          qb.awaitTermination()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Fs.deleteRecursively(java.nio.file.Paths.get(base))
+          dt
+        }
+        ("sf0.1-2topics", sizes("sf0.1")("events"), ts.min)
+      }
+      perPoint :+ twoTopic
     }
 
     // CONFIRMATION DECADES: for the worst measured tails that remain,
@@ -468,6 +538,49 @@ object ScaleCurve {
         val (n32, t32) = m32(name)
         (name, n16, t16, math.log(t16 / t4) / math.log(4.0),
           n32, t32, math.log(t32 / t16) / math.log(2.0))
+      }
+    }
+
+    // ATTRIBUTE-BLOCKED ×16 CONFIRMATION: q151/q261 sit AT the α ≈ 1
+    // asymptote the attribute-blocking caveat predicts (linear in the
+    // quadratically-growing candidate mass of fixed-cardinality
+    // blocks). One more decade step checks the slope HOLDS there —
+    // the caveat's own claim — instead of drifting past it toward
+    // all-pairs. Same spill-aware partition scaling as the documents
+    // decades.
+    val confirmAttrOps = Seq("q151_jw_entity_match", "q261_fellegi_sunter")
+      .filter(n => results.exists(_._1 == n))
+    val confirmAttrResults = if (confirmAttrOps.isEmpty) Seq.empty else {
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft-scale-p16-${ProcessHandle.current().pid()}"
+      Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      buildXnPart(spark, sfBig, dir, 16)
+      val n = spark.read.parquet(s"$dir/part.parquet").count()
+      // the caveat's own arithmetic, measured not argued: (brand,
+      // size) block mass Σ C(block, 2) — the candidate count the
+      // blocked join must verify. On this fixed-cardinality corpus
+      // it grows QUADRATICALLY in replicas by construction, so the
+      // confirmation claim is time LINEAR IN CANDIDATES (per-pair
+      // cost flat), not time linear in rows — a real catalog grows
+      // its blocking vocabulary and keeps candidates subquadratic.
+      def candMass(d: String): Double =
+        spark.read.parquet(s"$d/part.parquet")
+          .groupBy("p_brand", "p_size").agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) div 2"))).head().getLong(0).toDouble
+      val (c4, c16) = (candMass(x4), candMass(dir))
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        (cpus.toInt * 4).toString)
+      val m = try {
+        confirmAttrOps.map { name =>
+          name -> (1 to reps).map(_ => time(name, dir)).min
+        }.toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      confirmAttrOps.map { name =>
+        val t4 = results.find(_._1 == name).get._2(2)._2
+        (name, n, m(name), math.log(m(name) / t4) / math.log(4.0),
+          math.log(m(name) / t4) / math.log(c16 / c4), c16 / c4)
       }
     }
 
@@ -598,6 +711,33 @@ object ScaleCurve {
           f"| $t32%.2f s | $a32%.2f |\n"
       }
     }
+    if (confirmAttrResults.nonEmpty) {
+      md ++= "\n## Attribute-blocked ×16 confirmation (sf0.1×16 part)\n\n"
+      md ++= "The caveat's own arithmetic, measured: on this fixed-" +
+        "cardinality\ncorpus the (brand, size) block mass Σ C(block, " +
+        "2) grows QUADRATICALLY\nin replicas by construction " +
+        "(alpha_cand below is the measured ×4→×16\ncandidate growth " +
+        "per 4× rows), so the honest confirmation claim is\ntime " +
+        "LINEAR IN CANDIDATES — alpha_vs_cand ≈ 1 means the blocked " +
+        "join\ndoes flat per-pair work while the corpus hands it " +
+        "quadratically more\npairs; alpha_vs_cand drifting past ~1.3 " +
+        "would mean the JOIN ITSELF\ndegenerated. (The raw " +
+        "alpha-vs-rows column necessarily exceeds 1 here\n— that is " +
+        "the corpus's candidate growth, not a plan defect; a real\n" +
+        "catalog grows its blocking vocabulary and keeps candidates\n" +
+        "subquadratic.) Corpus note: the part replica stride is 10⁸\n" +
+        "(round-11 fix — the old 10⁷ stride collided replica-1 ids " +
+        "with q261's\nplanted twins at id+10⁷, polluting the linkage " +
+        "truth join; attribute\nrows in the main table above are " +
+        "regenerated on the corrected corpus).\nSame spill-aware " +
+        "partition scaling as the documents decades.\n\n"
+      md ++= "| operator | n x16 | t x16 | alpha vs rows | " +
+        "cand x16/x4 | alpha vs candidates |\n|---|---|---|---|---|---|\n"
+      confirmAttrResults.foreach { case (name, n16, t16, a16, ac, cr) =>
+        md ++= f"| $name | $n16 | $t16%.2f s | $a16%.2f | $cr%.1f× " +
+          f"| $ac%.2f |\n"
+      }
+    }
     if (ingestResults.nonEmpty) {
       md ++= "\n## Ingest throughput (S1 topic → JSON parse → keyed " +
         "delta merge)\n\n"
@@ -608,8 +748,13 @@ object ScaleCurve {
         "the same per-commit path a 10 s ProcessingTime\ntrigger " +
         "takes (idle time factored out); min of " + reps + " runs, " +
         "each from a\nfresh topic/table/checkpoint. Claim: rows/s " +
-        "~flat across 40× growth —\ncommit cost is O(batch), never " +
-        "O(table).\n\n"
+        "~flat across 160× growth\n(the ×16 decade point) — commit " +
+        "cost is O(batch), never O(table).\nThe 2-topics row is the " +
+        "reference's actual dual-pipeline shape (S6\nroutes account + " +
+        "product side by side): two concurrent IngestJobs into\ntwo " +
+        "tables over the same total volume — combined rows/s near " +
+        "the\nsingle-topic rate means no cross-table commit " +
+        "contention term.\n\n"
       md ++= "| point | rows | wall (s) | rows/s |\n|---|---|---|---|\n"
       ingestResults.foreach { case (label, rows, t) =>
         md ++= f"| $label | $rows | $t%.1f | ${rows / t}%.0f |\n"
@@ -629,6 +774,10 @@ object ScaleCurve {
         f""""$name":{"t16":$t16%.2f,"alpha_x4_x16":$a16%.3f,""" +
           f""""t32":$t32%.2f,"alpha_x16_x32":$a32%.3f}"""
       }.mkString(",\"x16_confirm\":{", ",", "}") +
+      confirmAttrResults.map { case (name, _, t16, a16, ac, cr) =>
+        f""""$name":{"t16":$t16%.2f,"alpha_x4_x16":$a16%.3f,""" +
+          f""""cand_ratio":$cr%.2f,"alpha_vs_cand":$ac%.3f}"""
+      }.mkString(",\"attr_x16_confirm\":{", ",", "}") +
       ingestResults.map { case (label, rows, t) =>
         f""""$label":${rows / t}%.0f"""
       }.mkString(",\"ingest_rows_per_s\":{", ",", "}}"))

@@ -533,6 +533,26 @@ object CurationQueries {
       Bpe.train(s, words, "w", "cnt", steps = 5).orderBy("step")
     }),
 
+    // q373 — WORDPIECE MERGE TRAINING: the likelihood-scored merge
+    // rule (Schuster & Nakajima — count(ab)/(count(a)·count(b)))
+    // completing the tokenizer-training trio next to q133's
+    // count-greedy BPE and q358's Viterbi unigram-LM; BPE and
+    // WordPiece genuinely diverge on this corpus (a frequent pair of
+    // two very frequent symbols loses to a rarer but more
+    // "surprising" pair), and the gate pins the learned rules AND
+    // their floored pico scores. Same round shape as q133: the
+    // corpus is touched once for word counts; each round is two
+    // vocabulary-sized partial aggs + a 1-row argmax collect; the
+    // oracle replays all 5 rounds as CTEs with HUGEINT score
+    // products.
+    "q373_wordpiece_train" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      Bpe.trainWordPiece(s, words, "w", "cnt", steps = 5).orderBy("step")
+    }),
+
     // q202 — BPE ENCODE (tokenizer APPLICATION, q133's pair): the
     // trained merges applied to every word occurrence in the corpus,
     // reduced to per-document BPE token counts — the "how many tokens
@@ -1978,6 +1998,55 @@ object CurationQueries {
       ") ORDER BY step"
   }
 
+  /** q373's twin: the q133 round chain with the WordPiece likelihood
+    * argmax — per round a symbol-count CTE joins the pair counts and
+    * the winner maximizes c·10¹²//(c_a·c_b) (HUGEINT products, ties
+    * to the smallest pair), mirroring Bpe.trainWordPiece exactly.
+    */
+  private def duckWordPieceSql: String = {
+    val steps = 5
+    val sb = new StringBuilder
+    sb ++= "WITH wv AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM " +
+      s"(SELECT unnest(string_split($duckNorm, ' ')) AS w FROM documents) "
+    sb ++= "WHERE regexp_matches(w, '^[a-z0-9]+"
+    sb ++= "$') GROUP BY 1), "
+    sb ++= "s0 AS MATERIALIZED (SELECT cnt, " +
+      "regexp_replace(w, '(.)', '·\\1', 'g') AS seq FROM wv)"
+    // every per-round CTE is MATERIALIZED: each round references the
+    // previous sequence table three times (pair explode, symbol
+    // counts, the replace) and the winner twice — inlined, the chain
+    // re-evaluates ~5× per round (5⁵ at five steps; measured: the
+    // inlined form ran minutes where this runs in seconds)
+    for (i <- 1 to steps) {
+      sb ++= s", e$i AS MATERIALIZED (SELECT cnt, " +
+        "unnest(list_transform(range(1, len(sy)), " +
+        "j -> sy[j] || '·' || sy[j+1])) AS pair FROM " +
+        s"(SELECT cnt, string_split(seq, '·')[2:] AS sy FROM s${i - 1}))"
+      sb ++= s", y$i AS MATERIALIZED (SELECT sym, " +
+        "CAST(SUM(cnt) AS BIGINT) AS sc FROM " +
+        "(SELECT cnt, unnest(string_split(seq, '·')[2:]) AS sym " +
+        s"FROM s${i - 1}) GROUP BY 1)"
+      sb ++= s", p$i AS MATERIALIZED (SELECT pair, " +
+        s"CAST(sum(cnt) AS BIGINT) AS c FROM e$i GROUP BY 1)"
+      sb ++= s", t$i AS MATERIALIZED (SELECT p$i.pair, c, " +
+        "CAST(c::HUGEINT * 1000000000000 // (a.sc::HUGEINT * b.sc) " +
+        "AS BIGINT) AS score " +
+        s"FROM p$i JOIN y$i a ON a.sym = string_split(p$i.pair, '·')[1] " +
+        s"JOIN y$i b ON b.sym = string_split(p$i.pair, '·')[2] " +
+        "ORDER BY score DESC, pair LIMIT 1)"
+      sb ++= s", s$i AS MATERIALIZED (SELECT cnt, replace(seq, " +
+        s"'·' || (SELECT pair FROM t$i), " +
+        s"'·' || (SELECT replace(pair, '·', '') FROM t$i)) AS seq " +
+        s"FROM s${i - 1})"
+    }
+    sb ++= " SELECT * FROM (" +
+      (1 to steps).map(i =>
+        s"SELECT $i AS step, pair, replace(pair, '·', '') AS merged, " +
+          s"c AS cnt, score AS score_pico FROM t$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+    sb.toString
+  }
+
   /** q202's twin: the SAME training rounds, then the five learned
     * replaces applied to every word occurrence per document, symbols
     * counted as separators.
@@ -2379,6 +2448,7 @@ object CurationQueries {
         "FROM pred p JOIN documents d ON d.doc_id = p.doc_id " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q133_bpe_train" -> duckBpeSql,
+    "q373_wordpiece_train" -> duckWordPieceSql,
     "q202_bpe_encode" -> duckBpeEncodeSql,
     // the window formulation the native aggregate must reproduce
     "q140_topk_agg" ->

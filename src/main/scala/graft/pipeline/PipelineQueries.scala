@@ -3616,6 +3616,69 @@ object PipelineQueries {
             "else 0 end as bigint)").as("assort_micro"))
     }),
 
+    // q374 — PCA TOP COMPONENT (integer power iteration): the
+    // principal direction of the embedding cloud — the
+    // dimensionality-reduction / drift-explanation primitive beside
+    // q146's outlier distance and q283's MRL truncation (WHICH
+    // direction carries the variance, not just how much). EXACT
+    // integers end-to-end: mill-int vectors, the CENTERED scatter
+    // matrix in its common-denominator form C = N·Σxxᵀ − ssᵀ (every
+    // product decimal(38,0)/HUGEINT — N·M is rows²·mill² at scale),
+    // and 8 unrolled power-iteration rounds w ← ⌊C·w·10⁶ / max|C·w|⌋
+    // from the all-ones start — the max-abs renormalization keeps
+    // every weight in [−10⁶, 10⁶] so the iteration is pure bounded
+    // integers, and the final sign is pinned (first nonzero
+    // coordinate positive). The oracle replays every round as
+    // MATERIALIZED CTEs. Plan: ONE scan accumulates the upper
+    // triangle (dim²/2 = 2080 cells per row, the classic covariance
+    // partial agg — bounded by dim, not rows); each round is a join
+    // against the 64-row weight vector with lineage truncated (the
+    // q358 mat idiom).
+    "q374_pca_power" -> ((s, d) => {
+      def mat(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(eager = true) else df.localCheckpoint(true)
+      val p = embs(s, d).select(
+        expr("transform(embedding, x -> " +
+          "cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+      val cells = p.select(explode(expr(
+          "flatten(transform(sequence(1, 64), i -> " +
+            "transform(sequence(i, 64), j -> " +
+            "struct(i, j, v[i-1] * v[j-1] as pr))))")).as("c"))
+        .select(col("c.i"), col("c.j"), col("c.pr"))
+        .groupBy("i", "j")
+        .agg(sum(expr("cast(pr as decimal(38,0))")).as("m"))
+      val sums = p.select(posexplode(col("v")).as(Seq("p0", "x")))
+        .select((col("p0") + 1).as("i"), col("x"))
+        .groupBy("i").agg(sum("x").as("si"))
+      val n = p.agg(count(lit(1)).as("n"))
+      val cFull = mat(cells
+        .unionByName(cells.where(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("m")))
+        .join(sums.toDF("i", "si"), "i")
+        .join(sums.toDF("j", "sj"), "j")
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("j"),
+          expr("cast(n as decimal(38,0)) * m - " +
+            "cast(si as decimal(38,0)) * sj").as("cij")))
+      var w = mat(s.range(1, 65).select(col("id").as("j"),
+        lit(1000000L).as("wj")))
+      for (_ <- 1 to 8) {
+        val cw = cFull.join(broadcast(w), "j")
+          .groupBy(col("i")).agg(sum(expr("cij * wj")).as("cw"))
+        val mx = cw.agg(max(abs(col("cw"))).as("mx"))
+        w = mat(cw.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            expr("cast(cw * 1000000 div mx as bigint)").as("wj")))
+      }
+      val sgn = w.where(col("wj") =!= 0).orderBy("j").limit(1)
+        .select(expr("case when wj >= 0 then 1L else -1L end").as("sg"))
+      w.crossJoin(broadcast(sgn))
+        .select(col("j").cast("long").as("dim"),
+          (col("wj") * col("sg")).as("w_micro"))
+        .orderBy("dim")
+    }),
+
     // q362 — MMD EMBEDDING SHIFT (linear kernel): the
     // distribution-shift test for EMBEDDING columns, next to the
     // scalar drift family (q223 PSI, q238/q328 KS, q231 streamed) —
@@ -6149,6 +6212,47 @@ object PipelineQueries {
         "CAST(CASE WHEN m * sxx - sx * sx > 0 THEN " +
         "(m * sxy - sx * sx) * 1000000 // (m * sxx - sx * sx) " +
         "ELSE 0 END AS BIGINT) AS assort_micro FROM f"),
+
+    // the identical 8 unrolled power-iteration rounds as MATERIALIZED
+    // CTEs: same scatter matrix common-denominator form, HUGEINT
+    // products, same max-abs floored renormalization and pinned sign
+    "q374_pca_power" -> {
+      val sb = new StringBuilder
+      sb ++= "WITH p AS MATERIALIZED (SELECT list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v " +
+        "FROM embeddings), " +
+        "xs AS MATERIALIZED (SELECT v, unnest(range(1, 65)) AS i FROM p), " +
+        "cell AS MATERIALIZED (SELECT v, i, unnest(range(i, 65)) AS j " +
+        "FROM xs), " +
+        "m AS MATERIALIZED (SELECT i, j, " +
+        "SUM(v[CAST(i AS INT)]::HUGEINT * v[CAST(j AS INT)]) AS m " +
+        "FROM cell GROUP BY 1, 2), " +
+        "si AS MATERIALIZED (SELECT i, " +
+        "CAST(SUM(v[CAST(i AS INT)]) AS HUGEINT) AS si " +
+        "FROM xs GROUP BY 1), " +
+        "nn AS (SELECT COUNT(*)::HUGEINT AS n FROM p), " +
+        "cf AS MATERIALIZED (SELECT i, j, m FROM m " +
+        "UNION ALL SELECT j, i, m FROM m WHERE i <> j), " +
+        "c AS MATERIALIZED (SELECT cf.i, cf.j, " +
+        "nn.n * cf.m - a.si * b.si AS cij " +
+        "FROM cf JOIN si a ON a.i = cf.i JOIN si b ON b.i = cf.j " +
+        "CROSS JOIN nn), " +
+        "w0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS j, " +
+        "1000000::HUGEINT AS wj)"
+      for (r <- 1 to 8) {
+        sb ++= s", cw$r AS MATERIALIZED (SELECT c.i, " +
+          s"SUM(cij * wj) AS cw FROM c JOIN w${r - 1} " +
+          s"ON w${r - 1}.j = c.j GROUP BY 1)"
+        sb ++= s", mx$r AS (SELECT MAX(abs(cw)) AS mx FROM cw$r)"
+        sb ++= s", w$r AS MATERIALIZED (SELECT i AS j, " +
+          s"cw * 1000000 // mx AS wj FROM cw$r CROSS JOIN mx$r)"
+      }
+      sb ++= ", sg AS (SELECT CASE WHEN wj >= 0 THEN 1 ELSE -1 END " +
+        "AS sg FROM w8 WHERE wj <> 0 ORDER BY j LIMIT 1) " +
+        "SELECT CAST(j AS BIGINT) AS dim, CAST(wj * sg AS BIGINT) " +
+        "AS w_micro FROM w8 CROSS JOIN sg ORDER BY dim"
+      sb.toString
+    },
 
     // same mill-int vectors, same common-denominator difference
     // numerators, HUGEINT squares, same sum-of-floored-contribs
