@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.catalog.GraftTableChanges.getClass.getName,
         "table_changes"),
       (args: Seq[Expression]) => graft.catalog.GraftTableChanges.build(args)))
+    // SQL TVF over named refs: SELECT * FROM table_ref('cat.ns.t',
+    // 'main') — the Iceberg VERSION-AS-OF-ref surface; a SQL-only
+    // consumer reads the WAP publish branch, never an unaudited head
+    extensions.injectTableFunction((
+      new FunctionIdentifier("table_ref"),
+      new ExpressionInfo(graft.catalog.GraftTableRef.getClass.getName,
+        "table_ref"),
+      (args: Seq[Expression]) => graft.catalog.GraftTableRef.build(args)))
     extensions.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -1123,6 +1123,42 @@ object StoreQueries {
         "ORDER BY batch_no, user_id")
     }),
 
+    // q375 — SQL REF READ (`table_ref` TVF): the pure-SQL surface of
+    // q372's named refs — the Iceberg VERSION-AS-OF-'ref' role. The
+    // harness runs the WAP flow through the API (seed → tag, branch →
+    // publish one commit, leave one UNPUBLISHED on the head) and then
+    // answers entirely FROM SQL: the head count via the ordinary
+    // catalog identifier, the published and baseline counts via
+    // table_ref — proving a SQL-only dashboard can never observe the
+    // unaudited commit. Expansion is a driver-side manifest read; each
+    // leg is a plain pinned-version vectorized scan.
+    "q375_sql_ref_read" -> ((s, d) => {
+      ensureCatalog(s)
+      val tbl = "refq_" + math.abs(d.hashCode).toString
+      deleteRecursively(Paths.get(warehouse, "cdc", tbl))
+      Files.createDirectories(Paths.get(warehouse, "cdc"))
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = UpsertTable(s, Paths.get(warehouse, "cdc", tbl).toString)
+      t.merge(ev.where(col("event_id") % 4 === 0),
+        autoCreateKeys = Seq("event_id"), delta = true)
+      t.createTag("seed")
+      t.createBranch("main")
+      t.merge(ev.where(col("event_id") % 4 === 1), delta = true)
+      t.fastForward("main") // audited + published
+      t.merge(ev.where(col("event_id") % 4 === 2), delta = true) // not yet
+      def leg(label: String, from: String) =
+        s"SELECT '$label' AS ref, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+          s"AS sum_cents FROM $from"
+      s.sql(leg("head", s"$CatalogName.cdc.$tbl") +
+        " UNION ALL " +
+        leg("main", s"table_ref('$CatalogName.cdc.$tbl', 'main')") +
+        " UNION ALL " +
+        leg("seed", s"table_ref('$CatalogName.cdc.$tbl', 'seed')") +
+        " ORDER BY ref")
+    }),
+
     // q75 — gap SESSIONIZATION as a real stateful stream under the
     // oracle: the q42 batch twin re-computed by Sessionize
     // (flatMapGroupsWithState, event-time timeouts). All real events
@@ -2890,6 +2926,20 @@ object StoreQueries {
         "UNION ALL SELECT 'seed', CAST(s AS BIGINT), " +
         "CAST(0 AS BIGINT), TRUE, CAST(s AS BIGINT) FROM c" +
         ") ORDER BY batch"),
+
+    // closed-form per-ref counts and exact cents sums from the batch
+    // splits: head sees 3 slices, the published branch 2, the tag 1
+    "q375_sql_ref_read" ->
+      ("WITH c AS (SELECT event_id % 4 AS m, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+        "WHERE event_id % 4 <= 2) " +
+        "SELECT * FROM (" +
+        "SELECT 'head' AS ref, COUNT(*) AS n, " +
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM c " +
+        "UNION ALL SELECT 'main', COUNT(*), CAST(SUM(cents) AS BIGINT) " +
+        "FROM c WHERE m <= 1 " +
+        "UNION ALL SELECT 'seed', COUNT(*), CAST(SUM(cents) AS BIGINT) " +
+        "FROM c WHERE m = 0) ORDER BY ref"),
 
     // closed-form per-ref row counts from the batch splits, publish
     // conditioned on the poisoned slice's actual violation count

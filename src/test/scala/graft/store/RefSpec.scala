@@ -60,6 +60,33 @@ class RefSpec extends AnyFunSuite {
     intercept[IllegalStateException](t.readRef("nope"))
   }
 
+  test("table_ref TVF reads through refs from pure SQL; missing refs fail analysis") {
+    val wh = Files.createTempDirectory("graft-ref-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_rf",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rf.warehouse", wh)
+    Files.createDirectories(java.nio.file.Paths.get(wh, "ns"))
+    val t = UpsertTable(spark, s"$wh/ns/t1")
+    t.create(schema, Seq("id"), numBuckets = 2)
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), delta = true)
+    t.createBranch("main")
+    t.merge(Seq((3L, "c")).toDF("id", "v"), delta = true)
+    // SQL through the ref sees the published 2 rows; the catalog
+    // identifier sees the head's 3
+    assert(spark.sql(
+      "SELECT * FROM table_ref('graft_rf.ns.t1', 'main')").count() === 2)
+    assert(spark.sql("SELECT * FROM graft_rf.ns.t1").count() === 3)
+    t.fastForward("main")
+    assert(spark.sql(
+      "SELECT * FROM table_ref('graft_rf.ns.t1', 'main')").count() === 3)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM table_ref('graft_rf.ns.t1', 'nope')"))
+    assert(e.getMessage.contains("no ref"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM table_ref('graft_rf.ns.t1')"))
+    assert(e2.getMessage.contains("usage"), e2.getMessage)
+  }
+
   test("expiry honors ref pins; dropping the ref releases the version") {
     val t = fresh()
     val v1 = t.currentSnapshot.get.version
