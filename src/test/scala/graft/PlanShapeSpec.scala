@@ -676,6 +676,60 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q355 degree/reach counts lost map-side partial aggregation:\n$p")
   }
 
+  test("assortativity/MMD/PCA fold suff-stats with partial aggs and broadcasts") {
+    // q361: degree attach = node-keyed hash joins + ONE scalar fold —
+    // the stub table must partial-agg before any exchange
+    val p361 = plan("q361_degree_assortativity")
+    assert(p361.contains("partial_count") || p361.contains("partial_sum"),
+      s"q361 lost map-side partial aggregation:\n$p361")
+    assert(!p361.contains("BroadcastNestedLoopJoin"),
+      s"q361 degenerated to a nested-loop pairing:\n$p361")
+    // q362: 64 dim groups from one posexplode scan; the 1-row count
+    // fold attaches by broadcast, never a shuffle join
+    val p362 = plan("q362_mmd_shift")
+    assert(p362.contains("BroadcastExchange"),
+      s"q362 lost its broadcast count attach:\n$p362")
+    assert(p362.contains("partial_sum"),
+      s"q362 per-dim sums lost partial aggregation:\n$p362")
+    // q374: every power-iteration round joins the 64-row weight
+    // vector by broadcast against the bounded scatter matrix
+    val p374 = plan("q374_pca_power")
+    assert(p374.contains("BroadcastExchange"),
+      s"q374 rounds lost the broadcast weight join:\n$p374")
+  }
+
+  test("t-closeness windows by cell; CER/codec features never shuffle rows") {
+    // q363: the cum window partitions by (event_type, day) — bounded
+    // rows per partition (= |bands|), never a global sort
+    val p363 = plan("q363_t_closeness")
+    assert(p363.contains("windowspecdefinition(event_type"),
+      s"q363 cum window lost its per-cell partitioning:\n$p363")
+    // q368 CER is pure scan-side expression work: the only exchange
+    // is the gate's deterministic final orderBy
+    val p368 = plan("q368_cer_eval")
+    assert(!p368.contains("Exchange hashpartitioning"),
+      s"q368 shuffles its per-doc rows:\n$p368")
+    // q369/q370 decode media in batched mapPartitions; payloads (the
+    // 100 TB column) must never cross a hash partition
+    Seq("q369_audio_autocorr", "q370_sobel_energy").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q shuffles its media rows:\n$p")
+    }
+  }
+
+  test("sorted-neighborhood positions come from the two-level prefix sum") {
+    val p = plan("q367_sorted_neighborhood")
+    // the within-block row_number partitions by the prefix block —
+    // the only unpartitioned window runs over the bounded block table
+    assert(p.contains("windowspecdefinition(blkk"),
+      s"q367 lost its block-partitioned position window:\n$p")
+    // the band join on pos-div-w must be an equi-join, never a range
+    // nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q367 neighbor pairing degenerated to a nested loop:\n$p")
+  }
+
   test("sequential mining windows by user, support never sorts globally") {
     val p = plan("q346_seq2_mining")
     assert(p.contains("windowspecdefinition(user_id"),
