@@ -3679,6 +3679,49 @@ object PipelineQueries {
         .orderBy("dim")
     }),
 
+    // q376 — BIPARTITENESS AUDIT via the DOUBLE COVER: is each
+    // co-purchase component two-colorable (complementary-product
+    // structure) or does it carry an odd cycle (community structure —
+    // the q136/q275 triangle signal seen the other way)? The classic
+    // reduction avoids any odd-cycle search: a component is bipartite
+    // IFF its bipartite double cover (u→u⁰/u¹, every edge wired
+    // across sides) splits into TWO components — i.e. u⁰ and u¹ get
+    // different labels for every node — so the whole test is just the
+    // audited min-label CC fixpoint run TWICE (original + 2·|V|-node
+    // cover), both diameter-bounded partial-agg propagations; no new
+    // machinery, no pairing. The oracle reruns both CCs as recursive
+    // CTEs (the q38 chain) and the same cover-label comparison.
+    "q376_bipartite_check" -> ((s, d) => {
+      val e0 = repeatCoEdges(s, d)
+      val e = if (s.sparkContext.getCheckpointDir.isDefined)
+        e0.checkpoint(eager = true) else e0.localCheckpoint(true)
+      val nodes = e.select(col("lo").as("vid"))
+        .unionByName(e.select(col("hi").as("vid"))).distinct()
+      val base = Cluster.connectedComponents(nodes,
+        e.toDF("a", "b"), "vid", "a", "b")
+      val cover = Cluster.connectedComponents(
+        nodes.select((col("vid") * 2).as("vid"))
+          .unionByName(nodes.select((col("vid") * 2 + 1).as("vid"))),
+        e.select((col("lo") * 2).as("a"), (col("hi") * 2 + 1).as("b"))
+          .unionByName(
+            e.select((col("lo") * 2 + 1).as("a"), (col("hi") * 2).as("b"))),
+        "vid", "a", "b")
+      val l0 = cover.where(pmod(col("vid"), lit(2L)) === 0)
+        .select(expr("vid div 2").as("vid"), col("cluster").as("l0"))
+      val l1 = cover.where(pmod(col("vid"), lit(2L)) === 1)
+        .select(expr("vid div 2").as("vid"), col("cluster").as("l1"))
+      val edgeComp = e.join(base.toDF("lo", "comp"), "lo")
+        .groupBy("comp").agg(count(lit(1)).as("n_edges"))
+      base.join(l0, "vid").join(l1, "vid")
+        .groupBy(col("cluster").as("component"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min((col("l0") =!= col("l1")).cast("long")).as("bip"))
+        .join(edgeComp.toDF("component", "n_edges"), Seq("component"))
+        .select(col("component"), col("n_nodes"), col("n_edges"),
+          (col("bip") === 1L).as("bipartite"))
+        .orderBy("component")
+    }),
+
     // q362 — MMD EMBEDDING SHIFT (linear kernel): the
     // distribution-shift test for EMBEDDING columns, next to the
     // scalar drift family (q223 PSI, q238/q328 KS, q231 streamed) —
@@ -6212,6 +6255,38 @@ object PipelineQueries {
         "CAST(CASE WHEN m * sxx - sx * sx > 0 THEN " +
         "(m * sxy - sx * sx) * 1000000 // (m * sxx - sx * sx) " +
         "ELSE 0 END AS BIGINT) AS assort_micro FROM f"),
+
+    // both min-label fixpoints as recursive CTEs (the q38 chain) over
+    // the original graph and its double cover, same label comparison
+    "q376_bipartite_check" ->
+      (s"WITH RECURSIVE it AS MATERIALIZED ($itemsCte), " +
+        s"ed AS MATERIALIZED ($coEdgeCte), " +
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM ed " +
+        "UNION ALL SELECT hi, lo FROM ed), " +
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym), " +
+        "cc(id, lbl) AS (SELECT v, v FROM nodes " +
+        "UNION SELECT e.dst, c.lbl FROM cc c JOIN sym e ON e.src = c.id), " +
+        "basecc AS MATERIALIZED (SELECT id, MIN(lbl) AS comp " +
+        "FROM cc GROUP BY 1), " +
+        "cov AS MATERIALIZED (SELECT src * 2 AS src, dst * 2 + 1 AS dst " +
+        "FROM sym UNION ALL SELECT src * 2 + 1, dst * 2 FROM sym), " +
+        "covnodes AS (SELECT v * 2 AS cv FROM nodes " +
+        "UNION ALL SELECT v * 2 + 1 FROM nodes), " +
+        "cc2(id, lbl) AS (SELECT cv, cv FROM covnodes " +
+        "UNION SELECT e.dst, c.lbl FROM cc2 c JOIN cov e ON e.src = c.id), " +
+        "covcc AS MATERIALIZED (SELECT id, MIN(lbl) AS comp " +
+        "FROM cc2 GROUP BY 1), " +
+        "ec AS (SELECT b.comp, COUNT(*) AS n_edges FROM ed " +
+        "JOIN basecc b ON b.id = ed.lo GROUP BY 1), " +
+        "j AS (SELECT n.v, b.comp, c0.comp AS l0, c1.comp AS l1 " +
+        "FROM nodes n JOIN basecc b ON b.id = n.v " +
+        "JOIN covcc c0 ON c0.id = n.v * 2 " +
+        "JOIN covcc c1 ON c1.id = n.v * 2 + 1) " +
+        "SELECT j.comp AS component, COUNT(*) AS n_nodes, " +
+        "CAST(MAX(ec.n_edges) AS BIGINT) AS n_edges, " +
+        "BOOL_AND(j.l0 <> j.l1) AS bipartite " +
+        "FROM j JOIN ec ON ec.comp = j.comp " +
+        "GROUP BY 1 ORDER BY 1"),
 
     // the identical 8 unrolled power-iteration rounds as MATERIALIZED
     // CTEs: same scatter matrix common-denominator form, HUGEINT
