@@ -104,6 +104,14 @@ object PipelineQueries {
   // duckdb fragment mirroring TextOps.norm
   private[pipeline] val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** q377's pinned RBO weight ladder: w_d = (1−p)·p^(d−1) at p = 0.9
+    * in floored micros, d = 1..10 — computed once here and
+    * interpolated into BOTH engines (the q317 convention), so no
+    * runtime pow crosses the gate.
+    */
+  private val RboWeights: Seq[Long] = (1 to 10).map(dd =>
+    math.floor(0.1 * math.pow(0.9, dd - 1) * 1e6).toLong)
+
   /** q235's planted boilerplate: an 18-token repetitive sales banner
     * (6 distinct tokens) prepended to every third document — crushes
     * type-token ratio and stopword share, shifts mean token length.
@@ -3679,6 +3687,53 @@ object PipelineQueries {
         .orderBy("dim")
     }),
 
+    // q377 — RANK-BIASED OVERLAP (Webber et al.): how much does the
+    // production ranker (q59's BM25 — idf + length normalization)
+    // reorder the cheap first-stage ranker (raw query-term frequency)?
+    // The top-weighted ranking-agreement measure the eval family
+    // lacked — q240's NDCG/MAP score ONE ranking against relevance,
+    // q226's RRF fuses; RBO compares two rankings to each other with
+    // geometric top-weighting, the number behind "can we serve the
+    // cheap ranker for the first cut". RBO@10 = Σ_d w_d·|A_d ∩ B_d|/d
+    // with w_d = (1−p)p^(d−1) at p = 0.9 PINNED as micro literals in
+    // both engines (the q317 ladder convention); per-depth overlap is
+    // exact integers over the two bounded top-10 tables; the total
+    // row (depth −1) is the documented sum of floored contributions.
+    // Plan: both rankings are corpus-scan partial aggs + a bounded
+    // top-k; everything after runs on ≤ 10-row tables.
+    "q377_rbo_rankers" -> ((s, d) => {
+      val terms = Seq("join", "hash", "vector", "stream")
+      val W = Window.orderBy(col("__s").desc, col("doc_id"))
+      val a = Relevance.bm25TopK(docs(s, d), "doc_id", "text", terms, 10)
+        .withColumn("__s", col("score"))
+        .withColumn("ra", row_number().over(W).cast("long"))
+        .select("doc_id", "ra")
+      val b = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .where(col("t").isin(terms.map(lit): _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("__s"))
+        .orderBy(col("__s").desc, col("doc_id")).limit(10)
+        .withColumn("rb", row_number().over(W).cast("long"))
+        .select("doc_id", "rb")
+      val joined = a.join(b, "doc_id")
+      val wArr = RboWeights.map(w => s"${w}L").mkString("array(", ", ", ")")
+      val perDepth = s.range(1, 11).select(col("id").as("depth"))
+        .join(joined.crossJoin(s.range(1, 11).select(col("id").as("depth")))
+          .where(col("ra") <= col("depth") && col("rb") <= col("depth"))
+          .groupBy("depth").agg(count(lit(1)).as("cum_overlap")),
+          Seq("depth"), "left")
+        .na.fill(0L, Seq("cum_overlap"))
+        .select(col("depth"), col("cum_overlap"),
+          expr(s"element_at($wArr, cast(depth as int)) * cum_overlap " +
+            "div depth").as("contrib_micro"))
+      perDepth.unionByName(
+        perDepth.agg(max("cum_overlap").as("cum_overlap"),
+            sum("contrib_micro").as("contrib_micro"))
+          .select(lit(-1L).as("depth"), col("cum_overlap"),
+            col("contrib_micro")))
+        .orderBy("depth")
+    }),
+
     // q376 — BIPARTITENESS AUDIT via the DOUBLE COVER: is each
     // co-purchase component two-colorable (complementary-product
     // structure) or does it carry an odd cycle (community structure —
@@ -6255,6 +6310,60 @@ object PipelineQueries {
         "CAST(CASE WHEN m * sxx - sx * sx > 0 THEN " +
         "(m * sxy - sx * sx) * 1000000 // (m * sxx - sx * sx) " +
         "ELSE 0 END AS BIGINT) AS assort_micro FROM f"),
+
+    // same two rankings (BM25 replayed from the q59 chain, exact tf
+    // counts), same rounded-score rank order, same pinned weight
+    // ladder and floored contributions
+    "q377_rbo_rankers" -> {
+      val wVals = RboWeights.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"WITH tk AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl " +
+        "FROM tk WHERE len(toks) > 0), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl " +
+        "FROM x), " +
+        "t AS (SELECT doc_id, dl, unnest(toks) AS term FROM x), " +
+        "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tfc " +
+        "FROM t WHERE term IN ('join', 'hash', 'vector', 'stream') " +
+        "GROUP BY doc_id, dl, term), " +
+        "dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc " +
+        "FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, tf.term, " +
+        s"ln(1 + (st.nd - dft.dfc + 0.5) / (dft.dfc + 0.5)) * " +
+        s"(tf.tfc * ${Relevance.K1 + 1d}) / " +
+        s"(tf.tfc + ${Relevance.K1} * (${1d - Relevance.B} + " +
+        s"${Relevance.B} * tf.dl / st.avgdl)) AS s " +
+        "FROM tf JOIN dft USING (term) CROSS JOIN st), " +
+        "agg AS (SELECT doc_id, " +
+        "list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score " +
+        "FROM sc GROUP BY doc_id), " +
+        "atop AS (SELECT doc_id, round(score, 6) AS rs FROM agg " +
+        "ORDER BY score DESC, doc_id LIMIT 10), " +
+        "ra AS (SELECT doc_id, " +
+        "row_number() OVER (ORDER BY rs DESC, doc_id) AS ra FROM atop), " +
+        "btf AS (SELECT doc_id, COUNT(*) AS c FROM t " +
+        "WHERE term IN ('join', 'hash', 'vector', 'stream') GROUP BY 1), " +
+        "btop AS (SELECT doc_id, c FROM btf " +
+        "ORDER BY c DESC, doc_id LIMIT 10), " +
+        "rb AS (SELECT doc_id, " +
+        "row_number() OVER (ORDER BY c DESC, doc_id) AS rb FROM btop), " +
+        "j AS (SELECT ra.ra, rb.rb FROM ra JOIN rb USING (doc_id)), " +
+        "dep AS (SELECT unnest(range(1, 11)) AS depth), " +
+        "ov AS (SELECT depth, (SELECT COUNT(*) FROM j " +
+        "WHERE j.ra <= depth AND j.rb <= depth) AS cum FROM dep), " +
+        s"w AS (SELECT * FROM (VALUES $wVals) t(depth, wm)), " +
+        "pd AS (SELECT ov.depth, cum AS cum_overlap, " +
+        "wm * cum // ov.depth AS contrib_micro " +
+        "FROM ov JOIN w ON w.depth = ov.depth) " +
+        "SELECT * FROM (SELECT CAST(depth AS BIGINT) AS depth, " +
+        "CAST(cum_overlap AS BIGINT) AS cum_overlap, " +
+        "CAST(contrib_micro AS BIGINT) AS contrib_micro FROM pd " +
+        "UNION ALL SELECT -1, " +
+        "(SELECT CAST(MAX(cum_overlap) AS BIGINT) FROM pd), " +
+        "(SELECT CAST(SUM(contrib_micro) AS BIGINT) FROM pd)) " +
+        "ORDER BY depth"
+    },
 
     // both min-label fixpoints as recursive CTEs (the q38 chain) over
     // the original graph and its double cover, same label comparison
