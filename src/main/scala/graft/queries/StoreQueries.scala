@@ -39,6 +39,14 @@ object StoreQueries {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.Fs.deleteRecursively(p)
 
+  /** q378's pinned initial centroids over the (cents, hour·4000)
+    * plane — (id, cx, cy), interpolated into BOTH engines so the
+    * Lloyd step's assignment arithmetic is shared, never re-derived.
+    */
+  private val KmeansC0: Seq[(Int, Long, Long)] = Seq(
+    (0, 10000L, 20000L), (1, 30000L, 60000L),
+    (2, 70000L, 30000L), (3, 90000L, 80000L))
+
   /** Start a streaming query under a temporary shuffle-partition count
     * (stateful streams at test data sizes are dominated by per-
     * partition state-store commit overhead; results are identical —
@@ -2108,6 +2116,46 @@ object StoreQueries {
         .orderBy("event_type")
     }),
 
+    // q378 — STREAMING K-MEANS STEP: one full Lloyd iteration
+    // computed AS A STREAM — every point assigns to its nearest
+    // pinned centroid scan-side (exact integer d², ties to the
+    // smallest id) and the per-centroid sufficient statistics
+    // (n, Σx, Σy, Σd²) accumulate in the streaming agg across forced
+    // micro-batches. The statistics are COMMUTATIVE, so the answer is
+    // independent of any batch split — the property that makes
+    // clustering streamable at all (contrast: sequential mini-batch
+    // updates depend on arrival order, which no exactly-once replay
+    // can pin) — and the updated centroids ⌊Σx/n⌋ + the inertia fall
+    // out of the final state. Completes the streaming-operator family
+    // with its first CLUSTERING member (sketches q102/q250/q347/q349,
+    // CEP, sessions…). 2-D feature = (cents, hour-of-day·4000): the
+    // spend-by-time-of-day segmentation. Fixed 4-row state; one pass.
+    "q378_stream_kmeans_step" -> ((s, d) => {
+      val d2 = KmeansC0.map { case (_, cx, cy) =>
+        s"((x - ${cx}L) * (x - ${cx}L) + (y - ${cy}L) * (y - ${cy}L))" }
+      val minD = s"least(${d2.mkString(", ")})"
+      val cid = "case " + KmeansC0.indices
+        .map(i => s"when ${d2(i)} = $minD then ${i}L").mkString(" ") + " end"
+      val sk = streamedEventAgg(s, d, "stream-kmeans",
+        Seq("event_id", "ts", "user_id", "value"),
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, value DOUBLE") {
+        parsed =>
+          parsed
+            .withColumn("x", expr("cast(round(value * 100) as bigint)"))
+            .withColumn("y", expr("((ts div 3600000000000) % 24) * 4000"))
+            .withColumn("cid", expr(cid))
+            .withColumn("d2", expr(minD))
+            .groupBy("cid")
+            .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+              sum("y").as("sy"),
+              sum(expr("cast(d2 as decimal(38,0))")).as("inertia"))
+      }
+      sk.select(col("cid"), col("n"),
+          expr("sx div n").as("cx1"), expr("sy div n").as("cy1"),
+          expr("cast(inertia as bigint)").as("inertia"))
+        .orderBy("cid")
+    }),
+
     // q348 — WRITE-AUDIT-PUBLISH: the Iceberg WAP pattern on the
     // store's own commit machinery — every batch lands as a real
     // commit, an AUDIT query runs against the just-committed version,
@@ -2926,6 +2974,27 @@ object StoreQueries {
         "UNION ALL SELECT 'seed', CAST(s AS BIGINT), " +
         "CAST(0 AS BIGINT), TRUE, CAST(s AS BIGINT) FROM c" +
         ") ORDER BY batch"),
+
+    // the identical Lloyd step in closed form: same pinned centroids,
+    // same exact-integer d² argmin with smallest-id ties, same
+    // floored means — batch-split invariance means the batch SQL IS
+    // the streamed answer
+    "q378_stream_kmeans_step" -> {
+      val d2 = KmeansC0.map { case (_, cx, cy) =>
+        s"((x - $cx) * (x - $cx) + (y - $cy) * (y - $cy))" }
+      val minD = s"least(${d2.mkString(", ")})"
+      val cid = "CASE " + KmeansC0.indices
+        .map(i => s"WHEN ${d2(i)} = $minD THEN $i").mkString(" ") + " END"
+      "WITH p AS (SELECT CAST(round(value * 100) AS BIGINT) AS x, " +
+        "((epoch_ns(ts) // 3600000000000) % 24) * 4000 AS y " +
+        "FROM events), " +
+        s"a AS (SELECT x, y, $cid AS cid, $minD AS d2 FROM p) " +
+        "SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n, " +
+        "CAST(SUM(x) // COUNT(*) AS BIGINT) AS cx1, " +
+        "CAST(SUM(y) // COUNT(*) AS BIGINT) AS cy1, " +
+        "CAST(SUM(d2::HUGEINT) AS BIGINT) AS inertia " +
+        "FROM a GROUP BY cid ORDER BY cid"
+    },
 
     // closed-form per-ref counts and exact cents sums from the batch
     // splits: head sees 3 slices, the published branch 2, the tag 1
