@@ -256,7 +256,24 @@ object ScaleCurve {
       "q275_clustering_coeff" -> "lineitem",
       // capped 2-hop reach: same deg ≤ 64 center cut as q274, so the
       // hop enumeration is bounded at 64·|E| on the densifying graph
-      "q355_reach_2hop" -> "lineitem")
+      "q355_reach_2hop" -> "lineitem",
+      // round-11 additions — sorted-neighborhood blocking: candidates
+      // are w·N by construction (the band join hands each record
+      // exactly w−1 partners), so the measured tail must track the
+      // sort/position cost, never a pairing curve
+      "q367_sorted_neighborhood" -> "part",
+      // degree assortativity: two node-keyed joins + one scalar fold
+      // on the densifying co-purchase graph — must track |E|
+      "q361_degree_assortativity" -> "lineitem",
+      // bipartite double cover: two diameter-bounded CC fixpoints;
+      // the cover doubles nodes, not density — must track the CC cost
+      "q376_bipartite_check" -> "lineitem",
+      // PCA power iteration: dim²-bounded scatter accumulation + 8
+      // rounds on a 64-row vector — must track the single scan
+      "q374_pca_power" -> "embeddings",
+      // MMD shift: one posexplode scan into 64 groups — the α ≈ scan
+      // baseline the pairing families are judged against
+      "q362_mmd_shift" -> "embeddings")
       // dev tooling: SPARK_GRAFT_SCALE_ONLY=qX,qY measures a subset
       // and SKIPS the SCALE_CURVE.md rewrite (the tracked record is
       // always a full run)
